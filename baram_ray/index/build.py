@@ -1,0 +1,296 @@
+"""Distributed inverted-index build — the Ray-Data rebuild of ``baram index``.
+
+Reference flow (``src/commands/index.rs:36-360``): checkpoint load →
+prefilter → parallel parse → batched embed+bulk-index → checkpoint per
+batch → finalize. Our Ray shape (SURVEY.md §3.1):
+
+    read_parquet → map_batches(NormalizeTokenize)           [stage: forward]
+      → docs table projection + global stats                 [stage: docs]
+      → map_batches(PartialPostings)  (per-batch combiner)
+      → groupby(field, term, shard) → map_groups(encode)     [stage: segments]
+      → groupby(field, term) df/cf aggregate                 [stage: termdict]
+
+Scale design decisions (these are the point — see SURVEY.md §7.3):
+
+- **Tokenize exactly once.** The forward index (per-doc term/tf lists) is
+  written to parquet and every later stage reads it; it doubles as the
+  coarse checkpoint, so a resumed build skips the most expensive stage.
+- **Pre-aggregate before the shuffle.** ``PartialPostings`` emits one row
+  per (field, term, shard) per *batch* with doc/tf lists, not one row per
+  occurrence — the groupby moves combiner output, shrinking the all-to-all
+  exchange by ~the average within-batch df.
+- **Head-term skew → range sharding.** The group key includes
+  ``shard = doc_id >> (63 - bits)``. doc_ids are uniform hashes, so shards
+  are balanced doc_id *ranges*; a head term ("the", "import") that occurs
+  in every doc splits into ``num_shards`` bounded groups instead of one
+  giant one, and because shards are ranges, per-shard posting blocks
+  concatenate in global doc_id order with NO re-sort at merge (the explicit
+  skew handling the reference stubbed at ``src/scheduler/assignment.rs:451``).
+- **Resume** via per-stage manifests with input fingerprints
+  (``baram_ray.state.checkpoint``), mirroring ``src/commands/index.rs:79-108``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from baram_ray.index.codec import encode_blocks
+from baram_ray.stages.normalize import NormalizeTokenize
+from baram_ray.state.checkpoint import (
+    StageManifests, StageTimer, fingerprint_paths, fresh_dir,
+)
+from baram_ray.tokenizer import TOKENIZER_VERSION
+
+DEFAULT_DOCS_PER_SHARD = 262_144
+
+
+@dataclass
+class IndexConfig:
+    fields: tuple[str, ...] = ("content",)
+    id_cols: tuple[str, ...] = ("repo", "path", "commit")
+    keep: tuple[str, ...] = ("repo", "path", "lang")
+    k1: float = 1.2            # Lucene/OpenSearch defaults — the reference index
+    b: float = 0.75            # sets no similarity override (src/embedding/mod.rs:238-277)
+    num_shards: int | None = None   # derived from doc count when None
+    tokenize_batch_size: int = 256  # wide rows: content can be MBs (SURVEY §7.3)
+
+
+@dataclass
+class BuildResult:
+    out_dir: str
+    n_docs: int
+    n_terms: int
+    num_shards: int
+    stage_seconds: dict = field(default_factory=dict)
+    resumed_stages: list = field(default_factory=list)
+
+
+class PartialPostings:
+    """Per-batch combiner: forward rows → (field, term, shard, docs[], tfs[])."""
+
+    def __init__(self, fields: tuple[str, ...], shard_shift: int):
+        self.fields = fields
+        self.shard_shift = shard_shift  # shard = doc_id >> shard_shift
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        shards = (doc_ids >> self.shard_shift).astype(np.int32)
+        acc: dict[tuple[str, str, int], tuple[list, list]] = {}
+        for f in self.fields:
+            terms_rows = batch[f"{f}__terms"].to_pylist()
+            tfs_rows = batch[f"{f}__tfs"].to_pylist()
+            for i in range(len(doc_ids)):
+                d, s = int(doc_ids[i]), int(shards[i])
+                tfs = tfs_rows[i]
+                for j, t in enumerate(terms_rows[i]):
+                    entry = acc.get((f, t, s))
+                    if entry is None:
+                        entry = acc[(f, t, s)] = ([], [])
+                    entry[0].append(d)
+                    entry[1].append(tfs[j])
+        if not acc:
+            return pa.table({
+                "field": pa.array([], pa.string()),
+                "term": pa.array([], pa.string()),
+                "shard": pa.array([], pa.int32()),
+                "docs": pa.array([], pa.list_(pa.int64())),
+                "tfs": pa.array([], pa.list_(pa.int32())),
+            })
+        keys = list(acc.keys())
+        return pa.table({
+            "field": pa.array([k[0] for k in keys], pa.string()),
+            "term": pa.array([k[1] for k in keys], pa.string()),
+            "shard": pa.array([k[2] for k in keys], pa.int32()),
+            "docs": pa.array([acc[k][0] for k in keys], pa.list_(pa.int64())),
+            "tfs": pa.array([acc[k][1] for k in keys], pa.list_(pa.int32())),
+        })
+
+
+def _encode_group(g: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body: merge partial lists → sorted postings → encoded blocks."""
+    docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docs"]])
+    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
+    order = np.argsort(docs, kind="stable")
+    docs, tfs = docs[order], tfs[order]
+    blocks = encode_blocks(docs, tfs)
+    fld, term, shard = g["field"].iloc[0], g["term"].iloc[0], int(g["shard"].iloc[0])
+    rows = {
+        "field": [fld] * len(blocks),
+        "term": [term] * len(blocks),
+        "shard": [shard] * len(blocks),
+        "block_id": list(range(len(blocks))),
+        "n": [b["n"] for b in blocks],
+        "min_doc": [b["min_doc"] for b in blocks],
+        "max_doc": [b["max_doc"] for b in blocks],
+        "max_tf": [b["max_tf"] for b in blocks],
+        "docs_enc": [b["docs_enc"] for b in blocks],
+        "tfs_enc": [b["tfs_enc"] for b in blocks],
+    }
+    # per-block tf sums (cf = sum over blocks at termdict stage)
+    sums, pos = [], 0
+    for b in blocks:
+        sums.append(int(tfs[pos: pos + b["n"]].sum()))
+        pos += b["n"]
+    rows["sum_tf"] = sums
+    return pd.DataFrame(rows)
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p <<= 1
+    return p
+
+
+def build_index(
+    input_paths: list[str] | str,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    resume: bool = True,
+    read_columns: list[str] | None = None,
+) -> BuildResult:
+    """Build (or resume) the full index under ``out_dir``.
+
+    Layout: ``forward/`` ``docs/`` ``segments/`` ``termdict/`` ``meta.json``
+    ``_manifests/``.
+    """
+    cfg = cfg or IndexConfig()
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    os.makedirs(out_dir, exist_ok=True)
+    man = StageManifests(out_dir)
+    input_fp = fingerprint_paths(input_paths)
+    res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
+
+    fwd_dir = os.path.join(out_dir, "forward")
+    docs_dir = os.path.join(out_dir, "docs")
+    seg_dir = os.path.join(out_dir, "segments")
+    td_dir = os.path.join(out_dir, "termdict")
+    meta_path = os.path.join(out_dir, "meta.json")
+
+    # ---- stage: forward (normalize + tokenize ONCE) ----------------------
+    if resume and man.is_done("forward", input_fp):
+        res.resumed_stages.append("forward")
+    else:
+        fresh_dir(fwd_dir)
+        with StageTimer() as t:
+            cols = read_columns
+            if cols is None:
+                # prune at the read: only key+field+meta columns leave storage
+                cols = {*cfg.fields, *cfg.keep,
+                        *(cfg.id_cols if cfg.id_cols else ())}
+                import pyarrow.parquet as _pq
+                first = input_paths[0]
+                if os.path.isdir(first):
+                    first = os.path.join(first, sorted(os.listdir(first))[0])
+                schema_names = set(_pq.ParquetFile(first).schema_arrow.names)
+                if "doc_id" in schema_names:
+                    cols.add("doc_id")   # pre-assigned ids win over id_cols
+                missing = cols - schema_names
+                if missing:
+                    raise ValueError(f"input lacks columns {sorted(missing)}")
+                cols = sorted(cols)
+            ds = ray.data.read_parquet(input_paths, columns=cols)
+            norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols), list(cfg.keep))
+            fwd = ds.map_batches(norm, batch_format="pyarrow",
+                                 batch_size=cfg.tokenize_batch_size)
+            fwd.write_parquet(fwd_dir)
+        man.mark_done("forward", input_fp, seconds=t.seconds)
+        res.stage_seconds["forward"] = t.seconds
+
+    fwd_fp = fingerprint_paths([fwd_dir])
+
+    # ---- stage: docs table + global stats --------------------------------
+    if resume and man.is_done("docs", fwd_fp) and os.path.exists(meta_path):
+        res.resumed_stages.append("docs")
+        with open(meta_path) as f:
+            meta = json.load(f)
+    else:
+        fresh_dir(docs_dir)
+        with StageTimer() as t:
+            len_cols = [f"{f}__len" for f in cfg.fields]
+            doc_cols = ["doc_id", "sha256", *cfg.keep, *len_cols]
+            fwd_ds = ray.data.read_parquet(fwd_dir, columns=doc_cols)
+            fwd_ds.write_parquet(docs_dir)
+            stats_ds = ray.data.read_parquet(docs_dir, columns=len_cols)
+            aggs = [Count(alias_name="n_docs")] + [
+                Sum(c, alias_name=f"total_{c}") for c in len_cols]
+            stats = stats_ds.aggregate(*aggs)
+            n_docs = int(stats["n_docs"])
+            avgdl = {f: (stats[f"total_{f}__len"] or 0) / max(1, n_docs)
+                     for f in cfg.fields}
+        meta = {
+            "fields": list(cfg.fields), "n_docs": n_docs, "avgdl": avgdl,
+            "k1": cfg.k1, "b": cfg.b,
+            "tokenizer_version": TOKENIZER_VERSION,
+            "keep": list(cfg.keep),
+        }
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+        man.mark_done("docs", fwd_fp, seconds=t.seconds, n_docs=n_docs)
+        res.stage_seconds["docs"] = t.seconds
+
+    res.n_docs = meta["n_docs"]
+
+    # ---- stage: segments (the big shuffle) -------------------------------
+    num_shards = cfg.num_shards or _next_pow2(
+        max(1, res.n_docs // DEFAULT_DOCS_PER_SHARD))
+    shard_shift = 63 - (num_shards.bit_length() - 1)
+    res.num_shards = num_shards
+    seg_fp = fwd_fp + f":shards={num_shards}"
+
+    if resume and man.is_done("segments", seg_fp):
+        res.resumed_stages.append("segments")
+    else:
+        fresh_dir(seg_dir)
+        with StageTimer() as t:
+            post_cols = ["doc_id"] + [c for f in cfg.fields
+                                      for c in (f"{f}__terms", f"{f}__tfs")]
+            fwd_ds = ray.data.read_parquet(fwd_dir, columns=post_cols)
+            partial = fwd_ds.map_batches(
+                PartialPostings(cfg.fields, shard_shift),
+                batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
+            seg = partial.groupby(["field", "term", "shard"]).map_groups(
+                _encode_group, batch_format="pandas")
+            seg.write_parquet(seg_dir)
+        man.mark_done("segments", seg_fp, seconds=t.seconds)
+        res.stage_seconds["segments"] = t.seconds
+
+    # ---- stage: termdict (df/cf over block metadata — small) -------------
+    seg_out_fp = fingerprint_paths([seg_dir])
+    if resume and man.is_done("termdict", seg_out_fp):
+        res.resumed_stages.append("termdict")
+    else:
+        fresh_dir(td_dir)
+        with StageTimer() as t:
+            seg_meta = ray.data.read_parquet(
+                seg_dir, columns=["field", "term", "n", "sum_tf"])
+            td = seg_meta.groupby(["field", "term"]).aggregate(
+                Sum("n", alias_name="df"), Sum("sum_tf", alias_name="cf"))
+            td.write_parquet(td_dir)
+        man.mark_done("termdict", seg_out_fp, seconds=t.seconds)
+        res.stage_seconds["termdict"] = t.seconds
+
+    # update meta with shard info (idempotent)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("num_shards") != num_shards:
+        meta["num_shards"] = num_shards
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(meta_path + ".tmp", meta_path)
+
+    td_ds = ray.data.read_parquet(td_dir, columns=["term"])
+    res.n_terms = td_ds.count()
+    return res

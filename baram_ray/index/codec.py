@@ -1,0 +1,93 @@
+"""Posting-list codec: delta-encoded varints in fixed-size blocks with
+per-block max metadata (skip blocks + block-max, SURVEY.md §7.1 step 5).
+
+A posting list for one term is stored as consecutive *blocks* of up to
+``BLOCK_SIZE`` postings. Each block row carries ``(n, min_doc, max_doc,
+max_tf, docs_enc, tfs_enc)``:
+
+- ``docs_enc``  — LEB128 varints of doc_id deltas (first value absolute,
+  then gaps; doc_ids strictly increasing within a block);
+- ``tfs_enc``   — LEB128 varints of term frequencies;
+- ``min_doc``/``max_doc`` — skip metadata (a reader can skip a whole block
+  when seeking past ``max_doc``);
+- ``max_tf``    — block-max ingredient: the block's max BM25 contribution is
+  bounded by the score of ``max_tf`` at the minimum doc length, enabling
+  block-max WAND (we store max_tf + the block's min_dl-derived bound at
+  query-engine load time).
+
+The reference keeps this entire layer inside OpenSearch/Lucene
+(config only, ``src/embedding/mod.rs:237-330``); this is the native rebuild.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def encode_varints(values) -> bytes:
+    """LEB128-encode a sequence of non-negative ints."""
+    out = bytearray()
+    for v in values:
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def decode_varints(buf: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` LEB128 varints into an int64 array."""
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    for i in range(n):
+        shift = 0
+        val = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            val |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        out[i] = val
+    return out
+
+
+def encode_deltas(sorted_ids: np.ndarray) -> bytes:
+    """Delta-encode a strictly-increasing int array (first absolute)."""
+    deltas = np.empty(len(sorted_ids), dtype=np.int64)
+    if len(sorted_ids):
+        deltas[0] = sorted_ids[0]
+        np.subtract(sorted_ids[1:], sorted_ids[:-1], out=deltas[1:])
+    return encode_varints(deltas)
+
+
+def decode_deltas(buf: bytes, n: int) -> np.ndarray:
+    vals = decode_varints(buf, n)
+    np.cumsum(vals, out=vals)
+    return vals
+
+
+def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
+    """Split one (sorted-by-doc_id) posting list into encoded block rows."""
+    blocks = []
+    for start in range(0, len(doc_ids), BLOCK_SIZE):
+        d = doc_ids[start : start + BLOCK_SIZE]
+        t = tfs[start : start + BLOCK_SIZE]
+        blocks.append({
+            "n": len(d),
+            "min_doc": int(d[0]),
+            "max_doc": int(d[-1]),
+            "max_tf": int(t.max()),
+            "docs_enc": encode_deltas(d),
+            "tfs_enc": encode_varints(t),
+        })
+    return blocks
+
+
+def decode_block(block: dict) -> tuple[np.ndarray, np.ndarray]:
+    n = int(block["n"])
+    return decode_deltas(block["docs_enc"], n), decode_varints(block["tfs_enc"], n)

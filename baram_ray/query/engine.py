@@ -1,0 +1,289 @@
+"""Native BM25 top-k over compressed postings: exhaustive DAAT + block-max WAND.
+
+The rebuild of the reference's delegated query core
+(``src/embedding/mod.rs:469-535``: bool-should over boosted fields,
+``minimum_should_match: 1``, k default 10, optional ``min_score``
+``:623-625``, term filters ``:509-532``). Semantics + accumulation order are
+defined by :mod:`baram_ray.query.oracle`; both algorithms here are
+rank-identical to it (tested).
+
+- ``algorithm="daat"``: decode every matching posting, vectorized numpy
+  scoring, exact top-k. O(total postings of query terms).
+- ``algorithm="wand"`` (default): document-at-a-time WAND with per-term
+  upper bounds + block-max skipping over the encoded blocks — sub-linear in
+  postings when k ≪ matches.
+
+``QueryActor`` is the actor-pool form: constructed once per actor with the
+index resident (``ds.map_batches(QueryActor, concurrency=N)`` over a query
+table), the Ray shape of SURVEY.md §3.2.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+import pandas as pd
+
+from baram_ray.index.segment import IndexReader, PostingList
+
+
+class _TermIter:
+    """Posting iterator with galloping next_geq over blocks (skip via max_doc)."""
+
+    __slots__ = ("pl", "weight", "idf", "ub", "block", "docs", "tfs", "pos",
+                 "doc", "field", "term", "dl", "avg_c")
+
+    DONE = 1 << 63          # doc_ids are 63-bit (stages.normalize.derive_doc_id)
+
+    def __init__(self, field: str, term: str, pl: PostingList, idf: float,
+                 weight: float, k1: float, b: float):
+        self.pl = pl
+        self.field = field
+        self.term = term
+        self.idf = idf
+        self.weight = weight
+        c = k1 * (1.0 - b)
+        # dl→0 upper bound: tf/(tf+k1(1-b)) is the max of the saturation term
+        mt = float(pl.max_tfs.max())
+        self.ub = weight * idf * mt / (mt + c)
+        self.avg_c = c
+        self.block = -1
+        self.docs = self.tfs = None
+        self.pos = 0
+        self.doc = -1
+        self._load_block(0)
+
+    def _load_block(self, i: int) -> None:
+        if i >= self.pl.n_blocks:
+            self.doc = self.DONE
+            return
+        self.block = i
+        self.docs, self.tfs = self.pl.decode(i)
+        self.pos = 0
+        self.doc = int(self.docs[0])
+
+    def next_geq(self, target: int) -> int:
+        if self.doc >= target:
+            return self.doc
+        # find first block whose max_doc >= target
+        bi = int(np.searchsorted(self.pl.max_docs, target, side="left"))
+        if bi >= self.pl.n_blocks:
+            self.doc = self.DONE
+            return self.doc
+        if bi != self.block:
+            self._load_block(bi)
+        p = int(np.searchsorted(self.docs, target, side="left"))
+        if p >= len(self.docs):           # target beyond this block
+            self._load_block(self.block + 1)
+            return self.doc
+        self.pos = p
+        self.doc = int(self.docs[p])
+        return self.doc
+
+    def advance(self) -> int:
+        self.pos += 1
+        if self.pos < len(self.docs):
+            self.doc = int(self.docs[self.pos])
+        else:
+            self._load_block(self.block + 1)
+        return self.doc
+
+    def block_ub_at(self, target: int) -> tuple[float, int]:
+        """(upper bound of the block containing/next after target, its max_doc).
+
+        Shallow: uses stored block metadata only, no decode (block-max WAND).
+        """
+        bi = int(np.searchsorted(self.pl.max_docs, target, side="left"))
+        if bi >= self.pl.n_blocks:
+            return 0.0, self.DONE
+        mt = float(self.pl.max_tfs[bi])
+        return (self.weight * self.idf * mt / (mt + self.avg_c),
+                int(self.pl.max_docs[bi]))
+
+    def score_at(self, row_dl: float, avgdl: float, k1: float, b: float) -> float:
+        tf = float(self.tfs[self.pos])
+        return self.weight * self.idf * tf / (
+            tf + k1 * (1.0 - b + (b * row_dl) / avgdl))
+
+
+class QueryEngine:
+    def __init__(self, index_dir: str):
+        self.r = IndexReader(index_dir)
+        self.k1 = self.r.k1
+        self.b = self.r.b
+
+    # ------------------------------------------------------------------ #
+    def _iters(self, query: str, boosts: dict[str, float] | None):
+        from baram_ray.tokenizer import tokenize
+        terms = sorted(set(tokenize(query)))
+        boosts = boosts or {}
+        its: list[_TermIter] = []
+        n = self.r.n_docs
+        for f in self.r.fields:                 # field order, then sorted terms
+            w = float(boosts.get(f, 1.0))
+            for t in terms:
+                pl = self.r.postings.get((f, t))
+                if pl is None:
+                    continue
+                idf = math.log(1.0 + (n - pl.df + 0.5) / (pl.df + 0.5))
+                its.append(_TermIter(f, t, pl, idf, w, self.k1, self.b))
+        return its
+
+    def search(self, query: str, k: int = 10,
+               boosts: dict[str, float] | None = None,
+               filters: dict[str, str] | None = None,
+               min_score: float | None = None,
+               algorithm: str = "wand") -> list[tuple[int, float]]:
+        its = self._iters(query, boosts)
+        if not its or k <= 0:
+            return []
+        mask = self.r.filter_mask(filters)
+        if algorithm == "daat":
+            hits = self._daat(its, k, mask)
+        else:
+            hits = self._wand(its, k, mask)
+        if min_score is not None:
+            hits = [(d, s) for d, s in hits if s >= min_score]
+        return hits
+
+    # ------------------------------------------------------------------ #
+    def _daat(self, its: list[_TermIter], k: int, mask) -> list:
+        """Exhaustive vectorized scoring (the non-pruned exact path)."""
+        r = self.r
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        for it in its:                      # fixed (field, term) order → fp order
+            docs, tfs = it.pl.decode_all()
+            rows = np.searchsorted(r.doc_ids, docs)
+            dl = r.dl[it.field][rows]
+            avg = r.avgdl[it.field] or 1.0
+            tff = tfs.astype(np.float64)
+            s = (it.weight * it.idf) * tff / (
+                tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
+            np.add.at(acc, rows, s)
+            matched[rows] = True
+        if mask is not None:
+            matched &= mask
+        cand = np.nonzero(matched)[0]
+        if len(cand) == 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        top = cand[order[:k]]
+        return [(int(r.doc_ids[i]), float(acc[i])) for i in top]
+
+    # ------------------------------------------------------------------ #
+    def _wand(self, its: list[_TermIter], k: int, mask) -> list:
+        """Block-max WAND; rank-identical to _daat (ties: later doc_ids are
+        larger in DAAT order, so strict `score > θ` acceptance is exact)."""
+        r = self.r
+        doc_ids_sorted = r.doc_ids
+        heap: list[tuple[float, int]] = []    # (score, -doc_id), worst on top
+        DONE = _TermIter.DONE
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -1.0
+
+        while True:
+            live = [it for it in its if it.doc < DONE]
+            if not live:
+                break
+            live.sort(key=lambda it: it.doc)
+            # find pivot: smallest prefix whose ub sum exceeds θ
+            t = theta()
+            ub_sum = 0.0
+            pivot = -1
+            for i, it in enumerate(live):
+                ub_sum += it.ub
+                if ub_sum > t:
+                    pivot = i
+                    break
+            if pivot == -1:
+                break                          # no doc can beat θ
+            pivot_doc = live[pivot].doc
+            # include every iterator already positioned at pivot_doc: they
+            # contribute to its score and to the shallow block-max bound
+            while pivot + 1 < len(live) and live[pivot + 1].doc == pivot_doc:
+                pivot += 1
+            if live[0].doc == pivot_doc:
+                # block-max check: shallow per-block bounds at pivot_doc
+                bub = 0.0
+                next_b = DONE
+                for it in live[: pivot + 1]:
+                    u, bmax = it.block_ub_at(pivot_doc)
+                    bub += u
+                    next_b = min(next_b, bmax)
+                if bub <= t:
+                    # whole aligned blocks can't beat θ → jump past them, but
+                    # never past the next non-prefix iterator's doc (it may
+                    # contribute to docs inside the skipped range)
+                    target = next_b + 1
+                    if pivot + 1 < len(live):
+                        target = min(target, live[pivot + 1].doc)
+                    target = max(target, pivot_doc + 1)
+                    for it in live[: pivot + 1]:
+                        if it.doc < target:
+                            it.next_geq(target)
+                    continue
+                row = int(np.searchsorted(doc_ids_sorted, pivot_doc))
+                allowed = mask is None or bool(mask[row])
+                if allowed:
+                    s = 0.0
+                    for it in its:             # fixed (field, term) order
+                        if it.doc == pivot_doc:
+                            s += it.score_at(float(r.dl[it.field][row]),
+                                             r.avgdl[it.field] or 1.0,
+                                             self.k1, self.b)
+                    if s > theta():
+                        if len(heap) >= k:
+                            heapq.heapreplace(heap, (s, -pivot_doc))
+                        else:
+                            heapq.heappush(heap, (s, -pivot_doc))
+                for it in live:
+                    if it.doc == pivot_doc:
+                        it.advance()
+            else:
+                # advance the largest-ub iterator still strictly before the
+                # pivot doc (one at pivot_doc already would be a no-op → loop)
+                cands = [i for i in range(pivot) if live[i].doc < pivot_doc]
+                best = max(cands, key=lambda i: live[i].ub)
+                live[best].next_geq(pivot_doc)
+
+        out = [(-nd, s) for s, nd in heap]
+        out.sort(key=lambda ds: (-ds[1], ds[0]))
+        return out
+
+
+class QueryActor:
+    """Actor-pool UDF: one resident index per actor, batched query eval.
+
+    Usage::
+
+        queries = ray.data.from_items([{"query_id": 0, "text": "...", "k": 10}])
+        res = queries.map_batches(QueryActor, fn_constructor_args=(index_dir,),
+                                  batch_format="pandas", concurrency=4)
+
+    Output rows: (query_id, rank, doc_id, score).
+    """
+
+    def __init__(self, index_dir: str, boosts: dict[str, float] | None = None,
+                 algorithm: str = "wand"):
+        self.engine = QueryEngine(index_dir)     # once per actor
+        self.boosts = boosts
+        self.algorithm = algorithm
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        qids, ranks, docs, scores = [], [], [], []
+        ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))
+        for qid, text, k in zip(batch["query_id"], batch["text"], ks):
+            hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
+                                      algorithm=self.algorithm)
+            for rank, (d, s) in enumerate(hits, 1):
+                qids.append(qid); ranks.append(rank); docs.append(d); scores.append(s)
+        return pd.DataFrame({
+            "query_id": np.asarray(qids, dtype=np.int64),
+            "rank": np.asarray(ranks, dtype=np.int64),
+            "doc_id": np.asarray(docs, dtype=np.int64),
+            "score": np.asarray(scores, dtype=np.float64),
+        })

@@ -1,0 +1,90 @@
+"""Brute-force BM25 oracle — the in-repo "reference engine".
+
+Pure-Python, O(docs × query terms), no Ray: tokenize → df/dl/avgdl → score
+EVERY doc → sort ``(score desc, doc_id asc)`` → top-k. The Ray engine
+(exhaustive DAAT and block-max WAND alike) must be rank-identical to this
+on the reference query set (FIXTURES.md §2, SURVEY.md §5).
+
+Scoring (identical constants + accumulation order in both engines):
+
+- Lucene/OpenSearch BM25, the similarity the reference index uses by
+  default (no ``similarity`` override in ``src/embedding/mod.rs:238-277``):
+  ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+  ``score += boost_f * idf * tf / (tf + k1*(1 - b + b*dl_f/avgdl_f))``.
+- k1=1.2, b=0.75.
+- Multi-field bool-should with per-field boost: sum over fields of the
+  field's BM25 — the reference's title^2.0/content shape
+  (``src/embedding/mod.rs:470-507``); for code we boost ``path`` 2.0.
+- Unique query terms score once each; accumulation is float64 in
+  (field order, sorted-term order) — fixed so fp summation is reproducible.
+- ``minimum_should_match: 1`` → any doc matching ≥1 (field, term) is a hit.
+- Tie-break ``doc_id`` ascending (Lucene's internal-docid order).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from baram_ray.tokenizer import term_counts, tokenize
+
+
+class OracleIndex:
+    """In-memory brute-force index over a list of doc dicts."""
+
+    def __init__(self, docs: list[dict], fields: list[str],
+                 k1: float = 1.2, b: float = 0.75,
+                 meta_cols: list[str] | None = None):
+        self.fields = fields
+        self.k1, self.b = k1, b
+        self.doc_ids = [int(d["doc_id"]) for d in docs]
+        self.meta = {c: [d.get(c) for d in docs] for c in (meta_cols or [])}
+        self.tf: dict[str, list[Counter]] = {}
+        self.dl: dict[str, list[int]] = {}
+        self.df: dict[str, Counter] = {}
+        self.avgdl: dict[str, float] = {}
+        n = max(1, len(docs))
+        for f in fields:
+            tfs = [term_counts(d.get(f) or "") for d in docs]
+            self.tf[f] = tfs
+            self.dl[f] = [sum(c.values()) for c in tfs]
+            dfc: Counter = Counter()
+            for c in tfs:
+                dfc.update(c.keys())
+            self.df[f] = dfc
+            self.avgdl[f] = sum(self.dl[f]) / n
+        self.n_docs = len(docs)
+
+    def search(self, query: str, k: int = 10,
+               boosts: dict[str, float] | None = None,
+               filters: dict[str, str] | None = None,
+               min_score: float | None = None) -> list[tuple[int, float]]:
+        terms = sorted(set(tokenize(query)))
+        boosts = boosts or {}
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            for t in terms:
+                df = self.df[f].get(t, 0)
+                if df == 0:
+                    continue
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                for i in range(self.n_docs):
+                    tf = self.tf[f][i].get(t)
+                    if not tf:
+                        continue
+                    dl = self.dl[f][i]
+                    s = w * idf * tf / (tf + self.k1 * (1 - self.b + self.b * dl / avg))
+                    di = self.doc_ids[i]
+                    scores[di] = scores.get(di, 0.0) + s
+        if filters:
+            allowed = set()
+            for i, di in enumerate(self.doc_ids):
+                if all(self.meta[c][i] == v for c, v in filters.items()):
+                    allowed.add(di)
+            scores = {d: s for d, s in scores.items() if d in allowed}
+        if min_score is not None:
+            scores = {d: s for d, s in scores.items() if s >= min_score}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]

@@ -1,0 +1,140 @@
+"""End-to-end: build the index with Ray Data, assert rank identity vs the
+brute-force oracle (FIXTURES.md §5 checks 1-4)."""
+
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from baram_ray.corpus import corpus_parquet
+from baram_ray.index.build import BuildResult, IndexConfig, build_index
+from baram_ray.query.engine import QueryEngine
+from baram_ray.query.oracle import OracleIndex
+from baram_ray.query.queryset import QUERY_SET
+
+N_ROWS = 400
+OUT = "/tmp/baram_test_index"
+
+
+@pytest.fixture(scope="module")
+def corpus_path():
+    return corpus_parquet(N_ROWS, seed=42, cache_dir="/tmp/baram_test_corpus")
+
+
+@pytest.fixture(scope="module")
+def built(corpus_path) -> BuildResult:
+    shutil.rmtree(OUT, ignore_errors=True)
+    cfg = IndexConfig(fields=("content", "path"), num_shards=4)
+    return build_index(corpus_path, OUT, cfg, resume=False)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_path):
+    tbl = pq.read_table(corpus_path)
+    docs = tbl.to_pylist()
+    from baram_ray.stages.normalize import derive_doc_id
+    for d in docs:
+        d["doc_id"] = derive_doc_id(d["repo"], d["path"], d["commit"])
+    return OracleIndex(docs, fields=["content", "path"],
+                       meta_cols=["lang", "repo"])
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    return QueryEngine(built.out_dir)
+
+
+BOOSTS = {"path": 2.0, "content": 1.0}  # reference title^2.0 shape
+
+
+def test_build_counts(built, corpus_path):
+    n_input = pq.ParquetFile(corpus_path).metadata.num_rows
+    assert built.n_docs == n_input
+    assert built.n_terms > 100
+    assert built.num_shards == 4
+
+
+def test_sha256_invariant(built, corpus_path):
+    """Per-row content sha256 equality end-to-end (reference src/models.rs:32-36)."""
+    src = pq.read_table(corpus_path, columns=["repo", "path", "commit", "content"])
+    from baram_ray.stages.normalize import derive_doc_id
+    expected = {}
+    for r, p, c, ct in zip(*(src[c].to_pylist() for c in
+                             ("repo", "path", "commit", "content"))):
+        expected[derive_doc_id(r, p, c)] = hashlib.sha256(
+            (ct or "").encode("utf-8", "surrogatepass")).hexdigest()
+    docs = pq.read_table(os.path.join(built.out_dir, "docs"),
+                         columns=["doc_id", "sha256"])
+    got = dict(zip(docs["doc_id"].to_pylist(), docs["sha256"].to_pylist()))
+    assert got == expected
+    assert all(len(h) == 64 and h == h.lower() for h in got.values())
+
+
+@pytest.mark.parametrize("algorithm", ["daat", "wand"])
+def test_rank_identity_vs_oracle(engine, oracle, algorithm):
+    for q in QUERY_SET:
+        exp = oracle.search(q["text"], k=q["k"], boosts=BOOSTS)
+        got = engine.search(q["text"], k=q["k"], boosts=BOOSTS,
+                            algorithm=algorithm)
+        assert [d for d, _ in got] == [d for d, _ in exp], \
+            f"docIDs differ for {q['text']!r} ({algorithm})"
+        for (d1, s1), (d2, s2) in zip(got, exp):
+            assert abs(s1 - s2) <= 1e-6, f"score {q['text']!r}: {s1} vs {s2}"
+
+
+def test_wand_equals_daat_large_k(engine):
+    for text in ["import", "the parse index", "한국어"]:
+        a = engine.search(text, k=200, algorithm="daat")
+        b = engine.search(text, k=200, algorithm="wand")
+        assert a == b
+
+
+def test_filters_and_min_score(engine, oracle):
+    exp = oracle.search("import batch", k=20, boosts=BOOSTS,
+                        filters={"lang": "python"})
+    got = engine.search("import batch", k=20, boosts=BOOSTS,
+                        filters={"lang": "python"})
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    if exp:
+        cut = exp[len(exp) // 2][1]
+        exp_m = oracle.search("import batch", k=20, boosts=BOOSTS, min_score=cut)
+        got_m = engine.search("import batch", k=20, boosts=BOOSTS, min_score=cut)
+        assert [d for d, _ in got_m] == [d for d, _ in exp_m]
+
+
+def test_tie_break_doc_id_asc(engine, oracle):
+    """Duplicate-content docs score identically; order must be doc_id asc."""
+    got = engine.search("import the def", k=100)
+    scores = {}
+    for d, s in got:
+        scores.setdefault(round(s, 9), []).append(d)
+    for ds in scores.values():
+        assert ds == sorted(ds)
+
+
+def test_zero_hit_query(engine):
+    assert engine.search("qqqxplughz zyzzyvaq", k=10) == []
+
+
+def test_resume_equivalence(built, corpus_path):
+    """Kill-after-partial → resume → identical index (FIXTURES.md §4)."""
+    out2 = "/tmp/baram_test_resume"
+    shutil.rmtree(out2, ignore_errors=True)
+    cfg = IndexConfig(fields=("content", "path"), num_shards=4)
+    r1 = build_index(corpus_path, out2, cfg, resume=False)
+    # simulate a crash after the forward stage: drop later stages + manifests
+    for stage in ("docs", "segments", "termdict"):
+        shutil.rmtree(os.path.join(out2, stage), ignore_errors=True)
+        os.remove(os.path.join(out2, "_manifests", f"{stage}.json"))
+    r2 = build_index(corpus_path, out2, cfg, resume=True)
+    assert "forward" in r2.resumed_stages
+    e1, e2 = QueryEngine(built.out_dir), QueryEngine(out2)
+    for q in QUERY_SET[:8]:
+        assert e1.search(q["text"], k=q["k"]) == e2.search(q["text"], k=q["k"])
+    with open(os.path.join(out2, "meta.json")) as f:
+        assert json.load(f)["n_docs"] == r1.n_docs
+    shutil.rmtree(out2, ignore_errors=True)
