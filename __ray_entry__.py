@@ -1,44 +1,69 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents → inverted index → BM25
+top-k via the query actor pool) on sf0.001. ``queries()`` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2;
+``oracle_sql()`` the matching DuckDB SQL (omitted for non-SQL-expressible
+ops — BM25 ranking, index internals — which the driver checks rows-only
+and pytest checks against the in-repo brute-force oracle).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in baram_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from baram_ray.pipelines import documents as docp
+from baram_ray.pipelines import events as evp
+from baram_ray.pipelines import search as searchp
+from baram_ray.pipelines import tpch as tpchp
+from baram_ray.pipelines.oracles import ORACLES
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents → index build (resume-aware) → batched
+    BM25 top-k through the actor pool; returns (query_id, rank, doc_id,
+    score) rows."""
+    return searchp.bm25_topk("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # documents table (G1/G2 aggregations, D2 dedup, K4 sort, M7 tokens)
+        "doc_lang_counts": docp.lang_counts,
+        "doc_source_counts": docp.source_counts,
+        "doc_stats": docp.doc_stats,
+        "doc_dedup_exact": docp.dedup_exact,
+        "doc_top_longest": docp.top_longest,
+        "doc_token_count": docp.token_count_ws,
+        "doc_term_df_top": docp.term_df_top,
+        # events time-series (G4 SMA, G5 spikes, G8 top-k)
+        "events_type_agg": evp.type_agg,
+        "events_daily_counts": evp.daily_counts,
+        "events_sma7": evp.sma7,
+        "events_spikes": evp.spikes,
+        "events_user_topk": evp.user_topk,
+        # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)
+        "tpch_q1": tpchp.q1_pricing,
+        "tpch_orders_by_status": tpchp.orders_by_status,
+        "tpch_revenue_by_nation": tpchp.revenue_by_nation,
+        "tpch_top_parts": tpchp.top_parts_by_revenue,
+        "tpch_supplier_by_nation": tpchp.supplier_by_nation,
+        "tpch_orders_top": tpchp.orders_top_totalprice,
+        "tpch_part_brand_stats": tpchp.part_brand_stats,
+        # full-text core (non-SQL: checked rows-only here, rank-identity
+        # vs the brute-force oracle in tests/test_index_e2e.py)
+        "search_bm25_topk": searchp.bm25_topk,
+        "search_index_stats": searchp.index_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,94 @@
+"""Pipelines over the ``documents`` table — G1/G2-style aggregations, D2
+exact dedup, K4 sorts, M7 token counting (SURVEY.md §2), all SQL-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from baram_ray.pipelines.util import read_table
+
+
+def lang_counts(sf_dir: str):
+    """G2: GROUP BY lang COUNT (reference category distribution,
+    docs/OPERATIONS.md:153-154)."""
+    ds = read_table(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def source_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["source"])
+    return ds.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def doc_stats(sf_dir: str):
+    """G1-style global stats (reference crawl stats, src/storage/mod.rs:419-446)."""
+    ds = read_table(sf_dir, "documents", ["n_chars"])
+    agg = ds.aggregate(Count(alias_name="n_docs"),
+                       Min("n_chars", alias_name="min_chars"),
+                       Max("n_chars", alias_name="max_chars"),
+                       Mean("n_chars", alias_name="avg_chars"))
+    return pd.DataFrame([{**agg, "avg_chars": round(float(agg["avg_chars"]), 6)}])
+
+
+def dedup_exact(sf_dir: str):
+    """D2: exact content dedup by sha256, first-wins by min doc_id
+    (reference src/storage/dedup.rs:828-854 — one shuffle replaces the
+    bloom/hashset/DB tiers)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_sha(batch: pa.Table) -> pa.Table:
+        shas = [hashlib.sha256((t or "").encode()).hexdigest()
+                for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sha256": pa.array(shas, pa.string())})
+
+    return (ds.map_batches(add_sha, batch_format="pyarrow")
+              .groupby("sha256")
+              .aggregate(Min("doc_id", alias_name="doc_id")))
+
+
+def top_longest(sf_dir: str, k: int = 20):
+    """K4-style top-k sort (ties broken doc_id asc)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def token_count_ws(sf_dir: str):
+    """M7: whitespace token count per doc (vectorized-ish batch map)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(count_tokens, batch_format="pyarrow")
+
+
+def term_df_top(sf_dir: str, k: int = 20):
+    """G13-lite: document frequency of whitespace-lowercase terms, top-k.
+
+    Pre-aggregates per batch (one (term, df_partial) row per batch) before
+    the groupby — the combiner pattern that keeps the shuffle small."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set((t or "").lower().split()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df_partial": pa.array(list(c.values()), pa.int64())})
+
+    return (ds.map_batches(partial_df, batch_format="pyarrow")
+              .groupby("term").aggregate(Sum("df_partial", alias_name="df"))
+              .sort(["df", "term"], descending=[True, False])
+              .limit(k))

@@ -1,0 +1,86 @@
+"""Time-series pipelines over ``events`` — the analytics operators of the
+reference (G4 moving average src/analytics/keyword_trends.rs:220-249,
+G5 spike/z-score :260-302, G8 top-k :482-501) on Ray Data.
+
+Windowing model: daily buckets per ``event_type`` (the reference's
+per-keyword BTreeMap series), computed as a small groupby-aggregate, then
+``groupby(key).map_groups`` over the sorted per-key series — bounded state
+per group, no global materialization (ray_guide streaming-shaped pattern).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ray.data.aggregate import Count, Sum
+
+from baram_ray.pipelines.util import read_table
+
+
+def type_agg(sf_dir: str):
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        # scaled-int sum: bit-identical to the SQL oracle at any sf
+        # (see baram_ray.pipelines.tpch module docstring)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value_u6": np.trunc(df["value"].to_numpy() * 1000000.0 + 0.5
+                                 ).astype("int64"),
+        })
+
+    return (ds.map_batches(derive, batch_format="pandas")
+              .groupby("event_type")
+              .aggregate(Count(alias_name="n"),
+                         Sum("value_u6", alias_name="total_value_u6")))
+
+
+def _daily(sf_dir: str):
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def day_col(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "day": df["ts"].dt.floor("D")})
+
+    return (ds.map_batches(day_col, batch_format="pandas")
+              .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")))
+
+
+def daily_counts(sf_dir: str):
+    return _daily(sf_dir)
+
+
+def sma7(sf_dir: str):
+    """7-point simple moving average per event_type (G4; window = ROWS
+    6 PRECEDING .. CURRENT over the day-sorted series)."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        g["sma"] = g["n"].rolling(7, min_periods=1).mean().round(6)
+        return g
+
+    return _daily(sf_dir).groupby("event_type").map_groups(
+        roll, batch_format="pandas")
+
+
+def spikes(sf_dir: str):
+    """G5: z-score of daily count vs the series mean/σ (population σ,
+    matching SQL stddev_pop)."""
+
+    def z(g: pd.DataFrame) -> pd.DataFrame:
+        mu = g["n"].mean()
+        sd = g["n"].std(ddof=0)
+        g = g.sort_values("day")
+        g["zscore"] = (((g["n"] - mu) / sd) if sd > 0 else 0.0).round(6)
+        return g
+
+    return _daily(sf_dir).groupby("event_type").map_groups(
+        z, batch_format="pandas")
+
+
+def user_topk(sf_dir: str, k: int = 10):
+    """G8-style top-k by activity (ties: user_id asc)."""
+    ds = read_table(sf_dir, "events", ["user_id"])
+    return (ds.groupby("user_id").aggregate(Count(alias_name="n"))
+              .sort(["n", "user_id"], descending=[True, False]).limit(k))

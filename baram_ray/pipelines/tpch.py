@@ -1,0 +1,187 @@
+"""TPC-H-ish pipelines over lineitem/orders/customer/... — generic
+aggregation / sort / broadcast-join operator coverage (SURVEY.md §2 G1, K4,
+J4) with SQL oracles.
+
+Join strategy: dimension tables (nation 25 rows, customer ≤ sf·150k) are
+broadcast once with ``ray.put`` and looked up inside ``map_batches`` — no
+shuffle join for small sides (ray_guide "Joins and lookups"). At 100 TB the
+fact side streams; only keys+group columns leave the scan.
+
+Float determinism: money sums are computed as **scaled-integer sums**
+(per-row ``trunc(x * scale + 0.5)`` of IEEE doubles is bit-identical in
+any engine, and int64 addition is associative), so results hash-match the
+DuckDB oracles exactly at any scale factor — no fp-summation-order
+flakiness. Columns carry a ``_c`` (cents, 1e2) / ``_u`` (1e-6 units)
+suffix; averages are derived from the exact sums.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count, Max, Sum
+
+from baram_ray.pipelines.util import read_table
+
+
+def _cents(x: np.ndarray, scale: float) -> np.ndarray:
+    # mirrors SQL: CAST(trunc(x * scale + 0.5) AS BIGINT); deterministic
+    # and bit-identical to DuckDB for the same input doubles
+    return np.trunc(x * scale + 0.5).astype(np.int64)
+
+
+def q1_pricing(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → derived columns → grouped exact sums."""
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        ext = df["l_extendedprice"].to_numpy()
+        disc = df["l_discount"].to_numpy()
+        tax = df["l_tax"].to_numpy()
+        disc_price = ext * (1.0 - disc)
+        charge = disc_price * (1.0 + tax)
+        return pa.table({
+            "l_returnflag": pa.array(df["l_returnflag"]),
+            "l_linestatus": pa.array(df["l_linestatus"]),
+            "l_quantity": pa.array(df["l_quantity"].to_numpy()),
+            "base_c": pa.array(_cents(ext, 100.0)),
+            "disc_price_u4": pa.array(_cents(disc_price, 10000.0)),
+            "charge_u6": pa.array(_cents(charge, 1000000.0)),
+            "disc_c": pa.array(_cents(disc, 100.0)),
+        })
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                        Sum("base_c", alias_name="sum_base_price_c"),
+                        Sum("disc_price_u4", alias_name="sum_disc_price_u4"),
+                        Sum("charge_u6", alias_name="sum_charge_u6"),
+                        Sum("disc_c", alias_name="sum_disc_c"),
+                        Count(alias_name="count_order")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["count_order"]
+        # sum_qty: integer-valued doubles sum exactly; averages derived
+        # from exact sums so both engines divide identical numbers
+        df["avg_qty"] = (df["sum_qty"] / n).round(6)
+        df["avg_disc"] = (df["sum_disc_c"] / 100.0 / n).round(6)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def orders_by_status(sf_dir: str):
+    ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "total_c": pa.array(_cents(t["o_totalprice"].to_numpy(), 100.0)),
+        })
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+              .groupby("o_orderstatus")
+              .aggregate(Count(alias_name="n"),
+                         Sum("total_c", alias_name="total_c")))
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⨝ customer ⨝ nation via broadcast lookup (J4 pattern)."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(
+        cust["c_custkey"],
+        cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"])))))
+    ref = ray.put(cust_to_nation)
+
+    class AddNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)          # once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_name": df["o_custkey"].map(self.lookup),
+                "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
+            })
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    return (orders.map_batches(AddNation, fn_constructor_args=(ref,),
+                               batch_format="pandas", concurrency=2)
+                  .groupby("n_name")
+                  .aggregate(Count(alias_name="n_orders"),
+                             Sum("revenue_c", alias_name="revenue_c")))
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 10):
+    """Pre-aggregated per-batch partials → small groupby → top-k (exact
+    integer revenue → deterministic ordering)."""
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        df = pd.DataFrame({"l_partkey": t["l_partkey"].to_numpy(),
+                           "rev_u4": _cents(ext * (1.0 - disc), 10000.0)})
+        g = df.groupby("l_partkey", as_index=False)["rev_u4"].sum()
+        return pa.table({"l_partkey": pa.array(g["l_partkey"], pa.int64()),
+                         "rev_u4": pa.array(g["rev_u4"], pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("rev_u4", alias_name="revenue_u4"))
+              .sort(["revenue_u4", "l_partkey"], descending=[True, False])
+              .limit(k))
+
+
+def supplier_by_nation(sf_dir: str):
+    nat = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
+
+    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+        lk = ray.get(ref)
+        return pd.DataFrame({"n_name": df["s_nationkey"].map(lk),
+                             "acctbal_c": _cents(df["s_acctbal"].to_numpy(), 100.0)})
+
+    ds = read_table(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    return (ds.map_batches(add_nation, batch_format="pandas")
+              .groupby("n_name")
+              .aggregate(Count(alias_name="n_suppliers"),
+                         Sum("acctbal_c", alias_name="total_acctbal_c")))
+
+
+def orders_top_totalprice(sf_dir: str, k: int = 15):
+    """Raw-value top-k (no arithmetic → bit-exact vs SQL, no scaling)."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def part_brand_stats(sf_dir: str):
+    ds = read_table(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": t["p_brand"],
+            "price_c": pa.array(_cents(t["p_retailprice"].to_numpy(), 100.0)),
+            "p_size": t["p_size"],
+        })
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("p_brand")
+             .aggregate(Count(alias_name="n"),
+                        Sum("price_c", alias_name="sum_price_c"),
+                        Max("p_size", alias_name="max_size")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_price"] = (df["sum_price_c"] / 100.0 / df["n"]).round(6)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
