@@ -45,6 +45,7 @@ from ray.data.aggregate import Count, Sum
 
 from baram_ray.index.codec import encode_blocks
 from baram_ray.stages.normalize import NormalizeTokenize
+from baram_ray.util import auto_num_blocks
 from baram_ray.state.checkpoint import (
     StageManifests, StageTimer, fingerprint_paths, fresh_dir,
 )
@@ -200,7 +201,9 @@ def build_index(
                 if missing:
                     raise ValueError(f"input lacks columns {sorted(missing)}")
                 cols = sorted(cols)
-            ds = ray.data.read_parquet(input_paths, columns=cols)
+            ds = ray.data.read_parquet(
+                input_paths, columns=cols,
+                override_num_blocks=auto_num_blocks(input_paths))
             norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols), list(cfg.keep))
             fwd = ds.map_batches(norm, batch_format="pyarrow",
                                  batch_size=cfg.tokenize_batch_size)
@@ -220,9 +223,11 @@ def build_index(
         with StageTimer() as t:
             len_cols = [f"{f}__len" for f in cfg.fields]
             doc_cols = ["doc_id", "sha256", *cfg.keep, *len_cols]
-            fwd_ds = ray.data.read_parquet(fwd_dir, columns=doc_cols)
+            fwd_ds = ray.data.read_parquet(fwd_dir, columns=doc_cols,
+                override_num_blocks=auto_num_blocks(fwd_dir))
             fwd_ds.write_parquet(docs_dir)
-            stats_ds = ray.data.read_parquet(docs_dir, columns=len_cols)
+            stats_ds = ray.data.read_parquet(docs_dir, columns=len_cols,
+                override_num_blocks=auto_num_blocks(docs_dir))
             aggs = [Count(alias_name="n_docs")] + [
                 Sum(c, alias_name=f"total_{c}") for c in len_cols]
             stats = stats_ds.aggregate(*aggs)
@@ -257,7 +262,8 @@ def build_index(
         with StageTimer() as t:
             post_cols = ["doc_id"] + [c for f in cfg.fields
                                       for c in (f"{f}__terms", f"{f}__tfs")]
-            fwd_ds = ray.data.read_parquet(fwd_dir, columns=post_cols)
+            fwd_ds = ray.data.read_parquet(fwd_dir, columns=post_cols,
+                override_num_blocks=auto_num_blocks(fwd_dir))
             partial = fwd_ds.map_batches(
                 PartialPostings(cfg.fields, shard_shift),
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
@@ -275,7 +281,8 @@ def build_index(
         fresh_dir(td_dir)
         with StageTimer() as t:
             seg_meta = ray.data.read_parquet(
-                seg_dir, columns=["field", "term", "n", "sum_tf"])
+                seg_dir, columns=["field", "term", "n", "sum_tf"],
+                override_num_blocks=auto_num_blocks(seg_dir))
             td = seg_meta.groupby(["field", "term"]).aggregate(
                 Sum("n", alias_name="df"), Sum("sum_tf", alias_name="cf"))
             td.write_parquet(td_dir)
@@ -291,6 +298,7 @@ def build_index(
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)
 
-    td_ds = ray.data.read_parquet(td_dir, columns=["term"])
+    td_ds = ray.data.read_parquet(td_dir, columns=["term"],
+                                   override_num_blocks=auto_num_blocks(td_dir))
     res.n_terms = td_ds.count()
     return res

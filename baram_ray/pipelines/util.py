@@ -7,11 +7,14 @@ import os
 import ray
 import ray.data
 
+from baram_ray.util import auto_num_blocks
+
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Column-pruned parquet read of one testdata table."""
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
-                                 columns=columns)
+    """Column-pruned, block-size-aware parquet read of one testdata table."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=auto_num_blocks(path))
 
 
 def broadcast(obj):

@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract): headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "index_build_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "bm25_p50_ms": ..., "bm25_p95_ms": ...}
+
+``--scaling`` runs the headline in two fresh processes (num_cpus=8 and 32
+by default) on the same input and reports both throughputs + scaling
+efficiency — the sandbox evidence for the N→4N cluster criterion
+(BASELINE.json): efficiency = (t_lo / t_hi) / (hi/lo).
+
+This script OWNS its Ray session (the only places allowed to: bench.py,
+CLI entry points, the test fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    d = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(d):
+        d = "/root/testdata/sf0.001"   # smallest always exists
+    return d
+
+
+def run_bench() -> dict:
+    # keep the worker pool warm across the many short Dataset executions a
+    # bench run issues — idle-worker churn otherwise dominates small inputs
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_enable_worker_prestart", "true")
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = _sf_dir()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.pipelines import documents as docp
+    from baram_ray.pipelines import events as evp
+    from baram_ray.pipelines import tpch as tpchp
+    from baram_ray.pipelines.search import DOC_QUERIES
+    from baram_ray.query.engine import QueryActor, QueryEngine
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id"]).num_rows
+
+    out_dir = f"/tmp/baram_bench_index_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang", "source"))
+
+    t0 = time.perf_counter()
+    res = build_index(os.path.join(sf_dir, "documents.parquet"), out_dir,
+                      cfg, resume=False)
+    build_sec = time.perf_counter() - t0
+
+    # --- query latency: sequential single-query p50/p95 on a resident engine
+    eng = QueryEngine(out_dir)
+    lat = []
+    texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]] * 8
+    for text in texts:
+        t = time.perf_counter()
+        eng.search(text, k=10)
+        lat.append((time.perf_counter() - t) * 1000)
+    lat.sort()
+    p50 = statistics.median(lat)
+    p95 = lat[int(0.95 * len(lat)) - 1]
+
+    # --- batched query throughput through the actor pool
+    qs = [dict(q, query_id=i) for i in range(200)
+          for q in [DOC_QUERIES[i % len(DOC_QUERIES)]]]
+    t0 = time.perf_counter()
+    ray.data.from_items(qs).map_batches(
+        QueryActor, fn_constructor_args=(out_dir,),
+        batch_format="pandas", concurrency=4, batch_size=32,
+    ).materialize()
+    qbatch_sec = time.perf_counter() - t0
+
+    # --- secondary pipelines
+    def timed(fn):
+        t = time.perf_counter()
+        r = fn(sf_dir)
+        if hasattr(r, "materialize"):
+            r.materialize()
+        return round(time.perf_counter() - t, 3)
+
+    queries = {
+        "index_build": round(build_sec, 3),
+        "bm25_batch_200": round(qbatch_sec, 3),
+        "doc_term_df_top": timed(docp.term_df_top),
+        "doc_dedup_exact": timed(docp.dedup_exact),
+        "events_sma7": timed(evp.sma7),
+        "tpch_q1": timed(tpchp.q1_pricing),
+        "tpch_revenue_by_nation": timed(tpchp.revenue_by_nation),
+    }
+
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "bm25_p50_ms": round(p50, 2),
+        "bm25_p95_ms": round(p95, 2),
+        "index_stages_sec": res.stage_seconds,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def one(n: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo["docs_per_sec"],
+        "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -6,6 +6,8 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_enable_worker_prestart", "true")
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
