@@ -31,7 +31,7 @@ class PostingList:
     """
 
     __slots__ = ("n_blocks", "counts", "min_docs", "max_docs", "max_tfs",
-                 "docs_enc", "tfs_enc", "df")
+                 "docs_enc", "tfs_enc", "df", "_cache")
 
     def __init__(self, counts, min_docs, max_docs, max_tfs, docs_enc, tfs_enc):
         self.n_blocks = len(counts)
@@ -42,13 +42,21 @@ class PostingList:
         self.docs_enc = docs_enc
         self.tfs_enc = tfs_enc
         self.df = int(sum(counts))
+        self._cache: dict[int, tuple] = {}   # decoded blocks, reused across
+        # queries served by the same resident engine/actor
 
     def decode(self, i: int):
-        return decode_block({
-            "n": self.counts[i], "docs_enc": self.docs_enc[i],
-            "tfs_enc": self.tfs_enc[i]})
+        hit = self._cache.get(i)
+        if hit is None:
+            hit = self._cache[i] = decode_block({
+                "n": self.counts[i], "docs_enc": self.docs_enc[i],
+                "tfs_enc": self.tfs_enc[i]})
+        return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(-1)
+        if hit is not None:
+            return hit
         docs = np.empty(self.df, dtype=np.int64)
         tfs = np.empty(self.df, dtype=np.int64)
         pos = 0
@@ -57,6 +65,7 @@ class PostingList:
             docs[pos: pos + len(d)] = d
             tfs[pos: pos + len(t)] = t
             pos += len(d)
+        self._cache[-1] = (docs, tfs)
         return docs, tfs
 
 

@@ -7,11 +7,15 @@ The rebuild of the reference's delegated query core
 defined by :mod:`baram_ray.query.oracle`; both algorithms here are
 rank-identical to it (tested).
 
-- ``algorithm="daat"``: decode every matching posting, vectorized numpy
-  scoring, exact top-k. O(total postings of query terms).
-- ``algorithm="wand"`` (default): document-at-a-time WAND with per-term
-  upper bounds + block-max skipping over the encoded blocks — sub-linear in
-  postings when k ≪ matches.
+- ``algorithm="daat"``: decode every matching posting (cached per resident
+  engine), vectorized numpy scoring, exact top-k. O(total postings).
+- ``algorithm="wand"``: document-at-a-time WAND with per-term upper bounds
+  + block-max skipping over the encoded blocks — sub-linear in postings
+  when k ≪ matches.
+- ``algorithm="auto"`` (default): DAAT unless the corpus is large and the
+  query selective — the vectorized exhaustive path wins whenever most docs
+  match anyway (head-term queries), WAND wins on big-corpus selective
+  queries where pruning skips most blocks.
 
 ``QueryActor`` is the actor-pool form: constructed once per actor with the
 index resident (``ds.map_batches(QueryActor, concurrency=N)`` over a query
@@ -135,11 +139,19 @@ class QueryEngine:
                boosts: dict[str, float] | None = None,
                filters: dict[str, str] | None = None,
                min_score: float | None = None,
-               algorithm: str = "wand") -> list[tuple[int, float]]:
+               algorithm: str = "auto") -> list[tuple[int, float]]:
         its = self._iters(query, boosts)
         if not its or k <= 0:
             return []
         mask = self.r.filter_mask(filters)
+        if algorithm == "auto":
+            # vectorized exhaustive scoring beats the per-posting Python
+            # WAND loop unless pruning can skip most of a large corpus:
+            # prefer WAND only when the corpus is big AND the query is
+            # selective (low total df ⇒ few candidates to visit).
+            total_df = sum(it.pl.df for it in its)
+            algorithm = ("wand" if self.r.n_docs > 2_000_000
+                         and total_df < self.r.n_docs // 10 else "daat")
         if algorithm == "daat":
             hits = self._daat(its, k, mask)
         else:
@@ -268,7 +280,7 @@ class QueryActor:
     """
 
     def __init__(self, index_dir: str, boosts: dict[str, float] | None = None,
-                 algorithm: str = "wand"):
+                 algorithm: str = "auto"):
         self.engine = QueryEngine(index_dir)     # once per actor
         self.boosts = boosts
         self.algorithm = algorithm
