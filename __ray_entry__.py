@@ -24,6 +24,7 @@ from baram_ray.pipelines import documents as docp
 from baram_ray.pipelines import events as evp
 from baram_ray.pipelines import search as searchp
 from baram_ray.pipelines import tpch as tpchp
+from baram_ray.pipelines import training as trainp
 from baram_ray.pipelines.oracles import ORACLES
 
 
@@ -62,6 +63,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,
         "search_index_stats": searchp.index_stats,
+        # dedup family (D1/D2 + near-dup extensions)
+        "dedup_minhash": trainp.dedup_minhash,
+        "dedup_simhash": trainp.dedup_simhash,
+        "dedup_ngram_jaccard": trainp.dedup_ngram_jaccard,
+        # similarity search over embeddings (K2 native)
+        "sim_knn_bruteforce": trainp.sim_knn_bruteforce,
+        "sim_knn_lsh": trainp.sim_knn_lsh,
+        "sim_neardup_pairs": trainp.sim_neardup_pairs,
+        "sim_centroid_assign": trainp.sim_centroid_assign,
+        # text analysis (M1/M2 sanitize + training-data scoring)
+        "text_langid": trainp.text_langid,
+        "text_quality": trainp.text_quality,
+        "text_fingerprint": trainp.text_fingerprint,
+        "text_sanitize": trainp.text_sanitize,
+        # multimodal plumbing (stubbed decode, real Ray shape)
+        "multimodal_decode": trainp.multimodal_decode,
+        "multimodal_frames": trainp.multimodal_frames,
     }
 
 

@@ -100,6 +100,20 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
             repos.append(r); paths.append(p); commits.append(commit)
             langs.append(lg); contents.append(ct)
             continue
+        # ~2% NEAR-duplicates: copy an earlier doc, perturb a few tokens
+        # (exercises MinHash-LSH / SimHash / n-gram Jaccard paths)
+        if prev and rng.random() < 0.02:
+            r, p, c, lg, ct = prev[rng.randrange(len(prev))]
+            words = ct.split()
+            if len(words) > 20:
+                for _ in range(max(1, len(words) // 50)):
+                    words[rng.randrange(len(words))] = _zipf_pick(rng, vocab)
+                ct = " ".join(words)
+            p = f"{p}.near{i}"
+            commit = hashlib.sha1(f"{r}/{p}".encode()).hexdigest()
+            repos.append(r); paths.append(p); commits.append(commit)
+            langs.append(lg); contents.append(ct)
+            continue
         repo = f"org{i % 7}/repo{i % 23}"
         lang = rng.choices(_LANGS, weights=_LANG_W)[0]
         name = _zipf_pick(rng, vocab)
@@ -139,7 +153,7 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
 def corpus_parquet(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/baram_corpus") -> str:
     """Write (once) and return the path of the corpus parquet for n_rows."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"code_{n_rows}_{seed}.parquet")
+    path = os.path.join(cache_dir, f"code_v2_{n_rows}_{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         pq.write_table(generate_corpus(n_rows, seed), tmp)

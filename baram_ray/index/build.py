@@ -45,7 +45,9 @@ from ray.data.aggregate import Count, Sum
 
 from baram_ray.index.codec import encode_blocks
 from baram_ray.stages.normalize import NormalizeTokenize
-from baram_ray.util import auto_num_blocks
+from baram_ray.util import (
+    auto_num_blocks, grouped_agg, grouped_map, input_bytes,
+)
 from baram_ray.state.checkpoint import (
     StageManifests, StageTimer, fingerprint_paths, fresh_dir,
 )
@@ -116,32 +118,35 @@ class PartialPostings:
         })
 
 
-def _encode_group(g: pd.DataFrame) -> pd.DataFrame:
-    """map_groups body: merge partial lists → sorted postings → encoded blocks."""
-    docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docs"]])
-    tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
-    order = np.argsort(docs, kind="stable")
-    docs, tfs = docs[order], tfs[order]
-    blocks = encode_blocks(docs, tfs)
-    fld, term, shard = g["field"].iloc[0], g["term"].iloc[0], int(g["shard"].iloc[0])
-    rows = {
-        "field": [fld] * len(blocks),
-        "term": [term] * len(blocks),
-        "shard": [shard] * len(blocks),
-        "block_id": list(range(len(blocks))),
-        "n": [b["n"] for b in blocks],
-        "min_doc": [b["min_doc"] for b in blocks],
-        "max_doc": [b["max_doc"] for b in blocks],
-        "max_tf": [b["max_tf"] for b in blocks],
-        "docs_enc": [b["docs_enc"] for b in blocks],
-        "tfs_enc": [b["tfs_enc"] for b in blocks],
-    }
-    # per-block tf sums (cf = sum over blocks at termdict stage)
-    sums, pos = [], 0
-    for b in blocks:
-        sums.append(int(tfs[pos: pos + b["n"]].sum()))
-        pos += b["n"]
-    rows["sum_tf"] = sums
+def _encode_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+    """Per-bucket body: every (field, term, shard) key wholly inside →
+    merge partial lists → sorted postings → encoded blocks. One pandas
+    groupby over the bucket replaces one Ray map_groups call per key
+    (~10 ms framework overhead each — ruinous at vocab scale)."""
+    rows: dict[str, list] = {k: [] for k in (
+        "field", "term", "shard", "block_id", "n", "min_doc", "max_doc",
+        "max_tf", "docs_enc", "tfs_enc", "sum_tf")}
+    for (fld, term, shard), g in bucket.groupby(
+            ["field", "term", "shard"], sort=False):
+        docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docs"]])
+        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
+        order = np.argsort(docs, kind="stable")
+        docs, tfs = docs[order], tfs[order]
+        blocks = encode_blocks(docs, tfs)
+        pos = 0
+        for bi, b in enumerate(blocks):
+            rows["field"].append(fld)
+            rows["term"].append(term)
+            rows["shard"].append(int(shard))
+            rows["block_id"].append(bi)
+            rows["n"].append(b["n"])
+            rows["min_doc"].append(b["min_doc"])
+            rows["max_doc"].append(b["max_doc"])
+            rows["max_tf"].append(b["max_tf"])
+            rows["docs_enc"].append(b["docs_enc"])
+            rows["tfs_enc"].append(b["tfs_enc"])
+            rows["sum_tf"].append(int(tfs[pos: pos + b["n"]].sum()))
+            pos += b["n"]
     return pd.DataFrame(rows)
 
 
@@ -267,8 +272,11 @@ def build_index(
             partial = fwd_ds.map_batches(
                 PartialPostings(cfg.fields, shard_shift),
                 batch_format="pyarrow", batch_size=cfg.tokenize_batch_size)
-            seg = partial.groupby(["field", "term", "shard"]).map_groups(
-                _encode_group, batch_format="pandas")
+            # encode buckets sized to the forward index (~1 bucket / 8 MiB,
+            # floor 32): group count stays O(cluster), not O(vocab)
+            n_buckets = max(32, input_bytes(fwd_dir) // (8 << 20))
+            seg = grouped_map(partial, ["field", "term", "shard"],
+                              _encode_bucket, num_buckets=int(n_buckets))
             seg.write_parquet(seg_dir)
         man.mark_done("segments", seg_fp, seconds=t.seconds)
         res.stage_seconds["segments"] = t.seconds
@@ -283,8 +291,9 @@ def build_index(
             seg_meta = ray.data.read_parquet(
                 seg_dir, columns=["field", "term", "n", "sum_tf"],
                 override_num_blocks=auto_num_blocks(seg_dir))
-            td = seg_meta.groupby(["field", "term"]).aggregate(
-                Sum("n", alias_name="df"), Sum("sum_tf", alias_name="cf"))
+            td = grouped_agg(seg_meta, ["field", "term"],
+                             {"df": ("n", "sum"), "cf": ("sum_tf", "sum")},
+                             num_buckets=max(16, input_bytes(seg_dir) // (8 << 20)))
             td.write_parquet(td_dir)
         man.mark_done("termdict", seg_out_fp, seconds=t.seconds)
         res.stage_seconds["termdict"] = t.seconds

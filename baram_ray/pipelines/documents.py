@@ -11,9 +11,10 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Mean, Min
 
 from baram_ray.pipelines.util import read_table
+from baram_ray.util import grouped_agg
 
 
 def lang_counts(sf_dir: str):
@@ -50,9 +51,10 @@ def dedup_exact(sf_dir: str):
         return pa.table({"doc_id": batch["doc_id"],
                          "sha256": pa.array(shas, pa.string())})
 
-    return (ds.map_batches(add_sha, batch_format="pyarrow")
-              .groupby("sha256")
-              .aggregate(Min("doc_id", alias_name="doc_id")))
+    hashed = ds.map_batches(add_sha, batch_format="pyarrow")
+    # sha256 cardinality ≈ corpus size → bucketed agg, not per-group tasks
+    return grouped_agg(hashed, ["sha256"], {"doc_id": ("doc_id", "min")},
+                       num_buckets=32)
 
 
 def top_longest(sf_dir: str, k: int = 20):
@@ -88,7 +90,9 @@ def term_df_top(sf_dir: str, k: int = 20):
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "df_partial": pa.array(list(c.values()), pa.int64())})
 
-    return (ds.map_batches(partial_df, batch_format="pyarrow")
-              .groupby("term").aggregate(Sum("df_partial", alias_name="df"))
-              .sort(["df", "term"], descending=[True, False])
-              .limit(k))
+    partial = ds.map_batches(partial_df, batch_format="pyarrow")
+    # vocab-cardinality groupby → bucketed agg
+    return (grouped_agg(partial, ["term"], {"df": ("df_partial", "sum")},
+                        num_buckets=32)
+            .sort(["df", "term"], descending=[True, False])
+            .limit(k))

@@ -15,6 +15,7 @@ import pandas as pd
 from ray.data.aggregate import Count, Sum
 
 from baram_ray.pipelines.util import read_table
+from baram_ray.util import grouped_agg
 
 
 def type_agg(sf_dir: str):
@@ -43,8 +44,9 @@ def _daily(sf_dir: str):
         return pd.DataFrame({"event_type": df["event_type"],
                              "day": df["ts"].dt.floor("D")})
 
-    return (ds.map_batches(day_col, batch_format="pandas")
-              .groupby(["event_type", "day"]).aggregate(Count(alias_name="n")))
+    return grouped_agg(ds.map_batches(day_col, batch_format="pandas"),
+                       ["event_type", "day"], {"n": (None, "count")},
+                       num_buckets=16)
 
 
 def daily_counts(sf_dir: str):
@@ -82,5 +84,6 @@ def spikes(sf_dir: str):
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])
-    return (ds.groupby("user_id").aggregate(Count(alias_name="n"))
-              .sort(["n", "user_id"], descending=[True, False]).limit(k))
+    return (grouped_agg(ds, ["user_id"], {"n": (None, "count")},
+                        num_buckets=16)
+            .sort(["n", "user_id"], descending=[True, False]).limit(k))

@@ -120,6 +120,66 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
     """,
+    "dedup_ngram_jaccard": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents WHERE trim(text) <> ''),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(ws) >= 2 THEN
+                    list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])
+                ELSE [ws[1]] END)) AS gram
+            FROM w
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT i.a, i.b,
+               round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.a
+        JOIN sz sb ON sb.doc_id = i.b
+        WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.5
+    """,
+    # embeddings are float32 on disk; cast to DOUBLE so DuckDB's cosine is
+    # f64 like numpy's (float32 paths disagree in the 4th decimal)
+    "sim_knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        s AS (SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        SELECT query_id, vec_id, round(c, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rank
+        FROM s QUALIFY rank <= 5
+    """,
+    "sim_neardup_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6)
+                   AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.35
+    """,
+    "sim_centroid_assign": """
+        WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+                   FROM embeddings ORDER BY vec_id LIMIT 8),
+        s AS (SELECT e.vec_id,
+                     arg_max(c.c_id,
+                             list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+                         AS centroid,
+                     max(list_cosine_similarity(e.embedding::DOUBLE[], c.cv))
+                         AS best
+              FROM embeddings e, c GROUP BY e.vec_id)
+        SELECT centroid, count(*) AS n, round(avg(best), 6) AS mean_cos
+        FROM s GROUP BY centroid
+    """,
     "tpch_part_brand_stats": """
         SELECT p_brand, count(*) AS n,
                sum(CAST(trunc(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_c,

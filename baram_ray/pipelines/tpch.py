@@ -25,6 +25,7 @@ import ray
 from ray.data.aggregate import Count, Max, Sum
 
 from baram_ray.pipelines.util import read_table
+from baram_ray.util import grouped_agg
 
 
 def _cents(x: np.ndarray, scale: float) -> np.ndarray:
@@ -134,11 +135,12 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
         return pa.table({"l_partkey": pa.array(g["l_partkey"], pa.int64()),
                          "rev_u4": pa.array(g["rev_u4"], pa.int64())})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-              .groupby("l_partkey")
-              .aggregate(Sum("rev_u4", alias_name="revenue_u4"))
-              .sort(["revenue_u4", "l_partkey"], descending=[True, False])
-              .limit(k))
+    # partkey cardinality scales with sf → bucketed agg
+    return (grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["l_partkey"], {"revenue_u4": ("rev_u4", "sum")},
+                        num_buckets=32)
+            .sort(["revenue_u4", "l_partkey"], descending=[True, False])
+            .limit(k))
 
 
 def supplier_by_nation(sf_dir: str):

@@ -1,0 +1,125 @@
+"""Training-data pipeline operators exposed through the driver contract:
+dedup family, similarity search, text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from baram_ray import dedup, similarity
+from baram_ray.pipelines.util import read_table
+from baram_ray.stages.text import (
+    FingerprintStage, LangIdStage, QualityStage, SanitizeStage,
+)
+
+KNN_QUERY_IDS = [0, 1, 2]
+NEARDUP_COS_T = 0.35
+JACCARD_N = 2
+JACCARD_T = 0.5
+
+
+# --------------------------- dedup family ---------------------------- #
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clusters over documents (rows-only check;
+    recall/precision asserted against exact Jaccard in tests)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.minhash_dedup(ds, "text", threshold=0.7).to_pandas()
+    ids = read_table(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
+    return dedup.cluster_from_pairs(pairs, ids)
+
+
+def dedup_simhash(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.simhash_pairs(ds, "text", max_hamming=3)
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard pairs ≥ 0.5 (SQL oracle)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, "text", n=JACCARD_N,
+                                     threshold=JACCARD_T)
+
+
+# ------------------------- similarity search ------------------------- #
+
+def sim_knn_bruteforce(sf_dir: str):
+    """Exact cosine top-5 for fixed query vectors (SQL oracle; both sides
+    compute in f64 — the SQL casts the float32 column to DOUBLE[] — and
+    round to 6)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.brute_force_topk(ds, KNN_QUERY_IDS, k=5)
+
+
+def sim_knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-5 (rows-only; recall vs brute force
+    asserted in tests)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.lsh_topk(ds, KNN_QUERY_IDS, k=5)
+
+
+def sim_neardup_pairs(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)
+
+
+def sim_centroid_assign(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.assign_centroids(ds, n_centroids=8)
+
+
+# --------------------------- text analysis --------------------------- #
+
+def text_langid(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          concurrency=2)
+
+
+def text_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityStage, batch_format="pyarrow",
+                          concurrency=2)
+
+
+def text_fingerprint(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(FingerprintStage, batch_format="pyarrow",
+                         concurrency=2)
+    return out.select_columns(["doc_id", "n_fingerprints", "min_fp"])
+
+
+def text_sanitize(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(SanitizeStage("text"), batch_format="pyarrow")
+
+    def project(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "has_content": batch["has_content"],
+            "clean_len": pc.utf8_length(batch["clean_text"]),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# ----------------------------- multimodal ---------------------------- #
+
+def multimodal_decode(sf_dir: str):
+    """Binary-column plumbing: synth payload table → decode-stub actor
+    pool → narrow feature rows (rows-only; schema is the check)."""
+    from baram_ray.multimodal import DecodeStage, synth_media_table
+    tbl = synth_media_table(200, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    return ds.map_batches(DecodeStage, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+def multimodal_frames(sf_dir: str):
+    from baram_ray.multimodal import FrameSampleStage, synth_media_table
+    tbl = synth_media_table(200, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    return ds.map_batches(FrameSampleStage(), batch_format="pyarrow",
+                          batch_size=64)

@@ -1,0 +1,238 @@
+"""Similarity search over an embedding column (``list<float>``) — K2's
+native rebuild (reference kNN delegates to OpenSearch HNSW,
+``src/embedding/mod.rs:444-467``; the reference's own cosine math is
+``src/embedding/vectorize.rs:430-502``).
+
+- ``brute_force_topk``: the exact baseline — per-batch numpy matmul
+  against a broadcast query matrix, partial top-k per batch, final merge.
+  Scales: each batch does (B × d) @ (d × Q) work, queries are broadcast
+  once via ``ray.put``, and only B·Q partial candidates leave each task.
+- ``lsh_topk``: random-hyperplane LSH buckets → candidates → exact
+  rerank; the scale path when Q·N matmul is too big. Reports recall
+  against brute force in tests.
+- ``embedding_neardup_pairs``: all pairs with cosine ≥ t (near-dup by
+  embedding; the block-matmul shape).
+- ``assign_centroids`` (G10-ish): nearest-centroid assignment + counts
+  (reference clustering centroid step, src/clustering/engine.rs:287-336).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data.aggregate import Count
+
+
+def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if arr.num_chunks == 1:
+        flat = arr.chunk(0)
+    else:
+        flat = arr.combine_chunks()
+    values = flat.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = flat.offsets.to_numpy()
+    dim = offsets[1] - offsets[0]
+    return values.reshape(len(flat), dim)
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class BruteForceTopK:
+    """map_batches UDF: per-batch exact cosine top-k candidates vs the
+    broadcast query matrix."""
+
+    def __init__(self, query_ref, k: int):
+        q = ray.get(query_ref)                  # once per actor
+        self.q_ids = q["ids"]
+        self.q = _norm_rows(q["vecs"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _norm_rows(_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vecs @ self.q.T                  # (B, Q)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            mask = vec_ids != self.q_ids[qi]    # exclude self
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            kk = min(self.k, len(idx))
+            top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
+            out_q.extend([int(self.q_ids[qi])] * len(top))
+            out_v.extend(int(v) for v in vec_ids[top])
+            out_c.extend(float(c) for c in col[top])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+
+def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                      kind="stable").head(k).copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    g["cosine"] = g["cosine"].round(6)
+    return g
+
+
+def brute_force_topk(ds, query_ids: list[int], k: int = 5):
+    """Exact ANN baseline. ``ds`` = Dataset[(vec_id, embedding)]."""
+    # collect the (few) query vectors via a filtered batch scan
+    ids, vecs = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False), query_ids)
+        if m.any():
+            sub = b.filter(pa.array(m))
+            ids.extend(sub["vec_id"].to_pylist())
+            vecs.append(_matrix(sub))
+    order = np.argsort(ids, kind="stable")
+    q = {"ids": np.asarray(ids, dtype=np.int64)[order],
+         "vecs": np.concatenate(vecs)[order]}
+    ref = ray.put(q)
+    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(ref, k),
+                          batch_format="pyarrow", concurrency=2)
+    return cand.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Deterministic random-hyperplane signatures (nbits per table)."""
+
+    def __init__(self, dim: int, nbits: int = 12, n_tables: int = 4,
+                 seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = [rng.randn(dim, nbits) for _ in range(n_tables)]
+
+    def buckets(self, vecs: np.ndarray) -> list[np.ndarray]:
+        out = []
+        for p in self.planes:
+            bits = (vecs @ p) > 0
+            out.append(bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64))
+        return out
+
+
+def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 10,
+             n_tables: int = 8, seed: int = 11):
+    """LSH-bucketed approximate top-k: union of query buckets → exact
+    rerank of candidates. The IVF/LSH scale path for huge N."""
+    # gather all vectors bucketed per table (sandbox: collect signatures
+    # via Ray; rerank over candidate union only)
+    ids_all, bucket_cols = [], None
+    lsh = None
+    cand_sets: list[set] = [set() for _ in query_ids]
+    q_vecs = None
+    mats, idlists = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        m = _matrix(b)
+        if lsh is None:
+            lsh = HyperplaneLSH(m.shape[1], nbits, n_tables, seed)
+        mats.append(m)
+        idlists.append(b["vec_id"].to_numpy(zero_copy_only=False))
+    vecs = np.concatenate(mats)
+    ids = np.concatenate(idlists)
+    qpos = {int(v): i for i, v in enumerate(ids)}
+    qidx = [qpos[q] for q in query_ids]
+    tables = lsh.buckets(vecs)
+    for t in tables:
+        for si, qi in enumerate(qidx):
+            cand_sets[si].update(np.nonzero(t == t[qi])[0].tolist())
+    nvecs = _norm_rows(vecs)
+    rows = []
+    for si, qv in enumerate(query_ids):
+        cands = np.array(sorted(cand_sets[si]), dtype=np.int64)
+        cands = cands[ids[cands] != qv]
+        if len(cands) == 0:
+            continue
+        sims = nvecs[cands] @ nvecs[qpos[qv]]
+        order = np.lexsort((ids[cands], -sims))[:k]
+        for rank, oi in enumerate(order, 1):
+            rows.append((qv, rank, int(ids[cands[oi]]),
+                         round(float(sims[oi]), 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+
+
+class NearDupPairs:
+    """map_batches UDF: batch × broadcast-matrix pairs with cosine ≥ t."""
+
+    def __init__(self, all_ref, threshold: float):
+        allv = ray.get(all_ref)
+        self.ids = allv["ids"]
+        self.vecs = _norm_rows(allv["vecs"])
+        self.t = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _norm_rows(_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vecs @ self.vecs.T
+        bi, oj = np.nonzero(sims >= self.t)
+        a = vec_ids[bi]
+        b = self.ids[oj]
+        keep = a < b                      # each unordered pair once
+        return pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "cosine": pa.array(np.round(sims[bi, oj][keep], 6), pa.float64()),
+        })
+
+
+def embedding_neardup_pairs(ds, threshold: float = 0.3):
+    ids, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mats.append(_matrix(b))
+    ref = ray.put({"ids": np.concatenate(ids), "vecs": np.concatenate(mats)})
+    return ds.map_batches(NearDupPairs, fn_constructor_args=(ref, threshold),
+                          batch_format="pyarrow", concurrency=2)
+
+
+def assign_centroids(ds, n_centroids: int = 8):
+    """Nearest-centroid assignment (centroids = lowest-vec_id rows) →
+    per-centroid count + mean cosine (majority/centroid step of G10)."""
+    ids, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mats.append(_matrix(b))
+    all_ids = np.concatenate(ids)
+    vecs = np.concatenate(mats)
+    order = np.argsort(all_ids, kind="stable")[:n_centroids]
+    cents = {"ids": all_ids[order], "vecs": vecs[order]}
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            c = ray.get(ref)
+            self.c_ids = c["ids"]
+            self.c = _norm_rows(c["vecs"])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _norm_rows(_matrix(batch))
+            sims = v @ self.c.T
+            best = np.argmax(sims, axis=1)
+            return pa.table({
+                "centroid": pa.array(self.c_ids[best], pa.int64()),
+                "cos_part": pa.array(sims[np.arange(len(best)), best],
+                                     pa.float64()),
+            })
+
+    from ray.data.aggregate import Mean
+    out = (ds.map_batches(Assign, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", concurrency=2)
+             .groupby("centroid")
+             .aggregate(Count(alias_name="n"),
+                        Mean("cos_part", alias_name="mean_cos")))
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_cos"] = df["mean_cos"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")

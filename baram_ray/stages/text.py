@@ -1,0 +1,216 @@
+"""Text-analysis stages — sanitize, language-ID, quality scoring,
+fingerprinting (SURVEY.md M1/M2 + the training-data extensions).
+
+All stateful setup (compiled regexes, stopword tables) happens at class
+construction — once per actor when used with ``map_batches(Cls,
+concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ------------------------------------------------------------------ #
+# sanitize (reference src/parser/sanitize.rs:39-239)
+# ------------------------------------------------------------------ #
+
+_ZW_RE = re.compile("[​‌‍⁠﻿]")
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+_TAG_RE = re.compile(r"<[^>]+>")
+_MULTI_SPACE_RE = re.compile(r"[ \t]{2,}")
+_MULTI_NL_RE = re.compile(r"\n{3,}")
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"',
+             "&#39;": "'", "&nbsp;": " "}
+
+
+def sanitize_text(text: str) -> str:
+    """The reference's sanitize chain: zero-width → control chars → HTML
+    entities → collapse spaces → trim lines → collapse 3+ newlines
+    (``src/parser/sanitize.rs:39-50``)."""
+    if not text:
+        return ""
+    t = _ZW_RE.sub("", text)
+    t = _CTRL_RE.sub("", t)
+    for k, v in _ENTITIES.items():
+        t = t.replace(k, v)
+    t = _MULTI_SPACE_RE.sub(" ", t)
+    t = "\n".join(line.strip() for line in t.split("\n"))
+    t = _MULTI_NL_RE.sub("\n\n", t)
+    return t.strip()
+
+
+def strip_html_tags(text: str) -> str:
+    """``src/parser/sanitize.rs:198-214``."""
+    return _TAG_RE.sub("", text or "")
+
+
+def has_content(text: str | None) -> bool:
+    """``src/parser/sanitize.rs:215-217`` — non-empty after strip."""
+    return bool(text and text.strip())
+
+
+class SanitizeStage:
+    """map_batches UDF: sanitized text + has_content flag."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        clean = [sanitize_text(strip_html_tags(t or "")) for t in texts]
+        return batch.append_column(
+            "clean_text", pa.array(clean, pa.string())
+        ).append_column(
+            "has_content", pa.array([has_content(c) for c in clean], pa.bool_()))
+
+
+# ------------------------------------------------------------------ #
+# language-ID (n-gram/stopword heuristic)
+# ------------------------------------------------------------------ #
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "por", "con"},
+    "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"},
+}
+
+
+class LangIdStage:
+    """Heuristic language-ID: script detection (CJK ranges) + stopword hit
+    rates for latin-script languages. Stateless-cheap but class-shaped so
+    a trained model would slot in as actor state."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.hangul = re.compile("[가-힯]")
+        self.kana = re.compile("[぀-ゟ゠-ヿ]")
+        self.han = re.compile("[一-鿿]")
+
+    def predict(self, text: str) -> tuple[str, float]:
+        t = text or ""
+        n = max(1, len(t))
+        if len(self.hangul.findall(t)) / n > 0.1:
+            return "ko", 0.9
+        if len(self.kana.findall(t)) / n > 0.1:
+            return "ja", 0.9
+        if len(self.han.findall(t)) / n > 0.1:
+            return "zh", 0.8
+        words = [w.lower() for w in self.word_re.findall(t)]
+        if not words:
+            return "unknown", 0.0
+        ws = set(words)
+        best, hits = "en", -1
+        for lang, sw in _LANG_STOPWORDS.items():
+            h = len(ws & sw)
+            if h > hits:
+                best, hits = lang, h
+        conf = min(1.0, hits / 5.0) if hits > 0 else 0.1
+        return best, round(conf, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array([p[0] for p in preds], pa.string()),
+            "confidence": pa.array([p[1] for p in preds], pa.float64()),
+        })
+
+
+# ------------------------------------------------------------------ #
+# quality scoring
+# ------------------------------------------------------------------ #
+
+class QualityStage:
+    """Training-data quality heuristics: length, punctuation ratio,
+    stopword ratio, mean word length, digit ratio → composite score."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop = _LANG_STOPWORDS["en"]
+
+    def score_one(self, text: str) -> dict:
+        t = text or ""
+        n = len(t)
+        words = t.split()
+        nw = len(words)
+        punct = sum(1 for c in t if c in ".,;:!?\"'()[]{}")
+        digits = sum(1 for c in t if c.isdigit())
+        sw = sum(1 for w in words if w.lower() in self.stop)
+        mean_wl = (sum(len(w) for w in words) / nw) if nw else 0.0
+        punct_ratio = punct / n if n else 0.0
+        digit_ratio = digits / n if n else 0.0
+        stop_ratio = sw / nw if nw else 0.0
+        # composite: in [0,1], higher = better prose-like quality
+        score = 0.0
+        if nw >= 5:
+            score += 0.25
+        if 2.0 <= mean_wl <= 12.0:
+            score += 0.25
+        score += 0.25 * min(1.0, 4.0 * stop_ratio)
+        score += 0.25 * (1.0 - min(1.0, 4.0 * max(0.0, digit_ratio - 0.05)))
+        return {
+            "n_chars": n, "n_words": nw,
+            "punct_ratio": round(punct_ratio, 6),
+            "digit_ratio": round(digit_ratio, 6),
+            "stop_ratio": round(stop_ratio, 6),
+            "mean_word_len": round(mean_wl, 6),
+            "quality": round(score, 6),
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self.score_one(t) for t in batch[self.text_col].to_pylist()]
+        cols = {"doc_id": batch["doc_id"]}
+        for k in rows[0].keys() if rows else []:
+            typ = pa.int64() if k in ("n_chars", "n_words") else pa.float64()
+            cols[k] = pa.array([r[k] for r in rows], typ)
+        return pa.table(cols)
+
+
+# ------------------------------------------------------------------ #
+# document fingerprinting (winnowing rolling hash)
+# ------------------------------------------------------------------ #
+
+class FingerprintStage:
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
+    per-window minimum → compact, position-robust fingerprint set."""
+
+    def __init__(self, text_col: str = "text", k: int = 5, window: int = 4):
+        self.text_col = text_col
+        self.k = k
+        self.window = window
+
+    def fingerprints(self, text: str) -> list[int]:
+        t = (text or "").lower()
+        if len(t) < self.k:
+            return []
+        hashes = np.empty(len(t) - self.k + 1, dtype=np.int64)
+        for i in range(len(hashes)):
+            h = hashlib.blake2b(t[i: i + self.k].encode(), digest_size=8)
+            hashes[i] = int.from_bytes(h.digest(), "big") >> 1
+        if len(hashes) <= self.window:
+            return [int(hashes.min())]
+        fps = []
+        last = -1
+        for i in range(len(hashes) - self.window + 1):
+            w = hashes[i: i + self.window]
+            j = i + int(np.argmin(w))
+            if j != last:
+                fps.append(int(hashes[j]))
+                last = j
+        return fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.fingerprints(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.int64()),
+            "fingerprints": pa.array(fps, pa.list_(pa.int64())),
+        })
