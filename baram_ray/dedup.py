@@ -147,32 +147,24 @@ def minhash_candidates(ds, text_col: str, *, num_perm: int = 128,
                        num_buckets=num_buckets)
 
 
-class JaccardVerifier:
-    """Actor: holds doc_id → shingle-set for candidate verification.
-
-    At sandbox scale the shingle map is broadcast whole (ray.put); at
-    cluster scale candidates would be verified per doc-id-range partition
-    with only that range's shingles resident.
-    """
-
-    def __init__(self, shingle_ref, threshold: float):
-        import ray
-        self.sets = ray.get(shingle_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for a, b in zip(batch["a"], batch["b"]):
-            sa, sb = self.sets.get(int(a)), self.sets.get(int(b))
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter)
-            if j >= self.threshold:
-                out_a.append(int(a)); out_b.append(int(b)); out_j.append(round(j, 6))
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+def _verify_jaccard(batch: pd.DataFrame, sets: dict,
+                    threshold: float) -> pd.DataFrame:
+    """Candidate verification vs the broadcast doc_id → shingle-set map
+    (``ray.get`` of the map is cached per worker process; at cluster scale
+    candidates would be verified per doc-id-range partition with only that
+    range's shingles resident)."""
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(batch["a"], batch["b"]):
+        sa, sb = sets.get(int(a)), sets.get(int(b))
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        j = inter / (len(sa) + len(sb) - inter)
+        if j >= threshold:
+            out_a.append(int(a)); out_b.append(int(b)); out_j.append(round(j, 6))
+    return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                         "b": pd.Series(out_b, dtype="int64"),
+                         "jaccard": pd.Series(out_j, dtype="float64")})
 
 
 def minhash_dedup(ds, text_col: str, *, threshold: float = 0.8,
@@ -190,9 +182,9 @@ def minhash_dedup(ds, text_col: str, *, threshold: float = 0.8,
                         batch[text_col].to_pylist()):
             shingles[int(d)] = set(word_shingles(t, shingle_n))
     ref = ray.put(shingles)
-    return cand.map_batches(JaccardVerifier,
-                            fn_constructor_args=(ref, threshold),
-                            batch_format="pandas", concurrency=2)
+    return cand.map_batches(
+        lambda b: _verify_jaccard(b, ray.get(ref), threshold),
+        batch_format="pandas")
 
 
 def cluster_from_pairs(pairs_df: pd.DataFrame, all_ids) -> pd.DataFrame:

@@ -102,19 +102,20 @@ def revenue_by_nation(sf_dir: str):
         cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"])))))
     ref = ray.put(cust_to_nation)
 
-    class AddNation:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)          # once per actor
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({
-                "n_name": df["o_custkey"].map(self.lookup),
-                "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
-            })
+    # broadcast-lookup stage as plain TASKS, not an actor pool: ray.get of
+    # the broadcast ref is cached per worker process, and tasks reuse the
+    # session's warm worker pool (an actor pool pays ~2-4 s spin-up per
+    # pipeline invocation — only worth it for expensive state like a
+    # resident index or model)
+    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return pd.DataFrame({
+            "n_name": df["o_custkey"].map(lookup),
+            "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
+        })
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (orders.map_batches(AddNation, fn_constructor_args=(ref,),
-                               batch_format="pandas", concurrency=2)
+    return (orders.map_batches(add_nation, batch_format="pandas")
                   .groupby("n_name")
                   .aggregate(Count(alias_name="n_orders"),
                              Sum("revenue_c", alias_name="revenue_c")))

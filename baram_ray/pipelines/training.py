@@ -70,22 +70,22 @@ def sim_centroid_assign(sf_dir: str):
 
 # --------------------------- text analysis --------------------------- #
 
+# text stages run as plain tasks (instance form): their setup (regex
+# compile) is cheap, and a per-call actor pool costs seconds of spin-up;
+# a trained-model variant would switch to map_batches(Cls, concurrency=N)
 def text_langid(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangIdStage, batch_format="pyarrow",
-                          concurrency=2)
+    return ds.map_batches(LangIdStage("text"), batch_format="pyarrow")
 
 
 def text_quality(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(QualityStage, batch_format="pyarrow",
-                          concurrency=2)
+    return ds.map_batches(QualityStage("text"), batch_format="pyarrow")
 
 
 def text_fingerprint(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(FingerprintStage, batch_format="pyarrow",
-                         concurrency=2)
+    out = ds.map_batches(FingerprintStage("text"), batch_format="pyarrow")
     return out.select_columns(["doc_id", "n_fingerprints", "min_fp"])
 
 

@@ -44,37 +44,31 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BruteForceTopK:
-    """map_batches UDF: per-batch exact cosine top-k candidates vs the
-    broadcast query matrix."""
-
-    def __init__(self, query_ref, k: int):
-        q = ray.get(query_ref)                  # once per actor
-        self.q_ids = q["ids"]
-        self.q = _norm_rows(q["vecs"])
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _norm_rows(_matrix(batch))
-        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = vecs @ self.q.T                  # (B, Q)
-        out_q, out_v, out_c = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            mask = vec_ids != self.q_ids[qi]    # exclude self
-            idx = np.nonzero(mask)[0]
-            if len(idx) == 0:
-                continue
-            kk = min(self.k, len(idx))
-            top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
-            out_q.extend([int(self.q_ids[qi])] * len(top))
-            out_v.extend(int(v) for v in vec_ids[top])
-            out_c.extend(float(c) for c in col[top])
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "vec_id": pa.array(out_v, pa.int64()),
-            "cosine": pa.array(out_c, pa.float64()),
-        })
+def _batch_topk_candidates(batch: pa.Table, q_ids: np.ndarray,
+                           q_norm: np.ndarray, k: int) -> pa.Table:
+    """Per-batch exact cosine top-k candidates vs the broadcast query
+    matrix (plain task body: ``ray.get`` of the broadcast ref is cached
+    per worker, so no actor pool is needed for lookup-only state)."""
+    vecs = _norm_rows(_matrix(batch))
+    vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    sims = vecs @ q_norm.T                      # (B, Q)
+    out_q, out_v, out_c = [], [], []
+    for qi in range(sims.shape[1]):
+        col = sims[:, qi]
+        mask = vec_ids != q_ids[qi]             # exclude self
+        idx = np.nonzero(mask)[0]
+        if len(idx) == 0:
+            continue
+        kk = min(k, len(idx))
+        top = idx[np.argpartition(-col[idx], kk - 1)[:kk]]
+        out_q.extend([int(q_ids[qi])] * len(top))
+        out_v.extend(int(v) for v in vec_ids[top])
+        out_c.extend(float(c) for c in col[top])
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "cosine": pa.array(out_c, pa.float64()),
+    })
 
 
 def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -96,11 +90,13 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5):
             ids.extend(sub["vec_id"].to_pylist())
             vecs.append(_matrix(sub))
     order = np.argsort(ids, kind="stable")
-    q = {"ids": np.asarray(ids, dtype=np.int64)[order],
-         "vecs": np.concatenate(vecs)[order]}
-    ref = ray.put(q)
-    cand = ds.map_batches(BruteForceTopK, fn_constructor_args=(ref, k),
-                          batch_format="pyarrow", concurrency=2)
+    q_ids = np.asarray(ids, dtype=np.int64)[order]
+    ref = ray.put(_norm_rows(np.concatenate(vecs)[order]))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        return _batch_topk_candidates(batch, q_ids, ray.get(ref), k)
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(
         lambda g: _final_topk(g, k), batch_format="pandas")
 
@@ -161,22 +157,23 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 10,
     return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
 
 
-class NearDupPairs:
-    """map_batches UDF: batch × broadcast-matrix pairs with cosine ≥ t."""
+def embedding_neardup_pairs(ds, threshold: float = 0.3):
+    """Batch × broadcast-matrix pairs with cosine ≥ t (block-matmul shape;
+    normalized matrix broadcast once, tasks read it zero-copy)."""
+    ids, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mats.append(_matrix(b))
+    all_ids = np.concatenate(ids)
+    ref = ray.put(_norm_rows(np.concatenate(mats)))
 
-    def __init__(self, all_ref, threshold: float):
-        allv = ray.get(all_ref)
-        self.ids = allv["ids"]
-        self.vecs = _norm_rows(allv["vecs"])
-        self.t = threshold
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def pairs(batch: pa.Table) -> pa.Table:
         vecs = _norm_rows(_matrix(batch))
         vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = vecs @ self.vecs.T
-        bi, oj = np.nonzero(sims >= self.t)
+        sims = vecs @ ray.get(ref).T
+        bi, oj = np.nonzero(sims >= threshold)
         a = vec_ids[bi]
-        b = self.ids[oj]
+        b = all_ids[oj]
         keep = a < b                      # each unordered pair once
         return pa.table({
             "a": pa.array(a[keep], pa.int64()),
@@ -184,15 +181,7 @@ class NearDupPairs:
             "cosine": pa.array(np.round(sims[bi, oj][keep], 6), pa.float64()),
         })
 
-
-def embedding_neardup_pairs(ds, threshold: float = 0.3):
-    ids, mats = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
-        mats.append(_matrix(b))
-    ref = ray.put({"ids": np.concatenate(ids), "vecs": np.concatenate(mats)})
-    return ds.map_batches(NearDupPairs, fn_constructor_args=(ref, threshold),
-                          batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 def assign_centroids(ds, n_centroids: int = 8):
@@ -205,28 +194,21 @@ def assign_centroids(ds, n_centroids: int = 8):
     all_ids = np.concatenate(ids)
     vecs = np.concatenate(mats)
     order = np.argsort(all_ids, kind="stable")[:n_centroids]
-    cents = {"ids": all_ids[order], "vecs": vecs[order]}
-    ref = ray.put(cents)
+    c_ids = all_ids[order]
+    c_norm = _norm_rows(vecs[order])    # tiny: ships in the task closure
 
-    class Assign:
-        def __init__(self, ref):
-            c = ray.get(ref)
-            self.c_ids = c["ids"]
-            self.c = _norm_rows(c["vecs"])
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            v = _norm_rows(_matrix(batch))
-            sims = v @ self.c.T
-            best = np.argmax(sims, axis=1)
-            return pa.table({
-                "centroid": pa.array(self.c_ids[best], pa.int64()),
-                "cos_part": pa.array(sims[np.arange(len(best)), best],
-                                     pa.float64()),
-            })
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _norm_rows(_matrix(batch))
+        sims = v @ c_norm.T
+        best = np.argmax(sims, axis=1)
+        return pa.table({
+            "centroid": pa.array(c_ids[best], pa.int64()),
+            "cos_part": pa.array(sims[np.arange(len(best)), best],
+                                 pa.float64()),
+        })
 
     from ray.data.aggregate import Mean
-    out = (ds.map_batches(Assign, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", concurrency=2)
+    out = (ds.map_batches(assign, batch_format="pyarrow")
              .groupby("centroid")
              .aggregate(Count(alias_name="n"),
                         Mean("cos_part", alias_name="mean_cos")))
