@@ -43,7 +43,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
 
-from baram_ray.index.codec import encode_blocks
 from baram_ray.stages.normalize import NormalizeTokenize
 from baram_ray.util import (
     auto_num_blocks, grouped_agg, grouped_map, input_bytes,
@@ -118,36 +117,109 @@ class PartialPostings:
         })
 
 
-def _encode_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+_SEG_SCHEMA = pa.schema([
+    ("field", pa.string()), ("term", pa.string()), ("shard", pa.int32()),
+    ("block_id", pa.int64()), ("n", pa.int64()), ("min_doc", pa.int64()),
+    ("max_doc", pa.int64()), ("max_tf", pa.int64()),
+    ("docs_enc", pa.large_binary()), ("tfs_enc", pa.large_binary()),
+    ("sum_tf", pa.int64()),
+])
+
+
+def _tiled_binary(buf: bytes, starts: np.ndarray,
+                  total_len: int) -> pa.Array:
+    """Zero-copy large_binary array over ``buf``: value i spans
+    ``starts[i]``..``starts[i+1]`` (consecutive slices tile the buffer)."""
+    offsets = np.empty(len(starts) + 1, dtype=np.int64)
+    offsets[:-1] = starts
+    offsets[-1] = total_len
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(starts),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
+
+
+def _encode_bucket(bucket: pa.Table) -> pa.Table:
     """Per-bucket body: every (field, term, shard) key wholly inside →
-    merge partial lists → sorted postings → encoded blocks. One pandas
-    groupby over the bucket replaces one Ray map_groups call per key
-    (~10 ms framework overhead each — ruinous at vocab scale)."""
-    rows: dict[str, list] = {k: [] for k in (
-        "field", "term", "shard", "block_id", "n", "min_doc", "max_doc",
-        "max_tf", "docs_enc", "tfs_enc", "sum_tf")}
-    for (fld, term, shard), g in bucket.groupby(
-            ["field", "term", "shard"], sort=False):
-        docs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["docs"]])
-        tfs = np.concatenate([np.asarray(x, dtype=np.int64) for x in g["tfs"]])
-        order = np.argsort(docs, kind="stable")
-        docs, tfs = docs[order], tfs[order]
-        blocks = encode_blocks(docs, tfs)
-        pos = 0
-        for bi, b in enumerate(blocks):
-            rows["field"].append(fld)
-            rows["term"].append(term)
-            rows["shard"].append(int(shard))
-            rows["block_id"].append(bi)
-            rows["n"].append(b["n"])
-            rows["min_doc"].append(b["min_doc"])
-            rows["max_doc"].append(b["max_doc"])
-            rows["max_tf"].append(b["max_tf"])
-            rows["docs_enc"].append(b["docs_enc"])
-            rows["tfs_enc"].append(b["tfs_enc"])
-            rows["sum_tf"].append(int(tfs[pos: pos + b["n"]].sum()))
-            pos += b["n"]
-    return pd.DataFrame(rows)
+    merge partial lists → sorted postings → encoded blocks.
+
+    Fully vectorized AND Arrow-native: list columns are read through
+    ``values``/``offsets`` (zero-copy — a pandas conversion here would
+    materialize millions of Python list objects), one lexsort orders all
+    postings by (group, doc_id), one varint pass encodes every block, and
+    the output binary columns are zero-copy views over the encode buffers.
+    A per-(term,shard) loop costs minutes at real vocab sizes."""
+    from baram_ray.index.codec import BLOCK_SIZE, encode_varints_np
+
+    n_rows = bucket.num_rows
+    if n_rows == 0:
+        return _SEG_SCHEMA.empty_table()
+    f = bucket["field"].to_numpy(zero_copy_only=False)
+    t = bucket["term"].to_numpy(zero_copy_only=False)
+    s = bucket["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+    docs_col = bucket["docs"].combine_chunks()
+    tfs_col = bucket["tfs"].combine_chunks()
+    doc_off = docs_col.offsets.to_numpy()
+    tf_off = tfs_col.offsets.to_numpy()
+    # slice values by the offsets range: a sliced ListArray's .values spans
+    # the whole child, not just this array's elements
+    docs_all = docs_col.values.to_numpy()[doc_off[0]: doc_off[-1]]
+    tfs_all = tfs_col.values.to_numpy()[tf_off[0]: tf_off[-1]].astype(np.int64)
+    lens = np.diff(doc_off)
+
+    # group rows by key without moving the list payloads: lexsort the keys,
+    # detect group boundaries, then label each posting with its group id
+    row_order = np.lexsort((s, t, f))
+    fo, to, so = f[row_order], t[row_order], s[row_order]
+    new_group = np.ones(n_rows, dtype=bool)
+    new_group[1:] = (fo[1:] != fo[:-1]) | (to[1:] != to[:-1]) | (so[1:] != so[:-1])
+    gid_sorted_rows = np.cumsum(new_group) - 1
+    n_groups = int(gid_sorted_rows[-1]) + 1
+    first_sorted_row = np.nonzero(new_group)[0]    # gid → index in row_order
+    row_gid = np.empty(n_rows, dtype=np.int64)     # original row → gid
+    row_gid[row_order] = gid_sorted_rows
+
+    post_row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    post_gid = row_gid[post_row]
+    # tf values are aligned with doc values row-by-row; build flat arrays
+    # in row order (they already are: values arrays follow list order)
+    order = np.lexsort((docs_all, post_gid))       # by group, then doc_id
+    docs_s = docs_all[order]
+    tfs_s = tfs_all[order]
+    gid_s = post_gid[order]
+    total = len(docs_s)
+
+    g_starts = np.searchsorted(gid_s, np.arange(n_groups))
+    pos_in_g = np.arange(total, dtype=np.int64) - g_starts[gid_s]
+    is_blk_start = (pos_in_g % BLOCK_SIZE) == 0
+
+    # block-local deltas: absolute at each block start (blocks never span
+    # groups because pos_in_g resets at group starts)
+    deltas = np.empty(total, dtype=np.int64)
+    deltas[0] = docs_s[0]
+    np.subtract(docs_s[1:], docs_s[:-1], out=deltas[1:])
+    deltas[is_blk_start] = docs_s[is_blk_start]
+
+    docs_buf, dlens = encode_varints_np(deltas)
+    tfs_buf, tlens = encode_varints_np(tfs_s)
+    d_starts = np.cumsum(dlens) - dlens
+    t_starts = np.cumsum(tlens) - tlens
+
+    blk_start = np.nonzero(is_blk_start)[0]
+    blk_end = np.append(blk_start[1:], total) - 1
+    keys_at = row_order[first_sorted_row[gid_s[blk_start]]]
+    return pa.table({
+        "field": pa.array(f[keys_at], pa.string()),
+        "term": pa.array(t[keys_at], pa.string()),
+        "shard": pa.array(s[keys_at], pa.int32()),
+        "block_id": pa.array(pos_in_g[blk_start] // BLOCK_SIZE, pa.int64()),
+        "n": pa.array(blk_end - blk_start + 1, pa.int64()),
+        "min_doc": pa.array(docs_s[blk_start], pa.int64()),
+        "max_doc": pa.array(docs_s[blk_end], pa.int64()),
+        "max_tf": pa.array(np.maximum.reduceat(tfs_s, blk_start), pa.int64()),
+        "docs_enc": _tiled_binary(docs_buf, d_starts[blk_start], len(docs_buf)),
+        "tfs_enc": _tiled_binary(tfs_buf, t_starts[blk_start], len(tfs_buf)),
+        "sum_tf": pa.array(np.add.reduceat(tfs_s, blk_start), pa.int64()),
+    })
 
 
 def _next_pow2(x: int) -> int:
@@ -276,7 +348,8 @@ def build_index(
             # floor 32): group count stays O(cluster), not O(vocab)
             n_buckets = max(32, input_bytes(fwd_dir) // (8 << 20))
             seg = grouped_map(partial, ["field", "term", "shard"],
-                              _encode_bucket, num_buckets=int(n_buckets))
+                              _encode_bucket, num_buckets=int(n_buckets),
+                              batch_format="pyarrow")
             seg.write_parquet(seg_dir)
         man.mark_done("segments", seg_fp, seconds=t.seconds)
         res.stage_seconds["segments"] = t.seconds

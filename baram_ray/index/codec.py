@@ -26,16 +26,37 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+def varint_lengths(v: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (1..10)."""
+    lengths = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        lengths += v >= np.uint64(1 << (7 * k))
+    return lengths
+
+
+def encode_varints_np(values) -> tuple[bytes, np.ndarray]:
+    """Vectorized LEB128 encode of an int array → (buffer, per-value byte
+    lengths). One numpy pass per byte position (≤ 10 regardless of n) —
+    the encode mirror of ``decode_varints``. Per-value lengths let callers
+    slice the buffer at any value boundary (block splitting)."""
+    v = np.ascontiguousarray(values, dtype=np.int64).view(np.uint64)
+    if v.size == 0:
+        return b"", np.zeros(0, dtype=np.int64)
+    lengths = varint_lengths(v)
+    ends = np.cumsum(lengths)
+    starts = ends - lengths
+    buf = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for k in range(int(lengths.max())):
+        mask = lengths > k
+        byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = ((lengths[mask] - 1 > k).astype(np.uint8)) << 7
+        buf[starts[mask] + k] = byte | cont
+    return buf.tobytes(), lengths
+
+
 def encode_varints(values) -> bytes:
     """LEB128-encode a sequence of non-negative ints."""
-    out = bytearray()
-    for v in values:
-        v = int(v)
-        while v >= 0x80:
-            out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        out.append(v)
-    return bytes(out)
+    return encode_varints_np(np.asarray(list(values), dtype=np.int64))[0]
 
 
 def decode_varints(buf: bytes, n: int) -> np.ndarray:
@@ -66,7 +87,7 @@ def encode_deltas(sorted_ids: np.ndarray) -> bytes:
     if len(sorted_ids):
         deltas[0] = sorted_ids[0]
         np.subtract(sorted_ids[1:], sorted_ids[:-1], out=deltas[1:])
-    return encode_varints(deltas)
+    return encode_varints_np(deltas)[0]
 
 
 def decode_deltas(buf: bytes, n: int) -> np.ndarray:
@@ -87,7 +108,7 @@ def encode_blocks(doc_ids: np.ndarray, tfs: np.ndarray) -> list[dict]:
             "max_doc": int(d[-1]),
             "max_tf": int(t.max()),
             "docs_enc": encode_deltas(d),
-            "tfs_enc": encode_varints(t),
+            "tfs_enc": encode_varints_np(np.asarray(t, dtype=np.int64))[0],
         })
     return blocks
 

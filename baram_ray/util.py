@@ -22,26 +22,91 @@ def add_bucket_column(batch, keys: list[str], num_buckets: int,
         col, pa.array((h % num_buckets).astype("int32"), pa.int32()))
 
 
-def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int):
-    """``groupby(keys).map_groups`` without the per-group task overhead.
+def _split_by_bucket(block, keys: list[str], num_buckets: int):
+    """One shuffle-map task: hash ``keys`` → bucket id, return ``num_buckets``
+    COMPACTED per-bucket tables. ``take`` copies the selected rows into
+    fresh contiguous buffers — essential: a sliced Arrow list/binary column
+    serializes its ENTIRE child buffer, which turns a sort-based shuffle of
+    B slices per block into O(B × block) bytes moved."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    h = pd.util.hash_pandas_object(
+        block.select(keys).to_pandas(), index=False).to_numpy()
+    buckets = (h % num_buckets).astype(np.int64)
+    order = np.argsort(buckets, kind="stable")
+    starts = np.searchsorted(buckets[order], np.arange(num_buckets))
+    bounds = np.append(starts, len(order))
+    out = []
+    for b in range(num_buckets):
+        idx = order[bounds[b]: bounds[b + 1]]
+        out.append(block.take(pa.array(idx)) if len(idx)
+                   else block.schema.empty_table())
+    return tuple(out)
 
-    Ray Data's ``map_groups`` costs ~10 ms of framework overhead per group —
-    ruinous for the 10k+ tiny groups a (term, shard) or (gram) groupby
-    produces. Instead: hash ``keys`` into ``num_buckets`` buckets (all rows
-    of one key share a bucket), run ONE map_groups call per bucket, and let
-    ``bucket_fn`` (pandas DataFrame of the whole bucket → DataFrame) do the
-    per-key work with a vectorized ``df.groupby`` inside. ``num_buckets``
-    scales with data size, so buckets stay block-sized at any scale.
+
+def _reduce_bucket(bucket_fn, batch_format: str, *frags):
+    import pandas as pd
+    import pyarrow as pa
+    tables = [f for f in frags if f.num_rows] or [frags[0]]
+    tbl = pa.concat_tables(tables).combine_chunks()
+    if batch_format == "pandas":
+        out = bucket_fn(tbl.to_pandas())
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    else:
+        out = bucket_fn(tbl)
+    return out, out.num_rows
+
+
+def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
+                batch_format: str = "pandas"):
+    """``groupby(keys).map_groups`` as an explicit two-stage hash exchange.
+
+    Why not ``ds.groupby(keys).map_groups``: (a) Ray Data's map_groups
+    costs ~10 ms framework overhead per group — ruinous for the 10k+ tiny
+    groups a (term, shard) or (gram) groupby produces; (b) its sort-based
+    shuffle re-serializes sliced list columns with their whole child
+    buffer, making the exchange O(partitions × block bytes).
+
+    Shape: each input block is split into ``num_buckets`` compacted
+    fragments (hash of ``keys`` → bucket, so all rows of one key share a
+    bucket); one reduce task per bucket concats its fragments and calls
+    ``bucket_fn`` (whole bucket in → table out) which does the per-key
+    work with a vectorized groupby inside. ``num_buckets`` scales with
+    data size, so buckets stay block-sized at any scale; this is the same
+    partitioned exchange a multi-node run needs — fragments move through
+    the object store and reduces run wherever their inputs are.
+
+    Use ``batch_format="pyarrow"`` when buckets carry list/binary columns
+    (pandas conversion materializes millions of Python objects).
     """
-    bucketed = ds.map_batches(
-        lambda b: add_bucket_column(b, keys, num_buckets),
-        batch_format="pyarrow")
+    import ray
+    import ray.data
 
-    def run(bucket_df):
-        out = bucket_fn(bucket_df.drop(columns=["__bucket"]))
-        return out
-
-    return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")
+    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce = ray.remote(num_returns=2)(_reduce_bucket)
+    frag_refs = []                      # per block: list of B fragment refs
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            frag_refs.append(split.remote(block_ref, keys, num_buckets))
+    if not frag_refs:
+        return ds
+    if num_buckets == 1:                # num_returns=1 yields a bare ref
+        frag_refs = [[r] for r in frag_refs]
+    fn_ref = ray.put(bucket_fn)         # ship the closure once, not per task
+    out_refs, size_refs = [], []
+    for b in range(num_buckets):
+        t_ref, n_ref = reduce.remote(
+            fn_ref, batch_format, *[fr[b] for fr in frag_refs])
+        out_refs.append(t_ref)
+        size_refs.append(n_ref)
+    sizes = ray.get(size_refs)          # tiny ints; tables stay in plasma
+    keep = [r for r, n in zip(out_refs, sizes) if n > 0]
+    if not keep:                        # empty result, output schema intact
+        keep = out_refs[:1]
+    return ray.data.from_arrow_refs(keep)
 
 
 def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
@@ -57,33 +122,25 @@ def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
     fn "count" = group size. Safe for any fn because every key is wholly
     contained in one bucket.
     """
+    import pandas as pd
+
     size_aliases = [a for a, (c, f) in specs.items() if c is None]
     named = {a: (c, f) for a, (c, f) in specs.items() if c is not None}
 
-    def agg_bucket(bucket):
-        g = bucket.drop(columns=["__bucket"]).groupby(
-            keys, sort=False, as_index=False)
-        if named:
-            out = g.agg(**{a: pd_namedagg(c, f) for a, (c, f) in named.items()})
-        else:
-            out = g.size().rename(columns={"size": size_aliases[0]})
-            return out
+    def agg_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.groupby(keys, sort=False, as_index=False)
+        if not named:
+            return g.size().rename(columns={"size": size_aliases[0]})
+        out = g.agg(**{a: pd.NamedAgg(column=c, aggfunc=f)
+                       for a, (c, f) in named.items()})
         if size_aliases:
             sz = g.size()["size"].to_numpy()
             for a in size_aliases:
                 out[a] = sz
         return out
 
-    import pandas as pd
-
-    def pd_namedagg(col, fn):
-        return pd.NamedAgg(column=col, aggfunc=fn)
-
-    bucketed = ds.map_batches(
-        lambda b: add_bucket_column(b, keys, num_buckets),
-        batch_format="pyarrow")
-    return bucketed.groupby("__bucket").map_groups(
-        agg_bucket, batch_format="pandas")
+    return grouped_map(ds, keys, agg_bucket, num_buckets=num_buckets,
+                       batch_format="pandas")
 
 
 def input_bytes(paths: list[str] | str) -> int:
