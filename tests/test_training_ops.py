@@ -1,0 +1,238 @@
+"""Tests for the training-data operator suite: dedup recall/precision,
+similarity-search recall, text stages, multimodal plumbing, and the
+bucketed exchange primitives (FIXTURES.md §5 extension)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from baram_ray import dedup, similarity
+from baram_ray.corpus import corpus_parquet
+from baram_ray.util import grouped_agg, grouped_map
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ #
+# exchange primitives
+# ------------------------------------------------------------------ #
+
+def _rand_df(n=5000, seed=3):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "k1": rng.randint(0, 500, n),
+        "k2": rng.choice(list("abcd"), n),
+        "v": rng.randint(0, 100, n),
+    })
+
+
+def test_grouped_agg_matches_pandas(ray_session):
+    df = _rand_df()
+    ds = ray.data.from_pandas(df)
+    out = grouped_agg(ds, ["k1", "k2"],
+                      {"n": (None, "count"), "s": ("v", "sum"),
+                       "mx": ("v", "max")},
+                      num_buckets=16).to_pandas()
+    exp = (df.groupby(["k1", "k2"], as_index=False)
+             .agg(s=("v", "sum"), mx=("v", "max"), n=("v", "size")))
+    out = out.sort_values(["k1", "k2"]).reset_index(drop=True)
+    exp = exp.sort_values(["k1", "k2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["k1", "k2", "n", "s", "mx"]].astype({"n": "int64"}),
+        exp[["k1", "k2", "n", "s", "mx"]].astype({"n": "int64"}))
+
+
+def test_grouped_map_keys_colocated(ray_session):
+    """Every key appears in exactly one bucket invocation."""
+    df = _rand_df(2000, seed=5)
+    ds = ray.data.from_pandas(df)
+
+    def keys_seen(bucket: pd.DataFrame) -> pd.DataFrame:
+        u = bucket[["k1"]].drop_duplicates()
+        return u
+
+    out = grouped_map(ds, ["k1"], keys_seen, num_buckets=8).to_pandas()
+    # one row per distinct key overall => no key split across buckets
+    assert len(out) == df["k1"].nunique()
+
+
+# ------------------------------------------------------------------ #
+# minhash / simhash / jaccard
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def code_docs(ray_session):
+    """400-doc code corpus (contains exact + near duplicates)."""
+    import pyarrow.parquet as pq
+    path = corpus_parquet(400, seed=42, cache_dir="/tmp/baram_test_corpus")
+    t = pq.read_table(path, columns=["path", "content"])
+    docs = [{"doc_id": i, "text": c}
+            for i, c in enumerate(t["content"].to_pylist())]
+    return docs
+
+
+def _exact_jaccard_pairs(docs, n, threshold):
+    sets = {d["doc_id"]: set(dedup.word_shingles(d["text"], n)) for d in docs}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_recall_and_precision(ray_session, code_docs):
+    ds = ray.data.from_items(code_docs)
+    got = dedup.minhash_dedup(ds, "text", threshold=0.7).to_pandas()
+    got_pairs = {(int(a), int(b)): j
+                 for a, b, j in zip(got["a"], got["b"], got["jaccard"])}
+    exact = _exact_jaccard_pairs(code_docs, 3, 0.7)
+    strong = {p for p, j in exact.items() if j >= 0.8}
+    found = set(got_pairs)
+    # verification step computes exact jaccard => precision is exact
+    for p, j in got_pairs.items():
+        assert abs(exact[p] - j) < 1e-6
+    # LSH recall on strong pairs (128 perm / 32 bands tuned for ~0.7+)
+    assert strong, "corpus should contain strong near-dups"
+    recall = len(strong & found) / len(strong)
+    assert recall >= 0.9, f"minhash recall {recall}"
+
+
+def test_simhash_pairs_complete(ray_session, code_docs):
+    """Pigeonhole: hamming<=3 over 4x16-bit bands => candidate set is
+    complete, so results equal the brute-force fingerprint scan."""
+    ds = ray.data.from_items(code_docs)
+    got = dedup.simhash_pairs(ds, "text", max_hamming=3).to_pandas()
+    got_set = {(int(a), int(b), int(h))
+               for a, b, h in zip(got["a"], got["b"], got["hamming"])}
+    stage = dedup.SimHashStage("text")
+    fps = {d["doc_id"]: stage.simhash64((d["text"] or "").lower().split())
+           for d in code_docs}
+    exp = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                exp.add((a, b, h))
+    assert got_set == exp
+
+
+def test_cluster_from_pairs_transitive():
+    pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
+    out = dedup.cluster_from_pairs(pairs, [1, 2, 3, 10, 11, 99])
+    m = dict(zip(out["doc_id"], out["cluster"]))
+    assert m[1] == m[2] == m[3] == 1       # min-label of the component
+    assert m[10] == m[11] == 10
+    assert m[99] == 99                     # singleton
+
+
+# ------------------------------------------------------------------ #
+# similarity search
+# ------------------------------------------------------------------ #
+
+def test_lsh_topk_recall(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = similarity.brute_force_topk(ds, [0, 1, 2], k=5).to_pandas()
+    approx = similarity.lsh_topk(ds, [0, 1, 2], k=5)
+    hits = 0
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    recall = hits / 15
+    assert recall >= 0.6, f"LSH recall {recall}"
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    got = similarity.brute_force_topk(ds, [0], k=5).to_pandas()
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = vecs[ids.tolist().index(0)]
+    sims = vecs @ q
+    mask = ids != 0
+    order = np.lexsort((ids[mask], -sims[mask]))[:5]
+    exp_ids = ids[mask][order]
+    assert list(got.sort_values("rank")["vec_id"]) == list(exp_ids)
+
+
+# ------------------------------------------------------------------ #
+# text stages
+# ------------------------------------------------------------------ #
+
+def test_sanitize_chain():
+    from baram_ray.stages.text import sanitize_text, strip_html_tags
+    raw = "a<b>bold</b>  x&amp;y​\x07\n\n\n\nend  "
+    assert strip_html_tags(raw).startswith("abold")
+    s = sanitize_text(strip_html_tags(raw))
+    assert "​" not in s and "\x07" not in s
+    assert "&amp;" not in s and "x&y" in s
+    assert "\n\n\n" not in s
+    assert not s.endswith(" ")
+
+
+def test_langid_scripts():
+    from baram_ray.stages.text import LangIdStage
+    st = LangIdStage()
+    assert st.predict("the cat is on the mat and that is that")[0] == "en"
+    assert st.predict("안녕하세요 세계 이것은 한국어 문장입니다")[0] == "ko"
+    assert st.predict("der hund ist nicht mit der katze und das ist")[0] == "de"
+
+
+def test_winnowing_position_robust():
+    from baram_ray.stages.text import FingerprintStage
+    st = FingerprintStage()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    shifted = "PREFIX " + base
+    f1, f2 = set(st.fingerprints(base)), set(st.fingerprints(shifted))
+    overlap = len(f1 & f2) / len(f1)
+    assert overlap >= 0.8, f"winnowing overlap {overlap}"
+
+
+# ------------------------------------------------------------------ #
+# multimodal plumbing
+# ------------------------------------------------------------------ #
+
+def test_multimodal_decode_schema_and_hash(ray_session):
+    import hashlib
+    from baram_ray.multimodal import DecodeStage, synth_media_table
+    tbl = synth_media_table(60, seed=1)
+    out = DecodeStage()(tbl)
+    assert out.column_names == ["item_id", "kind", "ok", "decoded_width",
+                                "decoded_height", "n_frames",
+                                "payload_sha256", "payload_bytes"]
+    payloads = tbl["payload"].to_pylist()
+    for sha, p in zip(out["payload_sha256"].to_pylist(), payloads):
+        assert sha == hashlib.sha256(p).hexdigest()
+    with pytest.raises(NotImplementedError):
+        DecodeStage(real_decode=True)._decode_one("image", b"x")
+
+
+def test_multimodal_frame_sampling():
+    from baram_ray.multimodal import FrameSampleStage, synth_media_table
+    tbl = synth_media_table(30, seed=2)
+    out = FrameSampleStage(every_ms=10_000)(tbl)
+    durs = {i: d for i, k, d in zip(tbl["item_id"].to_pylist(),
+                                    tbl["kind"].to_pylist(),
+                                    tbl["duration_ms"].to_pylist())
+            if k == "video"}
+    counts = pd.Series(out["item_id"].to_pylist()).value_counts().to_dict()
+    import math
+    for i, d in durs.items():
+        assert counts[i] == math.ceil(d / 10_000)
