@@ -20,6 +20,7 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from baram_ray.pipelines import analytics as anap
 from baram_ray.pipelines import documents as docp
 from baram_ray.pipelines import events as evp
 from baram_ray.pipelines import search as searchp
@@ -80,6 +81,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode, real Ray shape)
         "multimodal_decode": trainp.multimodal_decode,
         "multimodal_frames": trainp.multimodal_frames,
+        # analytics (G6 velocity, G7 minmax, G9 PMI, G10 cluster stats)
+        "events_velocity": anap.events_velocity,
+        "events_minmax": anap.events_minmax,
+        "doc_cooccur_pmi": anap.doc_cooccur_pmi,
+        "cluster_label_stats": anap.cluster_label_stats,
+        # extraction (M8 chunker, M9+M11 NER, M18 JSON)
+        "doc_chunks": anap.doc_chunks,
+        "text_ner": anap.text_ner,
+        "events_props_json": anap.events_props_json,
+        # shuffled joins (§2.4 inner + anti)
+        "join_orders_cust_segment": anap.join_orders_cust_segment,
+        "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,
     }
 
 

@@ -1,0 +1,366 @@
+"""Analytics + extraction pipelines — trend velocity (G6,
+``src/analytics/keyword_trends.rs:313-357``), min-max normalization (G7,
+``:395-416``), PMI co-occurrence (G9, ``src/analytics/entity_trends.rs:
+345-500``), label-cluster stats (G10, ``src/clustering/engine.rs:287-428``),
+sliding-window chunking (M8, ``src/embedding/tokenizer.rs:185-327``),
+gazetteer/regex NER with in-text verification (M9+M11,
+``src/ontology/extractor.rs:1526-1634, 258-603``), JSON props extraction
+(M18, ``src/crawler/comment.rs:39-61``), and hash/anti joins (§2.4) over
+the TPC-H-ish tables.
+
+Float determinism vs the DuckDB oracles: wherever a ratio feeds the
+output, numerator and denominator are exact int64 sums (slope and
+velocity are integer-sum rationals; min-max normalization divides int
+spans), so the f64 division is bit-identical in any engine. Only the
+centroid/cosine stats use genuine float reductions (rounded to 4).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from baram_ray.joins import hash_join
+from baram_ray.pipelines.events import _daily
+from baram_ray.pipelines.util import read_table
+from baram_ray.util import grouped_agg
+
+VELOCITY_DAYS = 14
+
+
+# ------------------------------------------------------------------ #
+# G6: trend velocity — least-squares slope over the last N daily
+# counts per series, normalized by the mean, clamped to ±1
+# ------------------------------------------------------------------ #
+
+def events_velocity(sf_dir: str):
+    daily = _daily(sf_dir)
+
+    def slope(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").tail(VELOCITY_DAYS)
+        y = g["n"].to_numpy(dtype=np.int64)
+        i = np.arange(len(y), dtype=np.int64)
+        np_, sx, sy = len(y), int(i.sum()), int(y.sum())
+        sxx, sxy = int((i * i).sum()), int((i * y).sum())
+        den = np_ * sxx - sx * sx
+        if den == 0 or sy == 0:
+            v = 0.0
+        else:
+            # slope/mean as a ratio of exact ints → engine-identical f64
+            v = ((np_ * sxy - sx * sy) * np_) / (den * sy)
+            v = max(-1.0, min(1.0, v))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "velocity": [round(v, 6)]})
+
+    # event_type cardinality is tiny → native map_groups is fine here
+    return daily.groupby("event_type").map_groups(
+        slope, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ #
+# G7: per-series min-max normalization of daily counts
+# ------------------------------------------------------------------ #
+
+def events_minmax(sf_dir: str):
+    daily = _daily(sf_dir)
+
+    def norm(g: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(g["n"].min()), int(g["n"].max())
+        g = g.sort_values("day").copy()
+        if hi == lo:
+            g["norm"] = 0.0
+        else:
+            # int span ratio → engine-identical f64
+            g["norm"] = ((g["n"].astype("int64") - lo) / (hi - lo)).round(6)
+        return g
+
+    return daily.groupby("event_type").map_groups(
+        norm, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ #
+# G9: term co-occurrence PMI over documents
+# ------------------------------------------------------------------ #
+
+PMI_MIN_PAIR = 5
+
+
+def doc_cooccur_pmi(sf_dir: str):
+    """pmi = log2(c_ab·N / (c_a·c_b)) over distinct-term doc sets
+    (reference entity co-occurrence, src/analytics/entity_trends.rs:
+    345-500 — terms stand in for entities on the synthetic corpus)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_total = docs.count()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d_out, t_out = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for w in sorted(set((t or "").lower().split())):
+                d_out.append(d)
+                t_out.append(w)
+        return pa.table({"doc_id": pa.array(d_out, pa.int64()),
+                         "term": pa.array(t_out, pa.string())})
+
+    td = docs.map_batches(explode, batch_format="pyarrow")
+    singles = grouped_agg(td, ["term"], {"c": (None, "count")},
+                          num_buckets=8).to_pandas()
+    c_map = dict(zip(singles["term"], singles["c"]))
+
+    def pairs_in_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in bucket.groupby("doc_id", sort=False):
+            ts = sorted(g["term"])
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    out_a.append(ts[i])
+                    out_b.append(ts[j])
+        return pd.DataFrame({"a": out_a, "b": out_b})
+
+    from baram_ray.util import grouped_map
+    pairs = grouped_map(td, ["doc_id"], pairs_in_doc, num_buckets=8)
+    pair_counts = grouped_agg(pairs, ["a", "b"], {"c_ab": (None, "count")},
+                              num_buckets=8)
+    ref = ray.put(c_map)
+
+    def pmi(df: pd.DataFrame) -> pd.DataFrame:
+        cm = ray.get(ref)
+        df = df[df["c_ab"] >= PMI_MIN_PAIR].copy()
+        ca = df["a"].map(cm).astype("int64")
+        cb = df["b"].map(cm).astype("int64")
+        # exact integer ratio → log2 of identical doubles
+        df["pmi"] = np.round(np.log2(
+            (df["c_ab"].astype("int64") * n_total) / (ca * cb)), 6)
+        return df
+
+    return pair_counts.map_batches(pmi, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ #
+# G10: per-label cluster stats over the embeddings table
+# ------------------------------------------------------------------ #
+
+def cluster_label_stats(sf_dir: str):
+    """Centroid per label (mean vector) + mean cosine of members to their
+    centroid — the EventCluster build step (centroid + avg_similarity,
+    src/clustering/engine.rs:287-428), labels standing in for clusters."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    from baram_ray.similarity import _matrix, _norm_rows
+
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        rows = []
+        for lb in np.unique(lab):
+            sel = m[lab == lb]
+            rows.append({"label": int(lb), "n": len(sel),
+                         "vsum": sel.sum(axis=0).tolist()})
+        out = pa.table({
+            "label": pa.array([r["label"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "vsum": pa.array([r["vsum"] for r in rows],
+                             pa.list_(pa.float64())),
+        })
+        return out
+
+    parts = ds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    cents = {}
+    for lb, g in parts.groupby("label"):
+        total = np.sum(np.stack(g["vsum"].to_list()), axis=0)
+        cents[int(lb)] = total / int(g["n"].sum())
+    ref = ray.put(cents)
+
+    def cos_part(batch: pa.Table) -> pa.Table:
+        cm = ray.get(ref)
+        m = _norm_rows(_matrix(batch))
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        cos = np.empty(len(lab))
+        for lb in np.unique(lab):
+            c = cm[int(lb)]
+            c = c / np.linalg.norm(c)
+            sel = lab == lb
+            cos[sel] = m[sel] @ c
+        return pa.table({"label": pa.array(lab, pa.int64()),
+                         "cos": pa.array(cos, pa.float64())})
+
+    out = (ds.map_batches(cos_part, batch_format="pyarrow")
+             .groupby("label"))
+    from ray.data.aggregate import Count, Mean
+    res = out.aggregate(Count(alias_name="n"),
+                        Mean("cos", alias_name="mean_cos"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_cos"] = df["mean_cos"].round(4)
+        return df
+
+    return res.map_batches(fin, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ #
+# M8: sliding-window chunker (flat-map: 1 doc → N chunk rows)
+# ------------------------------------------------------------------ #
+
+CHUNK_MAX = 64
+CHUNK_OVERLAP = 16
+CHUNK_MIN = 8
+
+
+def doc_chunks(sf_dir: str):
+    """Whitespace-token windows of ≤ CHUNK_MAX, stride MAX−OVERLAP; a
+    final window shorter than CHUNK_MIN is dropped when a previous chunk
+    already covers its tokens (reference chunker defaults 512/64/32,
+    src/embedding/tokenizer.rs:185-327, scaled to the tiny corpus)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    step = CHUNK_MAX - CHUNK_OVERLAP
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        d_out, idx_out, start_out, n_out = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            n = len((t or "").split())
+            if n == 0:
+                continue
+            ci = 0
+            for s in range(0, n, step):
+                ln = min(CHUNK_MAX, n - s)
+                if ln < CHUNK_MIN and ci > 0:
+                    break
+                d_out.append(d)
+                idx_out.append(ci)
+                start_out.append(s)
+                n_out.append(ln)
+                ci += 1
+                if s + ln >= n:
+                    break
+        return pa.table({
+            "doc_id": pa.array(d_out, pa.int64()),
+            "chunk_index": pa.array(idx_out, pa.int64()),
+            "start_tok": pa.array(start_out, pa.int64()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# M9 + M11: gazetteer/regex NER with in-text verification
+# ------------------------------------------------------------------ #
+
+NER_PATTERNS: dict[str, tuple[str, float]] = {
+    # type → (regex, confidence) — compiled once at module load, the
+    # lazy-static pattern table of the reference NER
+    # (src/ontology/extractor.rs:1526-1634)
+    "tool": (r"\b(spark|hash|vector|stream)\b", 0.8),
+    "op": (r"\b(join|sort|merge|scan|filter|agg)\b", 0.6),
+}
+_NER_COMPILED = {k: (re.compile(p), c) for k, (p, c) in NER_PATTERNS.items()}
+
+
+def text_ner(sf_dir: str):
+    """(doc_id, entity_type, entity, n_mentions, confidence, verified) —
+    verified re-checks the extracted string appears in the source text
+    (the hallucination verifier M11, trivially true for regex extraction
+    but the stage contract mirrors src/ontology/extractor.rs:258-603)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "entity_type": [], "entity": [],
+                "n_mentions": [], "confidence": [], "verified": []}
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            txt = (t or "").lower()
+            for etype, (pat, conf) in _NER_COMPILED.items():
+                found: dict[str, int] = {}
+                for m in pat.finditer(txt):
+                    found[m.group(1)] = found.get(m.group(1), 0) + 1
+                for ent in sorted(found):
+                    rows["doc_id"].append(d)
+                    rows["entity_type"].append(etype)
+                    rows["entity"].append(ent)
+                    rows["n_mentions"].append(found[ent])
+                    rows["confidence"].append(conf)
+                    rows["verified"].append(ent in txt)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "entity_type": pa.array(rows["entity_type"], pa.string()),
+            "entity": pa.array(rows["entity"], pa.string()),
+            "n_mentions": pa.array(rows["n_mentions"], pa.int64()),
+            "confidence": pa.array(rows["confidence"], pa.float64()),
+            "verified": pa.array(rows["verified"], pa.bool_()),
+        })
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ #
+# M18: JSON props extraction over events
+# ------------------------------------------------------------------ #
+
+def events_props_json(sf_dir: str):
+    """Parse the ``props`` JSON column, aggregate the extracted field —
+    the JSONP/LLM-JSON extraction shape (src/crawler/comment.rs:39-61)."""
+    ds = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(p or "{}").get("k", 0)))
+            except (ValueError, json.JSONDecodeError):
+                ks.append(0)
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pa.array(ks, pa.int64())})
+
+    from ray.data.aggregate import Count, Max, Sum
+    return (ds.map_batches(extract, batch_format="pyarrow")
+              .groupby("event_type")
+              .aggregate(Count(alias_name="n"),
+                         Sum("k", alias_name="sum_k"),
+                         Max("k", alias_name="max_k")))
+
+
+# ------------------------------------------------------------------ #
+# §2.4: hash joins over TPC-H-ish tables
+# ------------------------------------------------------------------ #
+
+def join_orders_cust_segment(sf_dir: str):
+    """orders ⋈ customer (both sides shuffled — the big-side join;
+    contrast revenue_by_nation's broadcast lookup)."""
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "price_c": pa.array(np.trunc(
+                t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)),
+        }), batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = hash_join(orders, cust, on="o_custkey", num_buckets=16)
+    return grouped_agg(joined, ["c_mktsegment"],
+                       {"n_orders": (None, "count"),
+                        "revenue_c": ("price_c", "sum")},
+                       num_buckets=4)
+
+
+def join_anti_cust_no_orders(sf_dir: str):
+    """Customers with no orders (anti join — the checkpoint-prefilter
+    shape J1) → counts per nation."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", ["o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    no_orders = hash_join(cust, orders, on="c_custkey", how="anti",
+                          num_buckets=16)
+    from baram_ray.pipelines.util import ensure_cols
+    out = grouped_agg(no_orders, ["c_nationkey"],
+                      {"n": (None, "count")}, num_buckets=4)
+    return ensure_cols(out, {"c_nationkey": "int64", "n": "int64"})

@@ -187,4 +187,124 @@ ORACLES: dict[str, str] = {
                max(p_size) AS max_size
         FROM part GROUP BY p_brand
     """,
+    "events_velocity": """
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, day, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day DESC) AS rn
+              FROM d QUALIFY rn <= 14),
+        x AS (SELECT event_type, n,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY day) - 1 AS i
+              FROM w),
+        s AS (SELECT event_type, count(*) AS np, sum(i) AS sx,
+                     sum(n) AS sy, sum(i*i) AS sxx, sum(i*n) AS sxy
+              FROM x GROUP BY 1)
+        SELECT event_type,
+               round(CASE WHEN np*sxx - sx*sx = 0 OR sy = 0 THEN 0.0
+                     ELSE greatest(-1.0, least(1.0,
+                          CAST((np*sxy - sx*sy) * np AS DOUBLE)
+                          / (CAST(np*sxx - sx*sx AS BIGINT) * sy)))
+                     END, 6) AS velocity
+        FROM s
+    """,
+    "events_minmax": """
+        WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        mm AS (SELECT event_type, min(n) AS lo, max(n) AS hi
+               FROM d GROUP BY 1)
+        SELECT d.event_type, d.day, d.n,
+               round(CASE WHEN hi = lo THEN 0.0
+                     ELSE CAST(d.n - lo AS DOUBLE) / (hi - lo) END, 6)
+                   AS norm
+        FROM d JOIN mm ON mm.event_type = d.event_type
+    """,
+    "doc_cooccur_pmi": r"""
+        WITH t AS (SELECT doc_id, unnest(list_distinct(
+                       string_split_regex(lower(trim(text)), '\s+'))) AS term
+                   FROM documents WHERE trim(text) <> ''),
+        p AS (SELECT a.term AS a, b.term AS b
+              FROM t a JOIN t b
+                ON a.doc_id = b.doc_id AND a.term < b.term),
+        pc AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY 1, 2),
+        s AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        n AS (SELECT count(*) AS total FROM documents)
+        SELECT pc.a, pc.b, c_ab,
+               round(log2(CAST(c_ab * total AS DOUBLE) / (sa.c * sb.c)), 6)
+                   AS pmi
+        FROM pc, n
+        JOIN s sa ON sa.term = pc.a
+        JOIN s sb ON sb.term = pc.b
+        WHERE c_ab >= 5
+    """,
+    "cluster_label_stats": """
+        WITH e AS (SELECT vec_id, label,
+                          unnest(embedding::DOUBLE[]) AS v,
+                          unnest(range(1, len(embedding) + 1)) AS dim
+                   FROM embeddings),
+        c AS (SELECT label, dim, sum(v) AS sv, count(*) AS cnt
+              FROM e GROUP BY 1, 2),
+        m AS (SELECT e.vec_id, e.label,
+                     sum(e.v * (c.sv / c.cnt)) AS dot,
+                     sqrt(sum(e.v * e.v)) AS nv
+              FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+              GROUP BY 1, 2),
+        cn AS (SELECT label, sqrt(sum((sv/cnt)*(sv/cnt))) AS nc
+               FROM c GROUP BY 1)
+        SELECT m.label, count(*) AS n,
+               round(avg(m.dot / (m.nv * cn.nc)), 4) AS mean_cos
+        FROM m JOIN cn ON cn.label = m.label GROUP BY 1
+    """,
+    "doc_chunks": r"""
+        WITH d AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\s+')) AS n
+                   FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT doc_id, n, unnest(range(0,
+                  CAST(ceil(CAST(n AS DOUBLE) / 48) AS BIGINT) + 1)) AS ci
+              FROM d)
+        SELECT doc_id, ci AS chunk_index, ci * 48 AS start_tok,
+               least(64, n - ci * 48) AS n_tokens
+        FROM c
+        WHERE ci * 48 < n AND (ci = 0 OR ci * 48 + 16 < n)
+    """,
+    "text_ner": r"""
+        WITH tool AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                          '\b(spark|hash|vector|stream)\b', 1)) AS entity
+                      FROM documents),
+        op AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '\b(join|sort|merge|scan|filter|agg)\b', 1)) AS entity
+               FROM documents)
+        SELECT doc_id, 'tool' AS entity_type, entity,
+               count(*) AS n_mentions, 0.8 AS confidence,
+               true AS verified
+        FROM tool GROUP BY 1, 3
+        UNION ALL
+        SELECT doc_id, 'op', entity, count(*), 0.6, true
+        FROM op GROUP BY 1, 3
+    """,
+    "events_props_json": """
+        SELECT event_type, count(*) AS n,
+               sum(COALESCE(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT), 0)) AS sum_k,
+               max(COALESCE(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT), 0)) AS max_k
+        FROM events GROUP BY 1
+    """,
+    "join_orders_cust_segment": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS revenue_c
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1
+    """,
+    "join_anti_cust_no_orders": """
+        SELECT c_nationkey, count(*) AS n
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+    """,
 }

@@ -7,7 +7,7 @@ from __future__ import annotations
 import ray.data
 
 from baram_ray import dedup, similarity
-from baram_ray.pipelines.util import read_table
+from baram_ray.pipelines.util import ensure_cols, read_table
 from baram_ray.stages.text import (
     FingerprintStage, LangIdStage, QualityStage, SanitizeStage,
 )
@@ -31,14 +31,17 @@ def dedup_minhash(sf_dir: str):
 
 def dedup_simhash(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.simhash_pairs(ds, "text", max_hamming=3)
+    out = dedup.simhash_pairs(ds, "text", max_hamming=3)
+    return ensure_cols(out, {"a": "int64", "b": "int64", "hamming": "int64"})
 
 
 def dedup_ngram_jaccard(sf_dir: str):
     """Exact word-bigram Jaccard pairs ≥ 0.5 (SQL oracle)."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return dedup.ngram_jaccard_pairs(ds, "text", n=JACCARD_N,
-                                     threshold=JACCARD_T)
+    out = dedup.ngram_jaccard_pairs(ds, "text", n=JACCARD_N,
+                                    threshold=JACCARD_T)
+    return ensure_cols(out, {"a": "int64", "b": "int64",
+                             "jaccard": "float64"})
 
 
 # ------------------------- similarity search ------------------------- #
@@ -60,7 +63,9 @@ def sim_knn_lsh(sf_dir: str):
 
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)
+    out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)
+    return ensure_cols(out, {"a": "int64", "b": "int64",
+                             "cosine": "float64"})
 
 
 def sim_centroid_assign(sf_dir: str):

@@ -22,3 +22,15 @@ def broadcast(obj):
     SURVEY.md J4 — reference broadcast dictionary join,
     src/ontology/linker.rs:581-674)."""
     return ray.put(obj)
+
+
+def ensure_cols(res, cols: dict[str, str]):
+    """Materialize a pipeline result to pandas, restoring the declared
+    schema when the result is empty — Ray Data drops 0-row blocks, so an
+    empty Dataset loses its column names, which would fail the driver's
+    schema comparison against the SQL oracle."""
+    import pandas as pd
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    if len(df.columns) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=d) for c, d in cols.items()})
+    return df

@@ -109,6 +109,58 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
     return ray.data.from_arrow_refs(keep)
 
 
+def _reduce_cogroup(bucket_fn, *frags):
+    """``frags`` = n_left left fragments then right fragments (counts in
+    the first two args)."""
+    import pyarrow as pa
+    n_left, n_right = frags[0], frags[1]
+    rest = frags[2:]
+    lf = [f for f in rest[:n_left] if f.num_rows] or [rest[0]]
+    rf = [f for f in rest[n_left:] if f.num_rows] or [rest[n_left]]
+    left = pa.concat_tables(lf).combine_chunks().to_pandas()
+    right = pa.concat_tables(rf).combine_chunks().to_pandas()
+    out = bucket_fn(left, right)
+    out = pa.Table.from_pandas(out, preserve_index=False)
+    return out, out.num_rows
+
+
+def cogroup(left, right, keys: list[str], bucket_fn, *,
+            num_buckets: int = 32):
+    """Co-partition two Datasets by hash of ``keys`` and apply
+    ``bucket_fn(left_df, right_df)`` per bucket — the join/cogroup
+    exchange (same two-stage shuffle as ``grouped_map``; both sides'
+    fragments for a bucket land in one reduce task)."""
+    import ray
+    import ray.data
+
+    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce = ray.remote(num_returns=2)(_reduce_cogroup)
+
+    def frags_of(ds):
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref in bundle.block_refs:
+                r = split.remote(block_ref, keys, num_buckets)
+                out.append([r] if num_buckets == 1 else r)
+        return out
+
+    lfrags, rfrags = frags_of(left), frags_of(right)
+    if not lfrags or not rfrags:
+        empty = left.limit(0)
+        return empty
+    fn_ref = ray.put(bucket_fn)
+    out_refs, size_refs = [], []
+    for b in range(num_buckets):
+        t_ref, n_ref = reduce.remote(
+            fn_ref, len(lfrags), len(rfrags),
+            *[fr[b] for fr in lfrags], *[fr[b] for fr in rfrags])
+        out_refs.append(t_ref)
+        size_refs.append(n_ref)
+    sizes = ray.get(size_refs)
+    keep = [r for r, n in zip(out_refs, sizes) if n > 0] or out_refs[:1]
+    return ray.data.from_arrow_refs(keep)
+
+
 def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
                 *, num_buckets: int):
     """``groupby(keys).aggregate(...)`` for HIGH-cardinality keys.
