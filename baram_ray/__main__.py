@@ -1,0 +1,100 @@
+"""CLI — the user-facing command surface (reference: 11 clap subcommands,
+``src/main.rs:38-287``; ours covers the batch-engine subset).
+
+One of the few places allowed to own a Ray session (with bench.py and the
+test fixture); the library itself never calls ``ray.init``.
+
+    python -m baram_ray build  --input corpus.parquet --out /tmp/idx \
+                               [--fields content,path] [--no-resume]
+    python -m baram_ray search --index /tmp/idx --query "hash join" [-k 10]
+    python -m baram_ray stats  --index /tmp/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ray_up(args.num_cpus)
+    from baram_ray.index.build import IndexConfig, build_index
+    cfg = IndexConfig(fields=tuple(args.fields.split(",")),
+                      id_cols=tuple(f for f in args.id_cols.split(",") if f),
+                      keep=tuple(f for f in args.keep.split(",") if f))
+    res = build_index(args.input, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps({
+        "out_dir": res.out_dir, "n_docs": res.n_docs, "n_terms": res.n_terms,
+        "num_shards": res.num_shards, "stage_seconds": res.stage_seconds,
+        "resumed_stages": res.resumed_stages,
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _ray_up(args.num_cpus)
+    from baram_ray.query.engine import QueryEngine
+    eng = QueryEngine(args.index)
+    filters = dict(kv.split("=", 1) for kv in (args.filter or []))
+    hits = eng.search(args.query, k=args.k, filters=filters or None,
+                      algorithm=args.algorithm)
+    for rank, (doc_id, score) in enumerate(hits, 1):
+        print(json.dumps({"rank": rank, "doc_id": int(doc_id),
+                          "score": round(float(score), 6)}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    with open(os.path.join(args.index, "meta.json")) as f:
+        print(json.dumps(json.load(f)))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="baram_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--fields", default="content,path")
+    b.add_argument("--id-cols", default="repo,path,commit")
+    b.add_argument("--keep", default="repo,path,lang")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k against an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--algorithm", default="auto",
+                   choices=["auto", "daat", "wand"])
+    s.add_argument("--filter", action="append", metavar="COL=VAL")
+    s.set_defaults(fn=cmd_search)
+
+    st = sub.add_parser("stats", help="index metadata")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

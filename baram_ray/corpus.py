@@ -153,9 +153,12 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
 def corpus_parquet(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/baram_corpus") -> str:
     """Write (once) and return the path of the corpus parquet for n_rows."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"code_v2_{n_rows}_{seed}.parquet")
+    path = os.path.join(cache_dir, f"code_v3_{n_rows}_{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        pq.write_table(generate_corpus(n_rows, seed), tmp)
+        # bounded row groups: a single-row-group file reads serially
+        # in any engine — row-group count is the read parallelism
+        pq.write_table(generate_corpus(n_rows, seed), tmp,
+                       row_group_size=8192)
         os.replace(tmp, path)  # atomic, reference checkpoint idiom src/storage/checkpoint.rs:229-248
     return path

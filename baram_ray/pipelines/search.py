@@ -58,6 +58,68 @@ def bm25_topk(sf_dir: str, queries: list[dict] | None = None,
     return out.map_batches(_round, batch_format="pandas")
 
 
+HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
+HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
+HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector
+
+
+def _minmax(scores: dict[int, float]) -> dict[int, float]:
+    """Min-max normalize a doc→score map (the reference's
+    ``hybrid-pipeline`` normalization processor)."""
+    if not scores:
+        return {}
+    lo, hi = min(scores.values()), max(scores.values())
+    if hi == lo:
+        return {d: 1.0 for d in scores}
+    return {d: (s - lo) / (hi - lo) for d, s in scores.items()}
+
+
+def hybrid_topk(sf_dir: str, query_text: str = "data stream query",
+                k: int = 10, pool: int = 100):
+    """K3: hybrid BM25 + kNN top-k — min-max normalize each sub-query's
+    top-``pool`` scores, arithmetic-mean with weights [0.3, 0.7], re-rank
+    (reference search_hybrid, src/embedding/mod.rs:537-602; docs carry no
+    text-embedding model here, so the kNN query is a corpus vector —
+    ``vec_id == doc_id`` in the testdata tables).
+
+    Non-SQL-expressible (BM25 core) → rows-only driver check; rank math
+    is unit-tested against a pure-python recomputation.
+    """
+    import numpy as np
+
+    from baram_ray.query.engine import QueryEngine
+    from baram_ray.similarity import _matrix, _norm_rows
+
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    bm25 = dict(eng.search(query_text, k=pool))
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    ids, mats = [], []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
+        mats.append(_matrix(b))
+    ids = np.concatenate(ids)
+    vecs = _norm_rows(np.concatenate(mats))
+    q = vecs[list(ids).index(HYBRID_QUERY_VEC)]
+    sims = vecs @ q
+    mask = ids != HYBRID_QUERY_VEC
+    top = np.argsort(-sims[mask], kind="stable")[:pool]
+    knn = {int(d): float(s) for d, s in
+           zip(ids[mask][top], sims[mask][top])}
+
+    nb, nk = _minmax(bm25), _minmax(knn)
+    merged = {d: HYBRID_W_BM25 * nb.get(d, 0.0) + HYBRID_W_KNN * nk.get(d, 0.0)
+              for d in set(nb) | set(nk)}
+    rows = sorted(merged.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pd.DataFrame({
+        "rank": range(1, len(rows) + 1),
+        "doc_id": [d for d, _ in rows],
+        "score": [round(s, 6) for _, s in rows],
+    })
+
+
 def index_stats(sf_dir: str):
     """S6-style count/maintenance surface (reference get_document_count,
     src/embedding/mod.rs:807-818)."""

@@ -167,8 +167,7 @@ class QueryEngine:
         acc = np.zeros(len(r.doc_ids), dtype=np.float64)
         matched = np.zeros(len(r.doc_ids), dtype=bool)
         for it in its:                      # fixed (field, term) order → fp order
-            docs, tfs = it.pl.decode_all()
-            rows = np.searchsorted(r.doc_ids, docs)
+            rows, tfs = it.pl.decode_all()  # postings are ranks == row indices
             dl = r.dl[it.field][rows]
             avg = r.avgdl[it.field] or 1.0
             tff = tfs.astype(np.float64)
@@ -187,11 +186,11 @@ class QueryEngine:
 
     # ------------------------------------------------------------------ #
     def _wand(self, its: list[_TermIter], k: int, mask) -> list:
-        """Block-max WAND; rank-identical to _daat (ties: later doc_ids are
-        larger in DAAT order, so strict `score > θ` acceptance is exact)."""
+        """Block-max WAND; rank-identical to _daat (ties: later ranks are
+        larger in DAAT order, so strict `score > θ` acceptance is exact).
+        Iterator positions are RANKS (rank order == doc_id order)."""
         r = self.r
-        doc_ids_sorted = r.doc_ids
-        heap: list[tuple[float, int]] = []    # (score, -doc_id), worst on top
+        heap: list[tuple[float, int]] = []    # (score, -rank), worst on top
         DONE = _TermIter.DONE
 
         def theta() -> float:
@@ -238,7 +237,7 @@ class QueryEngine:
                         if it.doc < target:
                             it.next_geq(target)
                     continue
-                row = int(np.searchsorted(doc_ids_sorted, pivot_doc))
+                row = int(pivot_doc)          # rank == row index
                 allowed = mask is None or bool(mask[row])
                 if allowed:
                     s = 0.0
@@ -263,8 +262,8 @@ class QueryEngine:
                 live[best].next_geq(pivot_doc)
 
         out = [(-nd, s) for s, nd in heap]
-        out.sort(key=lambda ds: (-ds[1], ds[0]))
-        return out
+        out.sort(key=lambda ds: (-ds[1], ds[0]))   # rank asc == doc_id asc
+        return [(int(r.doc_ids[rank]), s) for rank, s in out]
 
 
 class QueryActor:

@@ -24,6 +24,7 @@ query path import THIS function; rank-identity depends on it.
 
 from __future__ import annotations
 
+import functools
 import re
 from collections import Counter
 
@@ -62,6 +63,20 @@ def _split_identifier(word: str) -> list[str]:
     return parts
 
 
+@functools.lru_cache(maxsize=1 << 16)
+def _expand_word(word: str) -> tuple[str, ...]:
+    """Token(s) for one identifier word, memoized — corpora are zipfian,
+    so the same identifiers recur constantly; the cache turns the regex
+    split into a dict hit. Pure function of the word → determinism holds."""
+    low = word.lower()
+    if _HAS_SPLIT_RE.search(word):
+        # compound: emit whole + parts (mixed decompound). The whole
+        # keeps underscores so `snake_case` queries match.
+        return (low[:MAX_TOKEN_LEN],
+                *(p[:MAX_TOKEN_LEN] for p in _split_identifier(word)))
+    return (low[:MAX_TOKEN_LEN],)
+
+
 def tokenize(text: str) -> list[str]:
     """Analyze ``text`` into the token stream the index counts.
 
@@ -73,18 +88,11 @@ def tokenize(text: str) -> list[str]:
     text = text.translate(_ZERO_WIDTH)
     out: list[str] = []
     append = out.append
+    extend = out.extend
     for m in _WORD_RE.finditer(text):
         word = m.group(1)
         if word is not None:
-            low = word.lower()
-            if _HAS_SPLIT_RE.search(word):
-                # compound: emit whole + parts (mixed decompound). The
-                # whole keeps underscores so `snake_case` queries match.
-                append(low[:MAX_TOKEN_LEN])
-                for p in _split_identifier(word):
-                    append(p[:MAX_TOKEN_LEN])
-            else:
-                append(low[:MAX_TOKEN_LEN])
+            extend(_expand_word(word))
         else:
             run = m.group(2)
             if len(run) == 1:

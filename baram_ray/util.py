@@ -22,20 +22,35 @@ def add_bucket_column(batch, keys: list[str], num_buckets: int,
         col, pa.array((h % num_buckets).astype("int32"), pa.int32()))
 
 
-def _split_by_bucket(block, keys: list[str], num_buckets: int):
+def _split_by_bucket(block, keys: list[str], num_buckets: int,
+                     pre_fn=None):
     """One shuffle-map task: hash ``keys`` → bucket id, return ``num_buckets``
     COMPACTED per-bucket tables. ``take`` copies the selected rows into
     fresh contiguous buffers — essential: a sliced Arrow list/binary column
     serializes its ENTIRE child buffer, which turns a sort-based shuffle of
-    B slices per block into O(B × block) bytes moved."""
+    B slices per block into O(B × block) bytes moved.
+
+    ``pre_fn`` (block → table) runs first, fused into the split task —
+    e.g. the posting combiner, so its output never lands in the object
+    store unpartitioned. If the (pre_fn-produced) table already carries a
+    precomputed ``__bucket`` column it is used directly (and stripped);
+    otherwise buckets come from a pandas hash of the key columns.
+    """
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     if isinstance(block, pd.DataFrame):
         block = pa.Table.from_pandas(block, preserve_index=False)
-    h = pd.util.hash_pandas_object(
-        block.select(keys).to_pandas(), index=False).to_numpy()
-    buckets = (h % num_buckets).astype(np.int64)
+    if pre_fn is not None:
+        block = pre_fn(block)
+    if "__bucket" in block.column_names:
+        buckets = block["__bucket"].to_numpy(zero_copy_only=False) \
+                       .astype(np.int64)
+        block = block.drop_columns(["__bucket"])
+    else:
+        h = pd.util.hash_pandas_object(
+            block.select(keys).to_pandas(), index=False).to_numpy()
+        buckets = (h % num_buckets).astype(np.int64)
     order = np.argsort(buckets, kind="stable")
     starts = np.searchsorted(buckets[order], np.arange(num_buckets))
     bounds = np.append(starts, len(order))
@@ -47,9 +62,14 @@ def _split_by_bucket(block, keys: list[str], num_buckets: int):
     return tuple(out)
 
 
-def _reduce_bucket(bucket_fn, batch_format: str, *frags):
+def _reduce_bucket(bucket_fn, batch_format: str, frag_refs: list):
+    """Fragment refs arrive as a LIST (not unpacked args) so the task is
+    scheduled immediately and fetches them itself in one batched
+    ``ray.get`` — unpacked args serialize scheduling on arg resolution."""
     import pandas as pd
     import pyarrow as pa
+    import ray
+    frags = ray.get(frag_refs)
     tables = [f for f in frags if f.num_rows] or [frags[0]]
     tbl = pa.concat_tables(tables).combine_chunks()
     if batch_format == "pandas":
@@ -61,7 +81,7 @@ def _reduce_bucket(bucket_fn, batch_format: str, *frags):
 
 
 def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
-                batch_format: str = "pandas"):
+                batch_format: str = "pandas", pre_fn=None):
     """``groupby(keys).map_groups`` as an explicit two-stage hash exchange.
 
     Why not ``ds.groupby(keys).map_groups``: (a) Ray Data's map_groups
@@ -85,38 +105,46 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
     import ray
     import ray.data
 
+    import time as _time
+    dbg = os.environ.get("BARAM_TIMING") == "1"
+    t0 = _time.perf_counter()
     split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
     reduce = ray.remote(num_returns=2)(_reduce_bucket)
     frag_refs = []                      # per block: list of B fragment refs
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref in bundle.block_refs:
-            frag_refs.append(split.remote(block_ref, keys, num_buckets))
+            frag_refs.append(
+                split.remote(block_ref, keys, num_buckets, pre_fn))
     if not frag_refs:
         return ds
     if num_buckets == 1:                # num_returns=1 yields a bare ref
         frag_refs = [[r] for r in frag_refs]
+    t1 = _time.perf_counter()
     fn_ref = ray.put(bucket_fn)         # ship the closure once, not per task
     out_refs, size_refs = [], []
     for b in range(num_buckets):
         t_ref, n_ref = reduce.remote(
-            fn_ref, batch_format, *[fr[b] for fr in frag_refs])
+            fn_ref, batch_format, [fr[b] for fr in frag_refs])
         out_refs.append(t_ref)
         size_refs.append(n_ref)
     sizes = ray.get(size_refs)          # tiny ints; tables stay in plasma
+    t2 = _time.perf_counter()
+    if dbg:
+        print(f"[grouped_map] submit={t1-t0:.1f}s reduce={t2-t1:.1f}s "
+              f"blocks={len(frag_refs)} buckets={num_buckets}", flush=True)
     keep = [r for r, n in zip(out_refs, sizes) if n > 0]
     if not keep:                        # empty result, output schema intact
         keep = out_refs[:1]
     return ray.data.from_arrow_refs(keep)
 
 
-def _reduce_cogroup(bucket_fn, *frags):
-    """``frags`` = n_left left fragments then right fragments (counts in
-    the first two args)."""
+def _reduce_cogroup(bucket_fn, l_refs: list, r_refs: list):
     import pyarrow as pa
-    n_left, n_right = frags[0], frags[1]
-    rest = frags[2:]
-    lf = [f for f in rest[:n_left] if f.num_rows] or [rest[0]]
-    rf = [f for f in rest[n_left:] if f.num_rows] or [rest[n_left]]
+    import ray
+    lfr = ray.get(l_refs)
+    rfr = ray.get(r_refs)
+    lf = [f for f in lfr if f.num_rows] or [lfr[0]]
+    rf = [f for f in rfr if f.num_rows] or [rfr[0]]
     left = pa.concat_tables(lf).combine_chunks().to_pandas()
     right = pa.concat_tables(rf).combine_chunks().to_pandas()
     out = bucket_fn(left, right)
@@ -152,8 +180,7 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
     out_refs, size_refs = [], []
     for b in range(num_buckets):
         t_ref, n_ref = reduce.remote(
-            fn_ref, len(lfrags), len(rfrags),
-            *[fr[b] for fr in lfrags], *[fr[b] for fr in rfrags])
+            fn_ref, [fr[b] for fr in lfrags], [fr[b] for fr in rfrags])
         out_refs.append(t_ref)
         size_refs.append(n_ref)
     sizes = ray.get(size_refs)

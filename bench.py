@@ -180,9 +180,16 @@ def run_code_bench(n_docs: int | None = None) -> dict:
     return result
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    """Two fresh processes at ``lo`` and ``hi`` CPUs over the SAME corpus —
-    the sandbox evidence for the N→4N cluster criterion (BASELINE.json)."""
+def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
+    """Fresh processes at ``lo`` and ``hi`` CPUs over the SAME corpus —
+    the sandbox evidence for the N→4N cluster criterion (BASELINE.json).
+
+    This sandbox shares a host: background tenants intermittently halve
+    multi-core throughput for tens of seconds. Runs ALTERNATE lo/hi for
+    ``rounds`` rounds and the best (min) per level is compared — the
+    clean-window number is the one that reflects the engine, and
+    alternating decorrelates the noise from the level.
+    """
     def one(n: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         out = subprocess.run(
@@ -191,7 +198,12 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    lo_runs, hi_runs = [], []
+    for _ in range(rounds):
+        lo_runs.append(one(lo))
+        hi_runs.append(one(hi))
+    r_lo = min(lo_runs, key=lambda r: r["value"])
+    r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -200,8 +212,12 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "unit": "ratio",
         "cpus_lo": lo, "cpus_hi": hi,
         "sec_lo": t_lo, "sec_hi": t_hi,
+        "sec_lo_runs": [r["value"] for r in lo_runs],
+        "sec_hi_runs": [r["value"] for r in hi_runs],
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
+        "stages_lo": r_lo["index_stages_sec"],
+        "stages_hi": r_hi["index_stages_sec"],
         "n_docs": r_lo["n_docs"],
     }
 

@@ -236,3 +236,41 @@ def test_multimodal_frame_sampling():
     import math
     for i, d in durs.items():
         assert counts[i] == math.ceil(d / 10_000)
+
+
+# ------------------------------------------------------------------ #
+# K3: hybrid search
+# ------------------------------------------------------------------ #
+
+def test_hybrid_topk_math(ray_session):
+    """Hybrid = 0.3*minmax(bm25) + 0.7*minmax(cos), recomputed purely."""
+    from baram_ray.pipelines import search as searchp
+    got = searchp.hybrid_topk(SF, k=10)
+    assert list(got.columns) == ["rank", "doc_id", "score"]
+    assert len(got) == 10
+    # recompute from the two sub-queries
+    from baram_ray.query.engine import QueryEngine
+    import pyarrow.parquet as pq
+    idx = searchp.ensure_index(SF)
+    bm25 = dict(QueryEngine(idx).search("data stream query", k=100))
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in t["embedding"].to_pylist()])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = vecs[list(ids).index(0)]
+    sims = vecs @ q
+    mask = ids != 0
+    top = np.argsort(-sims[mask], kind="stable")[:100]
+    knn = {int(d): float(s) for d, s in zip(ids[mask][top], sims[mask][top])}
+
+    def mm(d):
+        lo, hi = min(d.values()), max(d.values())
+        return {k: (v - lo) / (hi - lo) for k, v in d.items()}
+
+    nb, nk = mm(bm25), mm(knn)
+    merged = {d: 0.3 * nb.get(d, 0.0) + 0.7 * nk.get(d, 0.0)
+              for d in set(nb) | set(nk)}
+    exp = sorted(merged.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in exp]
+    assert list(got["score"]) == [round(s, 6) for _, s in exp]
