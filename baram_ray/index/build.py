@@ -448,7 +448,10 @@ def build_index(
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)
 
-    td_ds = ray.data.read_parquet(td_dir, columns=["term"],
-                                   override_num_blocks=auto_num_blocks(td_dir))
-    res.n_terms = td_ds.count()
+    # row count from parquet footers — no Ray job for a metadata lookup
+    import glob as _glob
+    import pyarrow.parquet as _pq
+    res.n_terms = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(td_dir, "*.parquet")))
     return res
