@@ -308,22 +308,26 @@ def events_props_json(sf_dir: str):
     the JSONP/LLM-JSON extraction shape (src/crawler/comment.rs:39-61)."""
     ds = read_table(sf_dir, "events", ["event_type", "props"])
 
-    def extract(batch: pa.Table) -> pa.Table:
+    def extract_partial(batch: pa.Table) -> pa.Table:
         ks = []
         for p in batch["props"].to_pylist():
             try:
                 ks.append(int(json.loads(p or "{}").get("k", 0)))
             except (ValueError, json.JSONDecodeError):
                 ks.append(0)
-        return pa.table({"event_type": batch["event_type"],
-                         "k": pa.array(ks, pa.int64())})
+        g = pd.DataFrame({"event_type": batch["event_type"].to_pandas(),
+                          "k": ks}).groupby(
+            "event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Count, Max, Sum
-    return (ds.map_batches(extract, batch_format="pyarrow")
+    from ray.data.aggregate import Max, Sum
+    return (ds.map_batches(extract_partial, batch_format="pyarrow")
               .groupby("event_type")
-              .aggregate(Count(alias_name="n"),
-                         Sum("k", alias_name="sum_k"),
-                         Max("k", alias_name="max_k")))
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("sum_k", alias_name="sum_k"),
+                         Max("max_k", alias_name="max_k")))
 
 
 # ------------------------------------------------------------------ #

@@ -21,20 +21,25 @@ from baram_ray.util import grouped_agg
 def type_agg(sf_dir: str):
     ds = read_table(sf_dir, "events", ["event_type", "value"])
 
-    def derive(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         # scaled-int sum: bit-identical to the SQL oracle at any sf
-        # (see baram_ray.pipelines.tpch module docstring)
-        return pd.DataFrame({
+        # (see baram_ray.pipelines.tpch module docstring); per-batch
+        # combiner keeps the exchange at ~5 rows per block
+        g = pd.DataFrame({
             "event_type": df["event_type"],
             "value_u6": np.trunc(df["value"].to_numpy() * 1000000.0 + 0.5
                                  ).astype("int64"),
-        })
+        }).groupby("event_type", as_index=False).agg(
+            n=("value_u6", "size"),
+            total_value_u6=("value_u6", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
 
-    return (ds.map_batches(derive, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
               .groupby("event_type")
-              .aggregate(Count(alias_name="n"),
-                         Sum("value_u6", alias_name="total_value_u6")))
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("total_value_u6", alias_name="total_value_u6")))
 
 
 def _daily(sf_dir: str):

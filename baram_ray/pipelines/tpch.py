@@ -40,7 +40,7 @@ def q1_pricing(sf_dir: str):
                     ["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
 
-    def derive(t: pa.Table) -> pa.Table:
+    def derive_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
         ext = df["l_extendedprice"].to_numpy()
@@ -48,24 +48,35 @@ def q1_pricing(sf_dir: str):
         tax = df["l_tax"].to_numpy()
         disc_price = ext * (1.0 - disc)
         charge = disc_price * (1.0 + tax)
-        return pa.table({
-            "l_returnflag": pa.array(df["l_returnflag"]),
-            "l_linestatus": pa.array(df["l_linestatus"]),
-            "l_quantity": pa.array(df["l_quantity"].to_numpy()),
-            "base_c": pa.array(_cents(ext, 100.0)),
-            "disc_price_u4": pa.array(_cents(disc_price, 10000.0)),
-            "charge_u6": pa.array(_cents(charge, 1000000.0)),
-            "disc_c": pa.array(_cents(disc, 100.0)),
+        rows = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"].to_numpy(),
+            "l_linestatus": df["l_linestatus"].to_numpy(),
+            "l_quantity": df["l_quantity"].to_numpy(),
+            "base_c": _cents(ext, 100.0),
+            "disc_price_u4": _cents(disc_price, 10000.0),
+            "charge_u6": _cents(charge, 1000000.0),
+            "disc_c": _cents(disc, 100.0),
         })
+        # per-batch combiner → the exchange moves ~9 rows per block
+        g = rows.groupby(["l_returnflag", "l_linestatus"],
+                         as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price_c=("base_c", "sum"),
+            sum_disc_price_u4=("disc_price_u4", "sum"),
+            sum_charge_u6=("charge_u6", "sum"),
+            sum_disc_c=("disc_c", "sum"),
+            count_order=("base_c", "size"))
+        g["count_order"] = g["count_order"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (ds.map_batches(derive, batch_format="pyarrow")
+    out = (ds.map_batches(derive_partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
-             .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                        Sum("base_c", alias_name="sum_base_price_c"),
-                        Sum("disc_price_u4", alias_name="sum_disc_price_u4"),
-                        Sum("charge_u6", alias_name="sum_charge_u6"),
-                        Sum("disc_c", alias_name="sum_disc_c"),
-                        Count(alias_name="count_order")))
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+                        Sum("sum_disc_price_u4", alias_name="sum_disc_price_u4"),
+                        Sum("sum_charge_u6", alias_name="sum_charge_u6"),
+                        Sum("sum_disc_c", alias_name="sum_disc_c"),
+                        Sum("count_order", alias_name="count_order")))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         n = df["count_order"]
@@ -81,22 +92,26 @@ def q1_pricing(sf_dir: str):
 def orders_by_status(sf_dir: str):
     ds = read_table(sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
 
-    def derive(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderstatus": t["o_orderstatus"],
-            "total_c": pa.array(_cents(t["o_totalprice"].to_numpy(), 100.0)),
-        })
+    def partial(t: pa.Table) -> pa.Table:
+        g = pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].to_pandas(),
+            "total_c": _cents(t["o_totalprice"].to_numpy(), 100.0),
+        }).groupby("o_orderstatus", as_index=False).agg(
+            n=("total_c", "size"), total_c=("total_c", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (ds.map_batches(derive, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("o_orderstatus")
-              .aggregate(Count(alias_name="n"),
+              .aggregate(Sum("n", alias_name="n"),
                          Sum("total_c", alias_name="total_c")))
 
 
 def revenue_by_nation(sf_dir: str):
     """orders ⨝ customer ⨝ nation via broadcast lookup (J4 pattern)."""
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nat = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    from baram_ray.pipelines.util import read_small
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust_to_nation = dict(zip(
         cust["c_custkey"],
         cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"])))))
@@ -107,17 +122,24 @@ def revenue_by_nation(sf_dir: str):
     # session's warm worker pool (an actor pool pays ~2-4 s spin-up per
     # pipeline invocation — only worth it for expensive state like a
     # resident index or model)
-    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+    # per-batch combiner: the final exchange aggregates ~25 rows per
+    # input block instead of every order row (Ray's sort-based aggregate
+    # costs seconds on row-level input regardless of group count)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
-        return pd.DataFrame({
+        g = pd.DataFrame({
             "n_name": df["o_custkey"].map(lookup),
             "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
-        })
+        }).groupby("n_name", as_index=False).agg(
+            n_orders=("revenue_c", "size"),
+            revenue_c=("revenue_c", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return g
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (orders.map_batches(add_nation, batch_format="pandas")
+    return (orders.map_batches(partial, batch_format="pandas")
                   .groupby("n_name")
-                  .aggregate(Count(alias_name="n_orders"),
+                  .aggregate(Sum("n_orders", alias_name="n_orders"),
                              Sum("revenue_c", alias_name="revenue_c")))
 
 
@@ -145,19 +167,26 @@ def top_parts_by_revenue(sf_dir: str, k: int = 10):
 
 
 def supplier_by_nation(sf_dir: str):
-    nat = read_table(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    from baram_ray.pipelines.util import read_small
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     ref = ray.put(dict(zip(nat["n_nationkey"], nat["n_name"])))
 
-    def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(ref)
-        return pd.DataFrame({"n_name": df["s_nationkey"].map(lk),
-                             "acctbal_c": _cents(df["s_acctbal"].to_numpy(), 100.0)})
+        g = pd.DataFrame({
+            "n_name": df["s_nationkey"].map(lk),
+            "acctbal_c": _cents(df["s_acctbal"].to_numpy(), 100.0),
+        }).groupby("n_name", as_index=False).agg(
+            n_suppliers=("acctbal_c", "size"),
+            total_acctbal_c=("acctbal_c", "sum"))
+        g["n_suppliers"] = g["n_suppliers"].astype("int64")
+        return g
 
     ds = read_table(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-    return (ds.map_batches(add_nation, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
               .groupby("n_name")
-              .aggregate(Count(alias_name="n_suppliers"),
-                         Sum("acctbal_c", alias_name="total_acctbal_c")))
+              .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                         Sum("total_acctbal_c", alias_name="total_acctbal_c")))
 
 
 def orders_top_totalprice(sf_dir: str, k: int = 15):

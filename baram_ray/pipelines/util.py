@@ -17,6 +17,17 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
                                  override_num_blocks=auto_num_blocks(path))
 
 
+def read_small(sf_dir: str, name: str, columns: list[str] | None = None):
+    """Driver-side pyarrow read of a SMALL (dimension) table — spinning a
+    distributed Ray job to read 25 nation rows costs ~1s of job startup;
+    the broadcast-join small side should be read in-process and ray.put."""
+    import os
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                      columns=columns)
+    return t.to_pandas()
+
+
 def broadcast(obj):
     """``ray.put`` once; tasks/actors read the ref (small-side join pattern,
     SURVEY.md J4 — reference broadcast dictionary join,
