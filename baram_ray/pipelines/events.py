@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from baram_ray.pipelines.util import read_table
 from baram_ray.util import grouped_agg

@@ -274,3 +274,35 @@ def test_hybrid_topk_math(ray_session):
     exp = sorted(merged.items(), key=lambda x: (-x[1], x[0]))[:10]
     assert list(got["doc_id"]) == [d for d, _ in exp]
     assert list(got["score"]) == [round(s, 6) for _, s in exp]
+
+
+# ------------------------------------------------------------------ #
+# hash join (§2.4)
+# ------------------------------------------------------------------ #
+
+def test_hash_join_modes(ray_session):
+    from baram_ray.joins import hash_join
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": [2, 4, 9], "w": [20, 40, 90]}))
+    inner = hash_join(left, right, "k").to_pandas().sort_values("k")
+    assert inner.values.tolist() == [[2, "b", 20], [4, "d", 40]]
+    anti = hash_join(left, right, "k", how="anti").to_pandas().sort_values("k")
+    assert anti.values.tolist() == [[1, "a"], [3, "c"], [5, "e"]]
+    semi = hash_join(left, right, "k", how="semi").to_pandas().sort_values("k")
+    assert semi.values.tolist() == [[2, "b"], [4, "d"]]
+    # clash suffix on non-key columns
+    r2 = ray.data.from_pandas(pd.DataFrame({"k": [1], "v": ["x"]}))
+    j = hash_join(left, r2, "k").to_pandas()
+    assert sorted(j.columns) == ["k", "v", "v_r"]
+
+
+def test_hash_join_empty_result_keeps_schema(ray_session):
+    from baram_ray.joins import hash_join
+    left = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    right = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "w": [1, 2]}))
+    anti = hash_join(left, right, "k", how="anti")
+    from baram_ray.pipelines.util import ensure_cols
+    out = ensure_cols(anti, {"k": "int64", "v": "object"})
+    assert list(out.columns) == ["k", "v"] and len(out) == 0
