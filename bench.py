@@ -68,11 +68,15 @@ def run_bench() -> dict:
                       cfg, resume=False)
     build_sec = time.perf_counter() - t0
 
-    # --- query latency: sequential single-query p50/p95 on a resident engine
+    # --- query latency: sequential single-query p50/p95 on a resident
+    # engine, steady-state (one warm pass first so the p95 reflects the
+    # serving path, not the first-touch block decode)
     eng = QueryEngine(out_dir)
     lat = []
-    texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]] * 8
-    for text in texts:
+    distinct = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]]
+    for text in distinct:
+        eng.search(text, k=10)
+    for text in distinct * 8:
         t = time.perf_counter()
         eng.search(text, k=10)
         lat.append((time.perf_counter() - t) * 1000)
