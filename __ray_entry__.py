@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": anap.doc_chunks,
         "text_ner": anap.text_ner,
         "events_props_json": anap.events_props_json,
+        "text_entity_link": anap.text_entity_link,
         # shuffled joins (§2.4 inner + anti)
         "join_orders_cust_segment": anap.join_orders_cust_segment,
         "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,

@@ -300,6 +300,87 @@ def text_ner(sf_dir: str):
 
 
 # ------------------------------------------------------------------ #
+# J4 + M12 + A3: entity linking (broadcast alias dictionary + fuzzy
+# fallback) — the reference EntityLinker (src/ontology/linker.rs:
+# 235-263 knowledge base, 581-674 exact→fuzzy lookup, 677-713 text
+# normalization)
+# ------------------------------------------------------------------ #
+
+ENTITY_KB: dict[str, str] = {
+    # alias → canonical (reference alias map shape)
+    "spark": "apache-spark", "hash": "hash-function",
+    "vector": "vector-type", "stream": "data-stream",
+    "join": "op:join", "sort": "op:sort", "merge": "op:merge",
+    "scan": "op:scan", "filter": "op:filter", "agg": "op:aggregate",
+}
+
+
+def _normalize_entity(text: str) -> str:
+    """Trim quotes/whitespace, lowercase (reference normalize,
+    src/ontology/linker.rs:677-713)."""
+    return text.strip().strip("\"'").lower()
+
+
+def link_entities(ds, kb: dict[str, str] | None = None,
+                  fuzzy_cutoff: float = 0.8):
+    """Dataset[(doc_id, entity, ...)] → + (canonical, method, in_kb).
+
+    Exact alias hit first; else difflib fuzzy match against the alias
+    keys (the reference's two-phase lookup); else identity with
+    in_kb=False. KB is broadcast once (small side)."""
+    kb = kb if kb is not None else ENTITY_KB
+    ref = ray.put(kb)
+
+    def link(df: pd.DataFrame) -> pd.DataFrame:
+        import difflib
+        kb_ = ray.get(ref)
+        keys = list(kb_)
+        canon, method, in_kb = [], [], []
+        for e in df["entity"]:
+            n = _normalize_entity(str(e))
+            hit = kb_.get(n)
+            if hit is not None:
+                canon.append(hit); method.append("exact"); in_kb.append(True)
+                continue
+            close = difflib.get_close_matches(n, keys, n=1,
+                                              cutoff=fuzzy_cutoff)
+            if close:
+                canon.append(kb_[close[0]])
+                method.append("fuzzy"); in_kb.append(True)
+            else:
+                canon.append(n); method.append("none"); in_kb.append(False)
+        out = df.copy()
+        out["canonical"] = canon
+        out["method"] = method
+        out["in_kb"] = in_kb
+        return out
+
+    return ds.map_batches(link, batch_format="pandas")
+
+
+def text_entity_link(sf_dir: str):
+    """NER entities → canonical ids via the broadcast KB, aggregated per
+    (canonical, entity_type): n_docs, n_mentions. The gazetteer covers
+    every NER pattern, so the exact path is SQL-checkable; the fuzzy
+    fallback is unit-tested."""
+    ents = text_ner(sf_dir)
+    linked = link_entities(ents)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["canonical", "entity_type"], as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            n_mentions=("n_mentions", "sum"))
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+    return (linked.map_batches(partial, batch_format="pandas")
+                  .groupby(["canonical", "entity_type"])
+                  .aggregate(Sum("n_docs", alias_name="n_docs"),
+                             Sum("n_mentions", alias_name="n_mentions")))
+
+
+# ------------------------------------------------------------------ #
 # M18: JSON props extraction over events
 # ------------------------------------------------------------------ #
 

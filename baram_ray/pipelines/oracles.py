@@ -307,4 +307,27 @@ ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY 1
     """,
+    "text_entity_link": r"""
+        WITH kb(alias, canonical) AS (VALUES
+            ('spark','apache-spark'), ('hash','hash-function'),
+            ('vector','vector-type'), ('stream','data-stream'),
+            ('join','op:join'), ('sort','op:sort'), ('merge','op:merge'),
+            ('scan','op:scan'), ('filter','op:filter'),
+            ('agg','op:aggregate')),
+        tool AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '\b(spark|hash|vector|stream)\b', 1)) AS entity
+                 FROM documents),
+        op AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '\b(join|sort|merge|scan|filter|agg)\b', 1)) AS entity
+               FROM documents),
+        ner AS (
+            SELECT doc_id, 'tool' AS entity_type, entity,
+                   count(*) AS n_mentions FROM tool GROUP BY 1, 3
+            UNION ALL
+            SELECT doc_id, 'op', entity, count(*) FROM op GROUP BY 1, 3)
+        SELECT kb.canonical, ner.entity_type,
+               count(*) AS n_docs, sum(ner.n_mentions) AS n_mentions
+        FROM ner JOIN kb ON kb.alias = ner.entity
+        GROUP BY 1, 2
+    """,
 }

@@ -306,3 +306,21 @@ def test_hash_join_empty_result_keeps_schema(ray_session):
     from baram_ray.pipelines.util import ensure_cols
     out = ensure_cols(anti, {"k": "int64", "v": "object"})
     assert list(out.columns) == ["k", "v"] and len(out) == 0
+
+
+def test_entity_link_fuzzy(ray_session):
+    """Exact alias hit, fuzzy fallback (typo), and out-of-KB identity."""
+    from baram_ray.pipelines.analytics import link_entities
+    ds = ray.data.from_items([
+        {"doc_id": 1, "entity": "spark"},     # exact
+        {"doc_id": 2, "entity": "sparc"},     # fuzzy → apache-spark
+        {"doc_id": 3, "entity": "zzzzz"},     # no match
+        {"doc_id": 4, "entity": " 'Filter' "},  # normalization → exact
+    ])
+    out = link_entities(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "method"] == "exact"
+    assert out.loc[1, "canonical"] == "apache-spark"
+    assert out.loc[2, "method"] == "fuzzy"
+    assert out.loc[2, "canonical"] == "apache-spark"
+    assert out.loc[3, "method"] == "none" and not out.loc[3, "in_kb"]
+    assert out.loc[4, "canonical"] == "op:filter"
