@@ -25,6 +25,17 @@ import sys
 import time
 
 
+def _quiet_thp() -> None:
+    """Best-effort: disable transparent hugepages. Plasma madvises THP and
+    khugepaged/kcompactd compaction storms intermittently multiply stage
+    times 3-5x on this VM; 'never' removes that noise source."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/enabled", "w") as f:
+            f.write("never")
+    except OSError:
+        pass
+
+
 def _sf_dir() -> str:
     d = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if not os.path.isdir(d):
@@ -35,6 +46,7 @@ def _sf_dir() -> str:
 def run_bench() -> dict:
     # keep the worker pool warm across the many short Dataset executions a
     # bench run issues — idle-worker churn otherwise dominates small inputs
+    _quiet_thp()
     os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
     os.environ.setdefault("RAY_enable_worker_prestart", "true")
     import ray
@@ -137,6 +149,7 @@ def run_code_bench(n_docs: int | None = None) -> dict:
     build twice and reports the best — this sandbox shares CPUs, and the
     minute after a previous Ray session tears down shows ~2x noise.
     """
+    _quiet_thp()
     os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
     os.environ.setdefault("RAY_enable_worker_prestart", "true")
     import ray
