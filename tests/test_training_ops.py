@@ -324,3 +324,29 @@ def test_entity_link_fuzzy(ray_session):
     assert out.loc[2, "canonical"] == "apache-spark"
     assert out.loc[3, "method"] == "none" and not out.loc[3, "in_kb"]
     assert out.loc[4, "canonical"] == "op:filter"
+
+
+def test_documents_index_rank_identity(ray_session):
+    """The driver-facing documents-table search path (ensure_index +
+    QueryEngine) is rank-identical to the brute-force oracle — the same
+    invariant test_index_e2e asserts for the code corpus."""
+    import pyarrow.parquet as pq
+    from baram_ray.pipelines.search import DOC_QUERIES, ensure_index
+    from baram_ray.query.engine import QueryEngine
+    from baram_ray.query.oracle import OracleIndex
+
+    idx = ensure_index(SF)
+    eng = QueryEngine(idx)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = [{"doc_id": d, "text": x or ""}
+            for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())]
+    oracle = OracleIndex(docs, fields=["text"])
+    for q in DOC_QUERIES:
+        for algo in ("daat", "wand"):
+            got = eng.search(q["text"], k=q["k"], algorithm=algo)
+            exp = oracle.search(q["text"], k=q["k"])
+            assert [d for d, _ in got] == [d for d, _ in exp], \
+                (q, algo, got[:3], exp[:3])
+            for (_, gs), (_, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-9
