@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,
         "search_hybrid_topk": searchp.hybrid_topk,
+        "search_bm25_filtered": searchp.bm25_filtered,
         "search_index_stats": searchp.index_stats,
         # dedup family (D1/D2 + near-dup extensions)
         "dedup_minhash": trainp.dedup_minhash,

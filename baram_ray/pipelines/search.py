@@ -58,6 +58,25 @@ def bm25_topk(sf_dir: str, queries: list[dict] | None = None,
     return out.map_batches(_round, batch_format="pandas")
 
 
+def bm25_filtered(sf_dir: str, query_text: str = "data stream query",
+                  lang: str = "en", k: int = 10,
+                  min_score: float = 0.01):
+    """BM25 top-k with a metadata term filter + min_score — the
+    reference's filtered query shape (term filters
+    src/embedding/mod.rs:509-532, min_score :623-625). Rows-only driver
+    check; filter semantics tested vs the brute-force oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    hits = eng.search(query_text, k=k, filters={"lang": lang},
+                      min_score=min_score)
+    return pd.DataFrame({
+        "rank": range(1, len(hits) + 1),
+        "doc_id": [d for d, _ in hits],
+        "score": [round(s, 6) for _, s in hits],
+    })
+
+
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
 HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
 HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector

@@ -350,3 +350,27 @@ def test_documents_index_rank_identity(ray_session):
                 (q, algo, got[:3], exp[:3])
             for (_, gs), (_, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-9
+
+
+def test_bm25_filtered_vs_oracle(ray_session):
+    """Filtered+min_score search matches the oracle with the same
+    constraints (reference term-filter semantics)."""
+    import pyarrow.parquet as pq
+    from baram_ray.pipelines.search import bm25_filtered, ensure_index
+    from baram_ray.query.engine import QueryEngine
+    from baram_ray.query.oracle import OracleIndex
+
+    got = bm25_filtered(SF, lang="en", k=10, min_score=0.01)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    docs = [{"doc_id": d, "text": x or "", "lang": lg}
+            for d, x, lg in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist(),
+                                t["lang"].to_pylist())]
+    oracle = OracleIndex(docs, fields=["text"], meta_cols=["lang"])
+    exp = oracle.search("data stream query", k=10,
+                        filters={"lang": "en"}, min_score=0.01)
+    assert list(got["doc_id"]) == [d for d, _ in exp]
+    # every hit really is lang=en
+    langs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    assert all(langs[d] == "en" for d in got["doc_id"])
