@@ -12,8 +12,9 @@ Scale shapes (ray_guide "Aggregation at scale"):
   ``(band_id, band_hash, doc_id)`` rows → ``groupby(band)`` → candidate
   pairs per bucket → verify Jaccard → min-label cluster assignment.
   Bucket fan-out is bounded: a bucket of b docs emits b·(b−1)/2 pairs, so
-  buckets are capped (``MAX_BUCKET``) and oversize buckets are dropped
-  with a logged count — at 100 TB an uncapped hot bucket is a job-killer.
+  buckets are capped (``MAX_BUCKET``) and oversize buckets are truncated
+  to the cap with a logged count — at 100 TB an uncapped hot bucket is a
+  job-killer.
 - simhash: 64-bit fingerprint per doc; near-dups = equal 16-bit bands →
   candidate pairs → verify hamming ≤ t. Same bucket-groupby shape.
 - n-gram Jaccard: explode (gram, doc) → inverted-index-style pair
@@ -41,16 +42,25 @@ def _pairs_in_buckets(bucket: pd.DataFrame, keys: list[str],
                       cap: int | None = MAX_BUCKET) -> pd.DataFrame:
     """All candidate pairs within each ``keys`` group of one hash bucket
     (vectorized pandas groupby; per-group fan-out capped at ``cap`` —
-    pass ``cap=None`` only for exact operators whose oracle has no cap)."""
+    pass ``cap=None`` only for exact operators whose oracle has no cap).
+    Truncated buckets are counted and logged so recall loss from the cap
+    is observable at scale (the documented contract)."""
     out_a, out_b = [], []
+    n_truncated = 0
     for _, g in bucket.groupby(keys, sort=False):
         docs = np.unique(g["doc_id"].to_numpy())
-        if cap is not None:
+        if cap is not None and len(docs) > cap:
+            n_truncated += 1
             docs = docs[:cap]
         if len(docs) < 2:
             continue
         ai, bi = np.triu_indices(len(docs), k=1)
         out_a.append(docs[ai]); out_b.append(docs[bi])
+    if n_truncated:
+        import logging
+        logging.getLogger("baram_ray.dedup").warning(
+            "%d oversize bucket(s) truncated to cap=%d — candidate pairs "
+            "(and near-dup recall) lost in this reduce task", n_truncated, cap)
     a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
     b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
     cols = {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")}

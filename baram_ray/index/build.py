@@ -400,6 +400,15 @@ def build_index(
                 ray.data.read_parquet(docs_dir, columns=["doc_id"])
                     .iter_batches(batch_format="pyarrow", batch_size=65536)
             ])["doc_id"].to_numpy())
+            # rank-space postings REQUIRE unique doc_ids: searchsorted would
+            # silently collapse duplicates onto one rank and misalign
+            # dl/metadata (user-supplied ids, or hash collisions at the
+            # 10^12-doc design scale, must fail loudly here)
+            if len(ids_sorted) and not np.all(np.diff(ids_sorted) > 0):
+                dup = ids_sorted[:-1][np.diff(ids_sorted) == 0]
+                raise ValueError(
+                    f"duplicate doc_id(s) in corpus (e.g. {dup[:5].tolist()}); "
+                    "dedup upstream (doc_dedup_exact) before indexing")
             ids_ref = _ray.put(ids_sorted)
             post_cols = ["doc_id"] + [c for f in cfg.fields
                                       for c in (f"{f}__terms", f"{f}__tfs")]

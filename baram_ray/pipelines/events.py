@@ -79,7 +79,10 @@ def spikes(sf_dir: str):
         mu = g["n"].mean()
         sd = g["n"].std(ddof=0)
         g = g.sort_values("day")
-        g["zscore"] = (((g["n"] - mu) / sd) if sd > 0 else 0.0).round(6)
+        # zero-variance series (single day / constant counts): zscore = 0.0,
+        # matching the oracle's CASE on stddev_pop = 0
+        z = ((g["n"] - mu) / sd) if sd > 0 else pd.Series(0.0, index=g.index)
+        g["zscore"] = z.round(6)
         return g
 
     return _daily(sf_dir).groupby("event_type").map_groups(

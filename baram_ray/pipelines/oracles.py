@@ -46,7 +46,7 @@ ORACLES: dict[str, str] = {
     """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
-               sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS total_value_u6
+               CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6
         FROM events GROUP BY event_type
     """,
     "events_daily_counts": """
@@ -68,9 +68,11 @@ ORACLES: dict[str, str] = {
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
             FROM events GROUP BY 1, 2)
         SELECT event_type, day, n,
-               round((n - avg(n) OVER (PARTITION BY event_type))
-                     / stddev_pop(n) OVER (PARTITION BY event_type),
-                     6) AS zscore
+               round(CASE WHEN stddev_pop(n) OVER (PARTITION BY event_type) = 0
+                          THEN 0.0
+                          ELSE (n - avg(n) OVER (PARTITION BY event_type))
+                               / stddev_pop(n) OVER (PARTITION BY event_type)
+                     END, 6) AS zscore
         FROM daily
     """,
     "events_user_topk": """
@@ -80,10 +82,10 @@ ORACLES: dict[str, str] = {
     "tpch_q1": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(CAST(trunc(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_price_c,
-               sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS sum_disc_price_u4,
-               sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS sum_charge_u6,
-               sum(CAST(trunc(l_discount * 100.0 + 0.5) AS BIGINT)) AS sum_disc_c,
+               CAST(sum(CAST(trunc(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+               CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_u4,
+               CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_u6,
+               CAST(sum(CAST(trunc(l_discount * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
                count(*) AS count_order,
                round(sum(l_quantity) / count(*), 6) AS avg_qty,
                round(sum(CAST(trunc(l_discount * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_disc
@@ -93,12 +95,12 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_orders_by_status": """
         SELECT o_orderstatus, count(*) AS n,
-               sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_c
+               CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
         FROM orders GROUP BY o_orderstatus
     """,
     "tpch_revenue_by_nation": """
         SELECT n_name, count(*) AS n_orders,
-               sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_c
+               CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
@@ -106,13 +108,13 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_top_parts": """
         SELECT l_partkey,
-               sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS revenue_u4
+               CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u4
         FROM lineitem GROUP BY l_partkey
         ORDER BY revenue_u4 DESC, l_partkey LIMIT 10
     """,
     "tpch_supplier_by_nation": """
         SELECT n_name, count(*) AS n_suppliers,
-               sum(CAST(trunc(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS total_acctbal_c
+               CAST(sum(CAST(trunc(s_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_c
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
     """,
@@ -182,9 +184,9 @@ ORACLES: dict[str, str] = {
     """,
     "tpch_part_brand_stats": """
         SELECT p_brand, count(*) AS n,
-               sum(CAST(trunc(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_c,
+               CAST(sum(CAST(trunc(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c,
                round(sum(CAST(trunc(p_retailprice * 100.0 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_price,
-               max(p_size) AS max_size
+               CAST(max(p_size) AS BIGINT) AS max_size
         FROM part GROUP BY p_brand
     """,
     "events_velocity": """
@@ -254,7 +256,7 @@ ORACLES: dict[str, str] = {
               GROUP BY 1, 2),
         cn AS (SELECT label, sqrt(sum((sv/cnt)*(sv/cnt))) AS nc
                FROM c GROUP BY 1)
-        SELECT m.label, count(*) AS n,
+        SELECT CAST(m.label AS BIGINT) AS label, count(*) AS n,
                round(avg(m.dot / (m.nv * cn.nc)), 4) AS mean_cos
         FROM m JOIN cn ON cn.label = m.label GROUP BY 1
     """,
@@ -287,21 +289,21 @@ ORACLES: dict[str, str] = {
     """,
     "events_props_json": """
         SELECT event_type, count(*) AS n,
-               sum(COALESCE(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT), 0)) AS sum_k,
+               CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT), 0)) AS BIGINT) AS sum_k,
                max(COALESCE(CAST(json_extract_string(props, '$.k')
                                  AS BIGINT), 0)) AS max_k
         FROM events GROUP BY 1
     """,
     "join_orders_cust_segment": """
         SELECT c_mktsegment, count(*) AS n_orders,
-               sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                   AS revenue_c
+               CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_c
         FROM orders JOIN customer ON c_custkey = o_custkey
         GROUP BY 1
     """,
     "join_anti_cust_no_orders": """
-        SELECT c_nationkey, count(*) AS n
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey)
@@ -326,7 +328,8 @@ ORACLES: dict[str, str] = {
             UNION ALL
             SELECT doc_id, 'op', entity, count(*) FROM op GROUP BY 1, 3)
         SELECT kb.canonical, ner.entity_type,
-               count(*) AS n_docs, sum(ner.n_mentions) AS n_mentions
+               count(*) AS n_docs,
+               CAST(sum(ner.n_mentions) AS BIGINT) AS n_mentions
         FROM ner JOIN kb ON kb.alias = ner.entity
         GROUP BY 1, 2
     """,

@@ -27,16 +27,20 @@ import time
 
 
 def fingerprint_paths(paths: list[str]) -> str:
-    """Deterministic fingerprint of a set of input files (path + size)."""
+    """Deterministic fingerprint of a set of input files (path + size +
+    mtime_ns — an in-place edit that keeps the size must still invalidate)."""
     items = []
     for p in sorted(paths):
         if os.path.isdir(p):
             for root, _, files in os.walk(p):
                 for f in sorted(files):
                     fp = os.path.join(root, f)
-                    items.append((os.path.relpath(fp, p), os.path.getsize(fp)))
+                    st = os.stat(fp)
+                    items.append((os.path.relpath(fp, p), st.st_size,
+                                  st.st_mtime_ns))
         elif os.path.exists(p):
-            items.append((p, os.path.getsize(p)))
+            st = os.stat(p)
+            items.append((p, st.st_size, st.st_mtime_ns))
     return hashlib.sha256(json.dumps(items, sort_keys=True).encode()).hexdigest()
 
 

@@ -62,6 +62,28 @@ def _split_by_bucket(block, keys: list[str], num_buckets: int,
     return tuple(out)
 
 
+def _empty_typed_table(ds):
+    """Empty Arrow table with ``ds``'s schema (for the zero-block case)."""
+    import pyarrow as pa
+    schema = ds.schema()
+    return pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    ).empty_table()
+
+
+def _empty_exchange_result(ds, bucket_fn, batch_format: str, pre_fn=None):
+    """Run the bucket function once over an empty-but-typed input so a
+    zero-block exchange still yields the correct OUTPUT schema."""
+    import pyarrow as pa
+    tbl = _empty_typed_table(ds)
+    if pre_fn is not None:
+        tbl = pre_fn(tbl)
+    if batch_format == "pandas":
+        out = bucket_fn(tbl.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return bucket_fn(tbl)
+
+
 def _reduce_bucket(bucket_fn, batch_format: str, frag_refs: list):
     """Fragment refs arrive as a LIST (not unpacked args) so the task is
     scheduled immediately and fetches them itself in one batched
@@ -116,7 +138,11 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
             frag_refs.append(
                 split.remote(block_ref, keys, num_buckets, pre_fn))
     if not frag_refs:
-        return ds
+        # zero input blocks: still produce bucket_fn's OUTPUT schema (an
+        # empty input table run through pre_fn + bucket_fn), not the
+        # pre-exchange schema — downstream stages read typed columns
+        return ray.data.from_arrow(
+            _empty_exchange_result(ds, bucket_fn, batch_format, pre_fn))
     if num_buckets == 1:                # num_returns=1 yields a bare ref
         frag_refs = [[r] for r in frag_refs]
     t1 = _time.perf_counter()
@@ -174,8 +200,12 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
 
     lfrags, rfrags = frags_of(left), frags_of(right)
     if not lfrags or not rfrags:
-        empty = left.limit(0)
-        return empty
+        # one side has zero blocks: still emit bucket_fn's OUTPUT schema
+        import pyarrow as pa
+        out = bucket_fn(_empty_typed_table(left).to_pandas(),
+                        _empty_typed_table(right).to_pandas())
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(out, preserve_index=False))
     fn_ref = ray.put(bucket_fn)
     out_refs, size_refs = [], []
     for b in range(num_buckets):

@@ -26,8 +26,6 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -46,9 +44,11 @@ def test_parity(name, con, ray_session):
     assert len(res) == len(exp), f"{name}: rows {len(res)} vs {len(exp)}"
     assert sorted(res.columns) == sorted(exp.columns), \
         f"{name}: columns {sorted(res.columns)} vs {sorted(exp.columns)}"
-    # exact: the driver value-hashes, so bit-equality is the real bar
+    # exact: the driver value-hashes, so bit-equality INCLUDING dtype is the
+    # real bar (round-1 lesson: DuckDB sum(BIGINT)->HUGEINT->float64 flipped
+    # 10 hash checks red on values that were bit-equal)
     pd.testing.assert_frame_equal(canon(res), canon(exp),
-                                  check_dtype=False, check_exact=True)
+                                  check_dtype=True, check_exact=True)
 
 
 def test_rows_only_entries(ray_session):
