@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_bruteforce": trainp.sim_knn_bruteforce,
         "sim_knn_lsh": trainp.sim_knn_lsh,
         "sim_neardup_pairs": trainp.sim_neardup_pairs,
+        "sim_neardup_lsh": trainp.sim_neardup_lsh,
         "sim_centroid_assign": trainp.sim_centroid_assign,
         # text analysis (M1/M2 sanitize + training-data scoring)
         "text_langid": trainp.text_langid,

@@ -8,18 +8,23 @@ embedding cosine) is the large-scale training-data extension.
 Scale shapes (ray_guide "Aggregation at scale"):
 
 - exact:   hash column in ``map_batches`` → ``groupby(hash).min(doc_id)``.
-- minhash: per-batch shingle→minhash (vectorized) → explode to
+- minhash: per-batch shingle→minhash (uint64-vectorized) → explode to
   ``(band_id, band_hash, doc_id)`` rows → ``groupby(band)`` → candidate
-  pairs per bucket → verify Jaccard → min-label cluster assignment.
+  pairs per bucket → verify exact Jaccard by hash-joining pairs back to
+  per-doc shingle-hash lists (``attach_by_key``, one cogroup per side —
+  NO driver-side corpus map) → distributed min-label propagation for
+  cluster assignment (``cluster_from_pairs_ds``).
   Bucket fan-out is bounded: a bucket of b docs emits b·(b−1)/2 pairs, so
   buckets are capped (``MAX_BUCKET``) and oversize buckets are truncated
   to the cap with a logged count — at 100 TB an uncapped hot bucket is a
   job-killer.
-- simhash: 64-bit fingerprint per doc; near-dups = equal 16-bit bands →
-  candidate pairs → verify hamming ≤ t. Same bucket-groupby shape.
-- n-gram Jaccard: explode (gram, doc) → inverted-index-style pair
-  generation on shared grams with combiner counts → exact Jaccard from
-  set sizes (SQL-checkable).
+- simhash: 64-bit fingerprint per doc; near-dups = equal 16-bit bands.
+  Fingerprints ride the band rows, so hamming verification happens inside
+  the pair-gen reduce (vectorized XOR+popcount) — no broadcast fp map.
+- n-gram Jaccard: EXACT prefix filtering (PPJoin) — global (df, gram)
+  order, each doc emits its |d|−ceil(t·|d|)+1 rarest grams, completeness
+  guaranteed by the prefix-filter theorem; verify via the same
+  attach-lists cogroup. SQL-checkable AND stop-gram-safe.
 - embedding cosine: see baram_ray.similarity (shared matmul kernel).
 """
 
@@ -31,10 +36,31 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from baram_ray.util import grouped_agg, grouped_map
+from baram_ray.util import attach_by_key, cogroup, grouped_agg, grouped_map
 
 MAX_BUCKET = 256          # cap pair fan-out per LSH/band bucket
 _MERSENNE = (1 << 61) - 1
+_M61 = np.uint64(_MERSENNE)
+
+
+def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a·b) mod 2^61−1 in pure uint64 — no Python-object bigints.
+
+    32-bit limb split keeps every partial product < 2^64; reduction uses
+    2^64 ≡ 8 (mod p) and v·2^32 ≡ ((v & (2^29−1)) << 32) + (v >> 29)
+    (mod p). Byte-identical to object-dtype modular math (unit-tested).
+    """
+    mask32 = np.uint64(0xFFFFFFFF)
+    a = a % _M61
+    b = b % _M61
+    a_hi, a_lo = a >> np.uint64(32), a & mask32
+    b_hi, b_lo = b >> np.uint64(32), b & mask32
+    hi = a_hi * b_hi                                  # < 2^58
+    mid = (a_hi * b_lo + a_lo * b_hi) % _M61          # < 2^62 pre-mod
+    mid = ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32)) \
+        + (mid >> np.uint64(29))                      # ≡ mid·2^32 (mod p)
+    r = hi * np.uint64(8) + mid + (a_lo * b_lo) % _M61   # < 2^63
+    return r % _M61
 
 
 def _pairs_in_buckets(bucket: pd.DataFrame, keys: list[str],
@@ -96,15 +122,17 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 128, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm,
+                             dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm,
+                             dtype=np.int64).astype(np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
         if len(shingle_hashes) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.int64)
-        x = shingle_hashes.astype(object)[:, None]           # (s, 1) python ints
-        vals = (x * self.a + self.b) % _MERSENNE             # exact, no overflow
+        x = shingle_hashes.astype(np.uint64)[:, None]        # (s, 1)
+        vals = (_mulmod61(x, self.a) + self.b) % _M61        # uint64-exact
         return vals.min(axis=0).astype(np.int64)
 
 
@@ -157,19 +185,45 @@ def minhash_candidates(ds, text_col: str, *, num_perm: int = 128,
                        num_buckets=num_buckets)
 
 
-def _verify_jaccard(batch: pd.DataFrame, sets: dict,
-                    threshold: float) -> pd.DataFrame:
-    """Candidate verification vs the broadcast doc_id → shingle-set map
-    (``ray.get`` of the map is cached per worker process; at cluster scale
-    candidates would be verified per doc-id-range partition with only that
-    range's shingles resident)."""
+def doc_token_hashes(ds, text_col: str, shingle_n: int):
+    """Dataset[(doc_id, sh: list<int64>, sz)] — distinct 64-bit shingle
+    hashes per doc (int64 bit-view of blake2b-8). Docs with zero shingles
+    are dropped (they can't pass any Jaccard threshold and the degenerate
+    all-identical minhash signature must not verify them)."""
+    def f(batch: pa.Table) -> pa.Table:
+        ids, lists, szs = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch[text_col].to_pylist()):
+            hs = np.unique(_hash64(word_shingles(t, shingle_n)))
+            if len(hs) == 0:
+                continue
+            ids.append(d); lists.append(hs.view(np.int64)); szs.append(len(hs))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.array([x.tolist() for x in lists],
+                           pa.list_(pa.int64())),
+            "sz": pa.array(szs, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _jaccard_of_attached(batch: pd.DataFrame, threshold: float,
+                         a_col: str = "sh_a", b_col: str = "sh_b"
+                         ) -> pd.DataFrame:
+    """Exact Jaccard per candidate row from two attached sorted-distinct
+    hash-list columns (np.intersect1d per pair; pair counts are LSH-small
+    and the work is distributed across the verify tasks)."""
     out_a, out_b, out_j = [], [], []
-    for a, b in zip(batch["a"], batch["b"]):
-        sa, sb = sets.get(int(a)), sets.get(int(b))
-        if not sa or not sb:
+    for a, b, sa, sb in zip(batch["a"], batch["b"],
+                            batch[a_col], batch[b_col]):
+        sa = np.asarray(sa, dtype=np.int64)
+        sb = np.asarray(sb, dtype=np.int64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = len(sa) + len(sb) - inter
+        if union == 0:
             continue
-        inter = len(sa & sb)
-        j = inter / (len(sa) + len(sb) - inter)
+        j = inter / union
         if j >= threshold:
             out_a.append(int(a)); out_b.append(int(b)); out_j.append(round(j, 6))
     return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
@@ -178,23 +232,24 @@ def _verify_jaccard(batch: pd.DataFrame, sets: dict,
 
 
 def minhash_dedup(ds, text_col: str, *, threshold: float = 0.8,
-                  num_perm: int = 128, bands: int = 32, shingle_n: int = 3):
+                  num_perm: int = 128, bands: int = 32, shingle_n: int = 3,
+                  num_buckets: int = 64):
     """Full near-dup pipeline → verified pairs (a, b, jaccard).
 
-    Cluster assignment from pairs is ``cluster_from_pairs``.
+    Verification is fully distributed: candidate pairs are hash-joined
+    (``attach_by_key`` cogroup, once per pair side) against the per-doc
+    shingle-hash lists — no whole-corpus map ever materializes on the
+    driver. Cluster assignment from pairs is ``cluster_from_pairs_ds``.
     """
-    import ray
     cand = minhash_candidates(ds, text_col, num_perm=num_perm, bands=bands,
-                              shingle_n=shingle_n)
-    shingles = {}
-    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch[text_col].to_pylist()):
-            shingles[int(d)] = set(word_shingles(t, shingle_n))
-    ref = ray.put(shingles)
-    return cand.map_batches(
-        lambda b: _verify_jaccard(b, ray.get(ref), threshold),
-        batch_format="pandas")
+                              shingle_n=shingle_n, num_buckets=num_buckets)
+    sh = doc_token_hashes(ds, text_col, shingle_n)
+    j1 = attach_by_key(cand, sh, "a", {"sh": "sh_a", "sz": "sz_a"},
+                       num_buckets=num_buckets)
+    j2 = attach_by_key(j1, sh, "b", {"sh": "sh_b", "sz": "sz_b"},
+                       num_buckets=num_buckets)
+    return j2.map_batches(
+        lambda b: _jaccard_of_attached(b, threshold), batch_format="pandas")
 
 
 def cluster_from_pairs(pairs_df: pd.DataFrame, all_ids) -> pd.DataFrame:
@@ -222,6 +277,65 @@ def cluster_from_pairs(pairs_df: pd.DataFrame, all_ids) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                          "cluster": pd.Series([find(i) for i in ids],
                                               dtype="int64")})
+
+
+def cluster_from_pairs_ds(pairs, ids, *, num_buckets: int = 32,
+                          max_iters: int = 30):
+    """Distributed connected components via min-label propagation —
+    Dataset[(a, b)] pairs + Dataset[(doc_id)] universe →
+    Dataset[(doc_id, cluster)] with cluster = component-min doc_id
+    (same first-wins semantics as the driver ``cluster_from_pairs``).
+
+    Each round: neighbor labels flow along symmetric edges (one cogroup
+    hash-join), then groupby-min folds them into the label table. Labels
+    are monotonically non-increasing, so an unchanged sum(label) is the
+    fixpoint; rounds needed = component diameter (near-dup clusters are
+    shallow). Nothing corpus-sized touches the driver.
+    """
+    import ray.data
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "y": pa.array(np.concatenate([bb, a]), pa.int64()),
+        })
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        sym, batch_format="pyarrow")
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array(d, pa.int64()),
+                         "label": pa.array(d, pa.int64())})
+
+    labels = ids.select_columns(["doc_id"]).map_batches(
+        init_labels, batch_format="pyarrow")
+
+    def prop_join(edges_df: pd.DataFrame, labels_df: pd.DataFrame
+                  ) -> pd.DataFrame:
+        m = edges_df.merge(labels_df, on="x", how="inner")
+        return pd.DataFrame({"x": m["y"].astype("int64"),
+                             "label": m["label"].astype("int64")})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        prop = cogroup(edges, labels, ["x"], prop_join,
+                       num_buckets=num_buckets)
+        labels = grouped_agg(labels.union(prop), ["x"],
+                             {"label": ("label", "min")},
+                             num_buckets=num_buckets)
+        labels = labels.materialize()     # fixpoint check reuses blocks
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["x"], "cluster": b["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- #
@@ -258,53 +372,96 @@ class SimHashStage:
         return pa.table(cols)
 
 
-def simhash_pairs(ds, text_col: str, max_hamming: int = 3):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64) \
+             .sum(axis=1).astype(np.int64)
+
+
+def _pairs_with_vals(bucket: pd.DataFrame, keys: list[str], val_col: str,
+                     cap: int | None = MAX_BUCKET) -> pd.DataFrame:
+    """Like ``_pairs_in_buckets`` but each emitted pair carries both
+    docs' ``val_col`` values — lets per-doc state (e.g. a simhash
+    fingerprint) ride the exchange instead of a driver broadcast."""
+    frames = []
+    n_truncated = 0
+    for _, g in bucket.groupby(keys, sort=False):
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if cap is not None and len(g) > cap:
+            n_truncated += 1
+            g = g.head(cap)
+        if len(g) < 2:
+            continue
+        docs = g["doc_id"].to_numpy()
+        vals = g[val_col].to_numpy()
+        ai, bi = np.triu_indices(len(docs), k=1)
+        frames.append(pd.DataFrame({
+            "a": docs[ai], "b": docs[bi],
+            f"{val_col}_a": vals[ai], f"{val_col}_b": vals[bi]}))
+    if n_truncated:
+        import logging
+        logging.getLogger("baram_ray.dedup").warning(
+            "%d oversize bucket(s) truncated to cap=%d", n_truncated, cap)
+    if not frames:
+        return pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            f"{val_col}_a": pd.Series([], dtype="int64"),
+            f"{val_col}_b": pd.Series([], dtype="int64")})
+    return pd.concat(frames, ignore_index=True)
+
+
+def simhash_pairs(ds, text_col: str, max_hamming: int = 3,
+                  num_buckets: int = 64):
     """Near-dup pairs: docs sharing any 16-bit band, verified hamming ≤ t.
 
     By pigeonhole, hamming ≤ 3 over 64 bits ⇒ at least one of 4 16-bit
     bands equal — band buckets are the complete candidate set.
+    Fingerprints ride the band rows, so verification happens inside the
+    pair-gen reduce task (vectorized XOR+popcount) and only verified
+    pairs ever hit the second exchange — no driver-built fp map.
     """
-    import ray
     fps = ds.map_batches(SimHashStage(text_col), batch_format="pyarrow")
-    fp_map = {}
-    for b in fps.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for d, f in zip(b["doc_id"].to_pylist(), b["simhash"].to_pylist()):
-            fp_map[int(d)] = int(f) & ((1 << 64) - 1)
-    ref = ray.put(fp_map)
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
-        out_a, out_b, out_h = [], [], []
-        for a, b_ in zip(batch["a"], batch["b"]):
-            h = bin(m[int(a)] ^ m[int(b_)]).count("1")
-            if h <= max_hamming:
-                out_a.append(int(a)); out_b.append(int(b_)); out_h.append(h)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
-                             "b": pd.Series(out_b, dtype="int64"),
-                             "hamming": pd.Series(out_h, dtype="int64")})
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_d, out_bi, out_bv = [], [], []
+        fp = batch["simhash"].to_numpy(zero_copy_only=False)
+        out_d, out_bi, out_bv, out_fp = [], [], [], []
         for bi in range(4):
             out_d.append(doc)
             out_bi.append(np.full(n, bi, dtype=np.int32))
             out_bv.append(batch[f"band{bi}"].to_numpy(zero_copy_only=False))
+            out_fp.append(fp)
         return pa.table({
             "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
             "band_id": pa.array(np.concatenate(out_bi), pa.int32()),
             "band_val": pa.array(np.concatenate(out_bv), pa.int32()),
+            "simhash": pa.array(np.concatenate(out_fp), pa.int64()),
         })
 
+    def gen_and_verify(b: pd.DataFrame) -> pd.DataFrame:
+        p = _pairs_with_vals(b, ["band_id", "band_val"], "simhash")
+        if not len(p):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        x = p["simhash_a"].to_numpy().astype(np.int64).view(np.uint64) \
+            ^ p["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = _popcount64(x)
+        keep = ham <= max_hamming
+        return pd.DataFrame({
+            "a": p["a"].to_numpy()[keep],
+            "b": p["b"].to_numpy()[keep],
+            "hamming": ham[keep]}).astype("int64")
+
     band_rows = fps.map_batches(explode_bands, batch_format="pyarrow")
-    cand = grouped_map(
-        band_rows, ["band_id", "band_val"],
-        lambda b: _pairs_in_buckets(b, ["band_id", "band_val"]),
-        num_buckets=64)
-    cand = grouped_agg(cand, ["a", "b"], {"n_bands": (None, "count")},
-                       num_buckets=64)
-    return cand.map_batches(verify, batch_format="pandas")
+    cand = grouped_map(band_rows, ["band_id", "band_val"], gen_and_verify,
+                       num_buckets=num_buckets)
+    # a pair can verify in several bands — groupby-min dedupes (identical h)
+    return grouped_agg(cand, ["a", "b"], {"hamming": ("hamming", "min")},
+                       num_buckets=num_buckets)
 
 
 # --------------------------------------------------------------------- #
@@ -312,48 +469,64 @@ def simhash_pairs(ds, text_col: str, max_hamming: int = 3):
 # --------------------------------------------------------------------- #
 
 def ngram_jaccard_pairs(ds, text_col: str, *, n: int = 2,
-                        threshold: float = 0.5):
-    """Exact n-gram Jaccard via shared-gram pair generation.
+                        threshold: float = 0.5, num_buckets: int = 64):
+    """EXACT n-gram Jaccard pairs ≥ t via prefix filtering (PPJoin-style,
+    Xiao et al., WWW'08) — scale-safe without losing exactness.
 
-    (gram, doc) explode → per-gram buckets → pair counts = |A∩B| →
-    join sizes → J = inter / (|A| + |B| − inter). Deterministic integers →
-    division identical in any engine (SQL oracle in pipelines.oracles).
+    Order grams globally by (df, gram); each doc emits only its
+    ``|d| − ceil(t·|d|) + 1`` rarest grams as candidate keys (two docs
+    with J ≥ t MUST share a prefix gram — completeness is a theorem, so
+    the SQL oracle stays green), which removes the stop-gram N² blowup
+    that an uncapped shared-gram join suffers. Verification hash-joins
+    the candidate pairs back to per-doc gram-hash lists (``attach_by_key``
+    cogroup per side) and computes exact |A∩B| — no driver-side size map.
     """
     def explode(batch: pa.Table) -> pa.Table:
         docs, grams = [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch[text_col].to_pylist()):
-            for g in set(word_shingles(t, n)):
-                docs.append(d); grams.append(g)
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+            hs = np.unique(_hash64(word_shingles(t, n))).view(np.int64)
+            docs.append(np.full(len(hs), d, dtype=np.int64))
+            grams.append(hs)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(docs) if docs
+                               else np.empty(0, np.int64), pa.int64()),
+            "gh": pa.array(np.concatenate(grams) if grams
+                           else np.empty(0, np.int64), pa.int64())})
 
     gd = ds.map_batches(explode, batch_format="pyarrow")
-    sizes = grouped_agg(gd, ["doc_id"], {"sz": (None, "count")},
-                        num_buckets=16).to_pandas()
-    size_map = dict(zip(sizes["doc_id"], sizes["sz"]))
+    glists = doc_token_hashes(ds, text_col, n)          # (doc_id, sh, sz)
 
-    import ray
-    ref = ray.put(size_map)
+    # global gram rarity, joined back onto the (doc, gram) rows
+    df = grouped_agg(gd, ["gh"], {"df": (None, "count")},
+                     num_buckets=num_buckets)
+
+    def df_join(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        return l.merge(r, on="gh", how="inner")
+
+    gdf = cogroup(gd, df, ["gh"], df_join, num_buckets=num_buckets)
+
+    def prefix_fn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["doc_id", "df", "gh"], kind="stable")
+        grp = b.groupby("doc_id", sort=False)
+        sz = grp["gh"].transform("size").to_numpy()
+        rank = grp.cumcount().to_numpy()
+        plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+        return b.loc[rank < plen, ["doc_id", "gh"]].reset_index(drop=True)
+
+    prefix_rows = grouped_map(gdf, ["doc_id"], prefix_fn,
+                              num_buckets=num_buckets)
+
     pair_rows = grouped_map(
-        gd, ["gram"],
-        lambda b: _pairs_in_buckets(b, ["gram"], extra_ones="inter_partial",
-                                    cap=None),
-        num_buckets=64)
-    inter = grouped_agg(pair_rows, ["a", "b"],
-                        {"inter": ("inter_partial", "sum")}, num_buckets=64)
+        prefix_rows, ["gh"],
+        lambda b: _pairs_in_buckets(b, ["gh"], cap=None),
+        num_buckets=num_buckets)
+    cand = grouped_agg(pair_rows, ["a", "b"], {"n_shared": (None, "count")},
+                       num_buckets=num_buckets)
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        sm = ray.get(ref)
-        a = batch["a"].astype("int64")
-        b = batch["b"].astype("int64")
-        inter_ = batch["inter"].astype("int64")
-        union = (a.map(sm) + b.map(sm) - inter_).astype("int64")
-        j = inter_ / union
-        keep = j >= threshold          # threshold on the RAW ratio (identical
-        # int division in any engine), round only for output
-        out = pd.DataFrame({"a": a[keep], "b": b[keep],
-                            "jaccard": j[keep].round(6)})
-        return out.reset_index(drop=True)
-
-    return inter.map_batches(finish, batch_format="pandas")
+    j1 = attach_by_key(cand, glists, "a", {"sh": "sh_a", "sz": "sz_a"},
+                       num_buckets=num_buckets)
+    j2 = attach_by_key(j1, glists, "b", {"sh": "sh_b", "sz": "sz_b"},
+                       num_buckets=num_buckets)
+    return j2.map_batches(
+        lambda b: _jaccard_of_attached(b, threshold), batch_format="pandas")

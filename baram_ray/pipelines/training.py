@@ -22,11 +22,12 @@ JACCARD_T = 0.5
 
 def dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters over documents (rows-only check;
-    recall/precision asserted against exact Jaccard in tests)."""
+    recall/precision asserted against exact Jaccard in tests). Fully
+    distributed: cogroup-attached verification + min-label propagation."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dedup.minhash_dedup(ds, "text", threshold=0.7).to_pandas()
-    ids = read_table(sf_dir, "documents", ["doc_id"]).to_pandas()["doc_id"]
-    return dedup.cluster_from_pairs(pairs, ids)
+    pairs = dedup.minhash_dedup(ds, "text", threshold=0.7)
+    ids = read_table(sf_dir, "documents", ["doc_id"])
+    return dedup.cluster_from_pairs_ds(pairs, ids)
 
 
 def dedup_simhash(sf_dir: str):
@@ -64,6 +65,15 @@ def sim_knn_lsh(sf_dir: str):
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)
+    return ensure_cols(out, {"a": "int64", "b": "int64",
+                             "cosine": "float64"})
+
+
+def sim_neardup_lsh(sf_dir: str):
+    """Approximate near-dup pairs via hyperplane-LSH candidates + exact
+    verify (rows-only; recall vs the exact op asserted in tests)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.embedding_neardup_lsh(ds, threshold=NEARDUP_COS_T)
     return ensure_cols(out, {"a": "int64", "b": "int64",
                              "cosine": "float64"})
 

@@ -7,14 +7,16 @@ native rebuild (reference kNN delegates to OpenSearch HNSW,
   against a broadcast query matrix, partial top-k per batch, final merge.
   Scales: each batch does (B × d) @ (d × Q) work, queries are broadcast
   once via ``ray.put``, and only B·Q partial candidates leave each task.
-- ``lsh_topk``: random-hyperplane LSH buckets → candidates → exact
-  rerank; the scale path when Q·N matmul is too big. Reports recall
-  against brute force in tests. Defaults (5 bits × 24 tables) target
-  ~0.85 recall even for weakly-similar neighbors (cosine ~0.3 →
-  per-bit collision ~0.61); corpora with strong near-dups can raise
-  ``nbits`` for smaller candidate sets.
-- ``embedding_neardup_pairs``: all pairs with cosine ≥ t (near-dup by
-  embedding; the block-matmul shape).
+- ``lsh_topk``: random-hyperplane LSH as a REAL pipeline — per-batch
+  signature match against the (tiny) query bucket map shipped in the
+  task closure, exact rerank of matches, distributed dedupe + final
+  top-k. No driver-side vector materialization. Defaults (5 bits × 24
+  tables) target ~0.85 recall even for weakly-similar neighbors.
+- ``embedding_neardup_pairs``: EXACT all pairs with cosine ≥ t as a
+  distributed block×block cross product — each task holds two blocks
+  (O(block²) compute, O(block·d) memory), never the full matrix. The
+  exact op is inherently quadratic; ``embedding_neardup_lsh`` is the
+  approximate scale path (hyperplane-band candidates → exact verify).
 - ``assign_centroids`` (G10-ish): nearest-centroid assignment + counts
   (reference clustering centroid step, src/clustering/engine.rs:287-336).
 """
@@ -27,6 +29,8 @@ import pyarrow as pa
 
 import ray
 from ray.data.aggregate import Count
+
+from baram_ray.util import attach_by_key, grouped_agg
 
 
 def _matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -45,6 +49,23 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _collect_query_vecs(ds, query_ids: list[int]):
+    """(sorted q_ids, vectors) — the filter runs DISTRIBUTED via
+    map_batches; only the ≤|Q| selected rows ever reach the driver."""
+    want = np.asarray(sorted(int(q) for q in query_ids), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch["vec_id"].to_numpy(zero_copy_only=False), want)
+        return batch.filter(pa.array(m))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    vecs = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                     for i in order])
+    return ids[order], vecs
 
 
 def _batch_topk_candidates(batch: pa.Table, q_ids: np.ndarray,
@@ -84,17 +105,8 @@ def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
 
 def brute_force_topk(ds, query_ids: list[int], k: int = 5):
     """Exact ANN baseline. ``ds`` = Dataset[(vec_id, embedding)]."""
-    # collect the (few) query vectors via a filtered batch scan
-    ids, vecs = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        m = np.isin(b["vec_id"].to_numpy(zero_copy_only=False), query_ids)
-        if m.any():
-            sub = b.filter(pa.array(m))
-            ids.extend(sub["vec_id"].to_pylist())
-            vecs.append(_matrix(sub))
-    order = np.argsort(ids, kind="stable")
-    q_ids = np.asarray(ids, dtype=np.int64)[order]
-    ref = ray.put(_norm_rows(np.concatenate(vecs)[order]))
+    q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
+    ref = ray.put(_norm_rows(q_vecs))
 
     def candidates(batch: pa.Table) -> pa.Table:
         return _batch_topk_candidates(batch, q_ids, ray.get(ref), k)
@@ -122,83 +134,191 @@ class HyperplaneLSH:
 
 def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 5,
              n_tables: int = 24, seed: int = 11):
-    """LSH-bucketed approximate top-k: union of query buckets → exact
-    rerank of candidates. The IVF/LSH scale path for huge N."""
-    # gather all vectors bucketed per table (sandbox: collect signatures
-    # via Ray; rerank over candidate union only)
-    ids_all, bucket_cols = [], None
-    lsh = None
-    cand_sets: list[set] = [set() for _ in query_ids]
-    q_vecs = None
-    mats, idlists = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        m = _matrix(b)
-        if lsh is None:
-            lsh = HyperplaneLSH(m.shape[1], nbits, n_tables, seed)
-        mats.append(m)
-        idlists.append(b["vec_id"].to_numpy(zero_copy_only=False))
-    vecs = np.concatenate(mats)
-    ids = np.concatenate(idlists)
-    qpos = {int(v): i for i, v in enumerate(ids)}
-    qidx = [qpos[q] for q in query_ids]
-    tables = lsh.buckets(vecs)
-    for t in tables:
-        for si, qi in enumerate(qidx):
-            cand_sets[si].update(np.nonzero(t == t[qi])[0].tolist())
-    nvecs = _norm_rows(vecs)
-    rows = []
-    for si, qv in enumerate(query_ids):
-        cands = np.array(sorted(cand_sets[si]), dtype=np.int64)
-        cands = cands[ids[cands] != qv]
-        if len(cands) == 0:
-            continue
-        sims = nvecs[cands] @ nvecs[qpos[qv]]
-        order = np.lexsort((ids[cands], -sims))[:k]
-        for rank, oi in enumerate(order, 1):
-            rows.append((qv, rank, int(ids[cands[oi]]),
-                         round(float(sims[oi]), 6)))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cosine"])
+    """LSH-bucketed approximate top-k as a real Ray pipeline.
+
+    The per-query bucket signatures (Q × n_tables ints) ship in the task
+    closure; each batch computes its own signatures, matches rows whose
+    (table, sig) collides with a query, and reranks ONLY those matches
+    exactly. A grouped dedupe (a vector can collide in several tables)
+    plus per-query top-k finishes it. Nothing corpus-sized touches the
+    driver — vs. round 1, which pulled every embedding to the driver.
+    """
+    q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
+    dim = q_vecs.shape[1]
+    lsh = HyperplaneLSH(dim, nbits, n_tables, seed)
+    q_sigs = lsh.buckets(q_vecs)                 # n_tables × (Q,)
+    q_norm = _norm_rows(q_vecs)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        vecs = _matrix(batch)
+        nvecs = _norm_rows(vecs)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sigs = lsh.buckets(vecs)
+        hit = np.zeros((len(vec_ids), len(q_ids)), dtype=bool)
+        for t in range(len(sigs)):
+            for qi in range(len(q_ids)):
+                hit[:, qi] |= sigs[t] == q_sigs[t][qi]
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            rows = np.nonzero(hit[:, qi] & (vec_ids != q_ids[qi]))[0]
+            if len(rows) == 0:
+                continue
+            cos = nvecs[rows] @ q_norm[qi]
+            out_q.extend([int(q_ids[qi])] * len(rows))
+            out_v.extend(int(v) for v in vec_ids[rows])
+            out_c.extend(float(c) for c in cos)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    # a (query, vec) hit can repeat across tables only if batches split —
+    # they don't (one row per batch element) — but dedupe anyway to be
+    # partition-layout independent
+    dedup = grouped_agg(cand, ["query_id", "vec_id"],
+                        {"cosine": ("cosine", "min")}, num_buckets=8)
+    return dedup.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas")
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.3):
-    """Batch × broadcast-matrix pairs with cosine ≥ t (block-matmul shape;
-    normalized matrix broadcast once, tasks read it zero-copy)."""
-    ids, mats = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
-        mats.append(_matrix(b))
-    all_ids = np.concatenate(ids)
-    ref = ray.put(_norm_rows(np.concatenate(mats)))
+    """EXACT pairs with cosine ≥ t, distributed block×block cross product.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        vecs = _norm_rows(_matrix(batch))
-        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = vecs @ ray.get(ref).T
-        bi, oj = np.nonzero(sims >= threshold)
-        a = vec_ids[bi]
-        b = all_ids[oj]
-        keep = a < b                      # each unordered pair once
+    Every (i ≤ j) block pair is one task holding just those two blocks —
+    per-task memory O(block·d), not O(N·d) as a full-matrix broadcast
+    would be. Task count is C(B,2): inherent to the exact op (the SQL
+    oracle is all-pairs too). Use ``embedding_neardup_lsh`` at scale.
+    """
+    refs = [block_ref
+            for bundle in ds.iter_internal_ref_bundles()
+            for block_ref, meta in bundle.blocks if meta.num_rows != 0]
+
+    @ray.remote
+    def block_pair(ti: pa.Table, tj: pa.Table, same: bool) -> pa.Table:
+        vi, vj = _norm_rows(_matrix(ti)), _norm_rows(_matrix(tj))
+        ids_i = ti["vec_id"].to_numpy(zero_copy_only=False)
+        ids_j = tj["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vi @ vj.T
+        bi, bj = np.nonzero(sims >= threshold)
+        a, b = ids_i[bi], ids_j[bj]
+        if same:
+            # both orderings of each pair appear in the same-block matrix
+            keep = a < b
+            lo, hi, cos = a[keep], b[keep], sims[bi, bj][keep]
+        else:
+            # cross-block: each unordered pair appears once — normalize
+            keep = a != b
+            a, b, cos = a[keep], b[keep], sims[bi, bj][keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table({
-            "a": pa.array(a[keep], pa.int64()),
-            "b": pa.array(b[keep], pa.int64()),
-            "cosine": pa.array(np.round(sims[bi, oj][keep], 6), pa.float64()),
+            "a": pa.array(lo, pa.int64()),
+            "b": pa.array(hi, pa.int64()),
+            "cosine": pa.array(np.round(cos, 6), pa.float64()),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    out = [block_pair.remote(refs[i], refs[j], i == j)
+           for i in range(len(refs)) for j in range(i, len(refs))]
+    if not out:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    return ray.data.from_arrow_refs(out)
+
+
+def _vec_lists(ds):
+    """Dataset[(doc_id, emb list<double>)] for attach_by_key verification."""
+    def f(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        return pa.table({
+            "doc_id": batch["vec_id"],
+            "emb": pa.array([row.tolist() for row in m],
+                            pa.list_(pa.float64())),
+        })
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(ds, threshold: float = 0.3, *, nbits: int = 5,
+                          n_tables: int = 24, seed: int = 11,
+                          num_buckets: int = 32):
+    """Approximate near-dup pairs at scale: hyperplane-LSH band candidates
+    (same banded-bucket exchange as minhash) → exact cosine verification
+    by hash-joining pair sides back to the vectors (``attach_by_key``).
+    Linear in candidates, no O(N²) scan — recall tested vs the exact op.
+    """
+    from baram_ray.dedup import _pairs_in_buckets
+
+    state = {"lsh": None}
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        if state["lsh"] is None:
+            state["lsh"] = HyperplaneLSH(m.shape[1], nbits, n_tables, seed)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sigs = state["lsh"].buckets(m)
+        n = len(vec_ids)
+        return pa.table({
+            "doc_id": pa.array(np.tile(vec_ids, len(sigs)), pa.int64()),
+            "band_id": pa.array(np.repeat(np.arange(len(sigs),
+                                                    dtype=np.int32), n)),
+            "band_val": pa.array(np.concatenate(sigs), pa.int64()),
+        })
+
+    from baram_ray.util import grouped_map
+    rows = ds.map_batches(band_rows, batch_format="pyarrow")
+    pairs = grouped_map(
+        rows, ["band_id", "band_val"],
+        lambda b: _pairs_in_buckets(b, ["band_id", "band_val"]),
+        num_buckets=num_buckets)
+    cand = grouped_agg(pairs, ["a", "b"], {"n_bands": (None, "count")},
+                       num_buckets=num_buckets)
+    vl = _vec_lists(ds)
+    j1 = attach_by_key(cand, vl, "a", {"emb": "emb_a"},
+                       num_buckets=num_buckets)
+    j2 = attach_by_key(j1, vl, "b", {"emb": "emb_b"},
+                       num_buckets=num_buckets)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        for a, b, ea, eb in zip(df["a"], df["b"], df["emb_a"], df["emb_b"]):
+            va = np.asarray(ea, dtype=np.float64)
+            vb = np.asarray(eb, dtype=np.float64)
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            if na == 0 or nb == 0:
+                continue
+            c = float(va @ vb / (na * nb))
+            if c >= threshold:
+                out_a.append(int(a)); out_b.append(int(b))
+                out_c.append(round(c, 6))
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="int64"),
+                             "b": pd.Series(out_b, dtype="int64"),
+                             "cosine": pd.Series(out_c, dtype="float64")})
+
+    return j2.map_batches(verify, batch_format="pandas")
+
+
+def _lowest_vec_rows(ds, k: int):
+    """(ids, vectors) of the k lowest vec_ids — per-batch partial top-k,
+    then a tiny driver merge of ≤ k·num_blocks rows (not the corpus)."""
+    def low(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(idx))
+
+    rows = ds.map_batches(low, batch_format="pyarrow").take_all()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:k]
+    vecs = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                     for i in order])
+    return ids[order], vecs
 
 
 def assign_centroids(ds, n_centroids: int = 8):
     """Nearest-centroid assignment (centroids = lowest-vec_id rows) →
     per-centroid count + mean cosine (majority/centroid step of G10)."""
-    ids, mats = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
-        mats.append(_matrix(b))
-    all_ids = np.concatenate(ids)
-    vecs = np.concatenate(mats)
-    order = np.argsort(all_ids, kind="stable")[:n_centroids]
-    c_ids = all_ids[order]
-    c_norm = _norm_rows(vecs[order])    # tiny: ships in the task closure
+    c_ids, c_vecs = _lowest_vec_rows(ds, n_centroids)
+    c_norm = _norm_rows(c_vecs)         # tiny: ships in the task closure
 
     def assign(batch: pa.Table) -> pa.Table:
         v = _norm_rows(_matrix(batch))

@@ -134,7 +134,11 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
     reduce = ray.remote(num_returns=2)(_reduce_bucket)
     frag_refs = []                      # per block: list of B fragment refs
     for bundle in ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
+        for block_ref, meta in bundle.blocks:
+            # Ray skips UDFs on 0-row blocks and emits SCHEMA-LESS empties;
+            # they carry nothing and would KeyError the key select — drop.
+            if meta.num_rows == 0:
+                continue
             frag_refs.append(
                 split.remote(block_ref, keys, num_buckets, pre_fn))
     if not frag_refs:
@@ -193,7 +197,9 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
     def frags_of(ds):
         out = []
         for bundle in ds.iter_internal_ref_bundles():
-            for block_ref in bundle.block_refs:
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows == 0:   # schema-less empty (see grouped_map)
+                    continue
                 r = split.remote(block_ref, keys, num_buckets)
                 out.append([r] if num_buckets == 1 else r)
         return out
@@ -216,6 +222,34 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
     sizes = ray.get(size_refs)
     keep = [r for r, n in zip(out_refs, sizes) if n > 0] or out_refs[:1]
     return ray.data.from_arrow_refs(keep)
+
+
+def attach_by_key(pairs, table, side: str, renames: dict[str, str], *,
+                  key: str = "doc_id", num_buckets: int = 32):
+    """Hash-join ``table``'s columns onto ``pairs`` through the cogroup
+    exchange, matching ``table[key]`` against ``pairs[side]``.
+
+    The de-driver primitive for candidate-pair verification: instead of
+    broadcasting a whole-corpus lookup map (driver-materialized, dies at
+    scale), the pair table and the attribute table are co-partitioned by
+    hash of the side column and merged per bucket — only each bucket's
+    slice of the corpus is ever resident in one task. ``renames`` maps
+    table column → output column (e.g. ``{"sh": "sh_a"}``); rows of
+    ``pairs`` with no match in ``table`` are dropped (inner join).
+    """
+    import pyarrow as pa
+
+    def rn(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            [side if c == key else c for c in b.column_names])
+
+    right = table.map_batches(rn, batch_format="pyarrow")
+
+    def join(left_df, right_df):
+        return left_df.merge(right_df.rename(columns=renames),
+                             on=side, how="inner")
+
+    return cogroup(pairs, right, [side], join, num_buckets=num_buckets)
 
 
 def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],

@@ -136,6 +136,35 @@ def test_cluster_from_pairs_transitive():
     assert m[99] == 99                     # singleton
 
 
+def test_cluster_from_pairs_ds_matches_driver(ray_session):
+    """Distributed min-label propagation == driver union-find, including
+    a long chain (multi-round propagation) and singletons."""
+    pairs = pd.DataFrame({"a": [1, 2, 3, 4, 10, 20, 21],
+                          "b": [2, 3, 4, 5, 11, 21, 22]})
+    ids = list(range(1, 6)) + [10, 11, 20, 21, 22, 99]
+    exp = dedup.cluster_from_pairs(pairs, ids)
+    got = dedup.cluster_from_pairs_ds(
+        ray.data.from_pandas(pairs),
+        ray.data.from_pandas(pd.DataFrame({"doc_id": ids}))).to_pandas()
+    em = dict(zip(exp["doc_id"], exp["cluster"]))
+    gm = dict(zip(got["doc_id"], got["cluster"]))
+    assert em == gm
+
+
+def test_embedding_neardup_lsh_recall(ray_session):
+    """LSH-candidate near-dup: exact precision (verify step), recall vs
+    the exact block-pair op."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = similarity.embedding_neardup_pairs(ds, threshold=0.35).to_pandas()
+    approx = similarity.embedding_neardup_lsh(ds, threshold=0.35).to_pandas()
+    exp = {(int(a), int(b)) for a, b in zip(exact["a"], exact["b"])}
+    got = {(int(a), int(b)) for a, b in zip(approx["a"], approx["b"])}
+    assert got <= exp                       # verify step is exact
+    recall = len(got & exp) / max(1, len(exp))
+    assert recall >= 0.6, f"neardup LSH recall {recall}"
+
+
 # ------------------------------------------------------------------ #
 # similarity search
 # ------------------------------------------------------------------ #
@@ -144,7 +173,7 @@ def test_lsh_topk_recall(ray_session):
     ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     exact = similarity.brute_force_topk(ds, [0, 1, 2], k=5).to_pandas()
-    approx = similarity.lsh_topk(ds, [0, 1, 2], k=5)
+    approx = similarity.lsh_topk(ds, [0, 1, 2], k=5).to_pandas()
     hits = 0
     for q in (0, 1, 2):
         e = set(exact[exact["query_id"] == q]["vec_id"])
