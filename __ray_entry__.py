@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_topk": searchp.bm25_topk,
         "search_hybrid_topk": searchp.hybrid_topk,
         "search_bm25_filtered": searchp.bm25_filtered,
+        "search_bm25_daterange": searchp.bm25_daterange,
+        "search_term_range": searchp.term_range,
+        "search_bm25_highlights": searchp.bm25_highlights,
+        "search_bm25_paged": searchp.bm25_paged,
         "search_index_stats": searchp.index_stats,
         # dedup family (D1/D2 + near-dup extensions)
         "dedup_minhash": trainp.dedup_minhash,

@@ -301,7 +301,11 @@ def build_index(
         input_paths = [input_paths]
     os.makedirs(out_dir, exist_ok=True)
     man = StageManifests(out_dir)
-    input_fp = fingerprint_paths(input_paths)
+    from baram_ray.tokenizer import TOKENIZER_VERSION
+    cfg_fp = (f":cfg=f{','.join(cfg.fields)}|i{','.join(cfg.id_cols)}"
+              f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}"
+              f"|tok{TOKENIZER_VERSION}")
+    input_fp = fingerprint_paths(input_paths) + cfg_fp
     res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
 
     fwd_dir = os.path.join(out_dir, "forward")

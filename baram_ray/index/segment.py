@@ -115,14 +115,43 @@ class IndexReader:
         p = self.postings.get((fld, term))
         return p.df if p else 0
 
-    def filter_mask(self, filters: dict[str, str] | None) -> np.ndarray | None:
-        """Row-aligned boolean mask for equality filters on doc metadata
-        (the reference's term filters, ``src/embedding/mod.rs:509-532``)."""
+    def filter_mask(self, filters: dict | None) -> np.ndarray | None:
+        """Row-aligned boolean mask for metadata filters.
+
+        Values: a scalar = equality (the reference's term filters,
+        ``src/embedding/mod.rs:509-532``); a dict with ``gte``/``lte``/
+        ``gt``/``lt`` = a range predicate (the reference's ``published_at``
+        range filter, ``src/embedding/mod.rs:517-532``) — works on any
+        kept numeric/date/string metadata column.
+        """
         if not filters:
             return None
         mask = np.ones(len(self.doc_ids), dtype=bool)
         for col, val in filters.items():
             if col not in self.doc_meta:
                 raise KeyError(f"unknown filter column {col!r}")
-            mask &= self.doc_meta[col] == val
+            data = self.doc_meta[col]
+            if isinstance(val, dict):
+                bad = set(val) - {"gte", "lte", "gt", "lt"}
+                if bad:
+                    raise KeyError(f"unknown range op(s) {sorted(bad)}")
+                if "gte" in val:
+                    mask &= data >= val["gte"]
+                if "lte" in val:
+                    mask &= data <= val["lte"]
+                if "gt" in val:
+                    mask &= data > val["gt"]
+                if "lt" in val:
+                    mask &= data < val["lt"]
+            else:
+                mask &= data == val
         return mask
+
+    def doc_ids_for_term(self, fld: str, term: str) -> np.ndarray:
+        """doc_ids containing (field, term) — retrieval without scoring
+        (rank-space postings decoded and mapped back through doc_ids)."""
+        pl = self.postings.get((fld, term))
+        if pl is None:
+            return np.empty(0, dtype=np.int64)
+        rows, _ = pl.decode_all()
+        return self.doc_ids[rows]

@@ -44,6 +44,15 @@ ORACLES: dict[str, str] = {
         GROUP BY term
         ORDER BY df DESC, term LIMIT 20
     """,
+    # index retrieval (postings for one term) + numeric range filter —
+    # the SQL-checkable core of the reference's range-filtered search
+    # (src/embedding/mod.rs:517-532); the corpus is single-space word
+    # text, so whitespace tokens == the index analyzer's tokens here
+    "search_term_range": r"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE list_contains(string_split_regex(lower(text), '\s+'), 'data')
+          AND n_chars BETWEEN 100 AND 400
+    """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6

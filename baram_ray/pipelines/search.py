@@ -26,7 +26,10 @@ def ensure_index(sf_dir: str) -> str:
     """Build (or resume) the documents-table index for sf_dir; return its dir."""
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(_INDEX_ROOT, f"documents_{tag}")
-    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang", "source"))
+    # n_chars kept as a numeric metadata column → range-filter queries
+    # (the reference's published_at range, src/embedding/mod.rs:517-532)
+    cfg = IndexConfig(fields=("text",), id_cols=(),
+                      keep=("lang", "source", "n_chars"))
     build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg, resume=True)
     return out
 
@@ -58,23 +61,133 @@ def bm25_topk(sf_dir: str, queries: list[dict] | None = None,
     return out.map_batches(_round, batch_format="pandas")
 
 
+def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
+    """Run queries through the QueryActor pool (the operator's real shape:
+    resident index per actor, never a driver-side engine)."""
+    qs = ray.data.from_items(queries)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs=actor_kw,
+                         batch_format="pandas", concurrency=2)
+    return out.to_pandas()
+
+
 def bm25_filtered(sf_dir: str, query_text: str = "data stream query",
                   lang: str = "en", k: int = 10,
                   min_score: float = 0.01):
     """BM25 top-k with a metadata term filter + min_score — the
     reference's filtered query shape (term filters
-    src/embedding/mod.rs:509-532, min_score :623-625). Rows-only driver
-    check; filter semantics tested vs the brute-force oracle."""
+    src/embedding/mod.rs:509-532, min_score :623-625). Runs through the
+    actor pool. Rows-only driver check; filter semantics tested vs the
+    brute-force oracle."""
+    idx = ensure_index(sf_dir)
+    df = _actor_search(idx, [{"query_id": 0, "text": query_text, "k": k}],
+                       filters={"lang": lang}, min_score=min_score)
+    return pd.DataFrame({
+        "rank": df["rank"].astype("int64"),
+        "doc_id": df["doc_id"].astype("int64"),
+        "score": df["score"].round(6),
+    })
+
+
+def bm25_daterange(sf_dir: str, query_text: str = "data stream query",
+                   lo: int = 100, hi: int = 400, k: int = 10):
+    """BM25 top-k restricted to a metadata RANGE (the reference's
+    published_at gte/lte filter, src/embedding/mod.rs:517-532 — the
+    testdata documents carry no date, so the range is over n_chars;
+    the predicate machinery is identical). Rows-only driver check;
+    range-mask correctness has a SQL oracle via ``term_range``."""
+    idx = ensure_index(sf_dir)
+    df = _actor_search(idx, [{"query_id": 0, "text": query_text, "k": k}],
+                       filters={"n_chars": {"gte": lo, "lte": hi}})
+    return pd.DataFrame({
+        "rank": df["rank"].astype("int64"),
+        "doc_id": df["doc_id"].astype("int64"),
+        "score": df["score"].round(6),
+    })
+
+
+def term_range(sf_dir: str, term: str = "data", lo: int = 100,
+               hi: int = 400):
+    """Index retrieval + range filter, no scoring: doc_ids whose text
+    contains ``term`` (index postings) with n_chars in [lo, hi] (range
+    mask) — SQL-expressible, so this is the oracle-checked proof that
+    postings and the range predicate are correct."""
+    import numpy as np
+
     from baram_ray.query.engine import QueryEngine
     idx = ensure_index(sf_dir)
     eng = QueryEngine(idx)
-    hits = eng.search(query_text, k=k, filters={"lang": lang},
-                      min_score=min_score)
-    return pd.DataFrame({
-        "rank": range(1, len(hits) + 1),
-        "doc_id": [d for d, _ in hits],
-        "score": [round(s, 6) for _, s in hits],
-    })
+    ids = eng.r.doc_ids_for_term("text", term)
+    mask = eng.r.filter_mask({"n_chars": {"gte": lo, "lte": hi}})
+    rows = np.asarray([eng.r.doc_index[int(d)] for d in ids], dtype=np.int64)
+    keep = ids[mask[rows]] if len(rows) else ids
+    n_chars = np.asarray(
+        [eng.r.doc_meta["n_chars"][eng.r.doc_index[int(d)]] for d in keep],
+        dtype=np.int64)
+    return pd.DataFrame({"doc_id": pd.Series(keep, dtype="int64"),
+                         "n_chars": pd.Series(n_chars, dtype="int64")})
+
+
+def bm25_highlights(sf_dir: str, query_text: str = "data stream query",
+                    k: int = 10):
+    """Top-k with per-hit snippets: 1..3 <mark>-tagged ~150-char fragments
+    + 500-char word-boundary-truncated content (reference highlight
+    config src/embedding/mod.rs:612-621, parse :629-676, truncate
+    :855-869). Hit texts come from a DISTRIBUTED filtered scan over the
+    documents table (k rows reach the driver, never the corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from baram_ray.query.highlight import snippets_for_hit
+    from baram_ray.tokenizer import tokenize
+
+    idx = ensure_index(sf_dir)
+    df = _actor_search(idx, [{"query_id": 0, "text": query_text, "k": k}])
+    want = np.asarray(sorted(int(d) for d in df["doc_id"]), dtype=np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        m = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False), want)
+        return batch.filter(pa.array(m))
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).map_batches(
+            pick, batch_format="pyarrow").take_all()
+    texts = {int(r["doc_id"]): r["text"] for r in docs}
+    terms = sorted(set(tokenize(query_text)))
+
+    out = []
+    for _, row in df.iterrows():
+        snip = snippets_for_hit(texts.get(int(row["doc_id"]), ""), terms)
+        out.append({
+            "rank": int(row["rank"]),
+            "doc_id": int(row["doc_id"]),
+            "score": round(float(row["score"]), 6),
+            "content": snip["content"],
+            "highlights": " … ".join(snip["highlights"]),
+            "n_fragments": len(snip["highlights"]),
+        })
+    return pd.DataFrame(out, columns=["rank", "doc_id", "score", "content",
+                                      "highlights", "n_fragments"])
+
+
+def bm25_paged(sf_dir: str, query_text: str = "table scan filter",
+               page_size: int = 7, max_pages: int = 3):
+    """search_after pagination (reference scroll loop,
+    src/clustering/engine.rs:152-280): emit the first ``max_pages`` pages
+    with their page numbers; pytest asserts the concatenation equals the
+    single-shot top-k."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    for pi, page in enumerate(eng.paginate(query_text, page_size=page_size)):
+        for rank, (d, s) in enumerate(page, 1):
+            rows.append({"page": pi, "rank": rank, "doc_id": int(d),
+                         "score": round(float(s), 6)})
+        if pi + 1 >= max_pages:
+            break
+    return pd.DataFrame(rows, columns=["page", "rank", "doc_id", "score"])
 
 
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
@@ -102,31 +215,22 @@ def hybrid_topk(sf_dir: str, query_text: str = "data stream query",
     ``vec_id == doc_id`` in the testdata tables).
 
     Non-SQL-expressible (BM25 core) → rows-only driver check; rank math
-    is unit-tested against a pure-python recomputation.
+    is unit-tested against a pure-python recomputation. Both sub-queries
+    run distributed (actor-pool BM25, map_batches kNN); only the two
+    ``pool``-sized score lists meet on the driver for the merge.
     """
-    import numpy as np
-
-    from baram_ray.query.engine import QueryEngine
-    from baram_ray.similarity import _matrix, _norm_rows
+    from baram_ray.similarity import brute_force_topk
 
     idx = ensure_index(sf_dir)
-    eng = QueryEngine(idx)
-    bm25 = dict(eng.search(query_text, k=pool))
+    bdf = _actor_search(idx, [{"query_id": 0, "text": query_text,
+                               "k": pool}])
+    bm25 = {int(d): float(s) for d, s in zip(bdf["doc_id"], bdf["score"])}
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    ids, mats = [], []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.append(b["vec_id"].to_numpy(zero_copy_only=False))
-        mats.append(_matrix(b))
-    ids = np.concatenate(ids)
-    vecs = _norm_rows(np.concatenate(mats))
-    q = vecs[list(ids).index(HYBRID_QUERY_VEC)]
-    sims = vecs @ q
-    mask = ids != HYBRID_QUERY_VEC
-    top = np.argsort(-sims[mask], kind="stable")[:pool]
-    knn = {int(d): float(s) for d, s in
-           zip(ids[mask][top], sims[mask][top])}
+    kdf = brute_force_topk(ds, [HYBRID_QUERY_VEC], k=pool,
+                           round6=False).to_pandas()
+    knn = {int(d): float(s) for d, s in zip(kdf["vec_id"], kdf["cosine"])}
 
     nb, nk = _minmax(bm25), _minmax(knn)
     merged = {d: HYBRID_W_BM25 * nb.get(d, 0.0) + HYBRID_W_KNN * nk.get(d, 0.0)

@@ -137,9 +137,18 @@ class QueryEngine:
 
     def search(self, query: str, k: int = 10,
                boosts: dict[str, float] | None = None,
-               filters: dict[str, str] | None = None,
+               filters: dict | None = None,
                min_score: float | None = None,
-               algorithm: str = "auto") -> list[tuple[int, float]]:
+               algorithm: str = "auto",
+               after: tuple[float, int] | None = None
+               ) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score), sorted (score desc, doc_id asc).
+
+        ``after=(score, doc_id)``: resume strictly after that sort key —
+        search_after pagination (reference scroll loop,
+        ``src/clustering/engine.rs:152-280``; OpenSearch search_after).
+        Deterministic scoring makes the (score, doc_id) cursor exact.
+        """
         its = self._iters(query, boosts)
         if not its or k <= 0:
             return []
@@ -153,15 +162,28 @@ class QueryEngine:
             algorithm = ("wand" if self.r.n_docs > 2_000_000
                          and total_df < self.r.n_docs // 10 else "daat")
         if algorithm == "daat":
-            hits = self._daat(its, k, mask)
+            hits = self._daat(its, k, mask, after)
         else:
-            hits = self._wand(its, k, mask)
+            hits = self._wand(its, k, mask, after)
         if min_score is not None:
             hits = [(d, s) for d, s in hits if s >= min_score]
         return hits
 
+    def paginate(self, query: str, page_size: int = 500, **kw):
+        """Yield successive result pages until exhausted — the reference's
+        search_after scroll loop (``src/clustering/engine.rs:152-280``,
+        batch 500)."""
+        after = None
+        while True:
+            page = self.search(query, k=page_size, after=after, **kw)
+            if not page:
+                return
+            yield page
+            after = (page[-1][1], page[-1][0])       # (score, doc_id) cursor
+
     # ------------------------------------------------------------------ #
-    def _daat(self, its: list[_TermIter], k: int, mask) -> list:
+    def _daat(self, its: list[_TermIter], k: int, mask,
+              after: tuple[float, int] | None = None) -> list:
         """Exhaustive vectorized scoring (the non-pruned exact path)."""
         r = self.r
         acc = np.zeros(len(r.doc_ids), dtype=np.float64)
@@ -177,6 +199,9 @@ class QueryEngine:
             matched[rows] = True
         if mask is not None:
             matched &= mask
+        if after is not None:               # strictly after the cursor key
+            s_a, d_a = after
+            matched &= (acc < s_a) | ((acc == s_a) & (r.doc_ids > d_a))
         cand = np.nonzero(matched)[0]
         if len(cand) == 0:
             return []
@@ -185,7 +210,8 @@ class QueryEngine:
         return [(int(r.doc_ids[i]), float(acc[i])) for i in top]
 
     # ------------------------------------------------------------------ #
-    def _wand(self, its: list[_TermIter], k: int, mask) -> list:
+    def _wand(self, its: list[_TermIter], k: int, mask,
+              after: tuple[float, int] | None = None) -> list:
         """Block-max WAND; rank-identical to _daat (ties: later ranks are
         larger in DAAT order, so strict `score > θ` acceptance is exact).
         Iterator positions are RANKS (rank order == doc_id order)."""
@@ -246,6 +272,17 @@ class QueryEngine:
                             s += it.score_at(float(r.dl[it.field][row]),
                                              r.avgdl[it.field] or 1.0,
                                              self.k1, self.b)
+                    if after is not None:
+                        # search_after: only keys strictly after the cursor
+                        # (θ pruning stays exact — it lower-bounds accepted
+                        # scores, and rejected keys all sort before them)
+                        s_a, d_a = after
+                        did = int(r.doc_ids[row])
+                        if not (s < s_a or (s == s_a and did > d_a)):
+                            for it in live:
+                                if it.doc == pivot_doc:
+                                    it.advance()
+                            continue
                     if s > theta():
                         if len(heap) >= k:
                             heapq.heapreplace(heap, (s, -pivot_doc))
@@ -279,17 +316,22 @@ class QueryActor:
     """
 
     def __init__(self, index_dir: str, boosts: dict[str, float] | None = None,
-                 algorithm: str = "auto"):
+                 algorithm: str = "auto", filters: dict | None = None,
+                 min_score: float | None = None):
         self.engine = QueryEngine(index_dir)     # once per actor
         self.boosts = boosts
         self.algorithm = algorithm
+        self.filters = filters
+        self.min_score = min_score
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))
         for qid, text, k in zip(batch["query_id"], batch["text"], ks):
             hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
-                                      algorithm=self.algorithm)
+                                      algorithm=self.algorithm,
+                                      filters=self.filters,
+                                      min_score=self.min_score)
             for rank, (d, s) in enumerate(hits, 1):
                 qids.append(qid); ranks.append(rank); docs.append(d); scores.append(s)
         return pd.DataFrame({

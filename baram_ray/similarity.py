@@ -95,16 +95,19 @@ def _batch_topk_candidates(batch: pa.Table, q_ids: np.ndarray,
     })
 
 
-def _final_topk(g: pd.DataFrame, k: int) -> pd.DataFrame:
+def _final_topk(g: pd.DataFrame, k: int, round6: bool = True) -> pd.DataFrame:
     g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
                       kind="stable").head(k).copy()
     g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    g["cosine"] = g["cosine"].round(6)
+    if round6:
+        g["cosine"] = g["cosine"].round(6)
     return g
 
 
-def brute_force_topk(ds, query_ids: list[int], k: int = 5):
-    """Exact ANN baseline. ``ds`` = Dataset[(vec_id, embedding)]."""
+def brute_force_topk(ds, query_ids: list[int], k: int = 5,
+                     round6: bool = True):
+    """Exact ANN baseline. ``ds`` = Dataset[(vec_id, embedding)].
+    ``round6=False`` keeps raw cosines (for downstream rank fusion)."""
     q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
     ref = ray.put(_norm_rows(q_vecs))
 
@@ -113,7 +116,7 @@ def brute_force_topk(ds, query_ids: list[int], k: int = 5):
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
     return cand.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k), batch_format="pandas")
+        lambda g: _final_topk(g, k, round6), batch_format="pandas")
 
 
 class HyperplaneLSH:

@@ -1,0 +1,149 @@
+"""Query-surface parity features: highlights/snippets (M14/M15), range
+filters, search_after pagination (K5) — reference behaviors from
+src/embedding/mod.rs:612-676,855-869,517-532 and
+src/clustering/engine.rs:152-280."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from baram_ray.query.highlight import (
+    highlight_fragments, snippets_for_hit, truncate_words,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ #
+# truncate_string parity (M14)
+# ------------------------------------------------------------------ #
+
+def test_truncate_words():
+    assert truncate_words("short text", 500) == "short text"
+    s = "word " * 200                        # 1000 chars
+    out = truncate_words(s, 500)
+    assert out.endswith("...")
+    assert len(out) <= 503
+    # cut lands on a word boundary: strip '...' -> no partial word
+    body = out[:-3]
+    assert not body.endswith(" ")
+    assert body.split(" ")[-1] == "word"
+    # exactly max_len passes through untouched
+    assert truncate_words("x" * 500, 500) == "x" * 500
+    # no space before max_len: no boundary to snap to, hard cut
+    assert truncate_words("y" * 600, 500) == "y" * 500 + "..."
+
+
+# ------------------------------------------------------------------ #
+# highlight fragments (M15)
+# ------------------------------------------------------------------ #
+
+def test_highlight_basic():
+    text = "the data pipeline processes data streams with a data sink"
+    frags = highlight_fragments(text, ["data"], n_fragments=3,
+                                fragment_size=30)
+    assert 1 <= len(frags) <= 3
+    assert all("<mark>data</mark>" in f for f in frags)
+    # no partial-word marking
+    frags2 = highlight_fragments("database data", ["data"])
+    assert frags2 and "<mark>data</mark>" in frags2[0]
+    assert "<mark>data</mark>base" not in frags2[0]
+
+
+def test_highlight_caps_and_empty():
+    text = " ".join(["filler"] * 50 + ["hit"] + ["filler"] * 50 +
+                    ["hit"] + ["filler"] * 50 + ["hit"] + ["filler"] * 50 +
+                    ["hit"])
+    frags = highlight_fragments(text, ["hit"], n_fragments=3,
+                                fragment_size=40)
+    assert len(frags) == 3                   # capped at number_of_fragments
+    assert highlight_fragments(text, ["absent"]) == []
+    assert highlight_fragments("", ["hit"]) == []
+    assert highlight_fragments(text, []) == []
+
+
+def test_snippets_payload():
+    text = ("alpha beta " * 60) + "needle " + ("gamma delta " * 10)
+    out = snippets_for_hit(text, ["needle", "beta"])
+    assert out["content"].endswith("...")
+    assert len(out["content"]) <= 503
+    assert any("<mark>needle</mark>" in f for f in out["highlights"])
+
+
+# ------------------------------------------------------------------ #
+# range filters + pagination against the real index
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def engine(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    return QueryEngine(ensure_index(SF))
+
+
+def test_range_filter_mask(engine):
+    r = engine.r
+    mask = r.filter_mask({"n_chars": {"gte": 100, "lte": 300}})
+    nc = np.asarray([int(x) for x in r.doc_meta["n_chars"]])
+    assert np.array_equal(mask, (nc >= 100) & (nc <= 300))
+    m2 = r.filter_mask({"n_chars": {"gt": 100, "lt": 300}})
+    assert np.array_equal(m2, (nc > 100) & (nc < 300))
+    # combined equality + range
+    m3 = r.filter_mask({"lang": "en", "n_chars": {"gte": 100}})
+    lang = r.doc_meta["lang"]
+    assert np.array_equal(m3, (lang == "en") & (nc >= 100))
+    with pytest.raises(KeyError):
+        r.filter_mask({"n_chars": {"between": (1, 2)}})
+
+
+def test_range_filtered_search_vs_bruteforce(engine):
+    """Range-filtered DAAT == WAND == unfiltered search post-filtered."""
+    filters = {"n_chars": {"gte": 100, "lte": 400}}
+    mask_ids = {int(d) for d, ok in zip(engine.r.doc_ids,
+                                        engine.r.filter_mask(filters)) if ok}
+    full = engine.search("data stream query", k=10_000)
+    expected = [(d, s) for d, s in full if d in mask_ids][:10]
+    daat = engine.search("data stream query", k=10, filters=filters,
+                         algorithm="daat")
+    wand = engine.search("data stream query", k=10, filters=filters,
+                         algorithm="wand")
+    assert daat == expected
+    assert wand == expected
+
+
+def test_search_after_pagination(engine):
+    """Concatenated pages == one-shot ranking, for DAAT and WAND."""
+    one_shot = engine.search("table scan filter", k=60, algorithm="daat")
+    for algo in ("daat", "wand"):
+        pages, after = [], None
+        while len(pages) < 60:
+            page = engine.search("table scan filter", k=7, after=after,
+                                 algorithm=algo)
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][1], page[-1][0])
+        assert pages[:60] == one_shot[:len(pages)][:60]
+        assert len(pages) >= len(one_shot[:60])
+
+
+def test_paginate_generator(engine):
+    pages = list(engine.paginate("hash join merge sort", page_size=9))
+    flat = [h for p in pages for h in p]
+    one = engine.search("hash join merge sort", k=len(flat) + 10)
+    assert flat == one
+    assert all(len(p) <= 9 for p in pages)
+
+
+def test_bm25_highlights_pipeline(ray_session):
+    from baram_ray.pipelines.search import bm25_highlights
+    out = bm25_highlights(SF, "data stream query", k=5)
+    assert list(out.columns) == ["rank", "doc_id", "score", "content",
+                                 "highlights", "n_fragments"]
+    assert len(out) == 5
+    # every hit matched at least one query term -> at least one fragment
+    assert (out["n_fragments"] >= 1).all()
+    assert out["highlights"].str.contains("<mark>").all()
+    assert (out["content"].str.len() <= 503).all()
