@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from baram_ray.pipelines import analytics as anap
 from baram_ray.pipelines import documents as docp
 from baram_ray.pipelines import events as evp
+from baram_ray.pipelines import knowledge as knowp
 from baram_ray.pipelines import search as searchp
 from baram_ray.pipelines import tpch as tpchp
 from baram_ray.pipelines import training as trainp
@@ -98,6 +99,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ner": anap.text_ner,
         "events_props_json": anap.events_props_json,
         "text_entity_link": anap.text_entity_link,
+        # knowledge graph (M10 relations, G3 triple stats, S10 RDF
+        # writers) + event cluster formation (S9 JSON writer)
+        "text_relations": knowp.text_relations,
+        "triple_stats": knowp.triple_stats,
+        "rdf_export_nt": knowp.rdf_export_nt,
+        "cluster_events": knowp.cluster_events,
         # shuffled joins (§2.4 inner + anti)
         "join_orders_cust_segment": anap.join_orders_cust_segment,
         "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,

@@ -1,0 +1,72 @@
+"""Knowledge-graph + clustering pipelines exposed through the driver
+contract: relation extraction (M10), triple stats (G3), RDF export
+(S10), event cluster formation (reference clustering engine) + the S9
+cluster-JSON writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+import ray.data
+
+from baram_ray import clustering, ontology
+from baram_ray.pipelines.util import read_table
+from baram_ray.util import grouped_agg
+
+CLUSTER_THRESHOLD = 0.55
+
+
+def _relations_ds(sf_dir: str):
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ontology.relations_stage, batch_format="pyarrow")
+
+
+def text_relations(sf_dir: str):
+    """M10: regex relation extraction between NER entities —
+    (doc_id, subject, predicate, object, n, confidence, verified).
+    SQL oracle via the same regexes in DuckDB."""
+    return _relations_ds(sf_dir)
+
+
+def triple_stats(sf_dir: str):
+    """G3: per-predicate triple-store statistics (reference TripleStats,
+    extractor.rs:1389-1403): triple instances, distinct docs/subjects/
+    objects."""
+    rel = _relations_ds(sf_dir)
+    return grouped_agg(
+        rel, ["predicate"],
+        {"n_triples": ("n", "sum"),
+         "n_docs": ("doc_id", "nunique"),
+         "n_subjects": ("subject", "nunique"),
+         "n_objects": ("object", "nunique")},
+        num_buckets=4)
+
+
+def rdf_export_nt(sf_dir: str):
+    """S10: write N-Triples files (one per block, doc_id-range named,
+    atomic rename) and return the write manifest."""
+    out_dir = os.path.join("/tmp/baram_ray_rdf",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    manifest = ontology.write_rdf(_relations_ds(sf_dir), out_dir,
+                                  fmt="nt").to_pandas()
+    return manifest.sort_values("path").reset_index(drop=True)
+
+
+def cluster_events(sf_dir: str):
+    """Event cluster formation over the embeddings table (reference
+    greedy threshold clustering, engine.rs:287-428): EventCluster rows.
+    Rows-only driver check; single-block equivalence to the reference's
+    sequential algorithm is pytest-verified."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=4)
+    out = clustering.cluster_events(ds, threshold=CLUSTER_THRESHOLD)
+    # S9: persist each cluster as a JSON document
+    clustering.write_cluster_json(
+        out, os.path.join("/tmp/baram_ray_clusters",
+                          os.path.basename(os.path.normpath(sf_dir))))
+    return out

@@ -296,6 +296,54 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, 'op', entity, count(*), 0.6, true
         FROM op GROUP BY 1, 3
     """,
+    # M10 relations: the same two relation regexes evaluated by DuckDB
+    # (corpus has no sentence punctuation, so whole-text scan == the
+    # pipeline's sentence-scoped scan; both engines use non-overlapping
+    # leftmost matching)
+    "text_relations": r"""
+        WITH ap AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '\b(spark|hash|vector|stream) (join|sort|merge|scan|filter|agg)\b',
+                 0)) AS m
+              FROM documents),
+        fp AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '\b(join|sort|merge|scan|filter|agg) (spark|hash|vector|stream)\b',
+                 0)) AS m
+              FROM documents),
+        r AS (
+            SELECT doc_id, string_split(m, ' ')[1] AS subject,
+                   'applies' AS predicate, string_split(m, ' ')[2] AS object
+            FROM ap
+            UNION ALL
+            SELECT doc_id, string_split(m, ' ')[1], 'feeds',
+                   string_split(m, ' ')[2]
+            FROM fp)
+        SELECT doc_id, subject, predicate, object, count(*) AS n,
+               0.8 AS confidence, true AS verified
+        FROM r GROUP BY 1, 2, 3, 4
+    """,
+    "triple_stats": r"""
+        WITH ap AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '\b(spark|hash|vector|stream) (join|sort|merge|scan|filter|agg)\b',
+                 0)) AS m
+              FROM documents),
+        fp AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '\b(join|sort|merge|scan|filter|agg) (spark|hash|vector|stream)\b',
+                 0)) AS m
+              FROM documents),
+        r AS (
+            SELECT doc_id, string_split(m, ' ')[1] AS subject,
+                   'applies' AS predicate, string_split(m, ' ')[2] AS object
+            FROM ap
+            UNION ALL
+            SELECT doc_id, string_split(m, ' ')[1], 'feeds',
+                   string_split(m, ' ')[2]
+            FROM fp)
+        SELECT predicate, count(*) AS n_triples,
+               count(DISTINCT doc_id) AS n_docs,
+               count(DISTINCT subject) AS n_subjects,
+               count(DISTINCT object) AS n_objects
+        FROM r GROUP BY 1
+    """,
     "events_props_json": """
         SELECT event_type, count(*) AS n,
                CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k')

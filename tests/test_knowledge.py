@@ -1,0 +1,161 @@
+"""Ontology (M10/M17/S10/G3) + event clustering (S9) tests — the slug /
+turtle / ntriples expectations mirror the reference's own unit tests
+(src/ontology/extractor.rs:2452-2553)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from baram_ray import clustering, ontology
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ #
+# slug / escaping (M17) — reference test_slug_generation
+# ------------------------------------------------------------------ #
+
+def test_slug():
+    assert ontology.slug("Hello World") == "hello_world"
+    assert ontology.slug("test-value_123") == "test-value_123"
+    assert ontology.slug("a.b/c") == "a_b_c"
+
+
+def test_turtle_escape():
+    assert ontology.turtle_escape("https://x.y/z") == "<https://x.y/z>"
+    assert ontology.turtle_escape("baram:entity/1/x") == "<baram:entity/1/x>"
+    assert ontology.turtle_escape('plain "quoted" \\ text') \
+        == '"plain \\"quoted\\" \\\\ text"'
+
+
+def test_triple_formats():
+    s, p, o = "baram:entity/7/spark", "baram:rel/applies", "baram:entity/7/join"
+    assert ontology.triple_to_ntriples(s, p, o) == f"<{s}> <{p}> <{o}> ."
+    assert ontology.triple_to_turtle(s, p, o) == f"<{s}> <{p}> <{o}> ."
+    df = pd.DataFrame({"doc_id": [7], "subject": ["spark"],
+                       "predicate": ["applies"], "object": ["join"]})
+    t = ontology.triples_from_relations(df)
+    assert t["subject_id"][0] == "baram:entity/7/spark"
+    ttl = ontology.to_turtle(t)
+    assert ttl.startswith("@prefix schema:")
+    assert "<baram:entity/7/spark> <baram:rel/applies>" in ttl
+    nt = ontology.to_ntriples(t)
+    assert nt == "<baram:entity/7/spark> <baram:rel/applies> " \
+                 "<baram:entity/7/join> ."
+
+
+# ------------------------------------------------------------------ #
+# relation extraction (M10)
+# ------------------------------------------------------------------ #
+
+def test_extract_relations_semantics():
+    rels = ontology.extract_relations("the spark join runs fast")
+    assert [(r["subject"], r["predicate"], r["object"]) for r in rels] \
+        == [("spark", "applies", "join")]
+    assert rels[0]["verified"] is True
+    assert rels[0]["confidence"] == 0.8
+    # reverse direction = feeds
+    rels = ontology.extract_relations("filter stream output")
+    assert [(r["subject"], r["predicate"], r["object"]) for r in rels] \
+        == [("filter", "feeds", "stream")]
+    # sentence boundary blocks a cross-sentence pair
+    assert ontology.extract_relations("spark. join") == []
+    # non-overlapping scan, both patterns scan independently
+    rels = ontology.extract_relations("spark join spark")
+    keys = {(r["subject"], r["predicate"], r["object"]) for r in rels}
+    assert keys == {("spark", "applies", "join"),
+                    ("join", "feeds", "spark")}
+
+
+def test_rdf_writer_roundtrip(ray_session, tmp_path):
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "spark join and vector sort here"},
+        {"doc_id": 2, "text": "merge stream pipeline"},
+    ])
+    rel = docs.map_batches(ontology.relations_stage, batch_format="pyarrow")
+    man = ontology.write_rdf(rel, str(tmp_path), fmt="nt").to_pandas()
+    assert man["n_triples"].sum() == 3
+    lines = []
+    for p in man["path"]:
+        with open(p) as f:
+            lines.extend(l for l in f.read().splitlines() if l)
+    assert "<baram:entity/1/spark> <baram:rel/applies> " \
+           "<baram:entity/1/join> ." in lines
+    assert "<baram:entity/2/merge> <baram:rel/feeds> " \
+           "<baram:entity/2/stream> ." in lines
+
+
+# ------------------------------------------------------------------ #
+# event clustering (S9 + reference greedy algorithm)
+# ------------------------------------------------------------------ #
+
+def _reference_greedy(vecs, threshold):
+    """Pure-python transcription of cluster_articles (engine.rs:287-336)."""
+    clusters = []                     # (centroid, [indices])
+    for i, v in enumerate(vecs):
+        best, best_sim = None, -np.inf
+        for ci, (c, _) in enumerate(clusters):
+            den = (np.linalg.norm(c) * np.linalg.norm(v)) or 1.0
+            s = float(c @ v / den)
+            if s > best_sim:
+                best, best_sim = ci, s
+        if best is not None and best_sim >= threshold:
+            c, idxs = clusters[best]
+            n = len(idxs)
+            clusters[best] = ((c * n + v) / (n + 1), idxs + [i])
+        else:
+            clusters.append((v.copy(), [i]))
+    return clusters
+
+
+def test_greedy_cluster_matches_reference():
+    rng = np.random.RandomState(5)
+    base = rng.randn(4, 16)
+    vecs = np.concatenate([base[i % 4] + 0.05 * rng.randn(16)
+                           for i in range(40)]).reshape(40, 16)
+    labels = clustering.greedy_cluster(vecs, 0.8)
+    ref = _reference_greedy(vecs, 0.8)
+    ref_labels = np.empty(40, dtype=np.int64)
+    for ci, (_, idxs) in enumerate(ref):
+        for i in idxs:
+            ref_labels[i] = ci
+    assert np.array_equal(labels, ref_labels)
+
+
+def test_cluster_events_single_block(ray_session):
+    """One block ⇒ the pipeline IS the reference sequential algorithm."""
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"],
+                               override_num_blocks=1)
+    out = clustering.cluster_events(ds, threshold=0.55)
+    t = ds.take_all()
+    vecs = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in t])
+    ref = _reference_greedy(vecs, 0.55)
+    assert len(out) == len(ref)
+    assert out["article_count"].sum() == len(vecs)
+    # per-cluster sizes match (single block: local==global clusters,
+    # merge is a no-op because every local centroid is its own cluster
+    # only when below threshold; sizes are the invariant to check)
+    assert sorted(out["article_count"]) == sorted(len(ix) for _, ix in ref)
+    assert out["event_id"].iloc[0] == "evt_000"
+    assert ((out["avg_similarity"] >= -1) & (out["avg_similarity"] <= 1)).all()
+
+
+def test_cluster_json_writer(tmp_path):
+    df = pd.DataFrame({
+        "event_id": ["evt_000", "evt_001"], "cluster": [0, 1],
+        "article_count": [3, 2], "category": ["a", "b"],
+        "min_id": [1, 9], "max_id": [5, 11],
+        "avg_similarity": [0.9, 0.8]})
+    paths = clustering.write_cluster_json(df, str(tmp_path))
+    assert [os.path.basename(p) for p in paths] \
+        == ["evt_000.json", "evt_001.json"]
+    with open(paths[0]) as f:
+        d = json.load(f)
+    assert d["article_count"] == 3 and d["category"] == "a"
