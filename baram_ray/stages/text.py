@@ -179,32 +179,52 @@ class QualityStage:
 
 class FingerprintStage:
     """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
-    per-window minimum → compact, position-robust fingerprint set."""
+    per-window minimum → compact, position-robust fingerprint set.
+
+    Fully vectorized (round-1 verdict item 9): the k-gram hash is the
+    paper's own polynomial rolling hash — h(c₁..cₖ) = Σ cᵢ·B^(k−i) in
+    uint64 wraparound arithmetic — computed as k shifted vector
+    multiply-adds over the byte array (vs. a per-gram blake2b Python
+    loop at ~µs/char); the per-window argmin is a sliding_window_view
+    reduction. Deterministic, no PYTHONHASHSEED dependence.
+    """
+
+    BASE = np.uint64(1_000_003)           # odd multiplier, full-period mod 2^64
 
     def __init__(self, text_col: str = "text", k: int = 5, window: int = 4):
         self.text_col = text_col
         self.k = k
         self.window = window
+        # precomputed B^(k-1) .. B^0
+        self.pows = np.array(
+            [int(self.BASE) ** e % (1 << 64) for e in range(k - 1, -1, -1)],
+            dtype=np.uint64)
+
+    def _gram_hashes(self, t: str) -> np.ndarray:
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        n = len(data) - self.k + 1
+        if n <= 0:
+            return np.empty(0, dtype=np.int64)
+        arr = data.astype(np.uint64)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(self.k):           # k (=5) vector ops, not n Python ops
+            h += arr[j: j + n] * self.pows[j]
+        # scramble (fibonacci multiplier) so adjacent grams decorrelate,
+        # then drop the sign bit for int64 output
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        return (h >> np.uint64(1)).view(np.int64)
 
     def fingerprints(self, text: str) -> list[int]:
         t = (text or "").lower()
-        if len(t) < self.k:
+        hashes = self._gram_hashes(t)
+        if len(hashes) == 0:
             return []
-        hashes = np.empty(len(t) - self.k + 1, dtype=np.int64)
-        for i in range(len(hashes)):
-            h = hashlib.blake2b(t[i: i + self.k].encode(), digest_size=8)
-            hashes[i] = int.from_bytes(h.digest(), "big") >> 1
         if len(hashes) <= self.window:
             return [int(hashes.min())]
-        fps = []
-        last = -1
-        for i in range(len(hashes) - self.window + 1):
-            w = hashes[i: i + self.window]
-            j = i + int(np.argmin(w))
-            if j != last:
-                fps.append(int(hashes[j]))
-                last = j
-        return fps
+        win = np.lib.stride_tricks.sliding_window_view(hashes, self.window)
+        j = np.argmin(win, axis=1) + np.arange(len(win))   # first-min, as
+        keep = np.concatenate([[True], j[1:] != j[:-1]])   # the loop did
+        return hashes[j[keep]].tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = [self.fingerprints(t) for t in batch[self.text_col].to_pylist()]
