@@ -107,12 +107,15 @@ class PartialPostings:
     """
 
     def __init__(self, fields: tuple[str, ...], shard_shift: int,
-                 num_buckets: int, ids_ref=None, num_shards: int = 1):
+                 num_buckets: int, ids_ref=None, num_shards: int = 1,
+                 rank_offset: int = 0):
         self.fields = fields
         self.shard_shift = shard_shift  # shard = rank >> shard_shift
         self.num_buckets = num_buckets
         self.ids_ref = ids_ref          # ray.put(sorted global doc_id array)
         self.num_shards = num_shards
+        self.rank_offset = rank_offset  # delta builds: ranks continue after
+        # the previous build's dense rank space (append-only precondition)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -120,7 +123,7 @@ class PartialPostings:
         if self.ids_ref is not None:
             import ray as _ray
             sorted_ids = _ray.get(self.ids_ref)   # zero-copy, cached/worker
-            doc_ids = np.searchsorted(sorted_ids, doc_ids)
+            doc_ids = np.searchsorted(sorted_ids, doc_ids) + self.rank_offset
         num_shards = self.num_shards
         pieces = []
         for fi, f in enumerate(self.fields):
@@ -464,6 +467,256 @@ def build_index(
     # row count from parquet footers — no Ray job for a metadata lookup
     import glob as _glob
     import pyarrow.parquet as _pq
+    res.n_terms = sum(
+        _pq.ParquetFile(f).metadata.num_rows
+        for f in _glob.glob(os.path.join(td_dir, "*.parquet")))
+    return res
+
+
+# --------------------------------------------------------------------- #
+# Partition-granular incremental build (SURVEY §7.1 step 5; the
+# reference's --since delta indexing, src/commands/index.rs:144-175 —
+# its checkpoint-id prefilter "skip without reading content" becomes a
+# per-input-file fingerprint skip here)
+# --------------------------------------------------------------------- #
+
+def _expand_inputs(input_paths) -> list[str]:
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    files: list[str] = []
+    for p in input_paths:
+        if os.path.isdir(p):
+            for root, _, fs in os.walk(p):
+                files.extend(os.path.join(root, f) for f in sorted(fs)
+                             if f.endswith(".parquet"))
+        else:
+            files.append(p)
+    return sorted(files)
+
+
+def _part_key(path: str) -> str:
+    import hashlib as _hl
+    return _hl.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+
+
+def _parquet_files(dirs: list[str]) -> list[str]:
+    """Flatten partition dirs to file lists (ray.data.read_parquet treats
+    list entries as files, not directories)."""
+    out: list[str] = []
+    for d in dirs:
+        if os.path.isdir(d):
+            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                       if f.endswith(".parquet"))
+        else:
+            out.append(d)
+    return out
+
+
+def _encode_segments(fwd_paths, seg_dir: str, cfg, ids_sorted: np.ndarray,
+                     num_shards: int, shard_shift: int,
+                     rank_offset: int, gen: int) -> None:
+    """Shuffle-encode postings for the given forward partitions into
+    ``seg_dir`` (append — caller clears the dir for full rebuilds)."""
+    import ray as _ray
+    if len(ids_sorted) and not np.all(np.diff(ids_sorted) > 0):
+        dup = ids_sorted[:-1][np.diff(ids_sorted) == 0]
+        raise ValueError(f"duplicate doc_id(s) (e.g. {dup[:5].tolist()})")
+    ids_ref = _ray.put(ids_sorted)
+    post_cols = ["doc_id"] + [c for f in cfg.fields
+                              for c in (f"{f}__terms", f"{f}__tfs")]
+    fwd_ds = ray.data.read_parquet(fwd_paths, columns=post_cols,
+                                   override_num_blocks=auto_num_blocks(fwd_paths))
+    n_buckets = int(max(32, input_bytes(fwd_paths) // (8 << 20)))
+    seg = grouped_map(
+        fwd_ds, ["field", "term", "shard"], _encode_bucket,
+        num_buckets=n_buckets, batch_format="pyarrow",
+        pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
+                               ids_ref=ids_ref, num_shards=num_shards,
+                               rank_offset=rank_offset))
+    if gen:
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "gen", pa.array(np.full(t.num_rows, gen, dtype=np.int64)))
+        seg = seg.map_batches(tag, batch_format="pyarrow")
+    seg.write_parquet(seg_dir)
+
+
+def build_index_incremental(
+    input_paths: list[str] | str,
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    *,
+    resume: bool = True,
+) -> BuildResult:
+    """Incremental build: per-input-file forward/docs partitions skipped
+    by fingerprint, and an APPEND-ONLY delta segment encode — when every
+    new doc_id sorts after every indexed doc_id, only the new partitions
+    are tokenized and shuffled (written as generation-g segment files
+    that the reader orders after the base via the ``gen`` column); any
+    in-place change or non-append id falls back to a full segment
+    rebuild. The resulting index answers queries identically to a
+    from-scratch build (tested) — segment file layout differs by design.
+    """
+    cfg = cfg or IndexConfig()
+    files = _expand_inputs(input_paths)
+    os.makedirs(out_dir, exist_ok=True)
+    man = StageManifests(out_dir)
+    from baram_ray.tokenizer import TOKENIZER_VERSION as _TV
+    cfg_fp = (f":cfg=f{','.join(cfg.fields)}|i{','.join(cfg.id_cols)}"
+              f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}|tok{_TV}")
+    res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
+
+    fwd_root = os.path.join(out_dir, "forward")
+    docs_root = os.path.join(out_dir, "docs")
+    seg_dir = os.path.join(out_dir, "segments")
+    td_dir = os.path.join(out_dir, "termdict")
+    meta_path = os.path.join(out_dir, "meta.json")
+    for d in (fwd_root, docs_root, seg_dir, td_dir):
+        os.makedirs(d, exist_ok=True)
+
+    parts = {_part_key(p): p for p in files}
+    part_fp = {h: fingerprint_paths([p]) + cfg_fp for h, p in parts.items()}
+
+    # drop partitions whose input file vanished
+    import shutil as _sh
+    for d in os.listdir(fwd_root):
+        if d.startswith("p_") and d[2:] not in parts:
+            _sh.rmtree(os.path.join(fwd_root, d), ignore_errors=True)
+            _sh.rmtree(os.path.join(docs_root, d), ignore_errors=True)
+            man.clear(f"forward:{d[2:]}")
+
+    # ---- per-partition forward + docs (fingerprint anti-join) ----------
+    len_cols = [f"{f}__len" for f in cfg.fields]
+    doc_cols = ["doc_id", "sha256", *cfg.keep, *len_cols]
+    import pyarrow.parquet as _pq
+    with StageTimer() as t_fwd:
+        for h, p in parts.items():
+            if resume and man.is_done(f"forward:{h}", part_fp[h]):
+                res.resumed_stages.append(f"forward:{h}")
+                continue
+            cols = {*cfg.fields, *cfg.keep,
+                    *(cfg.id_cols if cfg.id_cols else ())}
+            names = set(_pq.ParquetFile(p).schema_arrow.names)
+            if "doc_id" in names:
+                cols.add("doc_id")
+            missing = cols - names
+            if missing:
+                raise ValueError(f"{p} lacks columns {sorted(missing)}")
+            pdir = fresh_dir(os.path.join(fwd_root, f"p_{h}"))
+            ddir = fresh_dir(os.path.join(docs_root, f"p_{h}"))
+            norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols),
+                                     list(cfg.keep))
+            fwd = ray.data.read_parquet([p], columns=sorted(cols)) \
+                .map_batches(norm, batch_format="pyarrow",
+                             batch_size=cfg.tokenize_batch_size)
+            fwd.write_parquet(pdir)
+            ray.data.read_parquet(pdir, columns=doc_cols).write_parquet(ddir)
+            man.mark_done(f"forward:{h}", part_fp[h])
+    res.stage_seconds["forward"] = t_fwd.seconds
+
+    # ---- global stats → meta ------------------------------------------
+    with StageTimer() as t_docs:
+        stats_ds = ray.data.read_parquet(docs_root, columns=len_cols)
+        aggs = [Count(alias_name="n_docs")] + [
+            Sum(c, alias_name=f"total_{c}") for c in len_cols]
+        stats = stats_ds.aggregate(*aggs)
+        n_docs = int(stats["n_docs"])
+        avgdl = {f: (stats[f"total_{f}__len"] or 0) / max(1, n_docs)
+                 for f in cfg.fields}
+    res.n_docs = n_docs
+    res.stage_seconds["docs"] = t_docs.seconds
+
+    # ---- segments: delta or full rebuild ------------------------------
+    state = man.get("segments_inc") or {}
+    covered: dict = dict(state.get("covered", {}))
+    changed = [h for h in covered
+               if h not in part_fp or covered[h] != part_fp[h]]
+    new = [h for h in parts if h not in covered]
+
+    def _ids_of(hs: list[str]) -> np.ndarray:
+        fls = _parquet_files([os.path.join(docs_root, f"p_{h}")
+                              for h in hs])
+        tbl = pa.concat_tables([
+            pa.table({"doc_id": b["doc_id"]})
+            for b in ray.data.read_parquet(fls, columns=["doc_id"])
+                .iter_batches(batch_format="pyarrow", batch_size=65536)])
+        return np.sort(tbl["doc_id"].to_numpy())
+
+    with StageTimer() as t_seg:
+        if not changed and not new:
+            res.resumed_stages.append("segments")
+            num_shards = int(state.get("num_shards", 1))
+        else:
+            new_ids = _ids_of(new) if new else np.empty(0, dtype=np.int64)
+            append_ok = (covered and not changed and len(new_ids) > 0
+                         and int(new_ids[0]) > int(state["max_doc_id"]))
+            if append_ok:
+                shard_shift = int(state["shard_shift"])
+                rank_offset = int(state["next_rank"])
+                top_rank = rank_offset + len(new_ids) - 1
+                num_shards = (top_rank >> shard_shift) + 1
+                _encode_segments(
+                    _parquet_files([os.path.join(fwd_root, f"p_{h}")
+                                    for h in new]),
+                    seg_dir, cfg, new_ids, num_shards, shard_shift,
+                    rank_offset, gen=int(state["gen"]) + 1)
+                state = {
+                    "covered": {**covered, **{h: part_fp[h] for h in new}},
+                    "gen": int(state["gen"]) + 1,
+                    "next_rank": rank_offset + len(new_ids),
+                    "max_doc_id": int(new_ids[-1]),
+                    "shard_shift": shard_shift,
+                    "num_shards": num_shards,
+                }
+                res.resumed_stages.append("segments:delta")
+            else:
+                all_ids = _ids_of(list(parts))
+                fresh_dir(seg_dir)
+                num_shards = cfg.num_shards or _next_pow2(
+                    max(1, n_docs // DEFAULT_DOCS_PER_SHARD))
+                shard_shift = max(0, (max(1, n_docs - 1)).bit_length()
+                                  - (num_shards.bit_length() - 1))
+                _encode_segments(
+                    _parquet_files([os.path.join(fwd_root, f"p_{h}")
+                                    for h in parts]),
+                    seg_dir, cfg, all_ids, num_shards, shard_shift,
+                    rank_offset=0, gen=0)
+                state = {
+                    "covered": dict(part_fp), "gen": 0,
+                    "next_rank": len(all_ids),
+                    "max_doc_id": int(all_ids[-1]) if len(all_ids) else -1,
+                    "shard_shift": shard_shift, "num_shards": num_shards,
+                }
+            man.mark_done("segments_inc", "state", **state)
+    res.num_shards = int(state.get("num_shards", 1))
+    res.stage_seconds["segments"] = t_seg.seconds
+
+    meta = {"fields": list(cfg.fields), "n_docs": n_docs, "avgdl": avgdl,
+            "k1": cfg.k1, "b": cfg.b, "tokenizer_version": _TV,
+            "keep": list(cfg.keep), "num_shards": res.num_shards,
+            "id_space": "rank", "incremental": True}
+    with open(meta_path + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_path + ".tmp", meta_path)
+
+    # ---- termdict (cheap re-agg over block metadata) -------------------
+    seg_out_fp = fingerprint_paths([seg_dir])
+    if resume and man.is_done("termdict", seg_out_fp):
+        res.resumed_stages.append("termdict")
+    else:
+        fresh_dir(td_dir)
+        with StageTimer() as t_td:
+            seg_meta = ray.data.read_parquet(
+                seg_dir, columns=["field", "term", "n", "sum_tf"],
+                override_num_blocks=auto_num_blocks(seg_dir))
+            td = grouped_agg(seg_meta, ["field", "term"],
+                             {"df": ("n", "sum"), "cf": ("sum_tf", "sum")},
+                             num_buckets=max(16, input_bytes(seg_dir) // (8 << 20)))
+            td.write_parquet(td_dir)
+        man.mark_done("termdict", seg_out_fp, seconds=t_td.seconds)
+        res.stage_seconds["termdict"] = t_td.seconds
+
+    import glob as _glob
     res.n_terms = sum(
         _pq.ParquetFile(f).metadata.num_rows
         for f in _glob.glob(os.path.join(td_dir, "*.parquet")))

@@ -132,7 +132,10 @@ class IndexReader:
         self.b: float = self.meta["b"]
 
         # --- docs table: doc_id -> row index; dl arrays; metadata ---------
-        docs = pq.read_table(os.path.join(index_dir, "docs"))
+        # (dataset API: the incremental build nests per-input partitions)
+        import pyarrow.dataset as _pads
+        docs = _pads.dataset(os.path.join(index_dir, "docs"),
+                             format="parquet").to_table()
         order = np.argsort(docs["doc_id"].to_numpy(), kind="stable")
         self.doc_ids = docs["doc_id"].to_numpy()[order]
         self.doc_index = {int(d): i for i, d in enumerate(self.doc_ids)}
@@ -159,11 +162,19 @@ class IndexReader:
         metas, loc_fi, loc_rg, loc_row = [], [], [], []
         for fi, path in enumerate(files):
             pf = pq.ParquetFile(path)
+            # delta (incremental) segment files carry a build generation;
+            # base files predate it → gen 0
+            has_gen = "gen" in pf.schema_arrow.names
+            cols = meta_cols + (["gen"] if has_gen else [])
             for rg in range(pf.num_row_groups):
-                t = pf.read_row_group(rg, columns=meta_cols)
+                t = pf.read_row_group(rg, columns=cols)
                 if t.num_rows == 0:
                     continue
-                metas.append(t)
+                if not has_gen:
+                    import pyarrow as pa
+                    t = t.append_column(
+                        "gen", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+                metas.append(t.select(meta_cols + ["gen"]))
                 loc_fi.append(np.full(t.num_rows, fi, dtype=np.int32))
                 loc_rg.append(np.full(t.num_rows, rg, dtype=np.int32))
                 loc_row.append(np.arange(t.num_rows, dtype=np.int32))
@@ -174,10 +185,11 @@ class IndexReader:
             df_["__fi"] = np.concatenate(loc_fi)
             df_["__rg"] = np.concatenate(loc_rg)
             df_["__row"] = np.concatenate(loc_row)
-            # global doc order = (shard asc, block_id asc); min_doc is
-            # equivalent but (shard, block_id) is explicit about layout
-            df_ = df_.sort_values(["field", "term", "shard", "block_id"],
-                                  kind="stable")
+            # global doc order = (shard asc, gen asc, block_id asc): delta
+            # builds append ranks after the previous dense rank space, so
+            # within an equal shard every gen-g block precedes gen-g+1
+            df_ = df_.sort_values(["field", "term", "shard", "gen",
+                                   "block_id"], kind="stable")
             for (fld, term), g in df_.groupby(["field", "term"], sort=False):
                 locs = list(zip(g["__fi"].astype(int),
                                 g["__rg"].astype(int),

@@ -69,6 +69,17 @@ class StageManifests:
             json.dump({"stage": stage, "input_fingerprint": input_fp, **metrics}, f)
         os.replace(tmp, self._path(stage))  # atomic (reference src/storage/checkpoint.rs:229-248)
 
+    def get(self, stage: str) -> dict | None:
+        """Full manifest payload for a stage (None if absent/corrupt)."""
+        p = self._path(stage)
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return None
+
     def clear(self, stage: str) -> None:
         p = self._path(stage)
         if os.path.exists(p):

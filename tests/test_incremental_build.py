@@ -1,0 +1,129 @@
+"""Partition-granular incremental build (SURVEY §7.1 step 5): append
+new input partitions → only they are tokenized/encoded (delta segment
+generation), and the index answers every query identically to a
+from-scratch build."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from baram_ray.index.build import IndexConfig, build_index_incremental
+from baram_ray.query.engine import QueryEngine
+
+WORDS = ["data", "stream", "query", "join", "sort", "merge", "scan",
+         "filter", "table", "hash", "vector", "batch", "row", "window"]
+
+
+def _write_part(path: str, lo: int, hi: int, seed: int):
+    rng = np.random.RandomState(seed)
+    rows = {"doc_id": [], "text": [], "lang": [], "n_chars": []}
+    for d in range(lo, hi):
+        text = " ".join(WORDS[rng.randint(len(WORDS))]
+                        for _ in range(20 + rng.randint(30)))
+        rows["doc_id"].append(d)
+        rows["text"].append(text)
+        rows["lang"].append("en" if d % 3 else "ko")
+        rows["n_chars"].append(len(text))
+    pq.write_table(pa.table(rows), path)
+
+
+CFG = IndexConfig(fields=("text",), id_cols=(), keep=("lang", "n_chars"))
+QUERIES = ["data stream", "join sort merge", "vector batch window",
+           "hash table scan filter", "row"]
+
+
+def _all_hits(idx: str):
+    eng = QueryEngine(idx)
+    out = {}
+    for q in QUERIES:
+        out[q] = eng.search(q, k=10_000)
+        assert eng.search(q, k=20, algorithm="wand") == out[q][:20]
+    return out
+
+
+def _termdict(idx: str) -> pd.DataFrame:
+    t = pq.read_table(os.path.join(idx, "termdict")).to_pandas()
+    return t.sort_values(["field", "term"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inc_corpus")
+    _write_part(str(d / "part0.parquet"), 0, 120, seed=1)
+    _write_part(str(d / "part1.parquet"), 120, 260, seed=2)
+    return str(d)
+
+
+def test_incremental_append_equals_scratch(ray_session, corpus, tmp_path):
+    inc_dir = str(tmp_path / "inc")
+    scratch_dir = str(tmp_path / "scratch")
+
+    # initial build over part0 only
+    r1 = build_index_incremental(
+        [os.path.join(corpus, "part0.parquet")], inc_dir, CFG)
+    assert r1.n_docs == 120
+
+    # append part1 → delta build: part0 forward is resumed, segments go
+    # through the delta path (not a full rebuild)
+    r2 = build_index_incremental(
+        [os.path.join(corpus, "part0.parquet"),
+         os.path.join(corpus, "part1.parquet")], inc_dir, CFG)
+    assert r2.n_docs == 260
+    assert any(s.startswith("forward:") for s in r2.resumed_stages)
+    assert "segments:delta" in r2.resumed_stages
+
+    # from-scratch over both parts
+    build_index_incremental(
+        [os.path.join(corpus, "part0.parquet"),
+         os.path.join(corpus, "part1.parquet")], scratch_dir, CFG)
+
+    # identical query answers (scores + ranking, DAAT and WAND) and
+    # identical term statistics
+    inc_hits, scr_hits = _all_hits(inc_dir), _all_hits(scratch_dir)
+    for q in QUERIES:
+        assert inc_hits[q] == scr_hits[q], q
+    pd.testing.assert_frame_equal(_termdict(inc_dir), _termdict(scratch_dir))
+
+
+def test_incremental_noop_resume(ray_session, corpus, tmp_path):
+    idx = str(tmp_path / "idx")
+    files = [os.path.join(corpus, "part0.parquet")]
+    build_index_incremental(files, idx, CFG)
+    r = build_index_incremental(files, idx, CFG)
+    assert "segments" in r.resumed_stages           # nothing re-encoded
+    assert all(s.startswith(("forward:", "segments", "termdict"))
+               for s in r.resumed_stages)
+
+
+def test_incremental_inplace_change_full_rebuild(ray_session, corpus,
+                                                 tmp_path):
+    """An edited (non-append) partition forces a correct full rebuild."""
+    d = str(tmp_path / "data")
+    os.makedirs(d)
+    shutil.copy(os.path.join(corpus, "part0.parquet"), d)
+    p1 = os.path.join(d, "part1.parquet")
+    _write_part(p1, 120, 200, seed=3)
+    idx = str(tmp_path / "idx")
+    files = [os.path.join(d, "part0.parquet"), p1]
+    build_index_incremental(files, idx, CFG)
+    before = _all_hits(idx)
+
+    # rewrite part1 with DIFFERENT content (ids overlap the old range →
+    # not an append; fingerprint change forces the full path)
+    _write_part(p1, 120, 240, seed=9)
+    r = build_index_incremental(files, idx, CFG)
+    assert "segments:delta" not in r.resumed_stages  # full rebuild path
+    assert r.n_docs == 240
+
+    scratch = str(tmp_path / "scratch")
+    build_index_incremental(files, scratch, CFG)
+    a, b = _all_hits(idx), _all_hits(scratch)
+    for q in QUERIES:
+        assert a[q] == b[q]
