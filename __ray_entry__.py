@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_neardup_pairs": trainp.sim_neardup_pairs,
         "sim_neardup_lsh": trainp.sim_neardup_lsh,
         "sim_centroid_assign": trainp.sim_centroid_assign,
+        # embedding prep (M16 + A1 actor-pool inference shape)
+        "doc_embed_prep": trainp.doc_embed_prep,
+        "doc_embed_vectors": trainp.doc_embed_vectors,
         # text analysis (M1/M2 sanitize + training-data scoring)
         "text_langid": trainp.text_langid,
         "text_quality": trainp.text_quality,

@@ -64,6 +64,11 @@ class IndexConfig:
     b: float = 0.75            # sets no similarity override (src/embedding/mod.rs:238-277)
     num_shards: int | None = None   # derived from doc count when None
     tokenize_batch_size: int = 256  # wide rows: content can be MBs (SURVEY §7.3)
+    # duplicate doc_id policy: "error" fails loudly; "first" keeps one row
+    # per id (min sha256 — deterministic and order-independent, the batch
+    # analogue of the reference's id-upsert ingest where a re-crawled
+    # (repo, path, commit) overwrites its previous version)
+    on_duplicate: str = "error"
 
 
 @dataclass
@@ -195,16 +200,23 @@ def _tiled_binary(buf: bytes, starts: np.ndarray,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
 
 
-def _encode_bucket(bucket: pa.Table) -> pa.Table:
+def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None) -> pa.Table:
     """Per-bucket body: every (field, term, shard) key wholly inside →
     merge partial lists → sorted postings → encoded blocks.
 
     Fully vectorized AND Arrow-native: list columns are read through
     ``values``/``offsets`` (zero-copy — a pandas conversion here would
-    materialize millions of Python list objects), one lexsort orders all
+    materialize millions of Python list objects), ONE sort orders all
     postings by (group, doc_id), one varint pass encodes every block, and
     the output binary columns are zero-copy views over the encode buffers.
-    A per-(term,shard) loop costs minutes at real vocab sizes."""
+    A per-(term,shard) loop costs minutes at real vocab sizes.
+
+    When ``shard_shift`` is known, the (group, doc) order comes from a
+    single composite-key argsort — ``gid << shift | local_rank`` (ranks
+    within a group share one shard, so ``rank & (2^shift − 1)`` is
+    unique and order-preserving) — which is ~10× cheaper in memory
+    traffic than the two-key lexsort it replaces (round-1 verdict #10:
+    the segments stage was memory-bandwidth-bound at 32 cores)."""
     from baram_ray.index.codec import BLOCK_SIZE, encode_varints_np
 
     n_rows = bucket.num_rows
@@ -239,7 +251,13 @@ def _encode_bucket(bucket: pa.Table) -> pa.Table:
     post_gid = row_gid[post_row]
     # tf values are aligned with doc values row-by-row; build flat arrays
     # in row order (they already are: values arrays follow list order)
-    order = np.lexsort((docs_all, post_gid))       # by group, then doc_id
+    if (shard_shift is not None
+            and n_groups.bit_length() + shard_shift < 63):
+        mask = np.int64((1 << shard_shift) - 1)
+        comp = (post_gid << np.int64(shard_shift)) | (docs_all & mask)
+        order = np.argsort(comp, kind="stable")    # by group, then doc_id
+    else:
+        order = np.lexsort((docs_all, post_gid))   # fallback: huge shifts
     docs_s = docs_all[order]
     tfs_s = tfs_all[order]
     gid_s = post_gid[order]
@@ -286,6 +304,53 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _collect_sorted_ids(d: str) -> np.ndarray:
+    """Sorted doc_id column of a stage directory (one pruned scan)."""
+    tables = [pa.table({"doc_id": b["doc_id"]}) for b in
+              ray.data.read_parquet(_parquet_files([d]), columns=["doc_id"])
+                  .iter_batches(batch_format="pyarrow", batch_size=65536)]
+    if not tables:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(pa.concat_tables(tables)["doc_id"].to_numpy())
+
+
+def _dups_in(ids_sorted: np.ndarray) -> np.ndarray:
+    if not len(ids_sorted):
+        return np.empty(0, dtype=np.int64)
+    return np.unique(ids_sorted[:-1][np.diff(ids_sorted) == 0])
+
+
+def _dedup_first_wins(fwd_dir: str) -> None:
+    """Rewrite the forward index keeping ONE row per doc_id — the row
+    with the lexicographically smallest sha256 (deterministic and
+    partition-order-independent; the batch analogue of the reference's
+    id-upsert where a re-crawled (repo, path, commit) replaces its
+    previous version). One hash exchange on doc_id; runs only when
+    duplicates exist."""
+    import shutil as _sh
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "sha": t["sha256"].to_pylist(),
+        })
+        df["i"] = np.arange(len(df))
+        keep = np.sort(df.sort_values(["doc_id", "sha", "i"], kind="stable")
+                         .drop_duplicates("doc_id")["i"].to_numpy())
+        return t.take(pa.array(keep))
+
+    ds = ray.data.read_parquet(_parquet_files([fwd_dir]),
+                               override_num_blocks=auto_num_blocks(fwd_dir))
+    out = grouped_map(ds, ["doc_id"], pick,
+                      num_buckets=int(max(16, input_bytes(fwd_dir) // (16 << 20))),
+                      batch_format="pyarrow")
+    tmp = fwd_dir + ".dedup"
+    fresh_dir(tmp)
+    out.write_parquet(tmp)
+    _sh.rmtree(fwd_dir)
+    os.replace(tmp, fwd_dir)
+
+
 def build_index(
     input_paths: list[str] | str,
     out_dir: str,
@@ -307,7 +372,7 @@ def build_index(
     from baram_ray.tokenizer import TOKENIZER_VERSION
     cfg_fp = (f":cfg=f{','.join(cfg.fields)}|i{','.join(cfg.id_cols)}"
               f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}"
-              f"|tok{TOKENIZER_VERSION}")
+              f"|tok{TOKENIZER_VERSION}|dup{cfg.on_duplicate}")
     input_fp = fingerprint_paths(input_paths) + cfg_fp
     res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
 
@@ -348,6 +413,21 @@ def build_index(
             fwd.write_parquet(fwd_dir)
         man.mark_done("forward", input_fp, seconds=t.seconds)
         res.stage_seconds["forward"] = t.seconds
+
+    # ---- duplicate-id policy (reference ingests by id-upsert) ------------
+    # one pruned id scan, reused by the segments stage; the "first" policy
+    # pays one extra exchange ONLY when duplicates actually exist
+    ids_sorted = _collect_sorted_ids(fwd_dir)
+    if len(_dups_in(ids_sorted)):
+        if cfg.on_duplicate == "error":
+            raise ValueError(
+                "duplicate doc_id(s) in corpus; pass "
+                "IndexConfig(on_duplicate='first') for id-upsert semantics "
+                "or dedup upstream (doc_dedup_exact)")
+        with StageTimer() as t:
+            _dedup_first_wins(fwd_dir)
+            ids_sorted = _collect_sorted_ids(fwd_dir)
+        res.stage_seconds["dedup_ids"] = t.seconds
 
     fwd_fp = fingerprint_paths([fwd_dir])
 
@@ -402,20 +482,10 @@ def build_index(
         fresh_dir(seg_dir)
         with StageTimer() as t:
             import ray as _ray
-            ids_sorted = np.sort(pa.concat_tables([
-                pa.table({"doc_id": b["doc_id"]}) for b in
-                ray.data.read_parquet(docs_dir, columns=["doc_id"])
-                    .iter_batches(batch_format="pyarrow", batch_size=65536)
-            ])["doc_id"].to_numpy())
-            # rank-space postings REQUIRE unique doc_ids: searchsorted would
-            # silently collapse duplicates onto one rank and misalign
-            # dl/metadata (user-supplied ids, or hash collisions at the
-            # 10^12-doc design scale, must fail loudly here)
-            if len(ids_sorted) and not np.all(np.diff(ids_sorted) > 0):
-                dup = ids_sorted[:-1][np.diff(ids_sorted) == 0]
-                raise ValueError(
-                    f"duplicate doc_id(s) in corpus (e.g. {dup[:5].tolist()}); "
-                    "dedup upstream (doc_dedup_exact) before indexing")
+            # rank-space postings REQUIRE unique doc_ids (searchsorted
+            # would silently collapse duplicates onto one rank); the
+            # policy block above guaranteed it — keep the assert cheap
+            assert not len(_dups_in(ids_sorted))
             ids_ref = _ray.put(ids_sorted)
             post_cols = ["doc_id"] + [c for f in cfg.fields
                                       for c in (f"{f}__terms", f"{f}__tfs")]
@@ -427,8 +497,10 @@ def build_index(
             # task (pre_fn) — its output goes straight into per-bucket
             # fragments, never unpartitioned through the object store.
             n_buckets = int(max(32, input_bytes(fwd_dir) // (8 << 20)))
+            import functools as _ft
             seg = grouped_map(
-                fwd_ds, ["field", "term", "shard"], _encode_bucket,
+                fwd_ds, ["field", "term", "shard"],
+                _ft.partial(_encode_bucket, shard_shift=shard_shift),
                 num_buckets=n_buckets, batch_format="pyarrow",
                 pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
                                        ids_ref=ids_ref,
@@ -527,8 +599,10 @@ def _encode_segments(fwd_paths, seg_dir: str, cfg, ids_sorted: np.ndarray,
     fwd_ds = ray.data.read_parquet(fwd_paths, columns=post_cols,
                                    override_num_blocks=auto_num_blocks(fwd_paths))
     n_buckets = int(max(32, input_bytes(fwd_paths) // (8 << 20)))
+    import functools as _ft
     seg = grouped_map(
-        fwd_ds, ["field", "term", "shard"], _encode_bucket,
+        fwd_ds, ["field", "term", "shard"],
+        _ft.partial(_encode_bucket, shard_shift=shard_shift),
         num_buckets=n_buckets, batch_format="pyarrow",
         pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
                                ids_ref=ids_ref, num_shards=num_shards,
@@ -610,6 +684,11 @@ def build_index_incremental(
                 .map_batches(norm, batch_format="pyarrow",
                              batch_size=cfg.tokenize_batch_size)
             fwd.write_parquet(pdir)
+            # within-partition id-upsert (cross-partition duplicates are
+            # rejected by the encode-stage uniqueness check)
+            if cfg.on_duplicate == "first" \
+                    and len(_dups_in(_collect_sorted_ids(pdir))):
+                _dedup_first_wins(pdir)
             ray.data.read_parquet(pdir, columns=doc_cols).write_parquet(ddir)
             man.mark_done(f"forward:{h}", part_fp[h])
     res.stage_seconds["forward"] = t_fwd.seconds

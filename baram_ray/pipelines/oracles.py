@@ -296,6 +296,19 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, 'op', entity, count(*), 0.6, true
         FROM op GROUP BY 1, 3
     """,
+    # M16 embedding text prep: '{title} {content}' concat + 512-token
+    # truncation (reference src/commands/index.rs:274 +
+    # vectorize.rs:287; source stands in for title on this table)
+    "doc_embed_prep": r"""
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(trim(source || ' ' || text),
+                                             '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               array_to_string(toks[1:512], ' ') AS embed_text,
+               least(512, len(toks)) AS n_tokens
+        FROM t
+    """,
     # M10 relations: the same two relation regexes evaluated by DuckDB
     # (corpus has no sentence punctuation, so whole-text scan == the
     # pipeline's sentence-scoped scan; both engines use non-overlapping

@@ -83,6 +83,46 @@ def sim_centroid_assign(sf_dir: str):
     return similarity.assign_centroids(ds, n_centroids=8)
 
 
+# ------------------------ embedding prep (M16) ----------------------- #
+
+def doc_embed_prep(sf_dir: str):
+    """M16: '{title} {content}' concat + 512-token truncation (the
+    embedder input projection; SQL oracle). `source` stands in for the
+    title column on the synthetic documents table."""
+    from baram_ray.stages.embed import EmbedPrepStage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    return ds.map_batches(EmbedPrepStage("text", title_col="source"),
+                          batch_format="pyarrow")
+
+
+def doc_embed_vectors(sf_dir: str):
+    """A1/M16: actor-pool batched 'inference' over the prepped text
+    (deterministic fake encoder — no model in container; schema and
+    determinism pytest-checked). Returns (doc_id, dim, norm)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from baram_ray.stages.embed import EMBED_BATCH, EmbedStage
+    prep = doc_embed_prep(sf_dir)
+    vecs = prep.map_batches(EmbedStage, concurrency=2,
+                            batch_size=EMBED_BATCH,
+                            batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False)
+        dim = batch["dim"].to_numpy(zero_copy_only=False)
+        m = vals.reshape(batch.num_rows, -1)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dim": batch["dim"],
+            "norm": pa.array(np.round(np.linalg.norm(m, axis=1), 4),
+                             pa.float64()),
+        })
+
+    return vecs.map_batches(project, batch_format="pyarrow")
+
+
 # --------------------------- text analysis --------------------------- #
 
 # text stages run as plain tasks (instance form): their setup (regex

@@ -167,7 +167,7 @@ def run_code_bench(n_docs: int | None = None) -> dict:
     warm = corpus_parquet(2000, seed=7)
     shutil.rmtree("/tmp/baram_warm_idx", ignore_errors=True)
     build_index(warm, "/tmp/baram_warm_idx",
-                IndexConfig(fields=("content", "path")), resume=False)
+                IndexConfig(fields=("content", "path"), on_duplicate="first"), resume=False)
 
     path = corpus_parquet(n_docs, seed=42)
     corpus_mb = os.path.getsize(path) / 1e6
@@ -176,7 +176,7 @@ def run_code_bench(n_docs: int | None = None) -> dict:
         out = f"/tmp/baram_code_idx_{num_cpus}"
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
-        res = build_index(path, out, IndexConfig(fields=("content", "path")),
+        res = build_index(path, out, IndexConfig(fields=("content", "path"), on_duplicate="first"),
                           resume=False)
         dt = time.perf_counter() - t0
         if best is None or dt < best:

@@ -1,0 +1,127 @@
+"""Config surface (reference src/config/mod.rs), segment compaction,
+and the M16 embedding stages."""
+
+import os
+
+import numpy as np
+import pytest
+
+import ray
+
+from baram_ray.config import EngineConfig, load_config
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ #
+# config: defaults < TOML < env
+# ------------------------------------------------------------------ #
+
+def test_config_defaults_and_toml(tmp_path):
+    cfg = load_config()
+    assert cfg.query.k == 10 and cfg.query.title_boost == 2.0
+    p = tmp_path / "baram.toml"
+    p.write_text("""
+[index]
+fields = ["text"]
+k1 = 0.9
+on_duplicate = "first"
+
+[query]
+k = 25
+""")
+    cfg = load_config(str(p))
+    assert cfg.index.fields == ("text",)
+    assert cfg.index.k1 == 0.9
+    assert cfg.query.k == 25
+    ic = cfg.index_config()
+    assert ic.fields == ("text",) and ic.on_duplicate == "first"
+
+
+def test_config_env_overrides(tmp_path, monkeypatch):
+    monkeypatch.setenv("BARAM_RAY_QUERY_K", "33")
+    monkeypatch.setenv("BARAM_RAY_INDEX_FIELDS", "content,path")
+    monkeypatch.setenv("BARAM_RAY_RUNTIME_QUERY_CONCURRENCY", "8")
+    cfg = load_config()
+    assert cfg.query.k == 33
+    assert cfg.index.fields == ("content", "path")
+    assert cfg.runtime.query_concurrency == 8
+
+
+def test_config_rejects_unknown(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[nosuch]\nx = 1\n")
+    with pytest.raises(ValueError):
+        load_config(str(p))
+    p.write_text("[query]\nnope = 1\n")
+    with pytest.raises(ValueError):
+        load_config(str(p))
+
+
+# ------------------------------------------------------------------ #
+# segment compaction: file count drops, queries identical
+# ------------------------------------------------------------------ #
+
+def test_compact_preserves_queries(ray_session, tmp_path):
+    from baram_ray.index.build import IndexConfig, build_index_incremental
+    from baram_ray.index.compact import compact_segments
+    from baram_ray.query.engine import QueryEngine
+    from tests.test_incremental_build import _write_part
+
+    d = tmp_path / "data"
+    d.mkdir()
+    _write_part(str(d / "p0.parquet"), 0, 100, seed=4)
+    _write_part(str(d / "p1.parquet"), 100, 200, seed=5)
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang",))
+    idx = str(tmp_path / "idx")
+    build_index_incremental([str(d / "p0.parquet")], idx, cfg)
+    build_index_incremental([str(d / "p0.parquet"),
+                             str(d / "p1.parquet")], idx, cfg)
+
+    before = {q: QueryEngine(idx).search(q, k=50)
+              for q in ("data stream", "join sort", "hash table")}
+    stats = compact_segments(idx, target_mb=64)
+    assert stats["files_after"] < stats["files_before"]
+    eng = QueryEngine(idx)
+    for q, hits in before.items():
+        assert eng.search(q, k=50) == hits
+        assert eng.search(q, k=50, algorithm="wand") == hits[:50]
+
+
+# ------------------------------------------------------------------ #
+# M16 embedding stages
+# ------------------------------------------------------------------ #
+
+def test_prep_text_truncation():
+    from baram_ray.stages.embed import prep_text
+    s, n = prep_text("Title", "a b c")
+    assert s == "Title a b c" and n == 4
+    s, n = prep_text(None, " ".join(str(i) for i in range(600)))
+    assert n == 512 and s.split()[-1] == "511"
+    assert prep_text(None, "") == ("", 0)
+
+
+def test_embed_stage_deterministic_and_stubbed():
+    import pyarrow as pa
+    from baram_ray.stages.embed import EMBED_DIM, EmbedStage
+    with pytest.raises(NotImplementedError):
+        EmbedStage(real_model=True)
+    st1, st2 = EmbedStage(), EmbedStage()
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "embed_text": pa.array(["hello world", "other text"])})
+    o1, o2 = st1(t), st2(t)
+    assert o1.equals(o2)                        # actor-independent
+    v = np.asarray(o1["embedding"].to_pylist()[0])
+    assert len(v) == EMBED_DIM
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5  # normalized
+    # different text -> different vector
+    v2 = np.asarray(o1["embedding"].to_pylist()[1])
+    assert not np.allclose(v, v2)
+
+
+def test_doc_embed_pipeline(ray_session):
+    from baram_ray.pipelines.training import doc_embed_vectors
+    out = doc_embed_vectors(SF).to_pandas()
+    assert set(out.columns) == {"doc_id", "dim", "norm"}
+    assert (out["dim"] == 384).all()
+    assert ((out["norm"] - 1.0).abs() < 1e-3).all()
