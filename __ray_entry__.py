@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_highlights": searchp.bm25_highlights,
         "search_bm25_paged": searchp.bm25_paged,
         "search_index_stats": searchp.index_stats,
+        "search_build_metrics": searchp.build_metrics,
+        "search_term_stats": searchp.index_term_stats,
         # dedup family (D1/D2 + near-dup extensions)
         "dedup_minhash": trainp.dedup_minhash,
         "dedup_simhash": trainp.dedup_simhash,
@@ -81,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_neardup_pairs": trainp.sim_neardup_pairs,
         "sim_neardup_lsh": trainp.sim_neardup_lsh,
         "sim_centroid_assign": trainp.sim_centroid_assign,
+        # M3 format-dispatch parse chain
+        "doc_parse_dispatch": trainp.doc_parse_dispatch,
         # embedding prep (M16 + A1 actor-pool inference shape)
         "doc_embed_prep": trainp.doc_embed_prep,
         "doc_embed_vectors": trainp.doc_embed_vectors,

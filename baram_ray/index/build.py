@@ -320,14 +320,36 @@ def _dups_in(ids_sorted: np.ndarray) -> np.ndarray:
     return np.unique(ids_sorted[:-1][np.diff(ids_sorted) == 0])
 
 
-def _dedup_first_wins(fwd_dir: str) -> None:
+def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     """Rewrite the forward index keeping ONE row per doc_id — the row
     with the lexicographically smallest sha256 (deterministic and
     partition-order-independent; the batch analogue of the reference's
     id-upsert where a re-crawled (repo, path, commit) replaces its
-    previous version). One hash exchange on doc_id; runs only when
-    duplicates exist."""
+    previous version).
+
+    SELECTIVE exchange: the duplicated ids are already known (sorted
+    ``dup_ids``, broadcast once), so rows with unique ids stream
+    straight to the rewritten directory with no shuffle at all — only
+    the duplicated rows (typically a few percent of the corpus) are
+    co-located by id to pick winners. At 100 TB that is the difference
+    between shuffling everything and shuffling the conflict set.
+    """
+    import ray as _ray
     import shutil as _sh
+
+    dup_ref = _ray.put(np.sort(dup_ids))
+
+    def _member(ids: np.ndarray, dup: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(dup, ids).clip(max=len(dup) - 1)
+        return dup[pos] == ids
+
+    def keep_unique(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~_member(ids, _ray.get(dup_ref))))
+
+    def keep_dups(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(_member(ids, _ray.get(dup_ref))))
 
     def pick(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -339,14 +361,19 @@ def _dedup_first_wins(fwd_dir: str) -> None:
                          .drop_duplicates("doc_id")["i"].to_numpy())
         return t.take(pa.array(keep))
 
-    ds = ray.data.read_parquet(_parquet_files([fwd_dir]),
-                               override_num_blocks=auto_num_blocks(fwd_dir))
-    out = grouped_map(ds, ["doc_id"], pick,
-                      num_buckets=int(max(16, input_bytes(fwd_dir) // (16 << 20))),
-                      batch_format="pyarrow")
+    files = _parquet_files([fwd_dir])
+    nb = auto_num_blocks(fwd_dir)
+    clean = ray.data.read_parquet(files, override_num_blocks=nb) \
+        .map_batches(keep_unique, batch_format="pyarrow")
+    dups = ray.data.read_parquet(files, override_num_blocks=nb) \
+        .map_batches(keep_dups, batch_format="pyarrow")
+    winners = grouped_map(
+        dups, ["doc_id"], pick,
+        num_buckets=int(max(4, len(dup_ids) // 50_000)),
+        batch_format="pyarrow")
     tmp = fwd_dir + ".dedup"
     fresh_dir(tmp)
-    out.write_parquet(tmp)
+    clean.union(winners).write_parquet(tmp)
     _sh.rmtree(fwd_dir)
     os.replace(tmp, fwd_dir)
 
@@ -418,15 +445,16 @@ def build_index(
     # one pruned id scan, reused by the segments stage; the "first" policy
     # pays one extra exchange ONLY when duplicates actually exist
     ids_sorted = _collect_sorted_ids(fwd_dir)
-    if len(_dups_in(ids_sorted)):
+    dup_ids = _dups_in(ids_sorted)
+    if len(dup_ids):
         if cfg.on_duplicate == "error":
             raise ValueError(
                 "duplicate doc_id(s) in corpus; pass "
                 "IndexConfig(on_duplicate='first') for id-upsert semantics "
                 "or dedup upstream (doc_dedup_exact)")
         with StageTimer() as t:
-            _dedup_first_wins(fwd_dir)
-            ids_sorted = _collect_sorted_ids(fwd_dir)
+            _dedup_first_wins(fwd_dir, dup_ids)
+            ids_sorted = np.unique(ids_sorted)   # post-dedup id set
         res.stage_seconds["dedup_ids"] = t.seconds
 
     fwd_fp = fingerprint_paths([fwd_dir])
@@ -686,9 +714,9 @@ def build_index_incremental(
             fwd.write_parquet(pdir)
             # within-partition id-upsert (cross-partition duplicates are
             # rejected by the encode-stage uniqueness check)
-            if cfg.on_duplicate == "first" \
-                    and len(_dups_in(_collect_sorted_ids(pdir))):
-                _dedup_first_wins(pdir)
+            part_dups = _dups_in(_collect_sorted_ids(pdir))
+            if cfg.on_duplicate == "first" and len(part_dups):
+                _dedup_first_wins(pdir, part_dups)
             ray.data.read_parquet(pdir, columns=doc_cols).write_parquet(ddir)
             man.mark_done(f"forward:{h}", part_fp[h])
     res.stage_seconds["forward"] = t_fwd.seconds

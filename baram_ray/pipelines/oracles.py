@@ -296,6 +296,14 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, 'op', entity, count(*), 0.6, true
         FROM op GROUP BY 1, 3
     """,
+    # M3 format dispatch: the corpus is plain single-space text, so the
+    # dispatcher must pick 'plain' and pass content through unmangled
+    # (html/markdown/json branches + fallback order are unit-tested)
+    "doc_parse_dispatch": """
+        SELECT doc_id, 'plain' AS format_used, true AS parse_ok,
+               n_chars AS n_chars_out
+        FROM documents
+    """,
     # M16 embedding text prep: '{title} {content}' concat + 512-token
     # truncation (reference src/commands/index.rs:274 +
     # vectorize.rs:287; source stands in for title on this table)

@@ -243,6 +243,46 @@ def hybrid_topk(sf_dir: str, query_text: str = "data stream query",
     })
 
 
+def build_metrics(sf_dir: str):
+    """G11: per-stage pipeline counters from the build manifests (the
+    reference's per-batch metrics / checkpoint records,
+    src/commands/index.rs:311-323)."""
+    import glob
+    import json as _json
+    idx = ensure_index(sf_dir)
+    rows = []
+    for p in sorted(glob.glob(os.path.join(idx, "_manifests", "*.json"))):
+        with open(p) as f:
+            m = _json.load(f)
+        rows.append({
+            "stage": m.get("stage", os.path.basename(p)[:-5]),
+            "seconds": float(m.get("seconds", 0.0)),
+            "n_docs": int(m.get("n_docs", 0)),
+        })
+    return pd.DataFrame(rows, columns=["stage", "seconds", "n_docs"])
+
+
+def index_term_stats(sf_dir: str):
+    """G12: tokenizer/vocabulary statistics — term count, hapax (df=1)
+    count and rate (the UNK-rate analogue for a corpus-defined
+    vocabulary), total collection frequency, max df."""
+    idx = ensure_index(sf_dir)
+    td = ray.data.read_parquet(os.path.join(idx, "termdict"))
+    from ray.data.aggregate import Count, Max, Sum
+    agg = td.aggregate(Count(alias_name="n_terms"),
+                       Sum("cf", alias_name="cf_total"),
+                       Max("df", alias_name="max_df"))
+    hapax = td.filter(lambda r: r["df"] == 1).count()
+    n_terms = int(agg["n_terms"])
+    return pd.DataFrame([{
+        "n_terms": n_terms,
+        "hapax_terms": int(hapax),
+        "hapax_rate": round(hapax / max(1, n_terms), 6),
+        "cf_total": int(agg["cf_total"]),
+        "max_df": int(agg["max_df"]),
+    }])
+
+
 def index_stats(sf_dir: str):
     """S6-style count/maintenance surface (reference get_document_count,
     src/embedding/mod.rs:807-818)."""

@@ -83,6 +83,21 @@ def sim_centroid_assign(sf_dir: str):
     return similarity.assign_centroids(ds, n_centroids=8)
 
 
+# ----------------- M3: format-dispatch parse chain ------------------- #
+
+def doc_parse_dispatch(sf_dir: str):
+    """M3: detect-format → parse → fallback-chain over documents
+    (reference parse_with_fallback). The synthetic corpus is plain text,
+    so the SQL oracle asserts the dispatcher identifies 'plain' and
+    passes content through unmangled; the html/markdown/json parsers and
+    the fallback order are unit-tested."""
+    from baram_ray.stages.text import ParseDispatchStage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(ParseDispatchStage("text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "format_used", "parse_ok",
+                               "n_chars_out"])
+
+
 # ------------------------ embedding prep (M16) ----------------------- #
 
 def doc_embed_prep(sf_dir: str):

@@ -234,3 +234,135 @@ class FingerprintStage:
             "min_fp": pa.array([min(f) if f else 0 for f in fps], pa.int64()),
             "fingerprints": pa.array(fps, pa.list_(pa.int64())),
         })
+
+
+# ------------------------------------------------------------------ #
+# M3: format-dispatch parser with fallback chain (reference
+# src/parser/html.rs:47-143 — detect_format → format parser → on
+# failure try every parser in fixed order; deleted-article check
+# first). The reference's formats are Naver page layouts; here the
+# formats are content syntaxes (html / markdown / json / plain) with
+# the same detect → parse → fallback-chain machinery.
+# ------------------------------------------------------------------ #
+
+_HTML_HINT_RE = re.compile(r"<\s*(html|body|div|p|span|article)\b", re.I)
+_MD_HINT_RE = re.compile(r"(^|\n)(#{1,6} |```|\* |- \[|\[[^\]]+\]\()")
+_MD_STRIP_RE = re.compile(
+    r"```.*?```|`([^`]*)`|\[([^\]]*)\]\([^)]*\)|[*_]{1,3}([^*_]+)[*_]{1,3}"
+    r"|^#{1,6} +", re.S | re.M)
+_DELETED_MARKERS = ("article not found", "deleted article",
+                    "삭제된 기사", "존재하지 않는 기사")
+
+
+class ParseError(ValueError):
+    pass
+
+
+def detect_format(text: str) -> str:
+    """Cheap syntax sniff (reference detect_format, html.rs:82)."""
+    if not text or not text.strip():
+        return "unknown"
+    s = text.lstrip()
+    if s[:1] in "{[":
+        return "json"
+    if _HTML_HINT_RE.search(text):
+        return "html"
+    if _MD_HINT_RE.search(text):
+        return "markdown"
+    return "plain"
+
+
+def _parse_html(text: str) -> str:
+    if not _HTML_HINT_RE.search(text):
+        raise ParseError("not html")
+    out = sanitize_text(strip_html_tags(text))
+    if not out:
+        raise ParseError("empty after strip")
+    return out
+
+
+def _parse_markdown(text: str) -> str:
+    if not _MD_HINT_RE.search(text):
+        raise ParseError("not markdown")
+    def repl(m: re.Match) -> str:
+        return next((g for g in m.groups() if g), " ")
+    out = sanitize_text(_MD_STRIP_RE.sub(repl, text))
+    if not out:
+        raise ParseError("empty after strip")
+    return out
+
+
+def _parse_json(text: str) -> str:
+    import json as _json
+    try:
+        data = _json.loads(text)
+    except ValueError as e:
+        raise ParseError(str(e)) from None
+    strings: list[str] = []
+
+    def walk(v):
+        if isinstance(v, str):
+            strings.append(v)
+        elif isinstance(v, dict):
+            for x in v.values():
+                walk(x)
+        elif isinstance(v, list):
+            for x in v:
+                walk(x)
+
+    walk(data)
+    out = sanitize_text(" ".join(strings))
+    if not out:
+        raise ParseError("no string content")
+    return out
+
+
+def _parse_plain(text: str) -> str:
+    out = sanitize_text(text)
+    if not out:
+        raise ParseError("empty")
+    return out
+
+
+_PARSERS = {"html": _parse_html, "markdown": _parse_markdown,
+            "json": _parse_json, "plain": _parse_plain}
+_FALLBACK_ORDER = ("html", "markdown", "json", "plain")
+
+
+def parse_with_fallback(text: str) -> tuple[str, str, bool]:
+    """(parsed_text, format_used, ok) — detected parser first, then the
+    fixed fallback chain (reference parse_with_fallback +
+    try_fallback_chain, html.rs:67-143); deleted-document markers fail
+    fast like the reference's is_deleted_article check."""
+    low = (text or "").lower()
+    if any(m in low for m in _DELETED_MARKERS):
+        return "", "deleted", False
+    fmt = detect_format(text)
+    tried = [fmt] if fmt in _PARSERS else []
+    tried += [f for f in _FALLBACK_ORDER if f not in tried]
+    for f in tried:
+        try:
+            return _PARSERS[f](text), f, True
+        except ParseError:
+            continue
+    return "", "unknown", False
+
+
+class ParseDispatchStage:
+    """map_batches UDF: (doc_id, text) → (doc_id, format_used,
+    parse_ok, text_out, n_chars_out)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [parse_with_fallback(t)
+                for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "format_used": pa.array([f for _, f, _ in outs], pa.string()),
+            "parse_ok": pa.array([ok for _, _, ok in outs], pa.bool_()),
+            "text_out": pa.array([t for t, _, _ in outs], pa.string()),
+            "n_chars_out": pa.array([len(t) for t, _, _ in outs],
+                                    pa.int64()),
+        })

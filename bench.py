@@ -241,7 +241,10 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+        rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+        print(json.dumps(run_scaling(lo, hi, rounds)))
     elif "--code" in sys.argv:
         print(json.dumps(run_code_bench()))
     else:

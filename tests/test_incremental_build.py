@@ -127,3 +127,33 @@ def test_incremental_inplace_change_full_rebuild(ray_session, corpus,
     a, b = _all_hits(idx), _all_hits(scratch)
     for q in QUERIES:
         assert a[q] == b[q]
+
+
+def test_on_duplicate_first_policy(ray_session, tmp_path):
+    """id-upsert: duplicate doc_ids keep exactly the min-sha256 row
+    (deterministic, partition-order-independent winner)."""
+    import hashlib
+
+    from baram_ray.index.build import build_index
+    from baram_ray.index.segment import IndexReader
+
+    rows = {"doc_id": [1, 1, 2, 3, 3, 3],
+            "text": ["bravo words here", "alpha words here",
+                     "charlie only", "delta x", "echo y", "foxtrot z"],
+            "lang": ["en"] * 6, "n_chars": [16, 16, 12, 7, 6, 9]}
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(pa.table(rows), p)
+    idx = str(tmp_path / "idx")
+    with pytest.raises(ValueError):
+        build_index(p, idx, CFG, resume=False)
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang",),
+                      on_duplicate="first")
+    res = build_index(p, idx, cfg, resume=False)
+    assert res.n_docs == 3
+    r = IndexReader(idx)
+    assert sorted(r.doc_ids) == [1, 2, 3]
+    sha = {int(d): s for d, s in zip(r.doc_ids, r.sha256)}
+    assert sha[1] == min(hashlib.sha256(t.encode()).hexdigest()
+                         for t in ("bravo words here", "alpha words here"))
+    assert sha[3] == min(hashlib.sha256(t.encode()).hexdigest()
+                         for t in ("delta x", "echo y", "foxtrot z"))

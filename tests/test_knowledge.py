@@ -159,3 +159,39 @@ def test_cluster_json_writer(tmp_path):
     with open(paths[0]) as f:
         d = json.load(f)
     assert d["article_count"] == 3 and d["category"] == "a"
+
+
+# ------------------------------------------------------------------ #
+# M3: format-dispatch parsing with fallback
+# ------------------------------------------------------------------ #
+
+def test_format_detect_and_parse():
+    from baram_ray.stages.text import detect_format, parse_with_fallback
+    assert detect_format("plain old words here") == "plain"
+    assert detect_format("<div>hi</div>") == "html"
+    assert detect_format("# Title\nbody") == "markdown"
+    assert detect_format('{"a": "b"}') == "json"
+
+    t, f, ok = parse_with_fallback("<div>hello <b>world</b></div>")
+    assert (t, f, ok) == ("hello world", "html", True)
+    t, f, ok = parse_with_fallback("# Head\nsome *bold* text")
+    assert f == "markdown" and ok and "Head" in t and "bold" in t \
+        and "*" not in t and "#" not in t
+    t, f, ok = parse_with_fallback('{"k": {"x": "alpha"}, "l": ["beta"]}')
+    assert (t, f, ok) == ("alpha beta", "json", True)
+    t, f, ok = parse_with_fallback("just words")
+    assert (f, ok) == ("plain", True) and t == "just words"
+
+
+def test_format_fallback_chain_and_deleted():
+    from baram_ray.stages.text import parse_with_fallback
+    # looks like json (starts with '{') but is invalid → falls back to
+    # plain via the chain
+    t, f, ok = parse_with_fallback("{not valid json but words")
+    assert ok and f == "plain" and "words" in t
+    # deleted marker fails fast (reference is_deleted_article)
+    t, f, ok = parse_with_fallback("page says: article not found")
+    assert (t, f, ok) == ("", "deleted", False)
+    # nothing parseable
+    t, f, ok = parse_with_fallback("   ")
+    assert ok is False and f == "unknown"
