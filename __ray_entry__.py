@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search over embeddings (K2 native)
         "sim_knn_bruteforce": trainp.sim_knn_bruteforce,
         "sim_knn_lsh": trainp.sim_knn_lsh,
+        "sim_knn_ivf": trainp.sim_knn_ivf,
         "sim_neardup_pairs": trainp.sim_neardup_pairs,
         "sim_neardup_lsh": trainp.sim_neardup_lsh,
         "sim_centroid_assign": trainp.sim_centroid_assign,

@@ -320,6 +320,11 @@ def _dups_in(ids_sorted: np.ndarray) -> np.ndarray:
     return np.unique(ids_sorted[:-1][np.diff(ids_sorted) == 0])
 
 
+def _member(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_set, ids).clip(max=len(sorted_set) - 1)
+    return sorted_set[pos] == ids
+
+
 def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     """Rewrite the forward index keeping ONE row per doc_id — the row
     with the lexicographically smallest sha256 (deterministic and
@@ -327,53 +332,89 @@ def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     id-upsert where a re-crawled (repo, path, commit) replaces its
     previous version).
 
-    SELECTIVE exchange: the duplicated ids are already known (sorted
-    ``dup_ids``, broadcast once), so rows with unique ids stream
-    straight to the rewritten directory with no shuffle at all — only
-    the duplicated rows (typically a few percent of the corpus) are
-    co-located by id to pick winners. At 100 TB that is the difference
-    between shuffling everything and shuffling the conflict set.
+    One pruned scan resolves the winners: the (doc_id, sha256) pairs of
+    the CONFLICT rows only (duplicated ids are known and broadcast) come
+    back to the driver — O(conflict rows), not O(corpus) — and the
+    winner map is broadcast for a single full-read filtered rewrite.
+    No shuffle at all except for "twin" ids whose winning sha itself
+    occurs more than once (byte-identical re-crawls): those rare rows
+    go through a tiny exchange that keeps exactly one.
     """
     import ray as _ray
     import shutil as _sh
 
-    dup_ref = _ray.put(np.sort(dup_ids))
+    dup_sorted = np.sort(dup_ids)
+    dup_ref = _ray.put(dup_sorted)
+    files = _parquet_files([fwd_dir])
+    nb = auto_num_blocks(fwd_dir)
 
-    def _member(ids: np.ndarray, dup: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(dup, ids).clip(max=len(dup) - 1)
-        return dup[pos] == ids
-
-    def keep_unique(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~_member(ids, _ray.get(dup_ref))))
-
-    def keep_dups(t: pa.Table) -> pa.Table:
+    # pruned conflict scan → winner sha per duplicated id
+    def dup_keys(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(_member(ids, _ray.get(dup_ref))))
 
-    def pick(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-            "sha": t["sha256"].to_pylist(),
-        })
-        df["i"] = np.arange(len(df))
-        keep = np.sort(df.sort_values(["doc_id", "sha", "i"], kind="stable")
-                         .drop_duplicates("doc_id")["i"].to_numpy())
-        return t.take(pa.array(keep))
+    keys = ray.data.read_parquet(files, columns=["doc_id", "sha256"],
+                                 override_num_blocks=nb) \
+        .map_batches(dup_keys, batch_format="pyarrow").to_pandas()
+    keys = keys.sort_values(["doc_id", "sha256"], kind="stable")
+    winners = keys.drop_duplicates("doc_id")
+    wmap = dict(zip(winners["doc_id"].astype(int), winners["sha256"]))
+    # twin ids: the winning (id, sha) pair itself occurs >1× — a filter
+    # can't pick one of identical rows, so they take the exchange path
+    counts = keys.groupby(["doc_id", "sha256"]).size()
+    twins = np.array(sorted(
+        int(i) for (i, s), n in counts.items()
+        if n > 1 and wmap[int(i)] == s), dtype=np.int64)
+    wref = _ray.put(wmap)
+    twin_ref = _ray.put(twins)
 
-    files = _parquet_files([fwd_dir])
-    nb = auto_num_blocks(fwd_dir)
+    def keep_winners(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dup = _member(ids, _ray.get(dup_ref))
+        if not dup.any():
+            return t
+        wm = _ray.get(wref)
+        shas = t["sha256"].to_pylist()
+        tw = _member(ids, _ray.get(twin_ref)) if len(twins) else \
+            np.zeros(len(ids), dtype=bool)
+        keep = ~dup | ((~tw) & np.array(
+            [wm.get(int(i)) == s for i, s in zip(ids, shas)]))
+        return t.filter(pa.array(keep))
+
     clean = ray.data.read_parquet(files, override_num_blocks=nb) \
-        .map_batches(keep_unique, batch_format="pyarrow")
-    dups = ray.data.read_parquet(files, override_num_blocks=nb) \
-        .map_batches(keep_dups, batch_format="pyarrow")
-    winners = grouped_map(
-        dups, ["doc_id"], pick,
-        num_buckets=int(max(4, len(dup_ids) // 50_000)),
-        batch_format="pyarrow")
+        .map_batches(keep_winners, batch_format="pyarrow")
+
+    out = clean
+    if len(twins):
+        def twin_rows(t: pa.Table) -> pa.Table:
+            # only the WINNER-sha rows of twin ids (the id may also have
+            # losing shas — those never survive)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = _member(ids, _ray.get(twin_ref))
+            if not m.any():
+                return t.filter(pa.array(m))
+            wm = _ray.get(wref)
+            shas = t["sha256"].to_pylist()
+            m &= np.array([wm.get(int(i)) == s for i, s in zip(ids, shas)])
+            return t.filter(pa.array(m))
+
+        def pick(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            df["i"] = np.arange(len(df))
+            keep = np.sort(df.drop_duplicates("doc_id")["i"].to_numpy())
+            return t.take(pa.array(keep))
+
+        twin_ds = ray.data.read_parquet(files, override_num_blocks=nb) \
+            .map_batches(twin_rows, batch_format="pyarrow")
+        one_each = grouped_map(twin_ds, ["doc_id"], pick,
+                               num_buckets=int(max(2, len(twins) // 50_000)),
+                               batch_format="pyarrow")
+        out = clean.union(one_each)
+
     tmp = fwd_dir + ".dedup"
     fresh_dir(tmp)
-    clean.union(winners).write_parquet(tmp)
+    out.write_parquet(tmp)
     _sh.rmtree(fwd_dir)
     os.replace(tmp, fwd_dir)
 

@@ -62,6 +62,13 @@ def sim_knn_lsh(sf_dir: str):
     return similarity.lsh_topk(ds, KNN_QUERY_IDS, k=5)
 
 
+def sim_knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer approximate top-5 (rows-only; recall vs
+    brute force asserted in tests)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, KNN_QUERY_IDS, k=5)
+
+
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)

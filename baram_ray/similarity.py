@@ -186,6 +186,84 @@ def lsh_topk(ds, query_ids: list[int], k: int = 5, *, nbits: int = 5,
         lambda g: _final_topk(g, k), batch_format="pandas")
 
 
+def _sample_vectors(ds, n: int) -> np.ndarray:
+    """≤n vectors for coarse-quantizer training: per-batch head rows,
+    tiny driver merge (never the corpus)."""
+    def head(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, max(1, n // 16))
+
+    rows = ds.map_batches(head, batch_format="pyarrow").take(n)
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                     for r in rows])
+
+
+def _kmeans(vecs: np.ndarray, k: int, iters: int = 10,
+            seed: int = 13) -> np.ndarray:
+    """Tiny deterministic k-means (cosine/spherical) for the IVF coarse
+    quantizer — trains on a driver-side SAMPLE, never the corpus."""
+    rng = np.random.RandomState(seed)
+    v = _norm_rows(vecs)
+    k = min(k, len(v))
+    cen = v[rng.choice(len(v), size=k, replace=False)]
+    for _ in range(iters):
+        sims = v @ cen.T
+        assign = np.argmax(sims, axis=1)
+        for ci in range(k):
+            m = assign == ci
+            if m.any():
+                c = v[m].mean(axis=0)
+                n = np.linalg.norm(c)
+                cen[ci] = c / n if n else cen[ci]
+    return cen
+
+
+def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_cells: int = 16,
+             nprobe: int = 4, train_sample: int = 2048, seed: int = 13):
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    path (the reference's HNSW lives inside OpenSearch; IVF is the
+    partition-friendly equivalent for a block-streaming engine):
+
+    1. train a spherical k-means coarse quantizer on a SAMPLE;
+    2. per batch, assign rows to their nearest cell and keep only rows
+       whose cell is among each query's ``nprobe`` closest cells;
+    3. exact cosine rerank of the kept rows, distributed dedupe +
+       per-query top-k (same finishing exchange as ``lsh_topk``).
+
+    Centroids (n_cells × d) ship in the task closure; nothing
+    corpus-sized touches the driver.
+    """
+    q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
+    cen = _kmeans(_sample_vectors(ds, train_sample), n_cells, seed=seed)
+    q_norm = _norm_rows(q_vecs)
+    q_cells = np.argsort(-(q_norm @ cen.T), axis=1)[:, :nprobe]  # (Q, p)
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        nvecs = _norm_rows(_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = np.argmax(nvecs @ cen.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cells, q_cells[qi]) & (vec_ids != q_ids[qi])
+            rows = np.nonzero(m)[0]
+            if len(rows) == 0:
+                continue
+            cos = nvecs[rows] @ q_norm[qi]
+            out_q.extend([int(q_ids[qi])] * len(rows))
+            out_v.extend(int(x) for x in vec_ids[rows])
+            out_c.extend(float(c) for c in cos)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    dedup = grouped_agg(cand, ["query_id", "vec_id"],
+                        {"cosine": ("cosine", "min")}, num_buckets=8)
+    return dedup.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas")
+
+
 def embedding_neardup_pairs(ds, threshold: float = 0.3):
     """EXACT pairs with cosine ≥ t, distributed block×block cross product.
 

@@ -114,6 +114,9 @@ def run_bench() -> dict:
             r.materialize()
         return round(time.perf_counter() - t, 3)
 
+    from baram_ray.pipelines import knowledge as knowp
+    from baram_ray.pipelines import training as trainp
+
     queries = {
         "index_build": round(build_sec, 3),
         "bm25_batch_200": round(qbatch_sec, 3),
@@ -122,6 +125,12 @@ def run_bench() -> dict:
         "events_sma7": timed(evp.sma7),
         "tpch_q1": timed(tpchp.q1_pricing),
         "tpch_revenue_by_nation": timed(tpchp.revenue_by_nation),
+        # training-data ops (round 2: fully de-drivered pipelines)
+        "dedup_minhash": timed(trainp.dedup_minhash),
+        "sim_knn_bruteforce": timed(trainp.sim_knn_bruteforce),
+        "text_relations": timed(knowp.text_relations),
+        "cluster_events": timed(knowp.cluster_events),
+        "doc_embed_vectors": timed(trainp.doc_embed_vectors),
     }
 
     result = {
@@ -197,6 +206,64 @@ def run_code_bench(n_docs: int | None = None) -> dict:
     return result
 
 
+def run_calibrate() -> dict:
+    """Host-ceiling probe: a PURE embarrassingly-parallel map (sha256
+    over fixed random blocks through ray.data) with zero shuffle and
+    zero engine code. Its lo→hi efficiency is the best ANY pipeline can
+    achieve on this box at that moment — the denominator that separates
+    engine scaling losses from shared-host/memory-bandwidth losses."""
+    _quiet_thp()
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    rng = np.random.RandomState(0)
+    blocks = [rng.bytes(4 << 20) for _ in range(8)]   # fixed 32 MB corpus
+
+    def work_bw(batch: pa.Table) -> pa.Table:
+        # BANDWIDTH-bound: each iteration re-materializes a 4 MB buffer
+        # (the shape of Arrow/numpy passes in the engine)
+        import hashlib
+        for b in batch["payload"].to_pylist():
+            for _ in range(24):
+                b = hashlib.sha256(b).digest() * (len(blocks[0]) // 32)
+        return pa.table({"h": pa.array([0])})
+
+    def work_cpu(batch: pa.Table) -> pa.Table:
+        # CPU-bound, cache-resident: hash a 32 KB slice repeatedly — if
+        # THIS loses efficiency, cores themselves are being stolen
+        import hashlib
+        for b in batch["payload"].to_pylist():
+            s = b[: 32 << 10]
+            for _ in range(3000):
+                s = hashlib.sha256(s).digest() * 1024
+        return pa.table({"h": pa.array([0])})
+
+    items = [{"payload": blocks[i % len(blocks)]} for i in range(96)]
+
+    def timed(fn) -> float:
+        ray.data.from_items(items).map_batches(
+            fn, batch_size=1, batch_format="pyarrow").materialize()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ray.data.from_items(items).map_batches(
+                fn, batch_size=1, batch_format="pyarrow").materialize()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    bw, cpu = timed(work_bw), timed(work_cpu)
+    ray.shutdown()
+    return {"metric": "calibrate_map_sec", "value": round(bw, 3),
+            "cpu_value": round(cpu, 3), "num_cpus": num_cpus}
+
+
 def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
     """Fresh processes at ``lo`` and ``hi`` CPUs over the SAME corpus —
     the sandbox evidence for the N→4N cluster criterion (BASELINE.json).
@@ -207,22 +274,30 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
     clean-window number is the one that reflects the engine, and
     alternating decorrelates the noise from the level.
     """
-    def one(n: int) -> dict:
+    def one(n: int, mode: str = "--code") -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--code"],
+            [sys.executable, os.path.abspath(__file__), mode],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo_runs, hi_runs = [], []
+    lo_runs, hi_runs, cal_lo, cal_hi = [], [], [], []
+    cpu_lo, cpu_hi = [], []
     for _ in range(rounds):
         lo_runs.append(one(lo))
         hi_runs.append(one(hi))
+        c1 = one(lo, "--calibrate")
+        c2 = one(hi, "--calibrate")
+        cal_lo.append(c1["value"]); cpu_lo.append(c1["cpu_value"])
+        cal_hi.append(c2["value"]); cpu_hi.append(c2["cpu_value"])
     r_lo = min(lo_runs, key=lambda r: r["value"])
     r_hi = min(hi_runs, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # host ceiling: the pure-map probe's efficiency under the same
+    # protocol — any pipeline's efficiency is bounded by it
+    ceil_eff = (min(cal_lo) / min(cal_hi)) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -231,6 +306,12 @@ def run_scaling(lo: int = 8, hi: int = 32, rounds: int = 3) -> dict:
         "sec_lo": t_lo, "sec_hi": t_hi,
         "sec_lo_runs": [r["value"] for r in lo_runs],
         "sec_hi_runs": [r["value"] for r in hi_runs],
+        "ceiling_efficiency": round(ceil_eff, 3),
+        "ceiling_efficiency_cpu": round(
+            (min(cpu_lo) / min(cpu_hi)) / (hi / lo), 3),
+        "calibrate_sec_lo": cal_lo, "calibrate_sec_hi": cal_hi,
+        "calibrate_cpu_lo": cpu_lo, "calibrate_cpu_hi": cpu_hi,
+        "efficiency_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
         "docs_per_sec_lo": r_lo["docs_per_sec"],
         "docs_per_sec_hi": r_hi["docs_per_sec"],
         "stages_lo": r_lo["index_stages_sec"],
@@ -245,6 +326,8 @@ if __name__ == "__main__":
         hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
         rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
         print(json.dumps(run_scaling(lo, hi, rounds)))
+    elif "--calibrate" in sys.argv:
+        print(json.dumps(run_calibrate()))
     elif "--code" in sys.argv:
         print(json.dumps(run_code_bench()))
     else:

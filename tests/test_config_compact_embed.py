@@ -125,3 +125,49 @@ def test_doc_embed_pipeline(ray_session):
     assert set(out.columns) == {"doc_id", "dim", "norm"}
     assert (out["dim"] == 384).all()
     assert ((out["norm"] - 1.0).abs() < 1e-3).all()
+
+
+# ------------------------------------------------------------------ #
+# A5: query result cache (reference src/cache/mod.rs)
+# ------------------------------------------------------------------ #
+
+def test_ttl_cache_semantics():
+    from baram_ray.query.cache import TTLCache
+    t = [0.0]
+    c = TTLCache(max_entries=2, ttl_s=10.0, clock=lambda: t[0])
+    assert c.get("missing") is None
+    # LRU eviction: a get() refreshes recency, the stale key is evicted
+    c.put("x", 1)
+    c.put("y", 2)
+    c.get("x")                         # x most-recent → y is the LRU
+    c.put("z", 3)
+    assert c.get("y") is None and c.get("x") == 1 and c.get("z") == 3
+    # TTL expiry
+    c.put("w", 9)
+    t[0] = 11.0
+    assert c.get("w") is None
+    assert 0 < c.hit_rate() < 1
+
+
+def test_caching_query_engine():
+    from baram_ray.query.cache import CachingQueryEngine
+
+    class Fake:
+        def __init__(self):
+            self.calls = 0
+        def search(self, query, k=10, **kw):
+            self.calls += 1
+            return [(1, 0.5)]
+
+    f = Fake()
+    eng = CachingQueryEngine(f)
+    r1 = eng.search("q", k=5, filters={"lang": "en"})
+    r2 = eng.search("q", k=5, filters={"lang": "en"})
+    assert r1 == r2 == [(1, 0.5)] and f.calls == 1       # cached
+    eng.search("q", k=6, filters={"lang": "en"})
+    assert f.calls == 2                                  # k in the key
+    eng.search("q", k=5, filters={"n_chars": {"gte": 1}})
+    assert f.calls == 3                                  # range filter keyed
+    assert eng.invalidate() >= 1
+    eng.search("q", k=5, filters={"lang": "en"})
+    assert f.calls == 4                                  # invalidated

@@ -403,3 +403,17 @@ def test_bm25_filtered_vs_oracle(ray_session):
     # every hit really is lang=en
     langs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
     assert all(langs[d] == "en" for d in got["doc_id"])
+
+
+def test_ivf_topk_recall(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = similarity.brute_force_topk(ds, [0, 1, 2], k=5).to_pandas()
+    approx = similarity.ivf_topk(ds, [0, 1, 2], k=5).to_pandas()
+    hits = 0
+    for q in (0, 1, 2):
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+    recall = hits / 15
+    assert recall >= 0.5, f"IVF recall {recall}"
