@@ -29,11 +29,20 @@ def _ray_up(num_cpus: int | None):
 
 def cmd_build(args) -> int:
     _ray_up(args.num_cpus)
-    from baram_ray.index.build import IndexConfig, build_index
-    cfg = IndexConfig(fields=tuple(args.fields.split(",")),
-                      id_cols=tuple(f for f in args.id_cols.split(",") if f),
-                      keep=tuple(f for f in args.keep.split(",") if f))
-    res = build_index(args.input, args.out, cfg, resume=not args.no_resume)
+    from baram_ray.index.build import (
+        IndexConfig, build_index, build_index_incremental,
+    )
+    if args.config:
+        from baram_ray.config import load_config
+        cfg = load_config(args.config).index_config()
+    else:
+        cfg = IndexConfig(
+            fields=tuple(args.fields.split(",")),
+            id_cols=tuple(f for f in args.id_cols.split(",") if f),
+            keep=tuple(f for f in args.keep.split(",") if f),
+            on_duplicate=args.on_duplicate)
+    build = build_index_incremental if args.incremental else build_index
+    res = build(args.input, args.out, cfg, resume=not args.no_resume)
     print(json.dumps({
         "out_dir": res.out_dir, "n_docs": res.n_docs, "n_terms": res.n_terms,
         "num_shards": res.num_shards, "stage_seconds": res.stage_seconds,
@@ -46,12 +55,32 @@ def cmd_search(args) -> int:
     _ray_up(args.num_cpus)
     from baram_ray.query.engine import QueryEngine
     eng = QueryEngine(args.index)
-    filters = dict(kv.split("=", 1) for kv in (args.filter or []))
+    filters: dict = dict(kv.split("=", 1) for kv in (args.filter or []))
+    for kv in args.range or []:           # COL=LO:HI numeric range filter
+        col, spec = kv.split("=", 1)
+        lo, _, hi = spec.partition(":")
+        rng = {}
+        if lo:
+            rng["gte"] = float(lo) if "." in lo else int(lo)
+        if hi:
+            rng["lte"] = float(hi) if "." in hi else int(hi)
+        filters[col] = rng
+    after = None
+    if args.after:
+        s, _, d = args.after.partition(":")
+        after = (float(s), int(d))
     hits = eng.search(args.query, k=args.k, filters=filters or None,
-                      algorithm=args.algorithm)
+                      algorithm=args.algorithm, min_score=args.min_score,
+                      after=after)
     for rank, (doc_id, score) in enumerate(hits, 1):
         print(json.dumps({"rank": rank, "doc_id": int(doc_id),
                           "score": round(float(score), 6)}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from baram_ray.index.compact import compact_segments
+    print(json.dumps(compact_segments(args.index, target_mb=args.target_mb)))
     return 0
 
 
@@ -73,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--id-cols", default="repo,path,commit")
     b.add_argument("--keep", default="repo,path,lang")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--incremental", action="store_true",
+                   help="partition-granular delta build")
+    b.add_argument("--on-duplicate", default="error",
+                   choices=["error", "first"])
+    b.add_argument("--config", default=None, help="TOML config file")
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="BM25 top-k against an index")
@@ -82,7 +116,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--algorithm", default="auto",
                    choices=["auto", "daat", "wand"])
     s.add_argument("--filter", action="append", metavar="COL=VAL")
+    s.add_argument("--range", action="append", metavar="COL=LO:HI")
+    s.add_argument("--min-score", type=float, default=None)
+    s.add_argument("--after", metavar="SCORE:DOC_ID", default=None,
+                   help="search_after cursor (pagination)")
     s.set_defaults(fn=cmd_search)
+
+    c = sub.add_parser("compact", help="merge small segment files")
+    c.add_argument("--index", required=True)
+    c.add_argument("--target-mb", type=int, default=64)
+    c.set_defaults(fn=cmd_compact)
 
     st = sub.add_parser("stats", help="index metadata")
     st.add_argument("--index", required=True)
