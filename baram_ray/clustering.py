@@ -41,30 +41,37 @@ from baram_ray.similarity import _matrix, _norm_rows
 def greedy_cluster(vecs: np.ndarray, threshold: float) -> np.ndarray:
     """Reference cluster_articles (engine.rs:287-336) on one matrix:
     returns local cluster label per row. Centroids kept UN-normalized
-    with incremental mean update, cosine on the fly — same math."""
+    with incremental mean update, cosine on the fly — same math.
+    Centroid matrix is PREALLOCATED (an np.stack per row is O(n²·d)
+    copying — seconds per block even at demo scale)."""
     n, dim = vecs.shape
     labels = np.full(n, -1, dtype=np.int64)
-    centroids: list[np.ndarray] = []
-    counts: list[int] = []
+    C = np.empty((n, dim))                # centroid means, prefix used
+    Cnorm = np.empty(n)
+    counts = np.empty(n, dtype=np.int64)
+    g = 0
     for i in range(n):
         v = vecs[i]
+        vn = np.linalg.norm(v) or 1.0
         best, best_sim = -1, -np.inf
-        if centroids:
-            C = np.stack(centroids)
-            norms = np.linalg.norm(C, axis=1) * (np.linalg.norm(v) or 1.0)
-            norms[norms == 0] = 1.0
-            sims = (C @ v) / norms
+        if g:
+            den = Cnorm[:g] * vn
+            den[den == 0] = 1.0
+            sims = (C[:g] @ v) / den
             best = int(np.argmax(sims))
             best_sim = float(sims[best])
         if best_sim >= threshold:
             k = counts[best]
-            centroids[best] = (centroids[best] * k + v) / (k + 1)
+            C[best] = (C[best] * k + v) / (k + 1)
+            Cnorm[best] = np.linalg.norm(C[best])
             counts[best] += 1
             labels[i] = best
         else:
-            centroids.append(v.copy())
-            counts.append(1)
-            labels[i] = len(centroids) - 1
+            C[g] = v
+            Cnorm[g] = np.linalg.norm(v)
+            counts[g] = 1
+            labels[i] = g
+            g += 1
     return labels
 
 
@@ -125,28 +132,46 @@ def cluster_events(ds, threshold: float = 0.55, *, id_col: str = "vec_id",
     # from its own block — within one block the sequential pass already
     # decided those clusters are distinct (so a single-block run
     # reproduces the reference algorithm exactly; tested)
-    merged: list[tuple[np.ndarray, int, set]] = []   # (sum, count, blocks)
+    # vectorized greedy merge: centroid means kept as a matrix, one
+    # masked argmax per summary (a per-centroid Python loop here is
+    # O(clusters²·d) in pure Python — seconds even at demo scale)
+    merged_sum: list[np.ndarray] = []
+    merged_cnt: list[int] = []
+    block_members: dict[int, set] = {}               # block -> {cluster idx}
     mapping: dict[tuple[int, int], int] = {}         # (block, local) -> global
+    n_sum = len(summaries)
+    dim = len(summaries[0][2]) if n_sum else 0
+    M = np.empty((n_sum, dim))                       # centroid means (prefix)
+    Mnorm = np.empty(n_sum)
+    g = 0
     for blk, cid, vec_sum, cnt in summaries:
         mean = vec_sum / cnt
+        mn = np.linalg.norm(mean) or 1.0
         best, best_sim = -1, -np.inf
-        for gi, (gsum, gcnt, gblocks) in enumerate(merged):
-            if blk in gblocks:
-                continue
-            gc = gsum / gcnt
-            den = (np.linalg.norm(gc) * np.linalg.norm(mean)) or 1.0
-            sim = float(gc @ mean / den)
-            if sim > best_sim:
-                best, best_sim = gi, sim
+        in_blk = block_members.setdefault(blk, set())
+        if g:
+            sims = (M[:g] @ mean) / (Mnorm[:g] * mn)
+            if in_blk:                               # mask same-block
+                sims[list(in_blk)] = -np.inf
+            best = int(np.argmax(sims))
+            best_sim = float(sims[best])
         if best_sim >= threshold:
-            gsum, gcnt, gblocks = merged[best]
-            merged[best] = (gsum + vec_sum, gcnt + cnt, gblocks | {blk})
+            merged_sum[best] = merged_sum[best] + vec_sum
+            merged_cnt[best] += cnt
+            in_blk.add(best)
             mapping[(blk, cid)] = best
+            M[best] = merged_sum[best] / merged_cnt[best]
+            Mnorm[best] = np.linalg.norm(M[best]) or 1.0
         else:
-            merged.append((vec_sum, cnt, {blk}))
-            mapping[(blk, cid)] = len(merged) - 1
-    centroids = np.stack([s / c for s, c, _ in merged]) if merged \
-        else np.empty((0, 1))
+            merged_sum.append(vec_sum)
+            merged_cnt.append(cnt)
+            in_blk.add(g)
+            mapping[(blk, cid)] = g
+            M[g] = mean
+            Mnorm[g] = mn
+            g += 1
+    centroids = np.stack([s / c for s, c in zip(merged_sum, merged_cnt)]) \
+        if merged_sum else np.empty((0, 1))
     map_ref = ray.put(mapping)              # small: one entry per LOCAL
     cen_ref = ray.put(centroids)            # cluster, not per member
 
