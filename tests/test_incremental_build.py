@@ -157,3 +157,39 @@ def test_on_duplicate_first_policy(ray_session, tmp_path):
                          for t in ("bravo words here", "alpha words here"))
     assert sha[3] == min(hashlib.sha256(t.encode()).hexdigest()
                          for t in ("delta x", "echo y", "foxtrot z"))
+
+
+def test_streaming_microbatch_ingest(ray_session, tmp_path):
+    """T5-ish streaming ingest: three successive micro-batch appends
+    (delta generations 1 and 2 stacked on the base) answer identically
+    to one batch build — exercises multi-gen block ordering in the
+    reader."""
+    d = tmp_path / "stream"
+    d.mkdir()
+    parts = []
+    for i, (lo, hi) in enumerate([(0, 80), (80, 170), (170, 240)]):
+        p = str(d / f"batch{i}.parquet")
+        _write_part(p, lo, hi, seed=20 + i)
+        parts.append(p)
+
+    idx = str(tmp_path / "idx")
+    for i in range(len(parts)):
+        r = build_index_incremental(parts[: i + 1], idx, CFG)
+        if i > 0:
+            assert "segments:delta" in r.resumed_stages
+    assert r.n_docs == 240
+
+    scratch = str(tmp_path / "scratch")
+    build_index_incremental(parts, scratch, CFG)
+    a, b = _all_hits(idx), _all_hits(scratch)
+    for q in QUERIES:
+        assert a[q] == b[q], q
+    pd.testing.assert_frame_equal(_termdict(idx), _termdict(scratch))
+
+    # compaction after stacked deltas stays query-invariant
+    from baram_ray.index.compact import compact_segments
+    stats = compact_segments(idx)
+    assert stats["files_after"] <= stats["files_before"]
+    c = _all_hits(idx)
+    for q in QUERIES:
+        assert c[q] == a[q], q
