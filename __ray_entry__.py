@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-text core (non-SQL: checked rows-only here, rank-identity
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,
+        "search_bm25_sharded": searchp.bm25_topk_sharded,
         "search_hybrid_topk": searchp.hybrid_topk,
         "search_bm25_filtered": searchp.bm25_filtered,
         "search_bm25_daterange": searchp.bm25_daterange,

@@ -598,9 +598,12 @@ def build_index(
     # update meta with shard info (idempotent)
     with open(meta_path) as f:
         meta = json.load(f)
-    if meta.get("num_shards") != num_shards or meta.get("id_space") != "rank":
+    if (meta.get("num_shards") != num_shards
+            or meta.get("id_space") != "rank"
+            or meta.get("shard_shift") != shard_shift):
         meta["num_shards"] = num_shards
         meta["id_space"] = "rank"
+        meta["shard_shift"] = shard_shift
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
         os.replace(meta_path + ".tmp", meta_path)
@@ -842,6 +845,7 @@ def build_index_incremental(
     meta = {"fields": list(cfg.fields), "n_docs": n_docs, "avgdl": avgdl,
             "k1": cfg.k1, "b": cfg.b, "tokenizer_version": _TV,
             "keep": list(cfg.keep), "num_shards": res.num_shards,
+            "shard_shift": int(state.get("shard_shift", 0)),
             "id_space": "rank", "incremental": True}
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)

@@ -121,7 +121,20 @@ class PostingList:
 
 
 class IndexReader:
-    def __init__(self, index_dir: str):
+    """Resident query-side state for an index — optionally for only a
+    SHARD RANGE of it.
+
+    ``shard_range=(lo, hi)`` loads the docs rows and posting blocks of
+    shards ``lo..hi-1`` only (shards are contiguous rank ranges, so this
+    is an array slice + a block-metadata filter). That is the multi-node
+    query architecture: one actor per shard group, each holding ~1/G of
+    the index, global IDF via the termdict so per-shard scores are
+    IDENTICAL to a single-reader run and top-k merges by (score,
+    doc_id) with no rescoring (tested rank-identical).
+    """
+
+    def __init__(self, index_dir: str,
+                 shard_range: tuple[int, int] | None = None):
         self.dir = index_dir
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
@@ -130,6 +143,17 @@ class IndexReader:
         self.avgdl: dict[str, float] = self.meta["avgdl"]
         self.k1: float = self.meta["k1"]
         self.b: float = self.meta["b"]
+        self.shard_range = shard_range
+        self.rank_base = 0
+        if shard_range is not None:
+            shift = self.meta.get("shard_shift")
+            if shift is None:           # pre-round-2 meta: same formula
+                ns = int(self.meta.get("num_shards", 1))
+                shift = max(0, (max(1, self.n_docs - 1)).bit_length()
+                            - (ns.bit_length() - 1))
+            self._shift = int(shift)
+            self.rank_base = shard_range[0] << self._shift
+            self._rank_hi = min(self.n_docs, shard_range[1] << self._shift)
 
         # --- docs table: doc_id -> row index; dl arrays; metadata ---------
         # (dataset API: the incremental build nests per-input partitions)
@@ -137,6 +161,8 @@ class IndexReader:
         docs = _pads.dataset(os.path.join(index_dir, "docs"),
                              format="parquet").to_table()
         order = np.argsort(docs["doc_id"].to_numpy(), kind="stable")
+        if shard_range is not None:        # rank order == sorted-id order:
+            order = order[self.rank_base: self._rank_hi]   # array slice
         self.doc_ids = docs["doc_id"].to_numpy()[order]
         self.doc_index = {int(d): i for i, d in enumerate(self.doc_ids)}
         self.dl = {f: docs[f"{f}__len"].to_numpy().astype(np.float64)[order]
@@ -167,17 +193,25 @@ class IndexReader:
             has_gen = "gen" in pf.schema_arrow.names
             cols = meta_cols + (["gen"] if has_gen else [])
             for rg in range(pf.num_row_groups):
+                import pyarrow as pa
                 t = pf.read_row_group(rg, columns=cols)
+                rows_in_rg = np.arange(t.num_rows, dtype=np.int32)
+                if shard_range is not None and t.num_rows:
+                    sh = t["shard"].to_numpy(zero_copy_only=False)
+                    keep = (sh >= shard_range[0]) & (sh < shard_range[1])
+                    if not keep.all():
+                        t = t.filter(pa.array(keep))
+                        rows_in_rg = rows_in_rg[keep]   # ORIGINAL payload
+                        # row offsets survive the metadata filter
                 if t.num_rows == 0:
                     continue
                 if not has_gen:
-                    import pyarrow as pa
                     t = t.append_column(
                         "gen", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
                 metas.append(t.select(meta_cols + ["gen"]))
                 loc_fi.append(np.full(t.num_rows, fi, dtype=np.int32))
                 loc_rg.append(np.full(t.num_rows, rg, dtype=np.int32))
-                loc_row.append(np.arange(t.num_rows, dtype=np.int32))
+                loc_row.append(rows_in_rg)
         self.postings: dict[tuple[str, str], PostingList] = {}
         if metas:
             import pyarrow as pa
@@ -199,9 +233,27 @@ class IndexReader:
                     g["max_doc"].to_numpy(), g["max_tf"].to_numpy(),
                     store=self._payload, locs=locs)
 
+        # global document frequencies for sharded readers: a shard-local
+        # pl.df would skew idf vs a single-reader run — the termdict
+        # (field, term → global df) restores identical scoring
+        self._global_df: dict | None = None
+        if shard_range is not None:
+            td = pq.read_table(os.path.join(index_dir, "termdict"),
+                               columns=["field", "term", "df"])
+            self._global_df = {
+                (f_, t_): int(d_) for f_, t_, d_ in zip(
+                    td["field"].to_pylist(), td["term"].to_pylist(),
+                    td["df"].to_numpy())}
+
     def df(self, fld: str, term: str) -> int:
         p = self.postings.get((fld, term))
         return p.df if p else 0
+
+    def df_global(self, fld: str, term: str, pl) -> int:
+        """Corpus-wide df for idf (== pl.df for a full reader)."""
+        if self._global_df is None:
+            return pl.df
+        return self._global_df.get((fld, term), pl.df)
 
     def filter_mask(self, filters: dict | None) -> np.ndarray | None:
         """Row-aligned boolean mask for metadata filters.

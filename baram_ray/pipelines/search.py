@@ -71,6 +71,45 @@ def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def bm25_topk_sharded(sf_dir: str, queries: list[dict] | None = None,
+                      n_groups: int = 2):
+    """Scatter-gather BM25: one QueryActor pool per shard GROUP (each
+    actor holds only its shard range's postings/doc rows, global idf via
+    the termdict), merged per query by (score desc, doc_id asc) — the
+    multi-node serving shape. Rank-identical to the single-reader path
+    (pytest on a forced-multi-shard index); at driver scale the index
+    has one shard, so this degenerates gracefully to one group."""
+    import json as _json
+
+    idx = ensure_index(sf_dir)
+    qs = queries or DOC_QUERIES
+    with open(os.path.join(idx, "meta.json")) as f:
+        ns = max(1, int(_json.load(f).get("num_shards", 1)))
+    n_groups = min(n_groups, ns)
+    bounds = [round(i * ns / n_groups) for i in range(n_groups + 1)]
+    parts = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        if hi <= lo:
+            continue
+        out = ray.data.from_items(qs).map_batches(
+            QueryActor, fn_constructor_args=(idx,),
+            fn_constructor_kwargs={"shard_range": (lo, hi)},
+            batch_format="pandas", concurrency=1)
+        parts = out if parts is None else parts.union(out)
+    kmap = {q["query_id"]: int(q.get("k", 10)) for q in qs}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        k = kmap.get(int(g["query_id"].iloc[0]), 10)
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = range(1, len(g) + 1)
+        g["score"] = g["score"].round(6)
+        return g
+
+    return parts.groupby("query_id").map_groups(merge,
+                                                batch_format="pandas")
+
+
 def bm25_filtered(sf_dir: str, query_text: str = "data stream query",
                   lang: str = "en", k: int = 10,
                   min_score: float = 0.01):

@@ -113,8 +113,9 @@ class _TermIter:
 
 
 class QueryEngine:
-    def __init__(self, index_dir: str):
-        self.r = IndexReader(index_dir)
+    def __init__(self, index_dir: str,
+                 shard_range: tuple[int, int] | None = None):
+        self.r = IndexReader(index_dir, shard_range=shard_range)
         self.k1 = self.r.k1
         self.b = self.r.b
 
@@ -131,7 +132,9 @@ class QueryEngine:
                 pl = self.r.postings.get((f, t))
                 if pl is None:
                     continue
-                idf = math.log(1.0 + (n - pl.df + 0.5) / (pl.df + 0.5))
+                df = self.r.df_global(f, t, pl)   # global idf even when
+                # the reader holds only a shard range (sharded actors)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
                 its.append(_TermIter(f, t, pl, idf, w, self.k1, self.b))
         return its
 
@@ -189,7 +192,9 @@ class QueryEngine:
         acc = np.zeros(len(r.doc_ids), dtype=np.float64)
         matched = np.zeros(len(r.doc_ids), dtype=bool)
         for it in its:                      # fixed (field, term) order → fp order
-            rows, tfs = it.pl.decode_all()  # postings are ranks == row indices
+            rows, tfs = it.pl.decode_all()  # postings are GLOBAL ranks;
+            if r.rank_base:                 # row = rank - base (sharded)
+                rows = rows - r.rank_base
             dl = r.dl[it.field][rows]
             avg = r.avgdl[it.field] or 1.0
             tff = tfs.astype(np.float64)
@@ -263,7 +268,7 @@ class QueryEngine:
                         if it.doc < target:
                             it.next_geq(target)
                     continue
-                row = int(pivot_doc)          # rank == row index
+                row = int(pivot_doc) - r.rank_base   # rank → local row
                 allowed = mask is None or bool(mask[row])
                 if allowed:
                     s = 0.0
@@ -300,7 +305,38 @@ class QueryEngine:
 
         out = [(-nd, s) for s, nd in heap]
         out.sort(key=lambda ds: (-ds[1], ds[0]))   # rank asc == doc_id asc
-        return [(int(r.doc_ids[rank]), s) for rank, s in out]
+        return [(int(r.doc_ids[rank - r.rank_base]), s) for rank, s in out]
+
+
+class ShardedEngine:
+    """Scatter-gather over shard-range engines — the multi-node query
+    architecture (each group holds only its shards' postings + doc rows;
+    the reference delegates this to OpenSearch shard fan-out). Scores
+    are computed with GLOBAL idf (termdict), so the merged top-k is
+    rank- AND score-identical to a single full reader (tested).
+
+    In-process form for tests/small indexes; the Ray form is one
+    ``QueryActor(..., shard_range=...)`` pool per group feeding a
+    groupby(query_id) merge (``pipelines.search.bm25_topk_sharded``).
+    """
+
+    def __init__(self, index_dir: str, n_groups: int = 2):
+        import json as _json
+        import os as _os
+        with open(_os.path.join(index_dir, "meta.json")) as f:
+            meta = _json.load(f)
+        ns = max(1, int(meta.get("num_shards", 1)))
+        n_groups = min(n_groups, ns)
+        bounds = [round(i * ns / n_groups) for i in range(n_groups + 1)]
+        self.engines = [QueryEngine(index_dir, shard_range=(lo, hi))
+                        for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
+
+    def search(self, query: str, k: int = 10, **kw) -> list:
+        hits: list[tuple[int, float]] = []
+        for eng in self.engines:            # scatter (actors in Ray form)
+            hits.extend(eng.search(query, k=k, **kw))
+        hits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return hits[:k]
 
 
 class QueryActor:
@@ -317,8 +353,9 @@ class QueryActor:
 
     def __init__(self, index_dir: str, boosts: dict[str, float] | None = None,
                  algorithm: str = "auto", filters: dict | None = None,
-                 min_score: float | None = None):
-        self.engine = QueryEngine(index_dir)     # once per actor
+                 min_score: float | None = None,
+                 shard_range: tuple[int, int] | None = None):
+        self.engine = QueryEngine(index_dir, shard_range=shard_range)
         self.boosts = boosts
         self.algorithm = algorithm
         self.filters = filters

@@ -147,3 +147,50 @@ def test_bm25_highlights_pipeline(ray_session):
     assert (out["n_fragments"] >= 1).all()
     assert out["highlights"].str.contains("<mark>").all()
     assert (out["content"].str.len() <= 503).all()
+
+
+# ------------------------------------------------------------------ #
+# sharded query actors: scatter-gather == single reader
+# ------------------------------------------------------------------ #
+
+def test_sharded_engine_rank_identity(ray_session, tmp_path):
+    """Shard-range readers with global idf merge to the EXACT single-
+    reader ranking (scores included), for DAAT and WAND, with filters."""
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    from tests.test_incremental_build import _write_part
+
+    src = str(tmp_path / "docs.parquet")
+    _write_part(src, 0, 400, seed=11)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang",),
+                      num_shards=4)                     # force 4 shards
+    build_index(src, idx, cfg, resume=False)
+
+    single = QueryEngine(idx)
+    for n_groups in (2, 4):
+        sharded = ShardedEngine(idx, n_groups=n_groups)
+        assert len(sharded.engines) == n_groups
+        for q in ("data stream", "join sort merge", "hash table scan",
+                  "row window"):
+            exp = single.search(q, k=25)
+            assert sharded.search(q, k=25) == exp
+            got_w = [h for e in sharded.engines
+                     for h in e.search(q, k=25, algorithm="wand")]
+            got_w.sort(key=lambda ds: (-ds[1], ds[0]))
+            assert got_w[:25] == exp
+        # filters work per shard group too
+        exp_f = single.search("data stream", k=10, filters={"lang": "en"})
+        assert sharded.search("data stream", k=10,
+                              filters={"lang": "en"}) == exp_f
+
+
+def test_sharded_pipeline_matches_plain(ray_session):
+    from baram_ray.pipelines.search import bm25_topk, bm25_topk_sharded
+    a = bm25_topk(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    b = bm25_topk_sharded(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "doc_id", "score"]],
+        b[["query_id", "rank", "doc_id", "score"]])
