@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_relations": knowp.text_relations,
         "triple_stats": knowp.triple_stats,
         "rdf_export_nt": knowp.rdf_export_nt,
+        "doc_markdown_export": knowp.doc_markdown_export,
         "cluster_events": knowp.cluster_events,
         # shuffled joins (§2.4 inner + anti)
         "join_orders_cust_segment": anap.join_orders_cust_segment,

@@ -55,6 +55,19 @@ def rdf_export_nt(sf_dir: str):
     return manifest.sort_values("path").reset_index(drop=True)
 
 
+def doc_markdown_export(sf_dir: str):
+    """S3: template-rendered markdown file per document (reference
+    markdown sink); returns the write manifest (path, n_bytes)."""
+    from baram_ray.sinks import write_markdown
+    ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out_dir = os.path.join("/tmp/baram_ray_markdown",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    tpl = ("---\ndoc_id: {{doc_id}}\nlang: {{lang}}\n---\n\n"
+           "# Document {{doc_id}}\n\n{{text}}\n")
+    man = write_markdown(ds, out_dir, template=tpl).to_pandas()
+    return man.sort_values("path").reset_index(drop=True)
+
+
 def cluster_events(sf_dir: str):
     """Event cluster formation over the embeddings table (reference
     greedy threshold clustering, engine.rs:287-428): EventCluster rows.

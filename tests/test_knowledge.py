@@ -195,3 +195,31 @@ def test_format_fallback_chain_and_deleted():
     # nothing parseable
     t, f, ok = parse_with_fallback("   ")
     assert ok is False and f == "unknown"
+
+
+# ------------------------------------------------------------------ #
+# S3: markdown article sink (reference markdown.rs + article.hbs)
+# ------------------------------------------------------------------ #
+
+def test_markdown_sink(ray_session, tmp_path):
+    from baram_ray.sinks import render_template, write_markdown
+    # template semantics: substitution, no escaping, unknown -> empty
+    out = render_template("# {{title}}\n{{content}} {{missing}}!",
+                          {"title": "T&<b>", "content": "body"})
+    assert out == "# T&<b>\nbody !"
+
+    docs = ray.data.from_items([
+        {"doc_id": 1, "lang": "en", "sha256": "aa", "text": "hello *md*"},
+        {"doc_id": 2, "lang": "ko", "sha256": "bb", "text": "second"},
+    ])
+    man = write_markdown(docs, str(tmp_path)).to_pandas()
+    assert sorted(os.path.basename(p) for p in man["path"]) \
+        == ["1.md", "2.md"]
+    body = open(tmp_path / "1.md").read()
+    assert body.startswith("---\ndoc_id: 1\n")     # YAML front-matter
+    assert "hello *md*" in body and "sha256: aa" in body
+    # custom template override (reference with_template)
+    man2 = write_markdown(docs, str(tmp_path / "t2"),
+                          template="{{doc_id}}: {{text}}").to_pandas()
+    assert open(tmp_path / "t2" / "2.md").read() == "2: second"
+    assert int(man2["n_bytes"].sum()) > 0
