@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_term_range": searchp.term_range,
         "search_bm25_highlights": searchp.bm25_highlights,
         "search_bm25_paged": searchp.bm25_paged,
+        "search_phrase_topk": searchp.phrase_topk,
+        "phrase_match_docs": searchp.phrase_match_docs,
         "search_index_stats": searchp.index_stats,
         "search_build_metrics": searchp.build_metrics,
         "search_term_stats": searchp.index_term_stats,

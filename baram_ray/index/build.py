@@ -69,6 +69,10 @@ class IndexConfig:
     # analogue of the reference's id-upsert ingest where a re-crawled
     # (repo, path, commit) overwrites its previous version)
     on_duplicate: str = "error"
+    # positional postings: store delta-varint word positions per posting
+    # (tokenizer.term_positions semantics) — enables phrase queries at
+    # ~1.5-2× index size; default off so term-only indexes pay nothing
+    positions: bool = False
 
 
 @dataclass
@@ -81,11 +85,31 @@ class BuildResult:
     resumed_stages: list = field(default_factory=list)
 
 
-_PARTIAL_SCHEMA = pa.schema([
-    ("field", pa.string()), ("term", pa.string()), ("shard", pa.int32()),
-    ("docs", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int32())),
-    ("__bucket", pa.int32()),
-])
+def _partial_schema(positions: bool = False) -> pa.Schema:
+    fields = [
+        ("field", pa.string()), ("term", pa.string()), ("shard", pa.int32()),
+        ("docs", pa.list_(pa.int64())), ("tfs", pa.list_(pa.int32())),
+    ]
+    if positions:
+        # flat positions of this key's postings in doc order; per-doc
+        # segment lengths are the aligned tf values
+        fields.append(("pos", pa.list_(pa.int32())))
+    fields.append(("__bucket", pa.int32()))
+    return pa.schema(fields)
+
+
+def _gather_segments(values: np.ndarray, starts: np.ndarray,
+                     lengths: np.ndarray) -> np.ndarray:
+    """Concatenate ``values[starts[i]:starts[i]+lengths[i]]`` for all i —
+    the vectorized variable-length gather both positional stages use."""
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return values[:0]
+    ends = np.cumsum(lengths)
+    idx = np.repeat(starts.astype(np.int64), lengths) \
+        + np.arange(total, dtype=np.int64) - np.repeat(ends - lengths, lengths)
+    return values[idx]
 
 
 class PartialPostings:
@@ -113,7 +137,7 @@ class PartialPostings:
 
     def __init__(self, fields: tuple[str, ...], shard_shift: int,
                  num_buckets: int, ids_ref=None, num_shards: int = 1,
-                 rank_offset: int = 0):
+                 rank_offset: int = 0, positions: bool = False):
         self.fields = fields
         self.shard_shift = shard_shift  # shard = rank >> shard_shift
         self.num_buckets = num_buckets
@@ -121,6 +145,7 @@ class PartialPostings:
         self.num_shards = num_shards
         self.rank_offset = rank_offset  # delta builds: ranks continue after
         # the previous build's dense rank space (append-only precondition)
+        self.positions = positions      # carry {f}__pos through the exchange
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -165,27 +190,54 @@ class PartialPostings:
                 offsets, pa.array(docs_rep[order], pa.int64()))
             tfs_list = pa.ListArray.from_arrays(
                 offsets, pa.array(tfs_flat[order], pa.int32()))
-            pieces.append(pa.table({
+            cols = {
                 "field": pa.array(np.full(len(starts), f, dtype=object),
                                   pa.string()),
                 "term": vocab.take(pa.array(g_codes)),
                 "shard": pa.array(g_shards, pa.int32()),
                 "docs": docs_list,
                 "tfs": tfs_list,
-                "__bucket": pa.array(bucket, pa.int32()),
-            }))
+            }
+            if self.positions:
+                # per-(doc,term) entry j owns tf[j] positions starting at
+                # entry_pstart[j] in the flat position values; regroup them
+                # into key order with one vectorized segment gather
+                pcol = batch[f"{f}__pos"].combine_chunks()
+                poff = pcol.offsets.to_numpy()
+                pos_all = pcol.values.to_numpy()[poff[0]: poff[-1]]
+                tf64 = tfs_flat.astype(np.int64)
+                entry_pstart = np.cumsum(tf64) - tf64
+                pos_g = _gather_segments(pos_all, entry_pstart[order],
+                                         tf64[order])
+                # list offsets per key-row: positions per key = sum of tfs
+                key_tf = np.add.reduceat(tf64[order], starts) \
+                    if len(starts) else np.zeros(0, dtype=np.int64)
+                poffsets = np.zeros(len(starts) + 1, dtype=np.int64)
+                np.cumsum(key_tf, out=poffsets[1:])
+                cols["pos"] = pa.ListArray.from_arrays(
+                    poffsets.astype(np.int32),
+                    pa.array(pos_g.astype(np.int32), pa.int32()))
+            cols["__bucket"] = pa.array(bucket, pa.int32())
+            pieces.append(pa.table(cols))
         if not pieces:
-            return _PARTIAL_SCHEMA.empty_table()
+            return _partial_schema(self.positions).empty_table()
         return pa.concat_tables(pieces)
 
 
-_SEG_SCHEMA = pa.schema([
-    ("field", pa.string()), ("term", pa.string()), ("shard", pa.int32()),
-    ("block_id", pa.int64()), ("n", pa.int64()), ("min_doc", pa.int64()),
-    ("max_doc", pa.int64()), ("max_tf", pa.int64()),
-    ("docs_enc", pa.large_binary()), ("tfs_enc", pa.large_binary()),
-    ("sum_tf", pa.int64()),
-])
+def _seg_schema(positions: bool = False) -> pa.Schema:
+    fields = [
+        ("field", pa.string()), ("term", pa.string()), ("shard", pa.int32()),
+        ("block_id", pa.int64()), ("n", pa.int64()), ("min_doc", pa.int64()),
+        ("max_doc", pa.int64()), ("max_tf", pa.int64()),
+        ("docs_enc", pa.large_binary()), ("tfs_enc", pa.large_binary()),
+        ("sum_tf", pa.int64()),
+    ]
+    if positions:
+        # varint position deltas for the block's postings, concatenated in
+        # posting order (absolute at each posting's first position, then
+        # gaps); per-posting counts are the decoded tf values
+        fields.append(("pos_enc", pa.large_binary()))
+    return pa.schema(fields)
 
 
 def _tiled_binary(buf: bytes, starts: np.ndarray,
@@ -200,7 +252,8 @@ def _tiled_binary(buf: bytes, starts: np.ndarray,
         [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf)])
 
 
-def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None) -> pa.Table:
+def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None,
+                   positions: bool = False) -> pa.Table:
     """Per-bucket body: every (field, term, shard) key wholly inside →
     merge partial lists → sorted postings → encoded blocks.
 
@@ -221,7 +274,7 @@ def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None) -> pa.Table
 
     n_rows = bucket.num_rows
     if n_rows == 0:
-        return _SEG_SCHEMA.empty_table()
+        return _seg_schema(positions).empty_table()
     f = bucket["field"].to_numpy(zero_copy_only=False)
     t = bucket["term"].to_numpy(zero_copy_only=False)
     s = bucket["shard"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -282,7 +335,7 @@ def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None) -> pa.Table
     blk_start = np.nonzero(is_blk_start)[0]
     blk_end = np.append(blk_start[1:], total) - 1
     keys_at = row_order[first_sorted_row[gid_s[blk_start]]]
-    return pa.table({
+    cols = {
         "field": pa.array(f[keys_at], pa.string()),
         "term": pa.array(t[keys_at], pa.string()),
         "shard": pa.array(s[keys_at], pa.int32()),
@@ -294,7 +347,31 @@ def _encode_bucket(bucket: pa.Table, shard_shift: int | None = None) -> pa.Table
         "docs_enc": _tiled_binary(docs_buf, d_starts[blk_start], len(docs_buf)),
         "tfs_enc": _tiled_binary(tfs_buf, t_starts[blk_start], len(tfs_buf)),
         "sum_tf": pa.array(np.add.reduceat(tfs_s, blk_start), pa.int64()),
-    })
+    }
+    if positions:
+        # flat positions per partial row-entry → gather into posting order
+        # with the SAME permutation that ordered the postings, then
+        # delta-encode within each posting (absolute first, then gaps —
+        # gaps can be 0: a compound's parts share a word position)
+        pos_col = bucket["pos"].combine_chunks()
+        p_off = pos_col.offsets.to_numpy()
+        pos_all = pos_col.values.to_numpy()[p_off[0]: p_off[-1]] \
+            .astype(np.int64)
+        tf_flat = tfs_all          # pre-order per-posting counts
+        entry_pstart = np.cumsum(tf_flat) - tf_flat
+        pos_s = _gather_segments(pos_all, entry_pstart[order], tf_flat[order])
+        tfs64 = tfs_s.astype(np.int64)
+        pstart = np.cumsum(tfs64) - tfs64        # posting → 1st pos index
+        total_p = len(pos_s)
+        pdeltas = np.empty(total_p, dtype=np.int64)
+        pdeltas[0] = pos_s[0]
+        np.subtract(pos_s[1:], pos_s[:-1], out=pdeltas[1:])
+        pdeltas[pstart] = pos_s[pstart]
+        pos_buf, plens = encode_varints_np(pdeltas)
+        p_byte_starts = np.cumsum(plens) - plens
+        cols["pos_enc"] = _tiled_binary(
+            pos_buf, p_byte_starts[pstart[blk_start]], len(pos_buf))
+    return pa.table(cols)
 
 
 def _next_pow2(x: int) -> int:
@@ -440,7 +517,8 @@ def build_index(
     from baram_ray.tokenizer import TOKENIZER_VERSION
     cfg_fp = (f":cfg=f{','.join(cfg.fields)}|i{','.join(cfg.id_cols)}"
               f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}"
-              f"|tok{TOKENIZER_VERSION}|dup{cfg.on_duplicate}")
+              f"|tok{TOKENIZER_VERSION}|dup{cfg.on_duplicate}"
+              f"|pos{int(cfg.positions)}")
     input_fp = fingerprint_paths(input_paths) + cfg_fp
     res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
 
@@ -475,7 +553,8 @@ def build_index(
             ds = ray.data.read_parquet(
                 input_paths, columns=cols,
                 override_num_blocks=auto_num_blocks(input_paths))
-            norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols), list(cfg.keep))
+            norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols),
+                                     list(cfg.keep), positions=cfg.positions)
             fwd = ds.map_batches(norm, batch_format="pyarrow",
                                  batch_size=cfg.tokenize_batch_size)
             fwd.write_parquet(fwd_dir)
@@ -526,6 +605,7 @@ def build_index(
             "k1": cfg.k1, "b": cfg.b,
             "tokenizer_version": TOKENIZER_VERSION,
             "keep": list(cfg.keep),
+            "positions": bool(cfg.positions),
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
@@ -556,8 +636,10 @@ def build_index(
             # policy block above guaranteed it — keep the assert cheap
             assert not len(_dups_in(ids_sorted))
             ids_ref = _ray.put(ids_sorted)
-            post_cols = ["doc_id"] + [c for f in cfg.fields
-                                      for c in (f"{f}__terms", f"{f}__tfs")]
+            post_cols = ["doc_id"] + [
+                c for f in cfg.fields
+                for c in ((f"{f}__terms", f"{f}__tfs", f"{f}__pos")
+                          if cfg.positions else (f"{f}__terms", f"{f}__tfs"))]
             fwd_ds = ray.data.read_parquet(fwd_dir, columns=post_cols,
                 override_num_blocks=auto_num_blocks(fwd_dir))
             # encode buckets sized to the forward index (~1 bucket / 8 MiB,
@@ -569,11 +651,13 @@ def build_index(
             import functools as _ft
             seg = grouped_map(
                 fwd_ds, ["field", "term", "shard"],
-                _ft.partial(_encode_bucket, shard_shift=shard_shift),
+                _ft.partial(_encode_bucket, shard_shift=shard_shift,
+                            positions=cfg.positions),
                 num_buckets=n_buckets, batch_format="pyarrow",
                 pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
                                        ids_ref=ids_ref,
-                                       num_shards=num_shards))
+                                       num_shards=num_shards,
+                                       positions=cfg.positions))
             seg.write_parquet(seg_dir)
         man.mark_done("segments", seg_fp, seconds=t.seconds)
         res.stage_seconds["segments"] = t.seconds
@@ -666,19 +750,23 @@ def _encode_segments(fwd_paths, seg_dir: str, cfg, ids_sorted: np.ndarray,
         dup = ids_sorted[:-1][np.diff(ids_sorted) == 0]
         raise ValueError(f"duplicate doc_id(s) (e.g. {dup[:5].tolist()})")
     ids_ref = _ray.put(ids_sorted)
-    post_cols = ["doc_id"] + [c for f in cfg.fields
-                              for c in (f"{f}__terms", f"{f}__tfs")]
+    post_cols = ["doc_id"] + [
+        c for f in cfg.fields
+        for c in ((f"{f}__terms", f"{f}__tfs", f"{f}__pos")
+                  if cfg.positions else (f"{f}__terms", f"{f}__tfs"))]
     fwd_ds = ray.data.read_parquet(fwd_paths, columns=post_cols,
                                    override_num_blocks=auto_num_blocks(fwd_paths))
     n_buckets = int(max(32, input_bytes(fwd_paths) // (8 << 20)))
     import functools as _ft
     seg = grouped_map(
         fwd_ds, ["field", "term", "shard"],
-        _ft.partial(_encode_bucket, shard_shift=shard_shift),
+        _ft.partial(_encode_bucket, shard_shift=shard_shift,
+                    positions=cfg.positions),
         num_buckets=n_buckets, batch_format="pyarrow",
         pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
                                ids_ref=ids_ref, num_shards=num_shards,
-                               rank_offset=rank_offset))
+                               rank_offset=rank_offset,
+                               positions=cfg.positions))
     if gen:
         def tag(t: pa.Table) -> pa.Table:
             return t.append_column(
@@ -709,7 +797,8 @@ def build_index_incremental(
     man = StageManifests(out_dir)
     from baram_ray.tokenizer import TOKENIZER_VERSION as _TV
     cfg_fp = (f":cfg=f{','.join(cfg.fields)}|i{','.join(cfg.id_cols)}"
-              f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}|tok{_TV}")
+              f"|k{','.join(cfg.keep)}|{cfg.k1}|{cfg.b}|tok{_TV}"
+              f"|pos{int(cfg.positions)}")
     res = BuildResult(out_dir=out_dir, n_docs=0, n_terms=0, num_shards=1)
 
     fwd_root = os.path.join(out_dir, "forward")
@@ -751,7 +840,7 @@ def build_index_incremental(
             pdir = fresh_dir(os.path.join(fwd_root, f"p_{h}"))
             ddir = fresh_dir(os.path.join(docs_root, f"p_{h}"))
             norm = NormalizeTokenize(list(cfg.fields), list(cfg.id_cols),
-                                     list(cfg.keep))
+                                     list(cfg.keep), positions=cfg.positions)
             fwd = ray.data.read_parquet([p], columns=sorted(cols)) \
                 .map_batches(norm, batch_format="pyarrow",
                              batch_size=cfg.tokenize_batch_size)
@@ -846,7 +935,8 @@ def build_index_incremental(
             "k1": cfg.k1, "b": cfg.b, "tokenizer_version": _TV,
             "keep": list(cfg.keep), "num_shards": res.num_shards,
             "shard_shift": int(state.get("shard_shift", 0)),
-            "id_space": "rank", "incremental": True}
+            "id_space": "rank", "incremental": True,
+            "positions": bool(cfg.positions)}
     with open(meta_path + ".tmp", "w") as f:
         json.dump(meta, f)
     os.replace(meta_path + ".tmp", meta_path)

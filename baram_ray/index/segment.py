@@ -37,8 +37,9 @@ class _PayloadStore:
 
     MAX_CACHED_GROUPS = 64
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], positions: bool = False):
         self.files = files
+        self.positions = positions
         self._pf: dict[int, object] = {}
         self._cache: "dict[tuple[int, int], tuple]" = {}
         self._lru: list[tuple[int, int]] = []
@@ -51,8 +52,12 @@ class _PayloadStore:
             pf = self._pf.get(file_idx)
             if pf is None:
                 pf = self._pf[file_idx] = _pq.ParquetFile(self.files[file_idx])
-            t = pf.read_row_group(rg, columns=["docs_enc", "tfs_enc"])
-            hit = (t["docs_enc"].to_pylist(), t["tfs_enc"].to_pylist())
+            cols = ["docs_enc", "tfs_enc"]
+            if self.positions:
+                cols.append("pos_enc")
+            t = pf.read_row_group(rg, columns=cols)
+            hit = (t["docs_enc"].to_pylist(), t["tfs_enc"].to_pylist(),
+                   t["pos_enc"].to_pylist() if self.positions else None)
             if len(self._cache) >= self.MAX_CACHED_GROUPS:
                 old = self._lru.pop(0)
                 self._cache.pop(old, None)
@@ -61,8 +66,11 @@ class _PayloadStore:
         return hit
 
     def get(self, file_idx: int, rg: int, row: int) -> tuple[bytes, bytes]:
-        docs, tfs = self._group(file_idx, rg)
+        docs, tfs, _ = self._group(file_idx, rg)
         return docs[row], tfs[row]
+
+    def get_pos(self, file_idx: int, rg: int, row: int) -> bytes:
+        return self._group(file_idx, rg)[2][row]
 
 
 class PostingList:
@@ -76,10 +84,12 @@ class PostingList:
     """
 
     __slots__ = ("n_blocks", "counts", "min_docs", "max_docs", "max_tfs",
-                 "docs_enc", "tfs_enc", "df", "_cache", "_store", "_locs")
+                 "docs_enc", "tfs_enc", "pos_enc", "df", "_cache", "_store",
+                 "_locs")
 
     def __init__(self, counts, min_docs, max_docs, max_tfs,
-                 docs_enc=None, tfs_enc=None, *, store=None, locs=None):
+                 docs_enc=None, tfs_enc=None, pos_enc=None,
+                 *, store=None, locs=None):
         self.n_blocks = len(counts)
         self.counts = counts
         self.min_docs = min_docs
@@ -87,6 +97,7 @@ class PostingList:
         self.max_tfs = max_tfs
         self.docs_enc = docs_enc
         self.tfs_enc = tfs_enc
+        self.pos_enc = pos_enc
         self._store = store
         self._locs = locs                    # per block: (file, rg, row)
         self.df = int(sum(counts))
@@ -102,6 +113,36 @@ class PostingList:
                 d_enc, t_enc = self._store.get(*self._locs[i])
             hit = self._cache[i] = decode_block({
                 "n": self.counts[i], "docs_enc": d_enc, "tfs_enc": t_enc})
+        return hit
+
+    def decode_pos(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """Positions of block ``i``'s postings: (flat absolute positions,
+        per-posting offsets — posting p's positions are
+        ``flat[offsets[p]:offsets[p+1]]``).
+
+        The block's ``pos_enc`` holds one varint per position: absolute at
+        each posting's first position, then gaps (gap 0 is legal — a
+        compound identifier's parts share a word position)."""
+        key = ("pos", i)
+        hit = self._cache.get(key)
+        if hit is None:
+            from baram_ray.index.codec import decode_varints
+            _, tfs = self.decode(i)
+            if self.pos_enc is not None:
+                enc = self.pos_enc[i]
+            else:
+                enc = self._store.get_pos(*self._locs[i])
+            n_pos = int(tfs.sum())
+            vals = decode_varints(enc, n_pos)
+            offsets = np.empty(len(tfs) + 1, dtype=np.int64)
+            offsets[0] = 0
+            np.cumsum(tfs, out=offsets[1:])
+            starts = offsets[:-1]
+            # absolutes: cumsum with a per-posting reset (subtract the
+            # running total just before each posting's first value)
+            cum = np.cumsum(vals)
+            base = np.repeat(cum[starts] - vals[starts], tfs)
+            hit = self._cache[key] = (cum - base, offsets)
         return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
@@ -182,7 +223,8 @@ class IndexReader:
         files = sorted(
             os.path.join(seg_dir, f) for f in os.listdir(seg_dir)
             if f.endswith(".parquet"))
-        self._payload = _PayloadStore(files)
+        self.has_positions = bool(self.meta.get("positions", False))
+        self._payload = _PayloadStore(files, positions=self.has_positions)
         meta_cols = ["field", "term", "shard", "block_id", "n",
                      "min_doc", "max_doc", "max_tf"]
         metas, loc_fi, loc_rg, loc_row = [], [], [], []

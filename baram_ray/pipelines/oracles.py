@@ -53,6 +53,19 @@ ORACLES: dict[str, str] = {
         WHERE list_contains(string_split_regex(lower(text), '\s+'), 'data')
           AND n_chars BETWEEN 100 AND 400
     """,
+    # positional-postings retrieval: docs where the words are ADJACENT in
+    # token order — regex word-adjacency on the raw text is the exact
+    # equivalent for this single-space word-list corpus (the engine side
+    # walks posting positions; see query/engine.py match_phrase_docs)
+    "phrase_match_docs": r"""
+        SELECT CAST(0 AS BIGINT) AS phrase_id, doc_id FROM documents
+        WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9_])table[^a-z0-9_]+scan([^a-z0-9_]|$)')
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM documents
+        WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9_])merge[^a-z0-9_]+sort([^a-z0-9_]|$)')
+    """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6

@@ -22,14 +22,20 @@ from baram_ray.query.queryset import QUERY_SET
 _INDEX_ROOT = "/tmp/baram_ray_indexes"
 
 
-def ensure_index(sf_dir: str) -> str:
-    """Build (or resume) the documents-table index for sf_dir; return its dir."""
+def ensure_index(sf_dir: str, positions: bool = False) -> str:
+    """Build (or resume) the documents-table index for sf_dir; return its dir.
+
+    ``positions=True`` builds the positional variant (separate dir — the
+    term-only index stays position-free so its size/latency are unchanged).
+    """
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(_INDEX_ROOT, f"documents_{tag}")
+    suffix = "_pos" if positions else ""
+    out = os.path.join(_INDEX_ROOT, f"documents_{tag}{suffix}")
     # n_chars kept as a numeric metadata column → range-filter queries
     # (the reference's published_at range, src/embedding/mod.rs:517-532)
     cfg = IndexConfig(fields=("text",), id_cols=(),
-                      keep=("lang", "source", "n_chars"))
+                      keep=("lang", "source", "n_chars"),
+                      positions=positions)
     build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg, resume=True)
     return out
 
@@ -227,6 +233,51 @@ def bm25_paged(sf_dir: str, query_text: str = "table scan filter",
         if pi + 1 >= max_pages:
             break
     return pd.DataFrame(rows, columns=["page", "rank", "doc_id", "score"])
+
+
+# exact phrases over the word-list corpus — common enough to have hits,
+# specific enough that adjacency actually filters
+PHRASE_QUERIES = [
+    {"query_id": 0, "text": "table scan", "k": 10},
+    {"query_id": 1, "text": "merge sort", "k": 10},
+    {"query_id": 2, "text": "hash join merge", "k": 10},
+    {"query_id": 3, "text": "qqqxplughz scan", "k": 10},    # zero hits
+]
+
+
+def phrase_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Exact-phrase BM25 top-k through the actor pool (positional index;
+    Lucene PhraseQuery scoring: idf = Σ term idfs, tf = phrase freq).
+    Rows (query_id, rank, doc_id, score); rank identity vs the
+    brute-force phrase oracle is pytest-checked, doc-set correctness has
+    the ``phrase_match_docs`` SQL oracle."""
+    idx = ensure_index(sf_dir, positions=True)
+    qs = ray.data.from_items(queries or PHRASE_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "phrase"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def phrase_match_docs(sf_dir: str):
+    """Exact-phrase RETRIEVAL (no scoring): all doc_ids containing each
+    phrase, via positional postings + conjunctive next_geq traversal.
+    SQL-expressible (regex word-adjacency on the raw text) → hash-exact
+    DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    rows = []
+    for pid, phrase in enumerate(["table scan", "merge sort"]):
+        for d in eng.match_phrase_docs(phrase):
+            rows.append({"phrase_id": pid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["phrase_id", "doc_id"])
+    return df.astype({"phrase_id": "int64", "doc_id": "int64"})
 
 
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights

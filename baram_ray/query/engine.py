@@ -111,6 +111,11 @@ class _TermIter:
         return self.weight * self.idf * tf / (
             tf + k1 * (1.0 - b + (b * row_dl) / avgdl))
 
+    def positions_at(self) -> np.ndarray:
+        """Word positions of the current posting (positional index only)."""
+        flat, offs = self.pl.decode_pos(self.block)
+        return flat[offs[self.pos]: offs[self.pos + 1]]
+
 
 class QueryEngine:
     def __init__(self, index_dir: str,
@@ -183,6 +188,151 @@ class QueryEngine:
                 return
             yield page
             after = (page[-1][1], page[-1][0])       # (score, doc_id) cursor
+
+    # ------------------------------------------------------------------ #
+    # Phrase queries (positional index required: IndexConfig(positions=True))
+    # ------------------------------------------------------------------ #
+    def _phrase_field(self, field: str, qterms: dict[str, list[int]],
+                      weight: float):
+        """Conjunctive next_geq traversal + position verification for one
+        field. Returns ({rank: phrase_freq}, idf_sum) — empty when any
+        phrase term is absent from the field.
+
+        A doc matches when some base offset aligns EVERY query occurrence:
+        base ∈ ⋂_{(t, qp)} (positions(t) − qp); phrase_freq = |⋂|. Blocks
+        are skipped with the same galloping ``next_geq`` the scored path
+        uses, driven by the rarest term.
+        """
+        r = self.r
+        n = r.n_docs
+        iters: list[_TermIter] = []
+        qpos: list[list[int]] = []
+        idf_sum = 0.0
+        for t, qps in qterms.items():
+            pl = r.postings.get((field, t))
+            if pl is None:
+                return {}, 0.0
+            df = r.df_global(field, t, pl)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            idf_sum += idf
+            iters.append(_TermIter(field, t, pl, idf, weight,
+                                   self.k1, self.b))
+            qpos.append(qps)
+        lead = min(range(len(iters)), key=lambda i: iters[i].pl.df)
+        others = [it for i, it in enumerate(iters) if i != lead]
+        DONE = _TermIter.DONE
+        freqs: dict[int, int] = {}
+        d = iters[lead].doc
+        while d < DONE:
+            target = d
+            aligned = True
+            for it in others:
+                nd = it.next_geq(target)
+                if nd != target:
+                    aligned, target = False, nd
+                    break
+            if not aligned:
+                if target >= DONE:
+                    break
+                d = iters[lead].next_geq(target)
+                continue
+            offs = None
+            for it, qps in zip(iters, qpos):
+                p = it.positions_at()
+                term_offs = None
+                for qp in qps:     # every occurrence of t in the phrase
+                    shifted = p - qp
+                    term_offs = shifted if term_offs is None else \
+                        np.intersect1d(term_offs, shifted)
+                    if len(term_offs) == 0:
+                        break
+                offs = term_offs if offs is None else \
+                    np.intersect1d(offs, term_offs)
+                if len(offs) == 0:
+                    break
+            if offs is not None and len(offs):
+                freqs[d] = len(np.unique(offs))
+            d = iters[lead].advance()
+        return freqs, idf_sum
+
+    def _phrase_freqs(self, query: str,
+                      fields: list[str] | None = None,
+                      boosts: dict[str, float] | None = None):
+        """Per-field phrase match maps: [(field, weight, idf_sum,
+        {rank: freq})]. Shared by scoring and retrieval."""
+        from baram_ray.tokenizer import analyze_phrase
+        if not self.r.has_positions:
+            raise ValueError(
+                "phrase queries need a positional index — build with "
+                "IndexConfig(positions=True)")
+        toks = analyze_phrase(query)
+        if not toks:
+            return []
+        qterms: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            qterms.setdefault(t, []).append(i)
+        boosts = boosts or {}
+        out = []
+        for f in (fields or self.r.fields):
+            w = float(boosts.get(f, 1.0))
+            freqs, idf_sum = self._phrase_field(f, qterms, w)
+            if freqs:
+                out.append((f, w, idf_sum, freqs))
+        return out
+
+    def search_phrase(self, query: str, k: int = 10,
+                      fields: list[str] | None = None,
+                      boosts: dict[str, float] | None = None,
+                      filters: dict | None = None,
+                      min_score: float | None = None
+                      ) -> list[tuple[int, float]]:
+        """Exact-phrase top-k: the phrase scores as ONE composite term per
+        field (Lucene PhraseQuery semantics: idf = Σ term idfs, tf =
+        phrase frequency), bool-should across fields like ``search``.
+        Sorted (score desc, doc_id asc)."""
+        per_field = self._phrase_freqs(query, fields, boosts)
+        if not per_field or k <= 0:
+            return []
+        r = self.r
+        acc: dict[int, float] = {}
+        for f, w, idf_sum, freqs in per_field:
+            avg = r.avgdl[f] or 1.0
+            dl = r.dl[f]
+            for rank, fr in freqs.items():
+                row = rank - r.rank_base
+                s = w * idf_sum * fr / (
+                    fr + self.k1 * (1.0 - self.b
+                                    + (self.b * dl[row]) / avg))
+                acc[rank] = acc.get(rank, 0.0) + s
+        mask = r.filter_mask(filters)
+        hits = []
+        for rank, s in acc.items():
+            row = rank - r.rank_base
+            if mask is not None and not mask[row]:
+                continue
+            if min_score is not None and s < min_score:
+                continue
+            hits.append((int(r.doc_ids[row]), float(s)))
+        hits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return hits[:k]
+
+    def match_phrase_docs(self, query: str,
+                          fields: list[str] | None = None,
+                          filters: dict | None = None) -> np.ndarray:
+        """All doc_ids containing the exact phrase in ANY of ``fields`` —
+        retrieval without scoring (sorted ascending)."""
+        per_field = self._phrase_freqs(query, fields)
+        r = self.r
+        mask = r.filter_mask(filters)
+        ranks: set[int] = set()
+        for _, _, _, freqs in per_field:
+            ranks.update(freqs)
+        rows = np.array(sorted(rk - r.rank_base for rk in ranks),
+                        dtype=np.int64)
+        if mask is not None and len(rows):
+            rows = rows[mask[rows]]
+        return np.sort(r.doc_ids[rows]) if len(rows) else \
+            np.empty(0, dtype=np.int64)
 
     # ------------------------------------------------------------------ #
     def _daat(self, its: list[_TermIter], k: int, mask,
@@ -354,21 +504,28 @@ class QueryActor:
     def __init__(self, index_dir: str, boosts: dict[str, float] | None = None,
                  algorithm: str = "auto", filters: dict | None = None,
                  min_score: float | None = None,
-                 shard_range: tuple[int, int] | None = None):
+                 shard_range: tuple[int, int] | None = None,
+                 mode: str = "bm25"):
         self.engine = QueryEngine(index_dir, shard_range=shard_range)
         self.boosts = boosts
         self.algorithm = algorithm
         self.filters = filters
         self.min_score = min_score
+        self.mode = mode                      # "bm25" | "phrase"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))
         for qid, text, k in zip(batch["query_id"], batch["text"], ks):
-            hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
-                                      algorithm=self.algorithm,
-                                      filters=self.filters,
-                                      min_score=self.min_score)
+            if self.mode == "phrase":
+                hits = self.engine.search_phrase(
+                    str(text), k=int(k), boosts=self.boosts,
+                    filters=self.filters, min_score=self.min_score)
+            else:
+                hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
+                                          algorithm=self.algorithm,
+                                          filters=self.filters,
+                                          min_score=self.min_score)
             for rank, (d, s) in enumerate(hits, 1):
                 qids.append(qid); ranks.append(rank); docs.append(d); scores.append(s)
         return pd.DataFrame({

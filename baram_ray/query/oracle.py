@@ -26,7 +26,9 @@ from __future__ import annotations
 import math
 from collections import Counter
 
-from baram_ray.tokenizer import term_counts, tokenize
+from baram_ray.tokenizer import (
+    analyze_phrase, term_counts, tokenize, tokenize_with_positions,
+)
 
 
 class OracleIndex:
@@ -86,5 +88,64 @@ class OracleIndex:
             scores = {d: s for d, s in scores.items() if d in allowed}
         if min_score is not None:
             scores = {d: s for d, s in scores.items() if s >= min_score}
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    # ----------------------------------------------------------------- #
+    def _phrase_freq(self, text: str, qtoks: list[str]) -> int:
+        """Exact-phrase frequency in one field text: number of base
+        offsets where every query token appears at ``base + i`` in the
+        document's word-position stream (tokenizer.tokenize_with_positions
+        semantics — compound parts share their word's position)."""
+        toks, poss = tokenize_with_positions(text or "")
+        at: dict[str, set[int]] = {}
+        for t, p in zip(toks, poss):
+            at.setdefault(t, set()).add(p)
+        bases: set[int] | None = None
+        for i, qt in enumerate(qtoks):
+            ps = at.get(qt)
+            if not ps:
+                return 0
+            shifted = {p - i for p in ps}
+            bases = shifted if bases is None else bases & shifted
+            if not bases:
+                return 0
+        return len(bases or ())
+
+    def search_phrase(self, docs: list[dict], query: str, k: int = 10,
+                      boosts: dict[str, float] | None = None
+                      ) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_phrase: phrase =
+        one composite term per field (idf = Σ unique-term idfs, tf =
+        phrase freq), bool-should across fields."""
+        qtoks = analyze_phrase(query)
+        if not qtoks:
+            return []
+        boosts = boosts or {}
+        uniq = list(dict.fromkeys(qtoks))
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            idf_sum = 0.0
+            missing = False
+            for t in uniq:
+                df = self.df[f].get(t, 0)
+                if df == 0:
+                    missing = True
+                    break
+                idf_sum += math.log(
+                    1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            if missing:
+                continue
+            for i, d in enumerate(docs):
+                fr = self._phrase_freq(d.get(f) or "", qtoks)
+                if not fr:
+                    continue
+                dl = self.dl[f][i]
+                s = w * idf_sum * fr / (
+                    fr + self.k1 * (1 - self.b + self.b * dl / avg))
+                di = self.doc_ids[i]
+                scores[di] = scores.get(di, 0.0) + s
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -28,7 +28,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from baram_ray.tokenizer import term_counts
+from baram_ray.tokenizer import term_counts, term_positions
 
 
 def derive_doc_id(*key_parts: str) -> int:
@@ -54,11 +54,14 @@ class NormalizeTokenize:
     """
 
     def __init__(self, fields: list[str], id_cols: list[str], keep: list[str],
-                 sha_col: str | None = None):
+                 sha_col: str | None = None, positions: bool = False):
         self.fields = fields
         self.id_cols = id_cols
         self.keep = keep
         self.sha_col = sha_col or fields[0]
+        # positional forward index: adds {f}__pos (flat int32 positions,
+        # split by {f}__tfs) — see tokenizer.term_positions for semantics
+        self.positions = positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -83,12 +86,22 @@ class NormalizeTokenize:
         for f in self.fields:
             texts = content if f == self.sha_col else batch[f].to_pylist()
             terms_col, tfs_col, lens = [], [], np.empty(n, dtype=np.int64)
+            pos_col = [] if self.positions else None
             for i, t in enumerate(texts):
-                tc = term_counts(t or "")
-                terms_col.append(list(tc.keys()))
-                tfs_col.append(list(tc.values()))
-                lens[i] = sum(tc.values())
+                if self.positions:
+                    terms, tfs, flat = term_positions(t or "")
+                    terms_col.append(terms)
+                    tfs_col.append(tfs)
+                    pos_col.append(flat)
+                    lens[i] = sum(tfs)
+                else:
+                    tc = term_counts(t or "")
+                    terms_col.append(list(tc.keys()))
+                    tfs_col.append(list(tc.values()))
+                    lens[i] = sum(tc.values())
             cols[f"{f}__len"] = pa.array(lens, pa.int64())
             cols[f"{f}__terms"] = pa.array(terms_col, pa.list_(pa.string()))
             cols[f"{f}__tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
+            if self.positions:
+                cols[f"{f}__pos"] = pa.array(pos_col, pa.list_(pa.int32()))
         return pa.table(cols)

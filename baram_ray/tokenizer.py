@@ -108,6 +108,97 @@ def term_counts(text: str) -> Counter:
     return Counter(tokenize(text))
 
 
+def tokenize_with_positions(text: str) -> tuple[list[str], list[int]]:
+    """Token stream + WORD positions.
+
+    Position semantics (the positional-index contract; compare Lucene's
+    position graph for nori ``mixed`` decompound):
+
+    - each identifier word occupies ONE position; a compound identifier's
+      whole token and all its parts share that position (so a phrase of
+      whole words never falsely matches through a compound's parts);
+    - each CJK bigram occupies its own position (consecutive bigrams of a
+      run are adjacent — a CJK phrase analyzed the same way aligns);
+    - positions count matched words/bigrams only (separators are not
+      position gaps), deterministically.
+    """
+    if not text:
+        return [], []
+    text = text.translate(_ZERO_WIDTH)
+    toks: list[str] = []
+    poss: list[int] = []
+    p = 0
+    for m in _WORD_RE.finditer(text):
+        word = m.group(1)
+        if word is not None:
+            for t in _expand_word(word):
+                toks.append(t)
+                poss.append(p)
+            p += 1
+        else:
+            run = m.group(2)
+            if len(run) == 1:
+                toks.append(run)
+                poss.append(p)
+                p += 1
+            else:
+                for i in range(len(run) - 1):
+                    toks.append(run[i : i + 2])
+                    poss.append(p)
+                    p += 1
+    return toks, poss
+
+
+def term_positions(text: str) -> tuple[list[str], list[int], list[int]]:
+    """Per-term grouped positions: (terms, tfs, flat_positions).
+
+    ``terms[i]`` occurs ``tfs[i]`` times; its positions are the next
+    ``tfs[i]`` entries of ``flat_positions`` (sorted non-decreasing — a
+    term can repeat at one position when a compound's parts coincide,
+    e.g. ``a_a`` → part ``a`` twice at position 0). Term order is
+    first-occurrence order, matching ``term_counts`` iteration order, and
+    ``sum(tfs) == len(token stream)`` so dl is unchanged vs ``term_counts``.
+    """
+    toks, poss = tokenize_with_positions(text)
+    groups: dict[str, list[int]] = {}
+    for t, p in zip(toks, poss):
+        g = groups.get(t)
+        if g is None:
+            groups[t] = [p]
+        else:
+            g.append(p)
+    terms = list(groups.keys())
+    tfs = [len(groups[t]) for t in terms]
+    flat: list[int] = []
+    for t in terms:
+        flat.extend(groups[t])
+    return terms, tfs, flat
+
+
+def analyze_phrase(text: str) -> list[str]:
+    """Phrase-query analyzer: ONE token per position unit — the whole
+    (lowercased, underscore-preserving) identifier token per word, each
+    CJK bigram — i.e. the index's position-bearing stream with compound
+    parts removed. Query token i is matched at document position
+    ``base + i``; adjacency here == adjacency in
+    :func:`tokenize_with_positions` output."""
+    if not text:
+        return []
+    text = text.translate(_ZERO_WIDTH)
+    out: list[str] = []
+    for m in _WORD_RE.finditer(text):
+        word = m.group(1)
+        if word is not None:
+            out.append(word.lower()[:MAX_TOKEN_LEN])
+        else:
+            run = m.group(2)
+            if len(run) == 1:
+                out.append(run)
+            else:
+                out.extend(run[i : i + 2] for i in range(len(run) - 1))
+    return out
+
+
 def analyze_query(text: str) -> list[str]:
     """Query-side analyzer: same chain (see module docstring); distinct
     unique terms are NOT deduplicated here — BM25 scoring dedups terms

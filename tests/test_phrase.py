@@ -1,0 +1,212 @@
+"""Positional postings + phrase queries: tokenizer position invariants,
+engine rank identity vs the brute-force phrase oracle, and retrieval
+parity (FIXTURES-style check on the synthetic code corpus — compounds,
+CJK bigrams and multi-field all exercised)."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from baram_ray.corpus import corpus_parquet
+from baram_ray.index.build import IndexConfig, build_index
+from baram_ray.query.engine import QueryEngine
+from baram_ray.query.oracle import OracleIndex
+from baram_ray.tokenizer import (
+    analyze_phrase, term_counts, term_positions, tokenize,
+    tokenize_with_positions,
+)
+
+N_ROWS = 300
+OUT = "/tmp/baram_test_posindex"
+
+
+@pytest.fixture(scope="module")
+def corpus_path():
+    return corpus_parquet(N_ROWS, seed=42, cache_dir="/tmp/baram_test_corpus")
+
+
+@pytest.fixture(scope="module")
+def built(corpus_path):
+    shutil.rmtree(OUT, ignore_errors=True)
+    cfg = IndexConfig(fields=("content", "path"), num_shards=4,
+                      positions=True)
+    return build_index(corpus_path, OUT, cfg, resume=False)
+
+
+@pytest.fixture(scope="module")
+def docs(corpus_path):
+    tbl = pq.read_table(corpus_path)
+    out = tbl.to_pylist()
+    from baram_ray.stages.normalize import derive_doc_id
+    for d in out:
+        d["doc_id"] = derive_doc_id(d["repo"], d["path"], d["commit"])
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(docs):
+    return OracleIndex(docs, fields=["content", "path"])
+
+
+@pytest.fixture(scope="module")
+def engine(built):
+    eng = QueryEngine(built.out_dir)
+    assert eng.r.has_positions
+    return eng
+
+
+SAMPLES = [
+    "def main(): return fooBar_baz(x1)",
+    "snake_case camelCase HTTPServer plain",
+    "한국어 주석 테스트 x",            # hangul bigrams
+    "a_a aa a",                        # duplicate part positions
+    "",
+]
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_positions_token_stream_consistent(text):
+    toks, poss = tokenize_with_positions(text)
+    # same multiset (and order) of tokens as the scoring tokenizer → dl,
+    # tf and the non-positional index are unchanged by positions=True
+    assert toks == tokenize(text)
+    assert len(toks) == len(poss)
+    # positions are non-decreasing along the stream, start at 0
+    if poss:
+        assert poss[0] == 0
+        assert all(b >= a for a, b in zip(poss, poss[1:]))
+    # one position unit per analyze_phrase token
+    assert len(analyze_phrase(text)) == (max(poss) + 1 if poss else 0)
+
+
+@pytest.mark.parametrize("text", SAMPLES)
+def test_term_positions_grouping(text):
+    terms, tfs, flat = term_positions(text)
+    tc = term_counts(text)
+    assert terms == list(tc.keys())
+    assert tfs == list(tc.values())
+    assert len(flat) == sum(tfs)
+    # per-term position runs are sorted (duplicates legal: compound parts)
+    i = 0
+    for t, n in zip(terms, tfs):
+        run = flat[i: i + n]
+        assert run == sorted(run), (t, run)
+        i += n
+
+
+PHRASES = [
+    "def main",
+    "import index",
+    "fn let mut",
+    "the usage",
+    "한국어 주석",            # CJK bigram adjacency
+    "qqqzz notthere",        # zero hits
+]
+
+
+def _dynamic_phrases(docs):
+    """Phrases guaranteed present: first two adjacent whole-word units of
+    a few real docs (exercises compounds when the corpus emits them)."""
+    out = []
+    for d in docs[:40]:
+        units = analyze_phrase(d.get("content") or "")
+        if len(units) >= 3:
+            out.append(" ".join(units[:2]))
+            out.append(" ".join(units[1:4]))
+        if len(out) >= 6:
+            break
+    return out
+
+
+def test_phrase_rank_identity(engine, oracle, docs):
+    for q in PHRASES + _dynamic_phrases(docs):
+        got = engine.search_phrase(q, k=20)
+        exp = oracle.search_phrase(docs, q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_phrase_requires_adjacency(engine, oracle, docs):
+    """Phrase ≠ AND-of-terms: find a corpus bigram whose AND-set is
+    strictly larger than its adjacency-set and assert the engine returns
+    exactly the adjacency-set."""
+    from collections import Counter
+    pair_counts = Counter()
+    for d in docs[:120]:
+        units = analyze_phrase(d.get("content") or "")
+        pair_counts.update(zip(units, units[1:]))
+    chosen = None
+    for (a, b), _ in pair_counts.most_common(30):
+        if a == b:
+            continue
+        both, adj = set(), set()
+        for d in docs:
+            text = d.get("content") or ""
+            toks = set(tokenize(text))
+            if {a, b} <= toks:
+                both.add(d["doc_id"])
+            if oracle._phrase_freq(text, [a, b]):
+                adj.add(d["doc_id"])
+        if adj and len(adj) < len(both):
+            chosen = (a, b, both, adj)
+            break
+    assert chosen is not None, "corpus produced no discriminating bigram"
+    a, b, both, adj = chosen
+    # content-field-only retrieval matches the brute-force adjacency set
+    hits = set(engine.match_phrase_docs(f"{a} {b}", fields=["content"]))
+    assert hits == adj
+    assert hits < both
+
+
+def test_match_phrase_docs_vs_bruteforce(engine, oracle, docs):
+    for q in PHRASES:
+        got = engine.match_phrase_docs(q).tolist()
+        exp = sorted(
+            d["doc_id"] for d in docs
+            if any(oracle._phrase_freq(d.get(f) or "", analyze_phrase(q))
+                   for f in ("content", "path")))
+        assert got == exp, q
+
+
+def test_phrase_boosts_and_filters(engine, oracle, docs):
+    q = "def main"
+    got = engine.search_phrase(q, k=10, boosts={"path": 2.0})
+    exp = oracle.search_phrase(docs, q, k=10, boosts={"path": 2.0})
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    # filters reuse the scored path's metadata mask
+    all_hits = engine.search_phrase(q, k=100)
+    py_hits = engine.search_phrase(q, k=100, filters={"lang": "python"})
+    assert set(d for d, _ in py_hits) <= set(d for d, _ in all_hits)
+
+
+def test_single_term_phrase_matches_term_postings(engine):
+    """m=1 phrase degenerates to the term's postings (freq == tf)."""
+    ids_phrase = set(engine.match_phrase_docs("import"))
+    ids_term = set()
+    for f in engine.r.fields:
+        ids_term.update(engine.r.doc_ids_for_term(f, "import").tolist())
+    assert ids_phrase == ids_term
+
+
+def test_repeated_term_phrase(engine, oracle, docs):
+    """Duplicate query term ("the the") needs two distinct alignments."""
+    q = "the the"
+    got = engine.search_phrase(q, k=15)
+    exp = oracle.search_phrase(docs, q, k=15)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in exp],
+                               rtol=1e-9)
+
+
+def test_positional_build_same_scoring_index(corpus_path, built, oracle):
+    """positions=True must not perturb BM25: rank identity vs the oracle
+    still holds on the positional index."""
+    eng = QueryEngine(built.out_dir)
+    for q in ["def main return", "import index query", "parse token"]:
+        got = eng.search(q, k=10, algorithm="daat")
+        exp = oracle.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in exp]
