@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_paged": searchp.bm25_paged,
         "search_phrase_topk": searchp.phrase_topk,
         "phrase_match_docs": searchp.phrase_match_docs,
+        "search_bool_topk": searchp.bool_topk,
+        "bool_match_docs": searchp.bool_match_docs,
         "search_index_stats": searchp.index_stats,
         "search_build_metrics": searchp.build_metrics,
         "search_term_stats": searchp.index_term_stats,

@@ -66,6 +66,21 @@ ORACLES: dict[str, str] = {
         WHERE regexp_matches(lower(text),
               '(^|[^a-z0-9_])merge[^a-z0-9_]+sort([^a-z0-9_]|$)')
     """,
+    # boolean retrieval: must AND (≥2 of the should clauses — any term of
+    # a clause counts) AND NOT must_not, over whitespace word tokens
+    # (single-space corpus: whitespace tokens == analyzer tokens)
+    "bool_match_docs": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(text), '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id FROM w
+        WHERE list_contains(ws, 'data')
+          AND ((CASE WHEN list_contains(ws, 'table')
+                       OR list_contains(ws, 'scan') THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(ws, 'merge')
+                       OR list_contains(ws, 'sort') THEN 1 ELSE 0 END)) >= 2
+          AND NOT list_contains(ws, 'vector')
+    """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6

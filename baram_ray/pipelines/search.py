@@ -280,6 +280,52 @@ def phrase_match_docs(sf_dir: str):
     return df.astype({"phrase_id": "int64", "doc_id": "int64"})
 
 
+# boolean query surface (reference bool DSL: should + minimum_should_match
+# + must_not complement, src/embedding/mod.rs:475-535)
+BOOL_QUERIES = [
+    {"query_id": 0, "text": "", "must": "data", "should": "table scan;merge sort",
+     "must_not": "", "msm": 1, "k": 10},
+    {"query_id": 1, "text": "", "must": "query", "should": "",
+     "must_not": "vector", "msm": 0, "k": 10},
+    {"query_id": 2, "text": "", "must": "", "should": "hash join;group agg",
+     "must_not": "", "msm": 2, "k": 15},
+]
+
+
+def bool_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Boolean BM25 top-k through the actor pool (mode="bool": clause
+    columns must/should/must_not, ';'-separated). Rows-only driver
+    check; rank identity vs the brute-force bool oracle is pytest-
+    checked, doc-set correctness has the ``bool_match_docs`` oracle."""
+    idx = ensure_index(sf_dir)
+    qs = ray.data.from_items(queries or BOOL_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "bool"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def bool_match_docs(sf_dir: str):
+    """Boolean RETRIEVAL (no scoring): doc_ids where ALL of — 'data'
+    present (must), ≥2 of the should clauses {'table scan', 'merge
+    sort'} match (a match clause matches when ANY of its terms does),
+    and 'vector' absent (must_not). SQL-expressible → hash-exact
+    DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    ids = eng.match_bool_docs(must=["data"],
+                              should=["table scan", "merge sort"],
+                              must_not=["vector"],
+                              minimum_should_match=2)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
 HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
 HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector

@@ -177,6 +177,97 @@ class QueryEngine:
             hits = [(d, s) for d, s in hits if s >= min_score]
         return hits
 
+    # ------------------------------------------------------------------ #
+    # Boolean queries — the reference's bool DSL one level up from
+    # bool-should-over-fields (src/embedding/mod.rs:475-535: should +
+    # minimum_should_match + filter; must_not is the OpenSearch
+    # complement). Each clause is a match query (analyzed string, any
+    # field); scoring = BM25 sum over the matching must/should clauses.
+    # ------------------------------------------------------------------ #
+    def _clause_eval(self, clause: str, boosts):
+        """(score array, matched mask) for one match clause — exhaustive
+        vectorized scoring over local rows."""
+        r = self.r
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        for it in self._iters(clause, boosts):
+            rows, tfs = it.pl.decode_all()
+            if r.rank_base:
+                rows = rows - r.rank_base
+            dl = r.dl[it.field][rows]
+            avg = r.avgdl[it.field] or 1.0
+            tff = tfs.astype(np.float64)
+            s = (it.weight * it.idf) * tff / (
+                tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
+            np.add.at(acc, rows, s)
+            matched[rows] = True
+        return acc, matched
+
+    def search_bool(self, must: list[str] | None = None,
+                    should: list[str] | None = None,
+                    must_not: list[str] | None = None,
+                    minimum_should_match: int | None = None,
+                    k: int = 10,
+                    boosts: dict[str, float] | None = None,
+                    filters: dict | None = None,
+                    min_score: float | None = None
+                    ) -> list[tuple[int, float]]:
+        """Boolean top-k: every ``must`` clause matches, no ``must_not``
+        clause matches, and ≥ ``minimum_should_match`` of the ``should``
+        clauses match (default: 1 when there are no must clauses, else 0
+        — OpenSearch's default). Score = Σ BM25 of matching must+should
+        clauses; must_not never scores. Sorted (score desc, doc_id asc)."""
+        must, should, must_not = must or [], should or [], must_not or []
+        r = self.r
+        if minimum_should_match is None:
+            minimum_should_match = 1 if (should and not must) else 0
+        if not must and not should:
+            return []
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        ok = np.ones(len(r.doc_ids), dtype=bool)
+        any_scored = np.zeros(len(r.doc_ids), dtype=bool)
+        for c in must:
+            s, m = self._clause_eval(c, boosts)
+            acc += s
+            ok &= m
+            any_scored |= m
+        if should:
+            n_should = np.zeros(len(r.doc_ids), dtype=np.int64)
+            for c in should:
+                s, m = self._clause_eval(c, boosts)
+                acc += s
+                n_should += m
+                any_scored |= m
+            ok &= n_should >= minimum_should_match
+        for c in must_not:
+            _, m = self._clause_eval(c, boosts)
+            ok &= ~m
+        ok &= any_scored        # a hit must match ≥1 scoring clause
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        cand = np.nonzero(ok)[0]
+        if len(cand) == 0 or k <= 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        top = cand[order[:k]]
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in top]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_bool_docs(self, must: list[str] | None = None,
+                        should: list[str] | None = None,
+                        must_not: list[str] | None = None,
+                        minimum_should_match: int | None = None,
+                        filters: dict | None = None) -> np.ndarray:
+        """Boolean RETRIEVAL (no scoring): sorted doc_ids satisfying the
+        bool predicate — the SQL-checkable core of ``search_bool``."""
+        hits = self.search_bool(must, should, must_not,
+                                minimum_should_match,
+                                k=len(self.r.doc_ids), filters=filters)
+        return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
     def paginate(self, query: str, page_size: int = 500, **kw):
         """Yield successive result pages until exhausted — the reference's
         search_after scroll loop (``src/clustering/engine.rs:152-280``,
@@ -516,8 +607,23 @@ class QueryActor:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))
-        for qid, text, k in zip(batch["query_id"], batch["text"], ks):
-            if self.mode == "phrase":
+        def clauses(col, i):
+            v = batch[col].iloc[i] if col in batch.columns else ""
+            return [c for c in str(v or "").split(";") if c.strip()]
+
+        for i, (qid, text, k) in enumerate(
+                zip(batch["query_id"], batch["text"], ks)):
+            if self.mode == "bool":
+                # clause columns: must/should/must_not, ";"-separated
+                hits = self.engine.search_bool(
+                    must=clauses("must", i), should=clauses("should", i),
+                    must_not=clauses("must_not", i),
+                    minimum_should_match=(
+                        int(batch["msm"].iloc[i])
+                        if "msm" in batch.columns else None),
+                    k=int(k), boosts=self.boosts, filters=self.filters,
+                    min_score=self.min_score)
+            elif self.mode == "phrase":
                 hits = self.engine.search_phrase(
                     str(text), k=int(k), boosts=self.boosts,
                     filters=self.filters, min_score=self.min_score)

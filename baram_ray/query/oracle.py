@@ -92,6 +92,38 @@ class OracleIndex:
         return ranked[:k]
 
     # ----------------------------------------------------------------- #
+    def search_bool(self, must=None, should=None, must_not=None,
+                    minimum_should_match=None, k: int = 10,
+                    boosts=None) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_bool: each clause
+        is a match query; all must match, none of must_not, ≥ msm of
+        should; score = Σ BM25 of matching must+should clauses."""
+        must, should, must_not = must or [], should or [], must_not or []
+        if minimum_should_match is None:
+            minimum_should_match = 1 if (should and not must) else 0
+        if not must and not should:
+            return []
+
+        def clause(c: str) -> dict[int, float]:
+            return dict(self.search(c, k=self.n_docs, boosts=boosts))
+
+        musts = [clause(c) for c in must]
+        shoulds = [clause(c) for c in should]
+        nots = [clause(c) for c in must_not]
+        cands = set(self.doc_ids)
+        for m in musts:
+            cands &= set(m)
+        if shoulds:
+            cands = {d for d in cands
+                     if sum(d in s for s in shoulds) >= minimum_should_match}
+        for m in nots:
+            cands -= set(m)
+        cands = {d for d in cands if any(d in m for m in musts + shoulds)}
+        scores = {d: sum(m.get(d, 0.0) for m in musts + shoulds)
+                  for d in cands}
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
     def _phrase_freq(self, text: str, qtoks: list[str]) -> int:
         """Exact-phrase frequency in one field text: number of base
         offsets where every query token appears at ``base + i`` in the

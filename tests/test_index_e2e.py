@@ -138,3 +138,50 @@ def test_resume_equivalence(built, corpus_path):
     with open(os.path.join(out2, "meta.json")) as f:
         assert json.load(f)["n_docs"] == r1.n_docs
     shutil.rmtree(out2, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ #
+# Boolean queries (must/should/must_not + minimum_should_match)
+# ------------------------------------------------------------------ #
+
+BOOL_CASES = [
+    dict(must=["import def"], should=[], must_not=[]),
+    dict(must=["import"], should=["batch query", "token index"],
+         must_not=[], minimum_should_match=1),
+    dict(must=[], should=["import batch", "def class"],
+         must_not=["lambda"], minimum_should_match=1),
+    dict(must=["the"], should=["usage example", "install"],
+         must_not=["fn"], minimum_should_match=2),
+    dict(must=["qqqxplughz"], should=[], must_not=[]),        # zero hits
+]
+
+
+def test_bool_rank_identity(engine, oracle):
+    for case in BOOL_CASES:
+        got = engine.search_bool(k=25, boosts=BOOSTS, **case)
+        exp = oracle.search_bool(k=25, boosts=BOOSTS, **case)
+        assert [d for d, _ in got] == [d for d, _ in exp], case
+        import numpy as np
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_bool_must_not_excludes(engine):
+    base = {d for d, _ in engine.search_bool(must=["import"], k=10_000)}
+    neg = {d for d, _ in engine.search_bool(must=["import"],
+                                            must_not=["class"], k=10_000)}
+    cls = set()
+    for f in engine.r.fields:
+        cls.update(engine.r.doc_ids_for_term(f, "class").tolist())
+    assert neg == base - cls
+
+
+def test_bool_msm_monotone(engine):
+    """Raising minimum_should_match can only shrink the hit set."""
+    kw = dict(should=["import batch", "def class", "token index"], k=10_000)
+    prev = None
+    for msm in (1, 2, 3):
+        hits = {d for d, _ in engine.search_bool(minimum_should_match=msm, **kw)}
+        if prev is not None:
+            assert hits <= prev
+        prev = hits
