@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_match_docs": searchp.phrase_match_docs,
         "search_bool_topk": searchp.bool_topk,
         "bool_match_docs": searchp.bool_match_docs,
+        "search_prefix_topk": searchp.prefix_topk,
+        "prefix_match_docs": searchp.prefix_match_docs,
         "search_index_stats": searchp.index_stats,
         "search_build_metrics": searchp.build_metrics,
         "search_term_stats": searchp.index_term_stats,

@@ -41,8 +41,16 @@ def cmd_build(args) -> int:
             id_cols=tuple(f for f in args.id_cols.split(",") if f),
             keep=tuple(f for f in args.keep.split(",") if f),
             on_duplicate=args.on_duplicate)
-    build = build_index_incremental if args.incremental else build_index
-    res = build(args.input, args.out, cfg, resume=not args.no_resume)
+    if args.incremental:
+        if args.since is not None:
+            raise SystemExit(
+                "--since is for full builds; --incremental already skips "
+                "unchanged files by fingerprint without reading them")
+        res = build_index_incremental(args.input, args.out, cfg,
+                                      resume=not args.no_resume)
+    else:
+        res = build_index(args.input, args.out, cfg,
+                          resume=not args.no_resume, since=args.since)
     print(json.dumps({
         "out_dir": res.out_dir, "n_docs": res.n_docs, "n_terms": res.n_terms,
         "num_shards": res.num_shards, "stage_seconds": res.stage_seconds,
@@ -104,6 +112,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--incremental", action="store_true",
                    help="partition-granular delta build")
+    b.add_argument("--since", type=float, default=None,
+                   help="only index input files with mtime >= this epoch")
     b.add_argument("--on-duplicate", default="error",
                    choices=["error", "first"])
     b.add_argument("--config", default=None, help="TOML config file")

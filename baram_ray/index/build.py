@@ -496,6 +496,18 @@ def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     os.replace(tmp, fwd_dir)
 
 
+def filter_since(input_paths: list[str] | str,
+                 since: float | None) -> list[str]:
+    """S1 ``--since`` prefilter (reference ``src/commands/index.rs:
+    144-158``): keep only input parquet files modified at/after the
+    ``since`` epoch — files are skipped WITHOUT reading any content,
+    the coarse delta step before fingerprint-level resume."""
+    files = _expand_inputs(input_paths)
+    if since is None:
+        return files
+    return [p for p in files if os.stat(p).st_mtime >= since]
+
+
 def build_index(
     input_paths: list[str] | str,
     out_dir: str,
@@ -503,15 +515,21 @@ def build_index(
     *,
     resume: bool = True,
     read_columns: list[str] | None = None,
+    since: float | None = None,
 ) -> BuildResult:
     """Build (or resume) the full index under ``out_dir``.
 
     Layout: ``forward/`` ``docs/`` ``segments/`` ``termdict/`` ``meta.json``
-    ``_manifests/``.
+    ``_manifests/``. ``since``: mtime prefilter over input files
+    (see :func:`filter_since`).
     """
     cfg = cfg or IndexConfig()
     if isinstance(input_paths, str):
         input_paths = [input_paths]
+    if since is not None:
+        input_paths = filter_since(input_paths, since)
+        if not input_paths:
+            raise ValueError("since-filter removed every input file")
     os.makedirs(out_dir, exist_ok=True)
     man = StageManifests(out_dir)
     from baram_ray.tokenizer import TOKENIZER_VERSION

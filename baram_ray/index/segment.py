@@ -291,6 +291,33 @@ class IndexReader:
         p = self.postings.get((fld, term))
         return p.df if p else 0
 
+    def terms_with_prefix(self, fld: str, prefix: str,
+                          max_expansions: int = 50) -> list[str]:
+        """First ``max_expansions`` terms of ``fld`` starting with
+        ``prefix``, in term-dictionary (lexicographic) order — OpenSearch
+        prefix-query expansion semantics. The sorted per-field term list
+        is built lazily once per reader (termdict order; on a sharded
+        cluster this lookup is the termdict's job)."""
+        if not hasattr(self, "_sorted_terms") or self._sorted_terms is None:
+            by_field: dict[str, list[str]] = {}
+            for (f_, t_) in self.postings:
+                by_field.setdefault(f_, []).append(t_)
+            for f_ in by_field:
+                by_field[f_].sort()
+            self._sorted_terms = by_field
+        import bisect
+        lst = self._sorted_terms.get(fld, [])
+        lo = bisect.bisect_left(lst, prefix)
+        hi = len(lst)
+        out = []
+        for i in range(lo, hi):
+            if not lst[i].startswith(prefix):
+                break
+            out.append(lst[i])
+            if len(out) >= max_expansions:
+                break
+        return out
+
     def df_global(self, fld: str, term: str, pl) -> int:
         """Corpus-wide df for idf (== pl.df for a full reader)."""
         if self._global_df is None:

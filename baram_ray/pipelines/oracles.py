@@ -81,6 +81,12 @@ ORACLES: dict[str, str] = {
                        OR list_contains(ws, 'sort') THEN 1 ELSE 0 END)) >= 2
           AND NOT list_contains(ws, 'vector')
     """,
+    # prefix retrieval: any whitespace word starts with 'st'
+    "prefix_match_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> w LIKE 'st%')) > 0
+    """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6

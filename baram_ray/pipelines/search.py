@@ -326,6 +326,43 @@ def bool_match_docs(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+PREFIX_QUERIES = [
+    {"query_id": 0, "text": "s", "k": 10},     # scan/slow/small/sort/...
+    {"query_id": 1, "text": "qu", "k": 10},
+    {"query_id": 2, "text": "zzz", "k": 10},   # zero hits
+]
+
+
+def prefix_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Prefix-query BM25 top-k through the actor pool (term-dict
+    expansion capped at 50 per field, bool-should scoring). Rows-only
+    driver check; rank identity vs the brute-force prefix oracle is
+    pytest-checked; doc-set correctness has the ``prefix_match_docs``
+    oracle."""
+    idx = ensure_index(sf_dir)
+    qs = ray.data.from_items(queries or PREFIX_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "prefix"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def prefix_match_docs(sf_dir: str, prefix: str = "st"):
+    """Prefix RETRIEVAL: doc_ids containing any word starting with
+    ``prefix`` — SQL-expressible (LIKE over split words) → hash-exact
+    DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    ids = eng.match_prefix_docs(prefix)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
 HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
 HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector

@@ -268,6 +268,76 @@ class QueryEngine:
                                 k=len(self.r.doc_ids), filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
+    # ------------------------------------------------------------------ #
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 50,
+                      boosts: dict[str, float] | None = None,
+                      filters: dict | None = None,
+                      min_score: float | None = None
+                      ) -> list[tuple[int, float]]:
+        """Prefix query: expand to the first ``max_expansions`` matching
+        terms per field in term-dict order (OpenSearch prefix-expansion
+        semantics), then score as a bool-should of the expanded term
+        queries (BM25 sum). Sorted (score desc, doc_id asc)."""
+        from baram_ray.tokenizer import tokenize
+        toks = tokenize(prefix)
+        if not toks or k <= 0:
+            return []
+        pre = toks[0]           # analyzed prefix (lowercased identifier)
+        r = self.r
+        n = r.n_docs
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        boosts = boosts or {}
+        for f in r.fields:
+            w = float(boosts.get(f, 1.0))
+            for t in r.terms_with_prefix(f, pre, max_expansions):
+                pl = r.postings[(f, t)]
+                df = r.df_global(f, t, pl)
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                rows, tfs = pl.decode_all()
+                if r.rank_base:
+                    rows = rows - r.rank_base
+                dl = r.dl[f][rows]
+                avg = r.avgdl[f] or 1.0
+                tff = tfs.astype(np.float64)
+                s = (w * idf) * tff / (
+                    tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
+                np.add.at(acc, rows, s)
+                matched[rows] = True
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            matched &= mask
+        cand = np.nonzero(matched)[0]
+        if len(cand) == 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in cand[order[:k]]]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_prefix_docs(self, prefix: str,
+                          max_expansions: int = 10_000) -> np.ndarray:
+        """All doc_ids containing ANY term with the given prefix in any
+        field (retrieval, no scoring; sorted ascending)."""
+        from baram_ray.tokenizer import tokenize
+        toks = tokenize(prefix)
+        if not toks:
+            return np.empty(0, dtype=np.int64)
+        pre = toks[0]
+        r = self.r
+        rows_all: set[int] = set()
+        for f in r.fields:
+            for t in r.terms_with_prefix(f, pre, max_expansions):
+                rows, _ = r.postings[(f, t)].decode_all()
+                if r.rank_base:
+                    rows = rows - r.rank_base
+                rows_all.update(rows.tolist())
+        ids = r.doc_ids[np.array(sorted(rows_all), dtype=np.int64)] \
+            if rows_all else np.empty(0, dtype=np.int64)
+        return np.sort(ids)
+
     def paginate(self, query: str, page_size: int = 500, **kw):
         """Yield successive result pages until exhausted — the reference's
         search_after scroll loop (``src/clustering/engine.rs:152-280``,
@@ -623,6 +693,10 @@ class QueryActor:
                         if "msm" in batch.columns else None),
                     k=int(k), boosts=self.boosts, filters=self.filters,
                     min_score=self.min_score)
+            elif self.mode == "prefix":
+                hits = self.engine.search_prefix(
+                    str(text), k=int(k), boosts=self.boosts,
+                    filters=self.filters, min_score=self.min_score)
             elif self.mode == "phrase":
                 hits = self.engine.search_phrase(
                     str(text), k=int(k), boosts=self.boosts,

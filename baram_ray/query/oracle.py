@@ -124,6 +124,38 @@ class OracleIndex:
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     # ----------------------------------------------------------------- #
+    def search_prefix(self, prefix: str, k: int = 10,
+                      max_expansions: int = 50,
+                      boosts=None) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_prefix: expand to
+        the first max_expansions terms per field in lexicographic order,
+        score as bool-should of the expanded terms."""
+        pre_toks = tokenize(prefix)
+        if not pre_toks:
+            return []
+        pre = pre_toks[0]
+        boosts = boosts or {}
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            terms = [t for t in sorted(self.df[f])
+                     if t.startswith(pre)][:max_expansions]
+            for t in terms:
+                df = self.df[f][t]
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                for i in range(self.n_docs):
+                    tf = self.tf[f][i].get(t)
+                    if not tf:
+                        continue
+                    dl = self.dl[f][i]
+                    s = w * idf * tf / (
+                        tf + self.k1 * (1 - self.b + self.b * dl / avg))
+                    di = self.doc_ids[i]
+                    scores[di] = scores.get(di, 0.0) + s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
     def _phrase_freq(self, text: str, qtoks: list[str]) -> int:
         """Exact-phrase frequency in one field text: number of base
         offsets where every query token appears at ``base + i`` in the

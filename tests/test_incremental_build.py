@@ -193,3 +193,41 @@ def test_streaming_microbatch_ingest(ray_session, tmp_path):
     c = _all_hits(idx)
     for q in QUERIES:
         assert c[q] == a[q], q
+
+
+def test_since_prefilter(tmp_path, ray_session):
+    """S1 --since: files older than the cutoff are skipped without being
+    read (reference src/commands/index.rs:144-158)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from baram_ray.index.build import (
+        IndexConfig, build_index, filter_since,
+    )
+    from baram_ray.query.engine import QueryEngine
+
+    old_f = str(tmp_path / "old.parquet")
+    new_f = str(tmp_path / "new.parquet")
+    mk = lambda ids: pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array([f"alpha beta doc{i}" for i in ids]),
+    })
+    pq.write_table(mk([1, 2, 3]), old_f)
+    pq.write_table(mk([10, 11]), new_f)
+    cutoff = os.stat(old_f).st_mtime + 0.5
+    os.utime(new_f, (cutoff + 10, cutoff + 10))
+
+    kept = filter_since([str(tmp_path)], cutoff)
+    assert kept == [new_f]
+
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=())
+    res = build_index([str(tmp_path)], out, cfg, resume=False, since=cutoff)
+    assert res.n_docs == 2
+    eng = QueryEngine(out)
+    assert set(eng.r.doc_ids.tolist()) == {10, 11}
+
+    import pytest
+    with pytest.raises(ValueError):
+        build_index([str(tmp_path)], out, cfg, resume=False,
+                    since=cutoff + 10_000)

@@ -185,3 +185,35 @@ def test_bool_msm_monotone(engine):
         if prev is not None:
             assert hits <= prev
         prev = hits
+
+
+# ------------------------------------------------------------------ #
+# Prefix queries (term-dict expansion, OpenSearch max_expansions)
+# ------------------------------------------------------------------ #
+
+def test_prefix_rank_identity(engine, oracle):
+    import numpy as np
+    for pre in ["im", "de", "par", "token", "qqq"]:
+        got = engine.search_prefix(pre, k=20, boosts=BOOSTS)
+        exp = oracle.search_prefix(pre, k=20, boosts=BOOSTS)
+        assert [d for d, _ in got] == [d for d, _ in exp], pre
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_prefix_expansion_cap(engine, oracle):
+    """max_expansions truncates in term-dict order identically."""
+    got = engine.search_prefix("p", k=30, max_expansions=3)
+    exp = oracle.search_prefix("p", k=30, max_expansions=3)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_match_prefix_docs_vs_tokens(engine, oracle):
+    from baram_ray.tokenizer import tokenize
+    got = set(engine.match_prefix_docs("im").tolist())
+    exp = set()
+    for f, terms in ((f, engine.r.terms_with_prefix(f, "im", 10_000))
+                     for f in engine.r.fields):
+        for t in terms:
+            exp.update(engine.r.doc_ids_for_term(f, t).tolist())
+    assert got == exp
