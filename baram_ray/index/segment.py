@@ -23,6 +23,35 @@ import pyarrow.parquet as pq
 from baram_ray.index.codec import decode_block
 
 
+def _dl_distance(a: str, b: str, cap: int) -> int:
+    """Damerau-Levenshtein (adjacent transposition counts as one edit —
+    Lucene/OpenSearch fuzzy semantics) with a band cap: returns cap+1 as
+    soon as the distance must exceed ``cap``."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2: list[int] | None = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = i
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (prev2 is not None and i > 1 and j > 1
+                    and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]):
+                v = min(v, prev2[j - 2] + 1)
+            cur[j] = v
+            if v < best:
+                best = v
+        if best > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
 class _PayloadStore:
     """Lazy access to the posting payload columns (docs_enc/tfs_enc) of
     the segment files — the bytes stay ON DISK until a term is first
@@ -143,6 +172,17 @@ class PostingList:
             cum = np.cumsum(vals)
             base = np.repeat(cum[starts] - vals[starts], tfs)
             hit = self._cache[key] = (cum - base, offsets)
+        return hit
+
+    def decode_pos_all(self) -> np.ndarray:
+        """Flat absolute positions of EVERY posting (concatenated in
+        posting order; split points are the decoded tf values)."""
+        hit = self._cache.get(("pos", -1))
+        if hit is None:
+            parts = [self.decode_pos(i)[0] for i in range(self.n_blocks)]
+            hit = self._cache[("pos", -1)] = (
+                np.concatenate(parts) if parts else
+                np.empty(0, dtype=np.int64))
         return hit
 
     def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
@@ -291,13 +331,8 @@ class IndexReader:
         p = self.postings.get((fld, term))
         return p.df if p else 0
 
-    def terms_with_prefix(self, fld: str, prefix: str,
-                          max_expansions: int = 50) -> list[str]:
-        """First ``max_expansions`` terms of ``fld`` starting with
-        ``prefix``, in term-dictionary (lexicographic) order — OpenSearch
-        prefix-query expansion semantics. The sorted per-field term list
-        is built lazily once per reader (termdict order; on a sharded
-        cluster this lookup is the termdict's job)."""
+    def _term_list(self, fld: str) -> list[str]:
+        """Lazily-built sorted term list per field (term-dict order)."""
         if not hasattr(self, "_sorted_terms") or self._sorted_terms is None:
             by_field: dict[str, list[str]] = {}
             for (f_, t_) in self.postings:
@@ -305,8 +340,17 @@ class IndexReader:
             for f_ in by_field:
                 by_field[f_].sort()
             self._sorted_terms = by_field
+        return self._sorted_terms.get(fld, [])
+
+    def terms_with_prefix(self, fld: str, prefix: str,
+                          max_expansions: int = 50) -> list[str]:
+        """First ``max_expansions`` terms of ``fld`` starting with
+        ``prefix``, in term-dictionary (lexicographic) order — OpenSearch
+        prefix-query expansion semantics. The sorted per-field term list
+        is built lazily once per reader (termdict order; on a sharded
+        cluster this lookup is the termdict's job)."""
         import bisect
-        lst = self._sorted_terms.get(fld, [])
+        lst = self._term_list(fld)
         lo = bisect.bisect_left(lst, prefix)
         hi = len(lst)
         out = []
@@ -323,6 +367,31 @@ class IndexReader:
         if self._global_df is None:
             return pl.df
         return self._global_df.get((fld, term), pl.df)
+
+    def terms_fuzzy(self, fld: str, term: str, max_edits: int | None = None,
+                    prefix_length: int = 0,
+                    max_expansions: int = 50) -> list[str]:
+        """Terms of ``fld`` within Damerau-Levenshtein distance
+        ``max_edits`` of ``term`` (OpenSearch fuzzy expansion;
+        ``max_edits=None`` = AUTO: 0 edits for length <3, 1 for 3-5,
+        2 above). Candidates share the first ``prefix_length`` chars;
+        ties resolve in (distance asc, term asc) order, capped at
+        ``max_expansions``. Exact match always sorts first (distance 0)."""
+        if max_edits is None:
+            n = len(term)
+            max_edits = 0 if n < 3 else (1 if n <= 5 else 2)
+        pre = term[:prefix_length]
+        cands = []
+        for t in self._term_list(fld):
+            if prefix_length and not t.startswith(pre):
+                continue
+            if abs(len(t) - len(term)) > max_edits:
+                continue
+            d = _dl_distance(term, t, max_edits)
+            if d <= max_edits:
+                cands.append((d, t))
+        cands.sort()
+        return [t for _, t in cands[:max_expansions]]
 
     def filter_mask(self, filters: dict | None) -> np.ndarray | None:
         """Row-aligned boolean mask for metadata filters.

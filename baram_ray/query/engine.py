@@ -33,6 +33,12 @@ import pandas as pd
 from baram_ray.index.segment import IndexReader, PostingList
 
 
+# phrase auto-policy: below this rarest-term df the skip-loop (which only
+# decodes blocks the rarest term steers to) wins; above it the vectorized
+# whole-postings intersection wins (tests force both paths)
+PHRASE_VEC_MIN_DF = 2048
+
+
 class _TermIter:
     """Posting iterator with galloping next_geq over blocks (skip via max_doc)."""
 
@@ -379,6 +385,12 @@ class QueryEngine:
             iters.append(_TermIter(field, t, pl, idf, weight,
                                    self.k1, self.b))
             qpos.append(qps)
+        # head-term phrases: every term's postings (and positions) get
+        # touched anyway, so a fully-vectorized set-intersection beats the
+        # per-candidate Python loop; selective phrases keep the skip loop
+        # (rarest-term driver + block next_geq decodes only needed blocks)
+        if min(it.pl.df for it in iters) > PHRASE_VEC_MIN_DF:
+            return self._phrase_vec(iters, qpos), idf_sum
         lead = min(range(len(iters)), key=lambda i: iters[i].pl.df)
         others = [it for i, it in enumerate(iters) if i != lead]
         DONE = _TermIter.DONE
@@ -415,6 +427,33 @@ class QueryEngine:
                 freqs[d] = len(np.unique(offs))
             d = iters[lead].advance()
         return freqs, idf_sum
+
+    @staticmethod
+    def _phrase_vec(iters: list[_TermIter],
+                    qpos: list[list[int]]) -> dict[int, int]:
+        """Vectorized exhaustive phrase match: every (term, query-offset)
+        pair becomes a sorted unique key array ``(rank << 32) | (pos − qp
+        + SHIFT)``; the phrase's base-offset set per doc is the
+        intersection of all key arrays, and phrase freq = surviving keys
+        per rank. O(total postings+positions) numpy, no per-doc loop."""
+        SHIFT = max(qp for qps in qpos for qp in qps) + 1   # keys ≥ 0
+        keys = None
+        for it, qps in zip(iters, qpos):
+            ranks, tfs = it.pl.decode_all()
+            pos = it.pl.decode_pos_all()
+            rep = np.repeat(ranks, tfs)
+            for qp in qps:
+                kk = np.unique((rep << np.int64(32))
+                               | (pos - np.int64(qp) + np.int64(SHIFT)))
+                keys = kk if keys is None else \
+                    keys[np.isin(keys, kk, assume_unique=True)]
+                if keys is not None and len(keys) == 0:
+                    return {}
+        if keys is None or not len(keys):
+            return {}
+        ranks = keys >> np.int64(32)
+        uniq, counts = np.unique(ranks, return_counts=True)
+        return dict(zip(uniq.tolist(), counts.tolist()))
 
     def _phrase_freqs(self, query: str,
                       fields: list[str] | None = None,

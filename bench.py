@@ -106,6 +106,28 @@ def run_bench() -> dict:
     ).materialize()
     qbatch_sec = time.perf_counter() - t0
 
+    # --- positional index + phrase queries (round-2 surface): build the
+    # positions=True variant and push a 200-phrase batch through the
+    # actor pool in phrase mode
+    out_pos = f"/tmp/baram_bench_posindex_{num_cpus}"
+    shutil.rmtree(out_pos, ignore_errors=True)
+    cfg_pos = IndexConfig(fields=("text",), id_cols=(),
+                          keep=("lang", "source"), positions=True)
+    t0 = time.perf_counter()
+    build_index(os.path.join(sf_dir, "documents.parquet"), out_pos,
+                cfg_pos, resume=False)
+    pos_build_sec = time.perf_counter() - t0
+    from baram_ray.pipelines.search import PHRASE_QUERIES
+    pqs = [dict(q, query_id=i) for i in range(200)
+           for q in [PHRASE_QUERIES[i % len(PHRASE_QUERIES)]]]
+    t0 = time.perf_counter()
+    ray.data.from_items(pqs).map_batches(
+        QueryActor, fn_constructor_args=(out_pos,),
+        fn_constructor_kwargs={"mode": "phrase"},
+        batch_format="pandas", concurrency=4, batch_size=32,
+    ).materialize()
+    phrase_batch_sec = time.perf_counter() - t0
+
     # --- secondary pipelines
     def timed(fn):
         t = time.perf_counter()
@@ -120,6 +142,8 @@ def run_bench() -> dict:
     queries = {
         "index_build": round(build_sec, 3),
         "bm25_batch_200": round(qbatch_sec, 3),
+        "index_build_pos": round(pos_build_sec, 3),
+        "phrase_batch_200": round(phrase_batch_sec, 3),
         "doc_term_df_top": timed(docp.term_df_top),
         "doc_dedup_exact": timed(docp.dedup_exact),
         "events_sma7": timed(evp.sma7),

@@ -210,3 +210,15 @@ def test_positional_build_same_scoring_index(corpus_path, built, oracle):
         got = eng.search(q, k=10, algorithm="daat")
         exp = oracle.search(q, k=10)
         assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_vectorized_phrase_path_identical(engine, oracle, docs, monkeypatch):
+    """Force the vectorized whole-postings evaluator and assert it gives
+    the same results as the skip loop (auto policy switches on df)."""
+    from baram_ray.query import engine as eng_mod
+    loop = {q: engine.search_phrase(q, k=25)
+            for q in PHRASES + _dynamic_phrases(docs)}
+    monkeypatch.setattr(eng_mod, "PHRASE_VEC_MIN_DF", -1)
+    for q, exp in loop.items():
+        got = engine.search_phrase(q, k=25)
+        assert got == exp, q
