@@ -81,6 +81,14 @@ ORACLES: dict[str, str] = {
                        OR list_contains(ws, 'sort') THEN 1 ELSE 0 END)) >= 2
           AND NOT list_contains(ws, 'vector')
     """,
+    # fuzzy retrieval: any whitespace word within 1 Damerau-Levenshtein
+    # edit of 'tabel' (DuckDB's damerau_levenshtein matches the engine's
+    # transposition-as-one-edit metric)
+    "fuzzy_match_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> damerau_levenshtein(w, 'tabel') <= 1)) > 0
+    """,
     # prefix retrieval: any whitespace word starts with 'st'
     "prefix_match_docs": r"""
         SELECT doc_id FROM documents

@@ -363,6 +363,42 @@ def prefix_match_docs(sf_dir: str, prefix: str = "st"):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+FUZZY_QUERIES = [
+    {"query_id": 0, "text": "tabel scann", "k": 10},   # 1-edit typos
+    {"query_id": 1, "text": "merje", "k": 10},
+    {"query_id": 2, "text": "qqjjqq", "k": 10},        # nothing within 2
+]
+
+
+def fuzzy_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Fuzzy-match BM25 top-k through the actor pool (Damerau-Levenshtein
+    AUTO expansion, Lucene 1−d/len fuzzy boost). Rows-only driver check;
+    rank identity vs the brute-force fuzzy oracle is pytest-checked;
+    doc-set correctness has the ``fuzzy_match_docs`` oracle."""
+    idx = ensure_index(sf_dir)
+    qs = ray.data.from_items(queries or FUZZY_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "fuzzy"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def fuzzy_match_docs(sf_dir: str, term: str = "tabel", max_edits: int = 1):
+    """Fuzzy RETRIEVAL: doc_ids containing any word within ``max_edits``
+    Damerau-Levenshtein edits of ``term`` — SQL-expressible (DuckDB
+    damerau_levenshtein over split words) → hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    ids = eng.match_fuzzy_docs(term, max_edits=max_edits)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
 HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
 HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector

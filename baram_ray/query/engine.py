@@ -323,6 +323,92 @@ class QueryEngine:
             out = [(d, s) for d, s in out if s >= min_score]
         return out
 
+    # ------------------------------------------------------------------ #
+    def search_fuzzy(self, query: str, k: int = 10,
+                     max_edits: int | None = None,
+                     prefix_length: int = 0,
+                     max_expansions: int = 50,
+                     boosts: dict[str, float] | None = None,
+                     filters: dict | None = None,
+                     min_score: float | None = None
+                     ) -> list[tuple[int, float]]:
+        """Fuzzy match: each analyzed query term expands to index terms
+        within Damerau-Levenshtein distance ``max_edits`` (None = AUTO:
+        0/1/2 by term length — OpenSearch fuzziness AUTO), each expansion
+        scored as a term query downweighted by Lucene's fuzzy boost
+        ``1 − d/len(query_term)``; bool-should over all expansions.
+        Sorted (score desc, doc_id asc)."""
+        from baram_ray.index.segment import _dl_distance
+        from baram_ray.tokenizer import tokenize
+        terms = sorted(set(tokenize(query)))
+        if not terms or k <= 0:
+            return []
+        r = self.r
+        n = r.n_docs
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        boosts = boosts or {}
+        for f in r.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = r.avgdl[f] or 1.0
+            for qt in terms:
+                me = max_edits
+                if me is None:
+                    me = 0 if len(qt) < 3 else (1 if len(qt) <= 5 else 2)
+                for e in r.terms_fuzzy(f, qt, me, prefix_length,
+                                       max_expansions):
+                    d = _dl_distance(qt, e, me)
+                    fw = 1.0 if d == 0 else max(0.0, 1.0 - d / len(qt))
+                    if fw <= 0.0:
+                        continue
+                    pl = r.postings[(f, e)]
+                    df = r.df_global(f, e, pl)
+                    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                    rows, tfs = pl.decode_all()
+                    if r.rank_base:
+                        rows = rows - r.rank_base
+                    dl = r.dl[f][rows]
+                    tff = tfs.astype(np.float64)
+                    s = (w * fw * idf) * tff / (
+                        tff + self.k1 * ((1.0 - self.b)
+                                         + (self.b * dl) / avg))
+                    np.add.at(acc, rows, s)
+                    matched[rows] = True
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            matched &= mask
+        cand = np.nonzero(matched)[0]
+        if len(cand) == 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in cand[order[:k]]]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_fuzzy_docs(self, term: str, max_edits: int | None = None,
+                         prefix_length: int = 0,
+                         max_expansions: int = 10_000) -> np.ndarray:
+        """All doc_ids containing any term within ``max_edits`` of
+        ``term`` in any field (retrieval, no scoring; sorted asc)."""
+        from baram_ray.tokenizer import tokenize
+        toks = tokenize(term)
+        if not toks:
+            return np.empty(0, dtype=np.int64)
+        qt = toks[0]
+        r = self.r
+        rows_all: set[int] = set()
+        for f in r.fields:
+            for e in r.terms_fuzzy(f, qt, max_edits, prefix_length,
+                                   max_expansions):
+                rows, _ = r.postings[(f, e)].decode_all()
+                if r.rank_base:
+                    rows = rows - r.rank_base
+                rows_all.update(rows.tolist())
+        ids = r.doc_ids[np.array(sorted(rows_all), dtype=np.int64)] \
+            if rows_all else np.empty(0, dtype=np.int64)
+        return np.sort(ids)
+
     def match_prefix_docs(self, prefix: str,
                           max_expansions: int = 10_000) -> np.ndarray:
         """All doc_ids containing ANY term with the given prefix in any
@@ -732,6 +818,10 @@ class QueryActor:
                         if "msm" in batch.columns else None),
                     k=int(k), boosts=self.boosts, filters=self.filters,
                     min_score=self.min_score)
+            elif self.mode == "fuzzy":
+                hits = self.engine.search_fuzzy(
+                    str(text), k=int(k), boosts=self.boosts,
+                    filters=self.filters, min_score=self.min_score)
             elif self.mode == "prefix":
                 hits = self.engine.search_prefix(
                     str(text), k=int(k), boosts=self.boosts,

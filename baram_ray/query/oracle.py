@@ -156,6 +156,53 @@ class OracleIndex:
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     # ----------------------------------------------------------------- #
+    def search_fuzzy(self, query: str, k: int = 10,
+                     max_edits: int | None = None,
+                     prefix_length: int = 0, max_expansions: int = 50,
+                     boosts=None) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_fuzzy (same
+        expansion order: distance asc then term asc, capped; same
+        1 − d/len fuzzy boost)."""
+        from baram_ray.index.segment import _dl_distance
+        terms = sorted(set(tokenize(query)))
+        boosts = boosts or {}
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            for qt in terms:
+                me = max_edits
+                if me is None:
+                    me = 0 if len(qt) < 3 else (1 if len(qt) <= 5 else 2)
+                pre = qt[:prefix_length]
+                cands = []
+                for t in sorted(self.df[f]):
+                    if prefix_length and not t.startswith(pre):
+                        continue
+                    d = _dl_distance(qt, t, me)
+                    if d <= me:
+                        cands.append((d, t))
+                cands.sort()
+                for d, t in cands[:max_expansions]:
+                    fw = 1.0 if d == 0 else max(0.0, 1.0 - d / len(qt))
+                    if fw <= 0.0:
+                        continue
+                    df = self.df[f][t]
+                    idf = math.log(1.0 + (self.n_docs - df + 0.5)
+                                   / (df + 0.5))
+                    for i in range(self.n_docs):
+                        tf = self.tf[f][i].get(t)
+                        if not tf:
+                            continue
+                        dl = self.dl[f][i]
+                        s = w * fw * idf * tf / (
+                            tf + self.k1 * (1 - self.b
+                                            + self.b * dl / avg))
+                        di = self.doc_ids[i]
+                        scores[di] = scores.get(di, 0.0) + s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
     def _phrase_freq(self, text: str, qtoks: list[str]) -> int:
         """Exact-phrase frequency in one field text: number of base
         offsets where every query token appears at ``base + i`` in the

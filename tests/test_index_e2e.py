@@ -217,3 +217,44 @@ def test_match_prefix_docs_vs_tokens(engine, oracle):
         for t in terms:
             exp.update(engine.r.doc_ids_for_term(f, t).tolist())
     assert got == exp
+
+
+# ------------------------------------------------------------------ #
+# Fuzzy queries (Damerau-Levenshtein expansion, AUTO edits)
+# ------------------------------------------------------------------ #
+
+def test_fuzzy_rank_identity(engine, oracle):
+    import numpy as np
+    for q, kw in [("impert", {}),                    # 1 edit from import
+                  ("retrun", {}),                    # transposition
+                  ("clss btach", {}),                # multi-term typos
+                  ("import", {"max_edits": 0}),      # exact only
+                  ("zzqqzz", {})]:                   # no expansion
+        got = engine.search_fuzzy(q, k=20, boosts=BOOSTS, **kw)
+        exp = oracle.search_fuzzy(q, k=20, boosts=BOOSTS, **kw)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_fuzzy_zero_edits_equals_term_query(engine):
+    got = engine.search_fuzzy("import", k=15, max_edits=0)
+    exp = engine.search("import", k=15, algorithm="daat")
+    assert got == exp
+
+
+def test_fuzzy_expansion_order_cap(engine, oracle):
+    """Cap keeps (distance asc, term asc) order identically."""
+    got = engine.search_fuzzy("parse", k=25, max_edits=2, max_expansions=4)
+    exp = oracle.search_fuzzy("parse", k=25, max_edits=2, max_expansions=4)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_dl_distance_metric():
+    from baram_ray.index.segment import _dl_distance
+    assert _dl_distance("abc", "abc", 2) == 0
+    assert _dl_distance("abc", "acb", 2) == 1      # transposition
+    assert _dl_distance("table", "tabel", 2) == 1
+    assert _dl_distance("abc", "axc", 2) == 1
+    assert _dl_distance("abc", "ab", 2) == 1
+    assert _dl_distance("abcdef", "fedcba", 2) == 3  # capped: cap+1
