@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_match_docs": searchp.prefix_match_docs,
         "search_fuzzy_topk": searchp.fuzzy_topk,
         "fuzzy_match_docs": searchp.fuzzy_match_docs,
+        "delete_by_query_docs": searchp.delete_by_query_docs,
         "search_index_stats": searchp.index_stats,
         "search_build_metrics": searchp.build_metrics,
         "search_term_stats": searchp.index_term_stats,

@@ -92,9 +92,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    from baram_ray.index.deletes import delete_by_query
+    n = delete_by_query(args.index, args.field, args.value)
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    _ray_up(args.num_cpus)
+    from baram_ray.index.deletes import purge_deletes
+    print(json.dumps(purge_deletes(args.index)))
+    return 0
+
+
 def cmd_stats(args) -> int:
+    from baram_ray.index.deletes import tombstoned_ids
     with open(os.path.join(args.index, "meta.json")) as f:
-        print(json.dumps(json.load(f)))
+        meta = json.load(f)
+    meta["n_tombstoned"] = int(len(tombstoned_ids(args.index)))
+    print(json.dumps(meta))
     return 0
 
 
@@ -136,6 +153,20 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--target-mb", type=int, default=64)
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser("delete",
+                       help="delete_by_query: tombstone docs matching a "
+                            "term query (indexed field or metadata column)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--field", required=True)
+    d.add_argument("--value", required=True)
+    d.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser("purge",
+                        help="expunge tombstoned docs from the postings "
+                             "(merge-time delete, rewrites segments)")
+    pg.add_argument("--index", required=True)
+    pg.set_defaults(fn=cmd_purge)
 
     st = sub.add_parser("stats", help="index metadata")
     st.add_argument("--index", required=True)

@@ -647,6 +647,11 @@ def build_index(
         res.resumed_stages.append("segments")
     else:
         fresh_dir(seg_dir)
+        # rebuilding postings from source restores previously-deleted
+        # docs → stale tombstones must go (OpenSearch reindex semantics;
+        # a fully-resumed build keeps the index, and its deletions, intact)
+        from baram_ray.index.deletes import clear_tombstones
+        clear_tombstones(out_dir)
         with StageTimer() as t:
             import ray as _ray
             # rank-space postings REQUIRE unique doc_ids (searchsorted
@@ -930,6 +935,8 @@ def build_index_incremental(
             else:
                 all_ids = _ids_of(list(parts))
                 fresh_dir(seg_dir)
+                from baram_ray.index.deletes import clear_tombstones
+                clear_tombstones(out_dir)       # reindex restores deletions
                 num_shards = cfg.num_shards or _next_pow2(
                     max(1, n_docs // DEFAULT_DOCS_PER_SHARD))
                 shard_shift = max(0, (max(1, n_docs - 1)).bit_length()

@@ -234,7 +234,10 @@ class IndexReader:
                             - (ns.bit_length() - 1))
             self._shift = int(shift)
             self.rank_base = shard_range[0] << self._shift
-            self._rank_hi = min(self.n_docs, shard_range[1] << self._shift)
+            # slice bound over the docs-table order array (numpy clamps
+            # past-the-end, and after a purge meta n_docs counts LIVE
+            # docs which can be fewer than table rows)
+            self._rank_hi = shard_range[1] << self._shift
 
         # --- docs table: doc_id -> row index; dl arrays; metadata ---------
         # (dataset API: the incremental build nests per-input partitions)
@@ -314,6 +317,33 @@ class IndexReader:
                     g["n"].to_numpy(), g["min_doc"].to_numpy(),
                     g["max_doc"].to_numpy(), g["max_tf"].to_numpy(),
                     store=self._payload, locs=locs)
+
+        # --- tombstones (delete_by_query): live-docs mask ---------------
+        # Lucene model: deleted docs are masked out of every query path
+        # (filter_mask folds this in) but df / n_docs / avgdl stay as-is
+        # until purge_deletes rewrites the segments, so surviving hits
+        # keep bit-identical scores (reference delete_by_query,
+        # src/embedding/mod.rs:768-789, delegates exactly this to Lucene)
+        self.n_deleted = 0
+        self.live: np.ndarray | None = None
+        ddir = os.path.join(index_dir, "deletes")
+        if os.path.isdir(ddir):
+            parts = [pq.read_table(os.path.join(ddir, fn),
+                                   columns=["doc_id"])["doc_id"].to_numpy()
+                     for fn in sorted(os.listdir(ddir))
+                     if fn.endswith(".parquet")]
+            del_ids = (np.unique(np.concatenate(parts)) if parts
+                       else np.empty(0, dtype=np.int64))
+            if len(del_ids) and len(self.doc_ids):
+                pos = np.searchsorted(self.doc_ids, del_ids)
+                ok = pos < len(self.doc_ids)
+                pos = pos[ok]
+                hit = self.doc_ids[pos] == del_ids[ok]   # ids in THIS
+                pos = pos[hit]                           # (shard) slice
+                if len(pos):
+                    self.live = np.ones(len(self.doc_ids), dtype=bool)
+                    self.live[pos] = False
+                    self.n_deleted = int(len(pos))
 
         # global document frequencies for sharded readers: a shard-local
         # pl.df would skew idf vs a single-reader run — the termdict
@@ -403,8 +433,10 @@ class IndexReader:
         kept numeric/date/string metadata column.
         """
         if not filters:
-            return None
-        mask = np.ones(len(self.doc_ids), dtype=bool)
+            # no metadata filters — but tombstoned docs are still masked
+            return self.live.copy() if self.live is not None else None
+        mask = (self.live.copy() if self.live is not None
+                else np.ones(len(self.doc_ids), dtype=bool))
         for col, val in filters.items():
             if col not in self.doc_meta:
                 raise KeyError(f"unknown filter column {col!r}")
@@ -432,4 +464,14 @@ class IndexReader:
         if pl is None:
             return np.empty(0, dtype=np.int64)
         rows, _ = pl.decode_all()
+        if self.live is not None:
+            rows = rows[self.live[rows]]
         return self.doc_ids[rows]
+
+    def live_doc_ids(self) -> np.ndarray:
+        """Sorted doc_ids excluding tombstoned docs (post-purge the
+        tombstones remain — the docs table keeps its rows for rank
+        stability — so this stays the match-all surface)."""
+        if self.live is None:
+            return self.doc_ids
+        return self.doc_ids[self.live]

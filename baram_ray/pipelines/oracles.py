@@ -89,6 +89,14 @@ ORACLES: dict[str, str] = {
         WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
                               w -> damerau_levenshtein(w, 'tabel') <= 1)) > 0
     """,
+    # delete_by_query survivors: docs NOT matching either term query
+    # (metadata lang='de'; indexed text term 'vector')
+    "delete_by_query_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE lang <> 'de'
+          AND NOT list_contains(
+                string_split_regex(lower(text), '\s+'), 'vector')
+    """,
     # prefix retrieval: any whitespace word starts with 'st'
     "prefix_match_docs": r"""
         SELECT doc_id FROM documents

@@ -399,6 +399,36 @@ def fuzzy_match_docs(sf_dir: str, term: str = "tabel", max_edits: int = 1):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+def delete_by_query_docs(sf_dir: str, lang: str = "de",
+                         term: str = "vector"):
+    """S-surface ``delete_by_query`` (reference
+    ``src/embedding/mod.rs:768-789``): on a private copy of the index,
+    tombstone docs by metadata term (``lang``, the keyword-field path)
+    and by indexed text term (the text-field path), purge, and return
+    the LIVE doc_ids. Survivors are SQL-expressible → hash-exact DuckDB
+    oracle; the scoring invariants (tombstoned hits keep exact scores,
+    purge == scratch rebuild) are pytest-checked."""
+    import shutil
+
+    import numpy as np
+
+    from baram_ray.index.deletes import delete_by_query, purge_deletes
+    from baram_ray.query.engine import QueryEngine
+
+    idx = ensure_index(sf_dir)
+    work = idx + "_deltest"
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    shutil.copytree(idx, work)
+    delete_by_query(work, "lang", lang)
+    delete_by_query(work, "text", term)
+    live_before = QueryEngine(work).live_doc_ids()
+    purge_deletes(work)
+    live = QueryEngine(work).live_doc_ids()
+    assert np.array_equal(live_before, live)   # purge is match-invariant
+    return pd.DataFrame({"doc_id": pd.Series(live, dtype="int64")})
+
+
 HYBRID_W_BM25 = 0.3       # reference hybrid-pipeline weights
 HYBRID_W_KNN = 0.7        # (CLAUDE.md:377-387, src/embedding/mod.rs:713-765)
 HYBRID_QUERY_VEC = 0      # vec_id used as the kNN query vector

@@ -405,9 +405,12 @@ class QueryEngine:
                 if r.rank_base:
                     rows = rows - r.rank_base
                 rows_all.update(rows.tolist())
-        ids = r.doc_ids[np.array(sorted(rows_all), dtype=np.int64)] \
-            if rows_all else np.empty(0, dtype=np.int64)
-        return np.sort(ids)
+        if not rows_all:
+            return np.empty(0, dtype=np.int64)
+        rows = np.array(sorted(rows_all), dtype=np.int64)
+        if r.live is not None:
+            rows = rows[r.live[rows]]
+        return np.sort(r.doc_ids[rows])
 
     def match_prefix_docs(self, prefix: str,
                           max_expansions: int = 10_000) -> np.ndarray:
@@ -426,9 +429,16 @@ class QueryEngine:
                 if r.rank_base:
                     rows = rows - r.rank_base
                 rows_all.update(rows.tolist())
-        ids = r.doc_ids[np.array(sorted(rows_all), dtype=np.int64)] \
-            if rows_all else np.empty(0, dtype=np.int64)
-        return np.sort(ids)
+        if not rows_all:
+            return np.empty(0, dtype=np.int64)
+        rows = np.array(sorted(rows_all), dtype=np.int64)
+        if r.live is not None:
+            rows = rows[r.live[rows]]
+        return np.sort(r.doc_ids[rows])
+
+    def live_doc_ids(self) -> np.ndarray:
+        """Match-all retrieval excluding deleted docs (sorted asc)."""
+        return self.r.live_doc_ids()
 
     def paginate(self, query: str, page_size: int = 500, **kw):
         """Yield successive result pages until exhausted — the reference's
