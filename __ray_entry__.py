@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_match_docs": searchp.bool_match_docs,
         "search_prefix_topk": searchp.prefix_topk,
         "prefix_match_docs": searchp.prefix_match_docs,
+        "search_wildcard_topk": searchp.wildcard_topk,
+        "wildcard_match_docs": searchp.wildcard_match_docs,
         "search_fuzzy_topk": searchp.fuzzy_topk,
         "fuzzy_match_docs": searchp.fuzzy_match_docs,
         "delete_by_query_docs": searchp.delete_by_query_docs,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import numpy as np
 import pyarrow.parquet as pq
@@ -390,6 +391,31 @@ class IndexReader:
             out.append(lst[i])
             if len(out) >= max_expansions:
                 break
+        return out
+
+    def terms_wildcard(self, fld: str, pattern: str,
+                       max_expansions: int = 50) -> list[str]:
+        """Terms of ``fld`` matching the glob ``pattern`` (``*`` = any
+        run incl. empty, ``?`` = exactly one char — Lucene/OpenSearch
+        WildcardQuery syntax), in term-dictionary order, capped at
+        ``max_expansions``. The literal prefix before the first wildcard
+        narrows the scan to its prefix range of the sorted term list
+        (the prefix acceleration Lucene's wildcard automaton performs)."""
+        import bisect
+        import fnmatch
+        lit = re.split(r"[*?]", pattern, maxsplit=1)[0]
+        rx = re.compile(fnmatch.translate(pattern))
+        lst = self._term_list(fld)
+        lo = bisect.bisect_left(lst, lit) if lit else 0
+        out: list[str] = []
+        for i in range(lo, len(lst)):
+            t = lst[i]
+            if lit and not t.startswith(lit):
+                break
+            if rx.match(t):
+                out.append(t)
+                if len(out) >= max_expansions:
+                    break
         return out
 
     def df_global(self, fld: str, term: str, pl) -> int:

@@ -103,6 +103,13 @@ ORACLES: dict[str, str] = {
         WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
                               w -> w LIKE 'st%')) > 0
     """,
+    # wildcard retrieval: any whitespace word matches glob 's?a*'
+    # (engine pattern; * -> %, ? -> _ in SQL LIKE)
+    "wildcard_match_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                              w -> w LIKE 's_a%')) > 0
+    """,
     "events_type_agg": """
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(trunc(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u6

@@ -363,6 +363,44 @@ def prefix_match_docs(sf_dir: str, prefix: str = "st"):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+WILDCARD_QUERIES = [
+    {"query_id": 0, "text": "s?a*", "k": 10},   # scan/spark/small/...
+    {"query_id": 1, "text": "*ow", "k": 10},    # slow/window/row
+    {"query_id": 2, "text": "zz*q", "k": 10},   # zero hits
+]
+
+
+def wildcard_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Wildcard-query BM25 top-k through the actor pool (glob pattern
+    expanded against the term dict, capped at 50 per field, bool-should
+    scoring — reference query_string wildcard surface,
+    ``src/embedding/mod.rs:470-539``). Rows-only driver check; rank
+    identity vs the brute-force wildcard oracle is pytest-checked;
+    doc-set correctness has the ``wildcard_match_docs`` oracle."""
+    idx = ensure_index(sf_dir)
+    qs = ray.data.from_items(queries or WILDCARD_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "wildcard"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def wildcard_match_docs(sf_dir: str, pattern: str = "s?a*"):
+    """Wildcard RETRIEVAL: doc_ids containing any word matching the
+    glob ``pattern`` — SQL-expressible (LIKE over split words, ``*``→
+    ``%``, ``?``→``_``) → hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    ids = eng.match_wildcard_docs(pattern)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 FUZZY_QUERIES = [
     {"query_id": 0, "text": "tabel scann", "k": 10},   # 1-edit typos
     {"query_id": 1, "text": "merje", "k": 10},

@@ -275,6 +275,46 @@ class QueryEngine:
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
     # ------------------------------------------------------------------ #
+    def _score_expansions(self, exps, k: int,
+                          filters: dict | None,
+                          min_score: float | None
+                          ) -> list[tuple[int, float]]:
+        """Bool-should scoring of expanded ``(field, term, weight)``
+        term queries — the shared kernel behind prefix / fuzzy /
+        wildcard queries: per-expansion BM25 × weight summed per doc,
+        sorted (score desc, doc_id asc), top-k then min_score."""
+        r = self.r
+        n = r.n_docs
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        for f, t, w in exps:
+            if w <= 0.0:
+                continue
+            pl = r.postings[(f, t)]
+            df = r.df_global(f, t, pl)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            rows, tfs = pl.decode_all()
+            if r.rank_base:
+                rows = rows - r.rank_base
+            dl = r.dl[f][rows]
+            avg = r.avgdl[f] or 1.0
+            tff = tfs.astype(np.float64)
+            s = (w * idf) * tff / (
+                tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
+            np.add.at(acc, rows, s)
+            matched[rows] = True
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            matched &= mask
+        cand = np.nonzero(matched)[0]
+        if len(cand) == 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in cand[order[:k]]]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
     def search_prefix(self, prefix: str, k: int = 10,
                       max_expansions: int = 50,
                       boosts: dict[str, float] | None = None,
@@ -291,37 +331,36 @@ class QueryEngine:
             return []
         pre = toks[0]           # analyzed prefix (lowercased identifier)
         r = self.r
-        n = r.n_docs
-        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
-        matched = np.zeros(len(r.doc_ids), dtype=bool)
         boosts = boosts or {}
-        for f in r.fields:
-            w = float(boosts.get(f, 1.0))
-            for t in r.terms_with_prefix(f, pre, max_expansions):
-                pl = r.postings[(f, t)]
-                df = r.df_global(f, t, pl)
-                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-                rows, tfs = pl.decode_all()
-                if r.rank_base:
-                    rows = rows - r.rank_base
-                dl = r.dl[f][rows]
-                avg = r.avgdl[f] or 1.0
-                tff = tfs.astype(np.float64)
-                s = (w * idf) * tff / (
-                    tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
-                np.add.at(acc, rows, s)
-                matched[rows] = True
-        mask = r.filter_mask(filters)
-        if mask is not None:
-            matched &= mask
-        cand = np.nonzero(matched)[0]
-        if len(cand) == 0:
+        exps = ((f, t, float(boosts.get(f, 1.0)))
+                for f in r.fields
+                for t in r.terms_with_prefix(f, pre, max_expansions))
+        return self._score_expansions(exps, k, filters, min_score)
+
+    def search_wildcard(self, pattern: str, k: int = 10,
+                        max_expansions: int = 50,
+                        boosts: dict[str, float] | None = None,
+                        filters: dict | None = None,
+                        min_score: float | None = None
+                        ) -> list[tuple[int, float]]:
+        """Wildcard query (Lucene/OpenSearch WildcardQuery surface, the
+        ``query_string`` wildcard path of the reference's search body —
+        ``src/embedding/mod.rs:470-539``): ``*`` matches any run, ``?``
+        exactly one char. The pattern is NOT analyzed (wildcard queries
+        bypass the analyzer) — only lowercased to match the lowercase
+        term dict; it expands in term-dict order capped at
+        ``max_expansions`` per field, scored as a bool-should of the
+        expanded term queries (BM25 sum — consistent with this engine's
+        scoring-mode prefix queries). Sorted (score desc, doc_id asc)."""
+        pat = pattern.strip().lower()
+        if not pat or k <= 0:
             return []
-        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
-        out = [(int(r.doc_ids[i]), float(acc[i])) for i in cand[order[:k]]]
-        if min_score is not None:
-            out = [(d, s) for d, s in out if s >= min_score]
-        return out
+        r = self.r
+        boosts = boosts or {}
+        exps = ((f, t, float(boosts.get(f, 1.0)))
+                for f in r.fields
+                for t in r.terms_wildcard(f, pat, max_expansions))
+        return self._score_expansions(exps, k, filters, min_score)
 
     # ------------------------------------------------------------------ #
     def search_fuzzy(self, query: str, k: int = 10,
@@ -344,47 +383,22 @@ class QueryEngine:
         if not terms or k <= 0:
             return []
         r = self.r
-        n = r.n_docs
-        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
-        matched = np.zeros(len(r.doc_ids), dtype=bool)
         boosts = boosts or {}
-        for f in r.fields:
-            w = float(boosts.get(f, 1.0))
-            avg = r.avgdl[f] or 1.0
-            for qt in terms:
-                me = max_edits
-                if me is None:
-                    me = 0 if len(qt) < 3 else (1 if len(qt) <= 5 else 2)
-                for e in r.terms_fuzzy(f, qt, me, prefix_length,
-                                       max_expansions):
-                    d = _dl_distance(qt, e, me)
-                    fw = 1.0 if d == 0 else max(0.0, 1.0 - d / len(qt))
-                    if fw <= 0.0:
-                        continue
-                    pl = r.postings[(f, e)]
-                    df = r.df_global(f, e, pl)
-                    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
-                    rows, tfs = pl.decode_all()
-                    if r.rank_base:
-                        rows = rows - r.rank_base
-                    dl = r.dl[f][rows]
-                    tff = tfs.astype(np.float64)
-                    s = (w * fw * idf) * tff / (
-                        tff + self.k1 * ((1.0 - self.b)
-                                         + (self.b * dl) / avg))
-                    np.add.at(acc, rows, s)
-                    matched[rows] = True
-        mask = r.filter_mask(filters)
-        if mask is not None:
-            matched &= mask
-        cand = np.nonzero(matched)[0]
-        if len(cand) == 0:
-            return []
-        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
-        out = [(int(r.doc_ids[i]), float(acc[i])) for i in cand[order[:k]]]
-        if min_score is not None:
-            out = [(d, s) for d, s in out if s >= min_score]
-        return out
+
+        def exps():
+            for f in r.fields:
+                w = float(boosts.get(f, 1.0))
+                for qt in terms:
+                    me = max_edits
+                    if me is None:
+                        me = 0 if len(qt) < 3 else (1 if len(qt) <= 5 else 2)
+                    for e in r.terms_fuzzy(f, qt, me, prefix_length,
+                                           max_expansions):
+                        d = _dl_distance(qt, e, me)
+                        fw = 1.0 if d == 0 else max(0.0, 1.0 - d / len(qt))
+                        yield f, e, w * fw
+
+        return self._score_expansions(exps(), k, filters, min_score)
 
     def match_fuzzy_docs(self, term: str, max_edits: int | None = None,
                          prefix_length: int = 0,
@@ -397,14 +411,22 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         qt = toks[0]
         r = self.r
-        rows_all: set[int] = set()
-        for f in r.fields:
+        return self._match_expanded_docs(
+            (f, e) for f in r.fields
             for e in r.terms_fuzzy(f, qt, max_edits, prefix_length,
-                                   max_expansions):
-                rows, _ = r.postings[(f, e)].decode_all()
-                if r.rank_base:
-                    rows = rows - r.rank_base
-                rows_all.update(rows.tolist())
+                                   max_expansions))
+
+    def _match_expanded_docs(self, per_field_terms) -> np.ndarray:
+        """doc_ids containing ANY of the expanded terms (retrieval, no
+        scoring; live-masked; sorted ascending). ``per_field_terms``
+        yields ``(field, term)``."""
+        r = self.r
+        rows_all: set[int] = set()
+        for f, t in per_field_terms:
+            rows, _ = r.postings[(f, t)].decode_all()
+            if r.rank_base:
+                rows = rows - r.rank_base
+            rows_all.update(rows.tolist())
         if not rows_all:
             return np.empty(0, dtype=np.int64)
         rows = np.array(sorted(rows_all), dtype=np.int64)
@@ -422,19 +444,22 @@ class QueryEngine:
             return np.empty(0, dtype=np.int64)
         pre = toks[0]
         r = self.r
-        rows_all: set[int] = set()
-        for f in r.fields:
-            for t in r.terms_with_prefix(f, pre, max_expansions):
-                rows, _ = r.postings[(f, t)].decode_all()
-                if r.rank_base:
-                    rows = rows - r.rank_base
-                rows_all.update(rows.tolist())
-        if not rows_all:
+        return self._match_expanded_docs(
+            (f, t) for f in r.fields
+            for t in r.terms_with_prefix(f, pre, max_expansions))
+
+    def match_wildcard_docs(self, pattern: str,
+                            max_expansions: int = 10_000) -> np.ndarray:
+        """All doc_ids containing ANY term matching the glob ``pattern``
+        (``*``/``?``, unanalyzed, lowercased) in any field (retrieval,
+        no scoring; sorted ascending)."""
+        pat = pattern.strip().lower()
+        if not pat:
             return np.empty(0, dtype=np.int64)
-        rows = np.array(sorted(rows_all), dtype=np.int64)
-        if r.live is not None:
-            rows = rows[r.live[rows]]
-        return np.sort(r.doc_ids[rows])
+        r = self.r
+        return self._match_expanded_docs(
+            (f, t) for f in r.fields
+            for t in r.terms_wildcard(f, pat, max_expansions))
 
     def live_doc_ids(self) -> np.ndarray:
         """Match-all retrieval excluding deleted docs (sorted asc)."""
@@ -834,6 +859,10 @@ class QueryActor:
                     filters=self.filters, min_score=self.min_score)
             elif self.mode == "prefix":
                 hits = self.engine.search_prefix(
+                    str(text), k=int(k), boosts=self.boosts,
+                    filters=self.filters, min_score=self.min_score)
+            elif self.mode == "wildcard":
+                hits = self.engine.search_wildcard(
                     str(text), k=int(k), boosts=self.boosts,
                     filters=self.filters, min_score=self.min_score)
             elif self.mode == "phrase":

@@ -220,6 +220,44 @@ def test_match_prefix_docs_vs_tokens(engine, oracle):
 
 
 # ------------------------------------------------------------------ #
+# Wildcard queries (glob expansion against the term dict)
+# ------------------------------------------------------------------ #
+
+def test_wildcard_rank_identity(engine, oracle):
+    import numpy as np
+    for pat in ["im*", "?mport", "p*se", "*oken", "de?", "zz*q"]:
+        got = engine.search_wildcard(pat, k=20, boosts=BOOSTS)
+        exp = oracle.search_wildcard(pat, k=20, boosts=BOOSTS)
+        assert [d for d, _ in got] == [d for d, _ in exp], pat
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+
+
+def test_wildcard_expansion_cap(engine, oracle):
+    got = engine.search_wildcard("p*", k=30, max_expansions=3)
+    exp = oracle.search_wildcard("p*", k=30, max_expansions=3)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_wildcard_pure_prefix_equals_prefix_query(engine):
+    """A trailing-* pattern with no other wildcards must equal the
+    prefix query over the same expansion budget."""
+    got = engine.search_wildcard("im*", k=20)
+    exp = engine.search_prefix("im", k=20)
+    assert got == exp
+
+
+def test_terms_wildcard_semantics(engine):
+    r = engine.r
+    for f in r.fields:
+        vocab = r._term_list(f)
+        import fnmatch
+        for pat in ["im*", "*ort", "p?rse", "*"]:
+            exp = [t for t in vocab if fnmatch.fnmatchcase(t, pat)][:50]
+            assert r.terms_wildcard(f, pat, 50) == exp, (f, pat)
+
+
+# ------------------------------------------------------------------ #
 # Fuzzy queries (Damerau-Levenshtein expansion, AUTO edits)
 # ------------------------------------------------------------------ #
 
