@@ -89,6 +89,30 @@ def spikes(sf_dir: str):
         z, batch_format="pandas")
 
 
+def pct_change(sf_dir: str):
+    """Percent change of the daily count between a series' endpoints —
+    the reference's ``KeywordTrend::percent_change`` (G-surface,
+    ``src/analytics/keyword_trends.rs:367-393``) applied per event_type
+    with (start, end) = (first, last) day of the series. Zero baseline
+    → 100.0 (the reference's arbitrary-high-value branch)."""
+
+    def pc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        sn, en = int(g["n"].iloc[0]), int(g["n"].iloc[-1])
+        pct = 100.0 if sn == 0 else round((en - sn) * 100.0 / sn, 6)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "start_day": [g["day"].iloc[0]],
+            "end_day": [g["day"].iloc[-1]],
+            "start_n": pd.Series([sn], dtype="int64"),
+            "end_n": pd.Series([en], dtype="int64"),
+            "pct_change": pd.Series([pct], dtype="float64"),
+        })
+
+    return _daily(sf_dir).groupby("event_type").map_groups(
+        pc, batch_format="pandas")
+
+
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])

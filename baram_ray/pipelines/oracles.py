@@ -141,6 +141,24 @@ ORACLES: dict[str, str] = {
                      END, 6) AS zscore
         FROM daily
     """,
+    # percent change between series endpoints (reference percent_change,
+    # src/analytics/keyword_trends.rs:367-393; zero baseline -> 100.0)
+    "events_pct_change": """
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+            FROM events GROUP BY 1, 2),
+        ends AS (
+            SELECT event_type, min(day) AS start_day, max(day) AS end_day
+            FROM daily GROUP BY 1)
+        SELECT e.event_type, e.start_day, e.end_day,
+               d0.n AS start_n, d1.n AS end_n,
+               round(CASE WHEN d0.n = 0 THEN 100.0
+                          ELSE (d1.n - d0.n) * 100.0 / d0.n END, 6)
+                   AS pct_change
+        FROM ends e
+        JOIN daily d0 ON d0.event_type = e.event_type AND d0.day = e.start_day
+        JOIN daily d1 ON d1.event_type = e.event_type AND d1.day = e.end_day
+    """,
     "events_user_topk": """
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
