@@ -76,9 +76,14 @@ def greedy_cluster(vecs: np.ndarray, threshold: float) -> np.ndarray:
 
 
 def cluster_events(ds, threshold: float = 0.55, *, id_col: str = "vec_id",
-                   category_col: str = "label"):
+                   category_col: str = "label",
+                   return_members: bool = False):
     """Dataset[(vec_id, embedding, label)] → EventCluster rows:
     (event_id, article_count, category, min_id, max_id, avg_similarity).
+
+    With ``return_members=True`` also returns the member Dataset
+    (cluster, member_id, category, sim) — the per-article assignment the
+    summarizer consumes (reference ``EventCluster.articles``).
     """
     # ---- stage 1: per-block greedy → members + local summaries --------
     def local(batch: pa.Table) -> pa.Table:
@@ -217,8 +222,11 @@ def cluster_events(ds, threshold: float = 0.55, *, id_col: str = "vec_id",
     out = out.sort_values("cluster").reset_index(drop=True)
     out["event_id"] = [f"evt_{int(c):03d}" for c in out["cluster"]]
     out["avg_similarity"] = out["avg_similarity"].round(6)
-    return out[["event_id", "cluster", "article_count", "category",
-                "min_id", "max_id", "avg_similarity"]]
+    out = out[["event_id", "cluster", "article_count", "category",
+               "min_id", "max_id", "avg_similarity"]]
+    if return_members:
+        return out, fin
+    return out
 
 
 def write_cluster_json(clusters: pd.DataFrame, out_dir: str) -> list[str]:

@@ -83,3 +83,22 @@ def cluster_events(sf_dir: str):
         out, os.path.join("/tmp/baram_ray_clusters",
                           os.path.basename(os.path.normpath(sf_dir))))
     return out
+
+
+def cluster_summaries(sf_dir: str):
+    """Cluster summarization (reference ``ClusterSummarizer``,
+    ``src/clustering/summary.rs``): form event clusters, list each
+    cluster's top members, generate (title, summary) per cluster through
+    the LLM actor pool — deterministic fake client (no LLM endpoint in
+    this container; the HTTP path is honestly stubbed). Rows-only driver
+    check; prompt/parse semantics are pytest-checked against the
+    reference's own unit cases."""
+    from baram_ray.summarize import summarize_clusters
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=4)
+    clusters, members = clustering.cluster_events(
+        ds, threshold=CLUSTER_THRESHOLD, return_members=True)
+    out = summarize_clusters(clusters, members).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -223,3 +223,102 @@ def test_markdown_sink(ray_session, tmp_path):
                           template="{{doc_id}}: {{text}}").to_pandas()
     assert open(tmp_path / "t2" / "2.md").read() == "2: second"
     assert int(man2["n_bytes"].sum()) > 0
+
+
+# ------------------------------------------------------------------ #
+# Cluster summarization (reference src/clustering/summary.rs)
+# ------------------------------------------------------------------ #
+
+def test_extract_json_from_code_block():
+    # reference test summary.rs:240-252
+    from baram_ray.summarize import extract_json
+    import json as _json
+    text = ('Here is the result:\n```json\n'
+            '{"title": "테스트 이벤트", "summary": "테스트 요약입니다."}\n'
+            '```\n')
+    js = extract_json(text)
+    assert "테스트 이벤트" in js
+    assert _json.loads(js)["title"] == "테스트 이벤트"
+
+
+def test_extract_json_raw_and_fallback():
+    # reference tests summary.rs:254-258, :275-281
+    from baram_ray.summarize import extract_json, parse_summary_response
+    raw = '{"title": "이벤트", "summary": "요약"}'
+    assert extract_json(raw) == raw
+    # plain ``` fence (no json tag)
+    fenced = '```\n{"title": "a", "summary": "b"}\n```'
+    assert extract_json(fenced) == '{"title": "a", "summary": "b"}'
+    # non-JSON → fallback: empty title, trimmed raw text as summary
+    t, s = parse_summary_response("  이것은 JSON이 아닌 텍스트입니다. ")
+    assert t == "" and s == "이것은 JSON이 아닌 텍스트입니다."
+    # missing keys → empty strings
+    t, s = parse_summary_response('{"other": 1}')
+    assert t == "" and s == ""
+
+
+def test_build_summary_prompt_caps_and_overflow():
+    from baram_ray.summarize import NO_DATE, build_summary_prompt
+    arts = [{"category": "정치", "title": f"doc {i}",
+             "published_at": None} for i in range(14)]
+    p = build_summary_prompt(arts)
+    assert "1. [정치] doc 0 (" + NO_DATE + ")" in p
+    assert "10. [정치] doc 9" in p
+    assert "11." not in p                        # capped at 10 listed
+    assert "... 외 4개 기사" in p                 # overflow line
+    assert '```json' in p and "20자" in p        # instruction block
+    # no overflow line at exactly 10
+    assert "외" not in build_summary_prompt(arts[:10]).split("## 규칙")[0][-30:]
+
+
+def test_fake_client_roundtrip_deterministic():
+    from baram_ray.summarize import (FakeLlmClient, build_summary_prompt,
+                                     parse_summary_response)
+    arts = [{"category": "경제", "title": "doc 1", "published_at": None}] * 3
+    p = build_summary_prompt(arts)
+    c = FakeLlmClient()
+    r1, r2 = c.generate(p), c.generate(p)
+    assert r1 == r2                              # pure function of prompt
+    t, s = parse_summary_response(r1)
+    assert t == "경제 이벤트" and len(t) <= 20
+    assert "3건" in s
+
+
+def test_real_llm_honestly_stubbed():
+    import pytest as _pytest
+    from baram_ray.summarize import RealLlmClient, SummarizeStage
+    with _pytest.raises(NotImplementedError):
+        RealLlmClient()
+    with _pytest.raises(NotImplementedError):
+        SummarizeStage(real_llm=True)
+
+
+def test_summarize_stage_error_keeps_default_title():
+    # reference summarize_all keep-default-on-failure (summary.rs:73-80)
+    import pandas as pd
+    from baram_ray.summarize import SummarizeStage
+
+    class Boom:
+        def generate(self, prompt):
+            raise RuntimeError("llm down")
+
+    st = SummarizeStage(client=Boom())
+    out = st(pd.DataFrame({"event_id": ["evt_000"],
+                           "articles_json": ['[{"category": "a"}]']}))
+    assert out.loc[0, "title"] == "evt_000"      # default kept
+    assert out.loc[0, "summary"] == "" and not out.loc[0, "ok"]
+
+
+def test_cluster_summaries_pipeline(ray_session):
+    from baram_ray.pipelines.knowledge import cluster_events, cluster_summaries
+    sf = "/root/testdata/sf0.001"
+    out = cluster_summaries(sf)
+    clusters = cluster_events(sf)
+    assert len(out) == len(clusters)             # one summary per cluster
+    assert set(out.columns) == {"event_id", "title", "summary", "ok"}
+    assert out["ok"].all()
+    assert (out["title"].str.len() > 0).all()
+    assert (out["title"].str.len() <= 20).all()  # rule 1 honored end-to-end
+    # deterministic across runs
+    out2 = cluster_summaries(sf)
+    pd.testing.assert_frame_equal(out, out2)
