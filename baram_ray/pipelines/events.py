@@ -113,6 +113,25 @@ def pct_change(sf_dir: str):
         pc, batch_format="pandas")
 
 
+def alerts(sf_dir: str):
+    """Alert-condition evaluation over the event stream (reference
+    notification system, ``src/notifications/conditions.rs``): windowed
+    keyword-spike / error-rate / throughput / volume-anomaly conditions
+    as tumbling-window aggregations; returns triggered alert rows.
+    SQL-expressible → hash-exact DuckDB oracle."""
+    from baram_ray.alerts import (ErrorRateThreshold, KeywordSpike,
+                                  ThroughputDrop, VolumeAnomaly,
+                                  evaluate_alerts)
+    ds = read_table(sf_dir, "events", ["ts", "event_type"])
+    conds = [
+        KeywordSpike("click", threshold=3, window_minutes=60),
+        ErrorRateThreshold(threshold_percent=25.0, window_minutes=60),
+        ThroughputDrop(threshold_per_minute=0.2, window_minutes=60),
+        VolumeAnomaly("error", threshold_stddev=2.0),
+    ]
+    return evaluate_alerts(ds, conds)
+
+
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])

@@ -159,6 +159,61 @@ ORACLES: dict[str, str] = {
         JOIN daily d0 ON d0.event_type = e.event_type AND d0.day = e.start_day
         JOIN daily d1 ON d1.event_type = e.event_type AND d1.day = e.end_day
     """,
+    # alert conditions (reference src/notifications/conditions.rs):
+    # epoch-aligned tumbling windows; >= for counts, strict >/< for rates
+    "events_alerts": """
+        WITH w AS (
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w,
+                   event_type
+            FROM events),
+        ks AS (
+            SELECT 'keyword_spike' AS condition_type,
+                   'Keyword ''click'' appears >3 times in 60min window'
+                       AS description,
+                   w AS window_start_s,
+                   CAST(count(*) AS DOUBLE) AS observed,
+                   3.0 AS threshold
+            FROM w WHERE event_type = 'click'
+            GROUP BY w HAVING count(*) >= 3),
+        er AS (
+            SELECT 'error_rate_threshold' AS condition_type,
+                   'Error rate >25.0% in 60min window' AS description,
+                   w AS window_start_s,
+                   round(100.0 * sum(CASE WHEN event_type = 'error'
+                                          THEN 1 ELSE 0 END) / count(*), 6)
+                       AS observed,
+                   25.0 AS threshold
+            FROM w GROUP BY w
+            HAVING round(100.0 * sum(CASE WHEN event_type = 'error'
+                                          THEN 1 ELSE 0 END) / count(*), 6)
+                   > 25.0),
+        td AS (
+            SELECT 'throughput_drop' AS condition_type,
+                   'Throughput <0.2 articles/min in 60min window'
+                       AS description,
+                   w AS window_start_s,
+                   round(count(*) / 60.0, 6) AS observed,
+                   0.2 AS threshold
+            FROM w GROUP BY w
+            HAVING round(count(*) / 60.0, 6) < 0.2),
+        daily AS (
+            SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS w,
+                   count(*) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1),
+        va AS (
+            SELECT 'volume_anomaly' AS condition_type,
+                   'Article volume in ''error'' exceeds 2.0σ from mean'
+                       AS description,
+                   w AS window_start_s,
+                   round((n - avg(n) OVER ()) / stddev_pop(n) OVER (), 6)
+                       AS observed,
+                   2.0 AS threshold
+            FROM daily
+            QUALIFY round((n - avg(n) OVER ())
+                          / stddev_pop(n) OVER (), 6) > 2.0)
+        SELECT * FROM ks UNION ALL SELECT * FROM er
+        UNION ALL SELECT * FROM td UNION ALL SELECT * FROM va
+    """,
     "events_user_topk": """
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
