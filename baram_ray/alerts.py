@@ -210,6 +210,198 @@ class Custom:
 
 
 # --------------------------------------------------------------------- #
+# Alert lifecycle + notification manager (reference
+# src/notifications/mod.rs:71-240, manager.rs:10-177)
+# --------------------------------------------------------------------- #
+
+class AlertSeverity:
+    """mod.rs:71-106: info / warning / critical with korean + emoji."""
+    INFO, WARNING, CRITICAL = "info", "warning", "critical"
+    _KOREAN = {"info": "정보", "warning": "경고", "critical": "긴급"}
+    _EMOJI = {"info": "ℹ️", "warning": "⚠️", "critical": "🚨"}
+
+    @classmethod
+    def korean_desc(cls, sev: str) -> str:
+        return cls._KOREAN[sev]
+
+    @classmethod
+    def emoji(cls, sev: str) -> str:
+        return cls._EMOJI[sev]
+
+
+class AlertStatus:
+    """mod.rs:117-142: created → triggered → acknowledged → resolved."""
+    CREATED, TRIGGERED = "created", "triggered"
+    ACKNOWLEDGED, RESOLVED = "acknowledged", "resolved"
+
+
+class Alert:
+    """mod.rs:148-240: one alert instance with lifecycle timestamps."""
+
+    def __init__(self, condition, severity: str, message: str, *,
+                 clock=None):
+        import time as _time
+        import uuid
+        self._clock = clock or _time.time
+        self.id = str(uuid.uuid4())
+        self.condition = condition
+        self.severity = severity
+        self.status = AlertStatus.CREATED
+        self.message = message
+        self.metadata: dict[str, str] = {}
+        self.created_at = self._clock()
+        self.triggered_at = None
+        self.acknowledged_at = None
+        self.acknowledged_by = None
+        self.resolved_at = None
+
+    def with_metadata(self, key: str, value: str) -> "Alert":
+        self.metadata[key] = value
+        return self
+
+    def trigger(self) -> None:
+        self.status = AlertStatus.TRIGGERED
+        self.triggered_at = self._clock()
+
+    def acknowledge(self, acknowledged_by: str) -> None:
+        self.status = AlertStatus.ACKNOWLEDGED
+        self.acknowledged_at = self._clock()
+        self.acknowledged_by = acknowledged_by
+
+    def resolve(self) -> None:
+        self.status = AlertStatus.RESOLVED
+        self.resolved_at = self._clock()
+
+    def is_active(self) -> bool:
+        return self.status == AlertStatus.TRIGGERED
+
+    def format_message(self) -> str:
+        """mod.rs:232-240 display format."""
+        import datetime
+        created = datetime.datetime.fromtimestamp(
+            self.created_at, datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S UTC")
+        return (f"[{self.severity.upper()}] {self.message}\n"
+                f"Condition: {self.condition.description()}\n"
+                f"Status: {self.status}\nCreated: {created}")
+
+
+class FileChannel:
+    """Notification channel writing alert JSON lines to a local file —
+    the testable stand-in for the reference's webhook POST
+    (``channels/webhook.rs``; no network in this container, so the HTTP
+    channel is honestly stubbed in :class:`WebhookChannel`)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def send(self, alert: Alert) -> None:
+        import json as _json
+        with open(self.path, "a") as f:
+            f.write(_json.dumps({
+                "id": alert.id, "severity": alert.severity,
+                "status": alert.status, "message": alert.message,
+                "condition_type": alert.condition.condition_type(),
+                "description": alert.condition.description(),
+            }) + "\n")
+
+
+class WebhookChannel:
+    """Reference ``WebhookChannel::from_url`` (``channels/webhook.rs``):
+    POSTs alert JSON to an HTTP endpoint. No network in this container —
+    honestly not implemented; use :class:`FileChannel`."""
+
+    def __init__(self, url: str):
+        raise NotImplementedError(
+            "no network in this environment; use FileChannel")
+
+
+class NotificationManager:
+    """manager.rs:10-177: orchestrates alerts — dedup by condition key
+    within a time window, channel fan-out, lifecycle + cleanup. Clock is
+    injectable for deterministic tests."""
+
+    def __init__(self, *, dedup_window_minutes: int = 30, clock=None):
+        import time as _time
+        self._clock = clock or _time.time
+        self.channels: list = []
+        self.alerts: dict[str, Alert] = {}
+        self.last_triggered: dict[str, float] = {}
+        self.dedup_window_minutes = dedup_window_minutes
+
+    def with_dedup_window(self, minutes: int) -> "NotificationManager":
+        self.dedup_window_minutes = minutes
+        return self
+
+    def add_channel(self, channel) -> None:
+        self.channels.append(channel)
+
+    def _should_deduplicate(self, condition_key: str) -> bool:
+        last = self.last_triggered.get(condition_key)
+        if last is None:
+            return False
+        return (self._clock() - last) < self.dedup_window_minutes * 60
+
+    def create_alert(self, condition, severity: str,
+                     message: str) -> Alert | None:
+        """Returns None when deduplicated (manager.rs:66-87)."""
+        key = f"{condition.condition_type()}:{condition.description()}"
+        if self._should_deduplicate(key):
+            return None
+        alert = Alert(condition, severity, message, clock=self._clock)
+        self.alerts[alert.id] = alert
+        self.last_triggered[key] = self._clock()
+        return alert
+
+    def trigger_alert(self, alert_id: str) -> None:
+        """Mark triggered and fan out to every channel; a channel error
+        is logged, not fatal (manager.rs:89-110)."""
+        alert = self.alerts.get(alert_id)
+        if alert is None:
+            raise KeyError(f"Alert not found: {alert_id}")
+        alert.trigger()
+        for ch in self.channels:
+            try:
+                ch.send(alert)
+            except Exception:                     # noqa: BLE001
+                pass
+
+    def alert(self, condition, severity: str,
+              message: str) -> Alert | None:
+        """Create + immediately trigger (manager.rs:113-127)."""
+        a = self.create_alert(condition, severity, message)
+        if a is not None:
+            self.trigger_alert(a.id)
+        return a
+
+    def acknowledge_alert(self, alert_id: str, by: str) -> None:
+        if alert_id not in self.alerts:
+            raise KeyError(f"Alert not found: {alert_id}")
+        self.alerts[alert_id].acknowledge(by)
+
+    def resolve_alert(self, alert_id: str) -> None:
+        if alert_id not in self.alerts:
+            raise KeyError(f"Alert not found: {alert_id}")
+        self.alerts[alert_id].resolve()
+
+    def active_alerts(self) -> list[Alert]:
+        return [a for a in self.alerts.values()
+                if a.status == AlertStatus.TRIGGERED]
+
+    def all_alerts(self) -> list[Alert]:
+        return list(self.alerts.values())
+
+    def get_alert(self, alert_id: str) -> Alert | None:
+        return self.alerts.get(alert_id)
+
+    def cleanup_old_alerts(self, older_than_hours: int) -> None:
+        """Drop alerts resolved before the cutoff (manager.rs:169-177)."""
+        cutoff = self._clock() - older_than_hours * 3600
+        self.alerts = {k: a for k, a in self.alerts.items()
+                       if a.resolved_at is None or a.resolved_at > cutoff}
+
+
+# --------------------------------------------------------------------- #
 # Evaluation over the events Dataset
 # --------------------------------------------------------------------- #
 

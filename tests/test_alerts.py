@@ -97,3 +97,99 @@ def test_alerts_pipeline_triggers(ray_session):
     assert "throughput_drop" in types
     assert out["window_start_s"].dtype == np.int64
     assert out["observed"].dtype == np.float64
+
+
+# ------------------------------------------------------------------ #
+# Alert lifecycle + manager (reference mod.rs / manager.rs own tests)
+# ------------------------------------------------------------------ #
+
+class _Clock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def test_severity_and_status_strings():
+    # mod.rs tests: as_str / korean / emoji
+    from baram_ray.alerts import AlertSeverity, AlertStatus
+    assert (AlertSeverity.INFO, AlertSeverity.WARNING,
+            AlertSeverity.CRITICAL) == ("info", "warning", "critical")
+    assert AlertSeverity.korean_desc("info") == "정보"
+    assert AlertSeverity.korean_desc("warning") == "경고"
+    assert AlertSeverity.korean_desc("critical") == "긴급"
+    assert AlertSeverity.emoji("critical") == "🚨"
+    assert (AlertStatus.CREATED, AlertStatus.TRIGGERED,
+            AlertStatus.ACKNOWLEDGED, AlertStatus.RESOLVED) == \
+        ("created", "triggered", "acknowledged", "resolved")
+
+
+def test_alert_creation_and_dedup():
+    # manager.rs:191-213
+    from baram_ray.alerts import AlertSeverity, NotificationManager
+    clk = _Clock()
+    m = NotificationManager(clock=clk).with_dedup_window(5)
+    cond = KeywordSpike("test", 10, 60)
+    a1 = m.create_alert(cond, AlertSeverity.WARNING, "Test alert")
+    assert a1 is not None
+    # duplicate inside the window → None
+    clk.t += 4 * 60
+    assert m.create_alert(cond, AlertSeverity.WARNING, "Test alert") is None
+    # after the window it fires again
+    clk.t += 2 * 60
+    assert m.create_alert(cond, AlertSeverity.WARNING, "Again") is not None
+    # a DIFFERENT condition key is never deduplicated against the first
+    assert m.create_alert(KeywordSpike("other", 1, 1),
+                          AlertSeverity.INFO, "x") is not None
+
+
+def test_alert_lifecycle():
+    # manager.rs:215-245
+    from baram_ray.alerts import (AlertSeverity, AlertStatus,
+                                  NotificationManager)
+    m = NotificationManager(clock=_Clock())
+    a = m.create_alert(VolumeAnomaly("test", 2.0), AlertSeverity.INFO, "Test")
+    assert a.status == AlertStatus.CREATED and not a.is_active()
+    m.trigger_alert(a.id)
+    assert m.get_alert(a.id).is_active()
+    assert m.active_alerts() == [a]
+    m.acknowledge_alert(a.id, "admin")
+    assert m.get_alert(a.id).status == AlertStatus.ACKNOWLEDGED
+    m.resolve_alert(a.id)
+    assert m.get_alert(a.id).status == AlertStatus.RESOLVED
+    with pytest.raises(KeyError):
+        m.trigger_alert("nope")
+    # cleanup keeps unresolved, drops old-resolved
+    m2 = NotificationManager(clock=_Clock(10_000_000.0))
+    old = m2.create_alert(KeywordSpike("a", 1, 1), "info", "old")
+    m2.resolve_alert(old.id)
+    m2._clock.t += 48 * 3600
+    keep = m2.create_alert(KeywordSpike("b", 1, 1), "info", "keep")
+    m2.cleanup_old_alerts(24)
+    assert m2.get_alert(old.id) is None and m2.get_alert(keep.id) is not None
+
+
+def test_channel_fanout_and_format(tmp_path):
+    from baram_ray.alerts import (AlertSeverity, FileChannel,
+                                  NotificationManager, WebhookChannel)
+    import json
+    with pytest.raises(NotImplementedError):
+        WebhookChannel("http://example.com/hook")   # honestly stubbed
+    path = str(tmp_path / "alerts.jsonl")
+    m = NotificationManager(clock=_Clock())
+    m.add_channel(FileChannel(path))
+
+    class Boom:
+        def send(self, alert):
+            raise RuntimeError("down")
+
+    m.add_channel(Boom())                           # error is non-fatal
+    a = m.alert(KeywordSpike("k", 2, 30), AlertSeverity.CRITICAL, "spike!")
+    assert a is not None and a.is_active()
+    rec = json.loads(open(path).read().strip())
+    assert rec["condition_type"] == "keyword_spike"
+    assert rec["severity"] == "critical" and rec["status"] == "triggered"
+    msg = a.format_message()
+    assert msg.startswith("[CRITICAL] spike!\nCondition: Keyword 'k' ")
+    assert "Status: triggered" in msg and "UTC" in msg
