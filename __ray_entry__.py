@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_markdown_export": knowp.doc_markdown_export,
         "cluster_events": knowp.cluster_events,
         "cluster_summaries": knowp.cluster_summaries,
+        "text_said_relations": knowp.text_said_relations,
         # shuffled joins (§2.4 inner + anti)
         "join_orders_cust_segment": anap.join_orders_cust_segment,
         "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,

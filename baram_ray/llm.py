@@ -1,0 +1,427 @@
+"""LLM-assisted Said-relation extraction — the reference's ``llm``
+module (``src/llm/mod.rs:14-730``) rebuilt with a pluggable generator.
+
+The reference extracts "who said what" (``SaidRelation {speaker,
+content, confidence, evidence}``) from articles through a vLLM/Ollama
+endpoint: prompt templates (single ``build_said_prompt``, batched
+``build_batch_prompt`` with 1000-char content truncation), then a
+THREE-level response parse — typed JSON, alternate envelope keys, and a
+regex-per-block manual extraction for malformed model output
+(``parse_batch_response`` / ``extract_relations_manually``,
+``mod.rs:490-727``).
+
+No LLM endpoint or network exists in this container: the HTTP backends
+are honestly stubbed (``generate`` raises unless a ``generate_fn`` is
+injected), while the prompt construction, JSON extraction/repair, all
+fallback parsing, the config/env surface and the Ray actor-pool stage
+are real and tested — including against the reference's own unit cases
+(``mod.rs:740-776``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+
+@dataclass
+class SaidRelation:
+    """mod.rs:177-190."""
+    speaker: str
+    content: str
+    confidence: float = 0.8
+    evidence: str = ""
+
+
+@dataclass
+class ArticleInfo:
+    """mod.rs:193-201."""
+    id: str
+    title: str
+    content: str
+
+
+class LlmBackend:
+    """mod.rs:14-28: vllm (default, OpenAI-compatible) or ollama."""
+    VLLM, OLLAMA = "vllm", "ollama"
+
+    @staticmethod
+    def from_str(s: str) -> str:
+        return (LlmBackend.OLLAMA if s.lower() == "ollama"
+                else LlmBackend.VLLM)
+
+
+@dataclass
+class LlmConfig:
+    """mod.rs:32-71 defaults; ``from_env`` reads the reference's LLM_*
+    environment variables (mod.rs:73-111)."""
+    backend: str = LlmBackend.VLLM
+    endpoint: str = "http://localhost:8002"
+    model: str = "qwen2.5"
+    timeout_secs: int = 120
+    max_tokens: int = 1024
+    temperature: float = 0.1
+    max_retries: int = 3
+    retry_delay_ms: int = 1000
+
+    @classmethod
+    def from_env(cls) -> "LlmConfig":
+        backend = LlmBackend.from_str(os.environ.get("LLM_BACKEND", "vllm"))
+        dflt_ep, dflt_model = (
+            ("http://localhost:11434", "qwen2.5:7b")
+            if backend == LlmBackend.OLLAMA
+            else ("http://localhost:8002", "qwen2.5"))
+
+        def _num(name, cast, default):
+            try:
+                return cast(os.environ[name])
+            except (KeyError, ValueError):
+                return default
+
+        return cls(
+            backend=backend,
+            endpoint=os.environ.get("LLM_ENDPOINT", dflt_ep),
+            model=os.environ.get("LLM_MODEL", dflt_model),
+            timeout_secs=_num("LLM_TIMEOUT", int, 120),
+            max_tokens=_num("LLM_MAX_TOKENS", int, 1024),
+            temperature=_num("LLM_TEMPERATURE", float, 0.1),
+            max_retries=_num("LLM_MAX_RETRIES", int, 3),
+            retry_delay_ms=_num("LLM_RETRY_DELAY_MS", int, 1000),
+        )
+
+
+# Reference prompt templates (mod.rs:404-487), verbatim structure.
+_SAID_PROMPT = """당신은 한국어 뉴스 기사에서 발언(Said) 관계를 추출하는 전문가입니다.
+
+다음 뉴스 기사에서 "누가 무엇을 말했는지"를 추출하세요.
+
+## 규칙:
+1. 발언자는 실제 인물 이름이어야 합니다 (직책만 있으면 안됨)
+2. 발언 내용은 직접 인용 또는 간접 인용 모두 가능합니다
+3. 증거는 원문에서 해당 발언을 포함하는 문장입니다
+4. 신뢰도는 0.0~1.0 사이 값입니다 (직접인용=0.95, 간접인용=0.8, 추정=0.6)
+
+## 출력 형식 (JSON):
+```json
+{{
+  "relations": [
+    {{
+      "speaker": "발언자 이름",
+      "content": "발언 내용",
+      "confidence": 0.9,
+      "evidence": "원문에서 발언을 포함하는 문장"
+    }}
+  ]
+}}
+```
+
+## 뉴스 기사:
+{text}
+
+## 추출된 발언 관계 (JSON):"""
+
+_BATCH_PROMPT = """당신은 한국어 뉴스 기사에서 발언(Said) 관계를 추출하는 전문가입니다.
+
+다음 여러 뉴스 기사에서 "누가 무엇을 말했는지"를 각각 추출하세요.
+
+## 규칙:
+1. 발언자는 실제 인물 이름이어야 합니다
+2. 각 기사별로 article_id를 반드시 포함하세요
+3. 발언이 없는 기사는 빈 배열로 표시하세요
+4. 신뢰도: 직접인용=0.95, 간접인용=0.8
+
+## 출력 형식 (JSON 배열):
+```json
+[
+  {{
+    "article_id": "기사ID",
+    "relations": [
+      {{"speaker": "이름", "content": "발언", "confidence": 0.9, "evidence": "근거문장"}}
+    ]
+  }}
+]
+```
+
+## 뉴스 기사들:
+{articles_text}
+
+## 추출 결과 (JSON):"""
+
+
+class LlmClient:
+    """mod.rs:226-730 with a pluggable ``generate_fn`` in place of the
+    HTTP backends (no network here; see module docstring)."""
+
+    def __init__(self, config: LlmConfig | None = None, *,
+                 generate_fn=None):
+        self.config = config or LlmConfig()
+        self._generate_fn = generate_fn
+
+    @classmethod
+    def from_env(cls, **kw) -> "LlmClient":
+        return cls(LlmConfig.from_env(), **kw)
+
+    def backend(self) -> str:
+        return self.config.backend
+
+    def generate(self, prompt: str) -> str:
+        if self._generate_fn is not None:
+            return self._generate_fn(prompt)
+        raise NotImplementedError(
+            f"no {self.config.backend} endpoint / network in this "
+            "environment; inject generate_fn (e.g. FakeSaidLlm())")
+
+    # -- prompts ------------------------------------------------------- #
+    def build_said_prompt(self, text: str) -> str:
+        return _SAID_PROMPT.format(text=text)
+
+    def build_batch_prompt(self, articles: list[ArticleInfo]) -> str:
+        """mod.rs:404-449: 1000-char content truncation + '...'."""
+        parts = []
+        for i, a in enumerate(articles):
+            content = (a.content[:1000] + "..." if len(a.content) > 1000
+                       else a.content)
+            parts.append(f"\n### [기사 {i + 1}] ID: {a.id}\n"
+                         f"제목: {a.title}\n내용: {content}\n")
+        return _BATCH_PROMPT.format(articles_text="".join(parts))
+
+    # -- JSON extraction / repair (mod.rs:597-727) --------------------- #
+    def extract_raw_json(self, text: str) -> str:
+        start = text.find("```json")
+        if start != -1:
+            end = text.find("```", start + 7)
+            if end != -1:
+                return text[start + 7:end].strip()
+        start = text.find("```")
+        if start != -1:
+            after = text[start + 3:]
+            nl = after.find("\n")
+            content_start = (nl if nl != -1 else -1) + 1
+            end = after.find("```", content_start)
+            if end != -1:
+                return after[content_start:end].strip()
+        lb, rb = text.find("["), text.rfind("]")
+        if lb != -1 and rb > lb:
+            return text[lb:rb + 1]
+        lb, rb = text.find("{"), text.rfind("}")
+        if lb != -1 and rb > lb:
+            return text[lb:rb + 1]
+        return text.strip()
+
+    def fix_json(self, js: str) -> str:
+        """mod.rs:639-674: valid JSON passes through; anything else
+        falls back to per-block manual relation extraction."""
+        try:
+            json.loads(js)
+            return js
+        except (json.JSONDecodeError, ValueError):
+            return self.extract_relations_manually(js)
+
+    def extract_json(self, text: str) -> str:
+        return self.fix_json(self.extract_raw_json(text))
+
+    _SPEAKER_RE = re.compile(r'"speaker"\s*:\s*"([^"]+)"')
+    _CONTENT_RE = re.compile(r'"content"\s*:\s*"([^"]*(?:[^"\\]|\\.)*)"')
+    _CONF_RE = re.compile(r'"confidence"\s*:\s*([\d.]+)')
+    _EVID_RE = re.compile(r'"evidence"\s*:\s*"([^"]*(?:[^"\\]|\\.)*)"')
+
+    def extract_relations_manually(self, text: str) -> str:
+        """mod.rs:676-727: regex one relation per ``{`` block; defaults
+        confidence to 0.8; requires non-empty speaker AND content."""
+        relations = []
+        for block in text.split("{")[1:]:
+            block = "{" + block
+            sp = self._SPEAKER_RE.search(block)
+            ct = self._CONTENT_RE.search(block)
+            cf = self._CONF_RE.search(block)
+            ev = self._EVID_RE.search(block)
+            if sp and ct and sp.group(1) and ct.group(1):
+                unesc = lambda s: s.replace('\\"', '"').replace("\\'", "'")
+                try:
+                    conf = float(cf.group(1)) if cf else 0.8
+                except ValueError:
+                    conf = 0.8
+                relations.append({
+                    "speaker": unesc(sp.group(1)),
+                    "content": unesc(ct.group(1)),
+                    "confidence": conf,
+                    "evidence": unesc(ev.group(1)) if ev else "",
+                })
+        return json.dumps({"relations": relations}, ensure_ascii=False)
+
+    # -- response parsing (mod.rs:490-595) ----------------------------- #
+    @staticmethod
+    def _to_relation(d) -> SaidRelation | None:
+        if not isinstance(d, dict):
+            return None
+        sp, ct = d.get("speaker"), d.get("content")
+        if not isinstance(sp, str) or not isinstance(ct, str):
+            return None
+        conf = d.get("confidence", 0.8)
+        return SaidRelation(sp, ct,
+                            float(conf) if isinstance(conf, (int, float))
+                            else 0.8,
+                            d.get("evidence") or "")
+
+    def parse_said_response(self, response: str) -> list[SaidRelation]:
+        """mod.rs:570-595: {"relations": [...]} → bare [...] → []."""
+        js = self.extract_json(response)
+        try:
+            parsed = json.loads(js)
+        except (json.JSONDecodeError, ValueError):
+            return []
+        if isinstance(parsed, dict):
+            rels = parsed.get("relations", [])
+        elif isinstance(parsed, list):
+            rels = parsed
+        else:
+            return []
+        return [r for r in map(self._to_relation, rels) if r is not None]
+
+    def parse_batch_response(self, response: str,
+                             articles: list[ArticleInfo]
+                             ) -> dict[str, list[SaidRelation]]:
+        """mod.rs:490-531: every article starts with an empty list; then
+        [{article_id, relations}] → {"results"/"articles": [...]} →
+        manual per-block parse."""
+        results: dict[str, list[SaidRelation]] = {a.id: [] for a in articles}
+        js = self.extract_json(response)
+        try:
+            parsed = json.loads(js)
+        except (json.JSONDecodeError, ValueError):
+            parsed = None
+        if isinstance(parsed, list):
+            hit = False
+            for item in parsed:
+                if isinstance(item, dict) and item.get("article_id"):
+                    rels = [r for r in map(self._to_relation,
+                                           item.get("relations", []))
+                            if r is not None]
+                    results[str(item["article_id"])] = rels
+                    hit = True
+            if hit:
+                return results
+        if isinstance(parsed, dict):
+            arr = parsed.get("results") or parsed.get("articles")
+            if isinstance(arr, list):
+                for item in arr:
+                    if isinstance(item, dict) and item.get("article_id"):
+                        results[str(item["article_id"])] = [
+                            r for r in map(self._to_relation,
+                                           item.get("relations", []))
+                            if r is not None]
+                return results
+        self._parse_batch_manually(response, articles, results)
+        return results
+
+    _AID_RE = re.compile(r'"article_id"\s*:\s*"([^"]+)"')
+
+    def _parse_batch_manually(self, text: str,
+                              articles: list[ArticleInfo],
+                              results: dict) -> None:
+        """mod.rs:534-568: split on '"article_id"'; named blocks map by
+        id, anonymous blocks fall back to positional article order."""
+        blocks = text.split('"article_id"')
+        for i, block in enumerate(blocks):
+            if i == 0:
+                continue
+            block_with_key = '"article_id"' + block
+            m = self._AID_RE.search(block_with_key)
+            if m:
+                aid = m.group(1)
+                rels_js = self.extract_relations_manually(block_with_key)
+                parsed = json.loads(rels_js)
+                results[aid] = [r for r in map(self._to_relation,
+                                               parsed["relations"])
+                                if r is not None]
+            elif i <= len(articles):
+                aid = articles[i - 1].id
+                parsed = json.loads(self.extract_relations_manually(block))
+                rels = [r for r in map(self._to_relation,
+                                       parsed["relations"])
+                        if r is not None]
+                if rels:
+                    results[aid] = rels
+
+    # -- public extraction API (mod.rs:268-287) ------------------------ #
+    def extract_said_relations(self, text: str) -> list[SaidRelation]:
+        return self.parse_said_response(
+            self.generate(self.build_said_prompt(text)))
+
+    def extract_said_batch(self, articles: list[ArticleInfo]
+                           ) -> dict[str, list[SaidRelation]]:
+        return self.parse_batch_response(
+            self.generate(self.build_batch_prompt(articles)), articles)
+
+
+class FakeSaidLlm:
+    """Deterministic generator stand-in: reads the article blocks back
+    out of the batch prompt (or the single-article text) and answers one
+    indirect-quote relation per non-empty article in the instructed JSON
+    format — a pure function of the prompt, exercising the full
+    prompt → generate → extract → parse path."""
+
+    _HDR = re.compile(r"### \[기사 \d+\] ID: (\S+)\n제목: ([^\n]*)\n"
+                      r"내용: ([^\n]*)")
+
+    def __call__(self, prompt: str) -> str:
+        arts = self._HDR.findall(prompt)
+        if arts:
+            out = []
+            for aid, title, content in arts:
+                words = content.split()
+                rels = ([] if not words else [{
+                    "speaker": f"기자_{aid}",
+                    "content": " ".join(words[:5]),
+                    "confidence": 0.8,
+                    "evidence": " ".join(words[:10]),
+                }])
+                out.append({"article_id": aid, "relations": rels})
+            body = json.dumps(out, ensure_ascii=False)
+        else:
+            text = prompt.split("## 뉴스 기사:\n", 1)[-1]
+            text = text.split("\n\n## 추출된", 1)[0]
+            words = text.split()
+            body = json.dumps({"relations": [] if not words else [{
+                "speaker": "발언자", "content": " ".join(words[:5]),
+                "confidence": 0.8, "evidence": " ".join(words[:10]),
+            }]}, ensure_ascii=False)
+        return f"추출 결과:\n```json\n{body}\n```\n"
+
+
+class SaidExtractStage:
+    """Actor-pool UDF: one resident client per actor; documents stream
+    through in reference-style batches of ≤``group_size`` articles per
+    generation call. Output rows: (doc_id, speaker, content, confidence,
+    evidence)."""
+
+    def __init__(self, generate_fn=None, group_size: int = 5):
+        self.client = LlmClient(
+            generate_fn=generate_fn if generate_fn is not None
+            else FakeSaidLlm())
+        self.group_size = group_size
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, sps, cts, cfs, evs = [], [], [], [], []
+        arts = [ArticleInfo(str(d), f"doc {d}", t or "")
+                for d, t in zip(batch["doc_id"], batch["text"])]
+        for i in range(0, len(arts), self.group_size):
+            group = arts[i:i + self.group_size]
+            for aid, rels in self.client.extract_said_batch(group).items():
+                for r in rels:
+                    ids.append(int(aid))
+                    sps.append(r.speaker)
+                    cts.append(r.content)
+                    cfs.append(r.confidence)
+                    evs.append(r.evidence)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "speaker": pd.Series(sps, dtype=object),
+            "content": pd.Series(cts, dtype=object),
+            "confidence": pd.Series(cfs, dtype="float64"),
+            "evidence": pd.Series(evs, dtype=object),
+        })

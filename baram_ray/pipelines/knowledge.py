@@ -85,6 +85,19 @@ def cluster_events(sf_dir: str):
     return out
 
 
+def text_said_relations(sf_dir: str):
+    """LLM-assisted Said-relation extraction over documents (reference
+    ``src/llm/mod.rs:268-287``): batched prompts through the actor pool,
+    three-level fallback response parsing; deterministic fake generator
+    (no LLM endpoint in this container — the HTTP backends are honestly
+    stubbed). Rows-only driver check; prompt/parse semantics are
+    pytest-checked against the reference's own unit cases."""
+    from baram_ray.llm import SaidExtractStage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SaidExtractStage, batch_format="pandas",
+                          concurrency=2, batch_size=64)
+
+
 def cluster_summaries(sf_dir: str):
     """Cluster summarization (reference ``ClusterSummarizer``,
     ``src/clustering/summary.rs``): form event clusters, list each
