@@ -106,6 +106,43 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_cluster(args) -> int:
+    """Reference ``baram cluster`` (src/commands/cluster.rs): form event
+    clusters over an embeddings table, optionally LLM-summarize, write
+    one EventCluster JSON per cluster."""
+    _ray_up(args.num_cpus)
+    import ray
+    from baram_ray import clustering
+    ds = ray.data.read_parquet(
+        args.input, columns=[args.id_col, "embedding", args.category_col])
+    clusters, members = clustering.cluster_events(
+        ds, threshold=args.threshold, id_col=args.id_col,
+        category_col=args.category_col, return_members=True)
+    if args.summarize:
+        from baram_ray.summarize import summarize_clusters
+        summ = summarize_clusters(clusters, members).to_pandas()
+        clusters = clusters.merge(
+            summ[["event_id", "title", "summary"]], on="event_id")
+    paths = clustering.write_cluster_json(clusters, args.out)
+    print(json.dumps({"clusters": len(paths), "out": args.out}))
+    return 0
+
+
+def cmd_ontology(args) -> int:
+    """Reference ``baram ontology`` (src/commands/ontology.rs): extract
+    relations → triples → RDF files (Turtle / N-Triples)."""
+    _ray_up(args.num_cpus)
+    import ray
+    from baram_ray.ontology import relations_stage, write_rdf
+    ds = ray.data.read_parquet(args.input, columns=["doc_id", "text"])
+    rel = ds.map_batches(relations_stage, batch_format="pyarrow")
+    man = write_rdf(rel, args.out, fmt=args.fmt).to_pandas()
+    print(json.dumps({"files": len(man),
+                      "n_triples": int(man["n_triples"].sum()),
+                      "out": args.out}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     from baram_ray.index.deletes import tombstoned_ids
     with open(os.path.join(args.index, "meta.json")) as f:
@@ -167,6 +204,23 @@ def main(argv: list[str] | None = None) -> int:
                              "(merge-time delete, rewrites segments)")
     pg.add_argument("--index", required=True)
     pg.set_defaults(fn=cmd_purge)
+
+    cl = sub.add_parser("cluster", help="greedy event clustering over an "
+                                        "embeddings parquet → JSON docs")
+    cl.add_argument("--input", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--threshold", type=float, default=0.55)
+    cl.add_argument("--id-col", default="vec_id")
+    cl.add_argument("--category-col", default="label")
+    cl.add_argument("--summarize", action="store_true",
+                    help="add LLM title/summary per cluster (fake client)")
+    cl.set_defaults(fn=cmd_cluster)
+
+    on = sub.add_parser("ontology", help="relations → triples → RDF files")
+    on.add_argument("--input", required=True)
+    on.add_argument("--out", required=True)
+    on.add_argument("--fmt", default="nt", choices=["nt", "ttl"])
+    on.set_defaults(fn=cmd_ontology)
 
     st = sub.add_parser("stats", help="index metadata")
     st.add_argument("--index", required=True)
