@@ -426,111 +426,114 @@ def _alert_frame(cond, window_start_s, observed) -> pd.DataFrame:
     })
 
 
-def _eval_keyword_spike(ds, cond: KeywordSpike, *, key_col: str,
-                        num_buckets: int):
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[key_col].astype(str) == cond.keyword]
-        return pd.DataFrame({"w": _window_col(df["ts"], cond.window_minutes),
-                             "n": np.ones(len(df), dtype=np.int64)})
-
-    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
-                      ["w"], {"n": ("n", "sum")},
-                      num_buckets=num_buckets).to_pandas()
-    hit = agg[agg["n"] >= cond.threshold]
-    return _alert_frame(cond, hit["w"].to_numpy(),
-                        hit["n"].to_numpy().astype(np.float64))
-
-
-def _eval_error_rate(ds, cond: ErrorRateThreshold, *, key_col: str,
-                     num_buckets: int):
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        w = _window_col(df["ts"], cond.window_minutes)
-        err = (df[key_col].astype(str) == cond.error_type
-               ).to_numpy().astype(np.int64)
-        return pd.DataFrame({"w": w, "err": err,
-                             "n": np.ones(len(df), dtype=np.int64)})
-
-    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
-                      ["w"], {"err": ("err", "sum"), "n": ("n", "sum")},
-                      num_buckets=num_buckets).to_pandas()
-    rate = np.round(100.0 * agg["err"].to_numpy()
-                    / agg["n"].to_numpy(), 6)
-    hit = rate > cond.threshold_percent
-    return _alert_frame(cond, agg["w"].to_numpy()[hit], rate[hit])
-
-
-def _eval_throughput_drop(ds, cond: ThroughputDrop, *, num_buckets: int):
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"w": _window_col(df["ts"], cond.window_minutes),
-                             "n": np.ones(len(df), dtype=np.int64)})
-
-    agg = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
-                      ["w"], {"n": ("n", "sum")},
-                      num_buckets=num_buckets).to_pandas()
-    # NOTE: windows with ZERO events never appear in the aggregate — a
-    # streaming deployment must tick empty windows; over a bounded table
-    # only observed windows are judged (documented limitation, and what
-    # the SQL oracle computes too)
-    per_min = np.round(agg["n"].to_numpy() / cond.window_minutes, 6)
-    hit = per_min < cond.threshold_per_minute
-    return _alert_frame(cond, agg["w"].to_numpy()[hit], per_min[hit])
-
-
-def _eval_volume_anomaly(ds, cond: VolumeAnomaly, *, key_col: str,
-                         num_buckets: int):
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df[key_col].astype(str) == cond.category]
-        return pd.DataFrame({"w": _window_col(df["ts"], 24 * 60),
-                             "n": np.ones(len(df), dtype=np.int64)})
-
-    daily = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
-                        ["w"], {"n": ("n", "sum")},
-                        num_buckets=num_buckets).to_pandas()
-    n = daily["n"].to_numpy().astype(np.float64)
-    sd = float(n.std())                        # population σ
-    if sd == 0.0 or len(n) == 0:
-        return _alert_frame(cond, np.empty(0, np.int64),
-                            np.empty(0, np.float64))
-    z = np.round((n - n.mean()) / sd, 6)
-    hit = z > cond.threshold_stddev
-    return _alert_frame(cond, daily["w"].to_numpy()[hit], z[hit])
+def _windowed_specs(conditions):
+    """Normalize every data-backed condition to one windowed-count spec:
+    (kind, window_seconds, key filter) — EntitySurge is KeywordSpike
+    keyed on the entity column; VolumeAnomaly uses daily windows."""
+    specs = []
+    for cond in conditions:
+        if isinstance(cond, EntitySurge):
+            specs.append(("count", cond.window_minutes * 60,
+                          "user_id", cond.entity, cond))
+        elif isinstance(cond, KeywordSpike):
+            specs.append(("count", cond.window_minutes * 60,
+                          None, cond.keyword, cond))
+        elif isinstance(cond, ErrorRateThreshold):
+            specs.append(("rate", cond.window_minutes * 60,
+                          None, cond.error_type, cond))
+        elif isinstance(cond, ThroughputDrop):
+            specs.append(("all", cond.window_minutes * 60,
+                          None, None, cond))
+        elif isinstance(cond, VolumeAnomaly):
+            specs.append(("count", 86400, None, cond.category, cond))
+        else:                                   # Custom: no data semantics
+            specs.append(None)
+    return specs
 
 
 def evaluate_alerts(ds, conditions: list, *, key_col: str = "event_type",
                     num_buckets: int = 8) -> pd.DataFrame:
-    """Evaluate every condition against the events Dataset; returns the
-    union of triggered alert rows sorted by (condition_type,
-    window_start_s). Invalid conditions raise (reference ``validate``)."""
-    frames = []
+    """Evaluate every condition against the events Dataset in ONE pass:
+    a single map_batches emits per-batch pre-aggregated (condition,
+    window) partial counts for ALL conditions (the combiner shrinks each
+    block to ~windows-per-block rows per condition), one bucketed
+    exchange sums them, and the tiny (conditions × windows) result is
+    thresholded on the driver. Returns the union of triggered alert rows
+    sorted by (condition_type, window_start_s). Invalid conditions raise
+    (reference ``validate``).
+
+    NOTE: windows with ZERO events never appear in the aggregate — a
+    streaming deployment must tick empty windows; over a bounded table
+    only observed windows are judged (what the SQL oracle computes too).
+    """
     for cond in conditions:
         err = cond.validate()
         if err:
             raise ValueError(f"{cond.condition_type()}: {err}")
-        if isinstance(cond, KeywordSpike):
-            frames.append(_eval_keyword_spike(
-                ds, cond, key_col=key_col, num_buckets=num_buckets))
-        elif isinstance(cond, EntitySurge):
-            # same windowed-count shape as KeywordSpike, keyed on the
-            # entity column (user_id in the events table)
-            ks = KeywordSpike(cond.entity, cond.threshold,
-                              cond.window_minutes)
-            f = _eval_keyword_spike(ds, ks, key_col="user_id",
-                                    num_buckets=num_buckets)
-            f["condition_type"] = cond.condition_type()
-            f["description"] = cond.description()
-            frames.append(f)
-        elif isinstance(cond, ErrorRateThreshold):
-            frames.append(_eval_error_rate(
-                ds, cond, key_col=key_col, num_buckets=num_buckets))
-        elif isinstance(cond, ThroughputDrop):
-            frames.append(_eval_throughput_drop(
-                ds, cond, num_buckets=num_buckets))
-        elif isinstance(cond, VolumeAnomaly):
-            frames.append(_eval_volume_anomaly(
-                ds, cond, key_col=key_col, num_buckets=num_buckets))
-        else:                                   # Custom: no data semantics
+    specs = _windowed_specs(conditions)
+    live = [(ci, sp) for ci, sp in enumerate(specs) if sp is not None]
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        sec = df["ts"].to_numpy().astype("datetime64[ns]"
+                                         ).astype(np.int64) // _NS
+        frames = []
+        for ci, (kind, wsec, kcol, match, _c) in live:
+            w = (sec // wsec) * wsec
+            if kind == "all":
+                x = np.ones(len(df), dtype=np.int64)
+                n = x
+            else:
+                keys = df[kcol if kcol else key_col].astype(str).to_numpy()
+                x = (keys == match).astype(np.int64)
+                n = np.ones(len(df), dtype=np.int64)
+                if kind == "count":          # pure count: drop non-matches
+                    w, x, n = w[x == 1], x[x == 1], n[x == 1]
+            g = pd.DataFrame({"w": w, "x": x, "n": n}).groupby(
+                "w", as_index=False).sum()
+            g.insert(0, "c", np.int64(ci))
+            frames.append(g)
+        if not frames:
+            return pd.DataFrame({"c": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    agg = grouped_agg(ds.map_batches(partials, batch_format="pandas"),
+                      ["c", "w"], {"x": ("x", "sum"), "n": ("n", "sum")},
+                      num_buckets=num_buckets).to_pandas()
+
+    frames = []
+    for ci, cond in enumerate(conditions):
+        sp = specs[ci]
+        if sp is None:                          # Custom
             frames.append(_alert_frame(cond, np.empty(0, np.int64),
                                        np.empty(0, np.float64)))
+            continue
+        g = agg[agg["c"] == ci].sort_values("w")
+        w = g["w"].to_numpy()
+        x = g["x"].to_numpy().astype(np.float64)
+        n = g["n"].to_numpy().astype(np.float64)
+        if isinstance(cond, (KeywordSpike, EntitySurge)):
+            hit = x >= cond.threshold
+            frames.append(_alert_frame(cond, w[hit], x[hit]))
+        elif isinstance(cond, ErrorRateThreshold):
+            rate = np.round(100.0 * x / n, 6)
+            hit = rate > cond.threshold_percent
+            frames.append(_alert_frame(cond, w[hit], rate[hit]))
+        elif isinstance(cond, ThroughputDrop):
+            per_min = np.round(x / cond.window_minutes, 6)
+            hit = per_min < cond.threshold_per_minute
+            frames.append(_alert_frame(cond, w[hit], per_min[hit]))
+        elif isinstance(cond, VolumeAnomaly):
+            sd = float(x.std()) if len(x) else 0.0   # population sigma
+            if sd == 0.0:
+                frames.append(_alert_frame(cond, np.empty(0, np.int64),
+                                           np.empty(0, np.float64)))
+            else:
+                z = np.round((x - x.mean()) / sd, 6)
+                hit = z > cond.threshold_stddev
+                frames.append(_alert_frame(cond, w[hit], z[hit]))
     out = pd.concat(frames, ignore_index=True)
     return (out.sort_values(["condition_type", "window_start_s"])
                .reset_index(drop=True))
