@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spikes": evp.spikes,
         "events_pct_change": evp.pct_change,
         "events_alerts": evp.alerts,
+        "events_source_failures": evp.source_failures,
         "events_user_topk": evp.user_topk,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)
         "tpch_q1": tpchp.q1_pricing,

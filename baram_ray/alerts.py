@@ -185,6 +185,34 @@ class ThroughputDrop:
 
 
 @dataclass(frozen=True)
+class SourceFailure:
+    """conditions.rs:115-127: a source fails ``failure_count``
+    consecutive times (run of error events with no success between)."""
+    source: str
+    failure_count: int
+
+    def condition_type(self) -> str:
+        return "source_failure"
+
+    def description(self) -> str:
+        return (f"Source '{self.source}' failed {self.failure_count} "
+                f"consecutive times")
+
+    def korean_description(self) -> str:
+        return f"소스 '{self.source}' 연속 {self.failure_count}회 실패"
+
+    def window(self) -> int | None:
+        return None
+
+    def validate(self) -> str | None:
+        if not self.source:
+            return "Source cannot be empty"
+        if self.failure_count <= 0:
+            return "Failure count must be greater than 0"
+        return None
+
+
+@dataclass(frozen=True)
 class Custom:
     """conditions.rs:131-146: user-named condition; parameters only."""
     name: str
@@ -422,7 +450,8 @@ def _alert_frame(cond, window_start_s, observed) -> pd.DataFrame:
             getattr(cond, "threshold",
                     getattr(cond, "threshold_percent",
                             getattr(cond, "threshold_per_minute",
-                                    getattr(cond, "threshold_stddev", 0.0))))),
+                            getattr(cond, "threshold_stddev",
+                                    getattr(cond, "failure_count", 0.0)))))),
     })
 
 
@@ -446,9 +475,60 @@ def _windowed_specs(conditions):
                           None, None, cond))
         elif isinstance(cond, VolumeAnomaly):
             specs.append(("count", 86400, None, cond.category, cond))
+        elif isinstance(cond, SourceFailure):
+            specs.append("source")              # sequential path, below
         else:                                   # Custom: no data semantics
             specs.append(None)
     return specs
+
+
+def source_failure_runs(ds, min_len: int = 1, *,
+                        source_col: str = "user_id",
+                        error_type: str = "error",
+                        num_buckets: int = 8) -> pd.DataFrame:
+    """Consecutive-failure runs per source (reference SourceFailure,
+    ``conditions.rs:115-127``): within each source's time-ordered event
+    stream, maximal runs of ``error_type`` events with no other event
+    between → (source, run_start_s, run_len), run_len ≥ ``min_len``.
+
+    Shape: hash exchange on the source key, then a fully-vectorized
+    gaps-and-islands pass per bucket (runs break at source OR error-flag
+    changes) — bounded per-source state, no driver loop."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "source": pd.Series([], dtype="int64"),
+            "run_start_s": pd.Series([], dtype="int64"),
+            "run_len": pd.Series([], dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values([source_col, "ts"], kind="stable")
+        src = df[source_col].to_numpy()
+        err = (df["event_type"].astype(str) == error_type).to_numpy()
+        sec = df["ts"].to_numpy().astype("datetime64[ns]"
+                                         ).astype(np.int64) // _NS
+        new_run = np.empty(len(df), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (src[1:] != src[:-1]) | (err[1:] != err[:-1])
+        run_id = np.cumsum(new_run) - 1
+        r = pd.DataFrame({"run": run_id[err], "source": src[err],
+                          "sec": sec[err]})
+        if not len(r):
+            return empty
+        g = r.groupby("run", as_index=False).agg(
+            source=("source", "first"), run_start_s=("sec", "min"),
+            run_len=("sec", "size"))
+        g = g[g["run_len"] >= min_len]
+        return pd.DataFrame({
+            "source": g["source"].astype("int64"),
+            "run_start_s": g["run_start_s"].astype("int64"),
+            "run_len": g["run_len"].astype("int64")})
+
+    from baram_ray.util import grouped_map
+    out = grouped_map(ds, [source_col], bucket,
+                      num_buckets=num_buckets).to_pandas()
+    return (out.sort_values(["source", "run_start_s"])
+               .reset_index(drop=True))
 
 
 def evaluate_alerts(ds, conditions: list, *, key_col: str = "event_type",
@@ -471,7 +551,16 @@ def evaluate_alerts(ds, conditions: list, *, key_col: str = "event_type",
         if err:
             raise ValueError(f"{cond.condition_type()}: {err}")
     specs = _windowed_specs(conditions)
-    live = [(ci, sp) for ci, sp in enumerate(specs) if sp is not None]
+    live = [(ci, sp) for ci, sp in enumerate(specs)
+            if isinstance(sp, tuple)]
+    # SourceFailure needs a sequential per-source pass — one runs table
+    # (min over the requested counts) shared by every such condition
+    sf_conds = [c for c in conditions if isinstance(c, SourceFailure)]
+    runs = None
+    if sf_conds:
+        runs = source_failure_runs(
+            ds, min_len=min(c.failure_count for c in sf_conds),
+            num_buckets=num_buckets)
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         sec = df["ts"].to_numpy().astype("datetime64[ns]"
@@ -509,6 +598,13 @@ def evaluate_alerts(ds, conditions: list, *, key_col: str = "event_type",
         if sp is None:                          # Custom
             frames.append(_alert_frame(cond, np.empty(0, np.int64),
                                        np.empty(0, np.float64)))
+            continue
+        if sp == "source":                      # SourceFailure
+            hit = runs[(runs["source"].astype(str) == cond.source)
+                       & (runs["run_len"] >= cond.failure_count)]
+            frames.append(_alert_frame(
+                cond, hit["run_start_s"].to_numpy(),
+                hit["run_len"].to_numpy().astype(np.float64)))
             continue
         g = agg[agg["c"] == ci].sort_values("w")
         w = g["w"].to_numpy()

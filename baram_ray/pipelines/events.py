@@ -132,6 +132,17 @@ def alerts(sf_dir: str):
     return evaluate_alerts(ds, conds)
 
 
+def source_failures(sf_dir: str):
+    """Consecutive-failure runs per source (reference SourceFailure
+    condition, ``src/notifications/conditions.rs:115-127``): maximal
+    runs of ≥3 consecutive error events per user_id — vectorized
+    gaps-and-islands per exchange bucket. SQL-expressible → hash-exact
+    DuckDB oracle."""
+    from baram_ray.alerts import source_failure_runs
+    ds = read_table(sf_dir, "events", ["ts", "user_id", "event_type"])
+    return source_failure_runs(ds, min_len=3)
+
+
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])

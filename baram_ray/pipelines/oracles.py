@@ -214,6 +214,25 @@ ORACLES: dict[str, str] = {
         SELECT * FROM ks UNION ALL SELECT * FROM er
         UNION ALL SELECT * FROM td UNION ALL SELECT * FROM va
     """,
+    # consecutive-failure runs (SourceFailure): gaps-and-islands — a
+    # run breaks when a non-error event from the same source intervenes
+    "events_source_failures": """
+        WITH numbered AS (
+            SELECT user_id, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts) AS rn
+            FROM events),
+        err AS (
+            SELECT user_id, ts, rn,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts) AS rn_err
+            FROM numbered WHERE event_type = 'error')
+        SELECT user_id AS source,
+               CAST(floor(epoch(min(ts))) AS BIGINT) AS run_start_s,
+               CAST(count(*) AS BIGINT) AS run_len
+        FROM err GROUP BY user_id, rn - rn_err
+        HAVING count(*) >= 3
+    """,
     "events_user_topk": """
         SELECT user_id, count(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10

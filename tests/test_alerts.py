@@ -193,3 +193,52 @@ def test_channel_fanout_and_format(tmp_path):
     msg = a.format_message()
     assert msg.startswith("[CRITICAL] spike!\nCondition: Keyword 'k' ")
     assert "Status: triggered" in msg and "UTC" in msg
+
+
+def test_source_failure_condition_helpers():
+    # conditions.rs:448-456, :347-357
+    from baram_ray.alerts import SourceFailure
+    sf = SourceFailure("naver.com", 5)
+    assert sf.description() == \
+        "Source 'naver.com' failed 5 consecutive times"
+    assert sf.korean_description() == "소스 'naver.com' 연속 5회 실패"
+    assert sf.condition_type() == "source_failure" and sf.window() is None
+    assert SourceFailure("", 5).validate() == "Source cannot be empty"
+    assert SourceFailure("s", 0).validate() == \
+        "Failure count must be greater than 0"
+
+
+def test_source_failure_runs_islands(ray_session):
+    """Hand-built stream: source 1 has runs [err,err,err] then ok then
+    [err,err]; source 2 all ok. min_len=2 reports runs of 3 and 2."""
+    import ray
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = []
+    seq = [(1, "error"), (1, "error"), (1, "error"), (1, "view"),
+           (1, "error"), (1, "error"), (2, "view"), (2, "view")]
+    for i, (uid, et) in enumerate(seq):
+        rows.append({"ts": base + pd.Timedelta(minutes=i),
+                     "user_id": uid, "event_type": et})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    from baram_ray.alerts import source_failure_runs
+    runs = source_failure_runs(ds, min_len=2, num_buckets=2)
+    assert runs["run_len"].tolist() == [3, 2]
+    assert (runs["source"] == 1).all()
+    assert runs["run_start_s"].iloc[0] == int(base.timestamp())
+    # min_len filters
+    assert source_failure_runs(ds, min_len=3,
+                               num_buckets=2)["run_len"].tolist() == [3]
+
+
+def test_source_failure_in_evaluate_alerts(ray_session):
+    import ray
+    from baram_ray.alerts import SourceFailure, evaluate_alerts
+    base = pd.Timestamp("2024-06-01 00:00:00")
+    rows = [{"ts": base + pd.Timedelta(minutes=i), "user_id": 9,
+             "event_type": "error"} for i in range(4)]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = evaluate_alerts(ds, [SourceFailure("9", 3),
+                               SourceFailure("8", 1)], num_buckets=2)
+    hit = out[out["condition_type"] == "source_failure"]
+    assert len(hit) == 1                         # only source 9 triggers
+    assert hit.iloc[0]["observed"] == 4.0 and hit.iloc[0]["threshold"] == 3.0
