@@ -144,6 +144,10 @@ def cmd_ontology(args) -> int:
 
 
 def cmd_stats(args) -> int:
+    if getattr(args, "prometheus", False):
+        from baram_ray.metrics import export_index_metrics
+        print(export_index_metrics(args.index), end="")
+        return 0
     from baram_ray.index.deletes import tombstoned_ids
     with open(os.path.join(args.index, "meta.json")) as f:
         meta = json.load(f)
@@ -224,6 +228,8 @@ def main(argv: list[str] | None = None) -> int:
 
     st = sub.add_parser("stats", help="index metadata")
     st.add_argument("--index", required=True)
+    st.add_argument("--prometheus", action="store_true",
+                    help="render build metrics in Prometheus text format")
     st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
