@@ -56,6 +56,10 @@ def cmd_build(args) -> int:
         "num_shards": res.num_shards, "stage_seconds": res.stage_seconds,
         "resumed_stages": res.resumed_stages,
     }))
+    from baram_ray.i18n import t
+    print(t("cli.build.completed", count=res.n_docs,
+            seconds=round(sum(res.stage_seconds.values()), 1)),
+          file=sys.stderr)
     return 0
 
 
@@ -83,6 +87,9 @@ def cmd_search(args) -> int:
     for rank, (doc_id, score) in enumerate(hits, 1):
         print(json.dumps({"rank": rank, "doc_id": int(doc_id),
                           "score": round(float(score), 6)}))
+    from baram_ray.i18n import t
+    print(t("cli.search.results", count=len(hits), query=args.query),
+          file=sys.stderr)
     return 0
 
 
@@ -157,6 +164,8 @@ def cmd_stats(args) -> int:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from baram_ray.i18n import init_from_env
+    init_from_env()                     # BARAM_LANG (reference i18n)
     p = argparse.ArgumentParser(prog="baram_ray")
     p.add_argument("--num-cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
