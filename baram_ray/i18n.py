@@ -64,6 +64,10 @@ _CATALOG: dict[str, dict[str, str]] = {
         "en": "Unknown filter column: %{column}",
         "ko": "알 수 없는 필터 컬럼: %{column}",
     },
+    "errors.fetch.decode_error": {
+        "en": "Decoding error",
+        "ko": "디코딩 오류",
+    },
     "errors.parse.unknown_format": {
         "en": "Unknown or unsupported format",
         "ko": "알 수 없거나 지원되지 않는 형식",

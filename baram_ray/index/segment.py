@@ -465,7 +465,8 @@ class IndexReader:
                 else np.ones(len(self.doc_ids), dtype=bool))
         for col, val in filters.items():
             if col not in self.doc_meta:
-                raise KeyError(f"unknown filter column {col!r}")
+                from baram_ray.errors import UnknownFilterColumn
+                raise UnknownFilterColumn(col)
             data = self.doc_meta[col]
             if isinstance(val, dict):
                 bad = set(val) - {"gte", "lte", "gt", "lt"}

@@ -28,7 +28,8 @@ def decode_euc_kr(data: bytes) -> str:
     try:
         return data.decode("euc-kr")
     except UnicodeDecodeError as e:
-        raise ValueError("Failed to decode EUC-KR content") from e
+        from baram_ray.errors import DecodeFailed
+        raise DecodeFailed("Failed to decode EUC-KR content") from e
 
 
 def normalize_whitespace(text: str) -> str:

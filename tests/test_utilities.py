@@ -80,3 +80,43 @@ def test_retry_exhausted_and_predicate():
                    should_retry=lambda e: not isinstance(e, ValueError),
                    sleep=lambda s: None)
     assert len(calls) == 1                           # no retry on fatal
+
+
+def test_error_taxonomy():
+    """reference error.rs surface: is_recoverable + localized_desc,
+    builtin-subclass compatibility."""
+    from baram_ray import i18n
+    from baram_ray.errors import (DecodeFailed, IndexNotFound,
+                                  LlmParseFailed, UnknownFilterColumn)
+    e = IndexNotFound("/no/such/index")
+    assert isinstance(e, FileNotFoundError) and not e.is_recoverable()
+    assert e.localized_desc() == "Index not found: /no/such/index"
+    i18n.set_locale("ko")
+    try:
+        assert e.localized_desc() == "인덱스를 찾을 수 없습니다: /no/such/index"
+        assert UnknownFilterColumn("published").localized_desc() == \
+            "알 수 없는 필터 컬럼: published"
+    finally:
+        i18n.set_locale("en")
+    assert isinstance(UnknownFilterColumn("c"), KeyError)
+    assert isinstance(DecodeFailed("x"), ValueError)
+    assert LlmParseFailed("bad json").is_recoverable()
+    with pytest.raises(ValueError):
+        decode_euc_kr(b"\xff\xff\xff")          # DecodeFailed IS ValueError
+
+
+def test_unknown_filter_column_raised(ray_session, tmp_path):
+    import shutil
+    from baram_ray.errors import UnknownFilterColumn
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.query.engine import QueryEngine
+    out = str(tmp_path / "idx")
+    shutil.rmtree(out, ignore_errors=True)
+    build_index("/root/testdata/sf0.001/documents.parquet", out,
+                IndexConfig(fields=("text",), id_cols=(), keep=("lang",)),
+                resume=False)
+    eng = QueryEngine(out)
+    with pytest.raises(UnknownFilterColumn):
+        eng.search("data", k=5, filters={"nope": "x"})
+    with pytest.raises(KeyError):               # old contract still holds
+        eng.search("data", k=5, filters={"nope": "x"})
