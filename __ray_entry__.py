@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_centroid_assign": trainp.sim_centroid_assign,
         # M3 format-dispatch parse chain
         "doc_parse_dispatch": trainp.doc_parse_dispatch,
+        "doc_sample_hash": trainp.doc_sample_hash,
+        "doc_split_counts": trainp.doc_split_counts,
+        "doc_mix_weighted": trainp.doc_mix_weighted,
+        "doc_pack_bins": trainp.doc_pack_bins,
         # embedding prep (M16 + A1 actor-pool inference shape)
         "doc_embed_prep": trainp.doc_embed_prep,
         "doc_embed_vectors": trainp.doc_embed_vectors,

@@ -35,6 +35,36 @@ ORACLES: dict[str, str] = {
                AS n_tokens
         FROM documents
     """,
+    # deterministic sampling/splitting: Knuth multiplicative hash,
+    # ((doc_id % 2^32) * 2654435761) % 2^32, exact in HUGEINT
+    # (thresholds are floor(rate * 2^32))
+    "doc_sample_hash": """
+        SELECT doc_id FROM documents
+        WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
+              < 429496729
+    """,
+    "doc_split_counts": """
+        SELECT CASE
+                 WHEN h < 3435973836 THEN 'train'
+                 WHEN h < 3865470565 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT ((doc_id % 4294967296) * 2654435761::HUGEINT)
+                     % 4294967296 AS h
+              FROM documents)
+        GROUP BY 1
+    """,
+    "doc_mix_weighted": """
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   ((doc_id % 4294967296) * 2654435761::HUGEINT)
+                   % 4294967296 AS h
+            FROM documents)
+        WHERE (source = 'src0' AND h < 4294967296)
+           OR (source = 'src1' AND h < 2147483648)
+           OR (source = 'src2' AND h < 1073741824)
+    """,
     "doc_term_df_top": r"""
         SELECT term, count(DISTINCT doc_id) AS df
         FROM (SELECT doc_id,

@@ -200,3 +200,51 @@ def multimodal_frames(sf_dir: str):
     ds = ray.data.from_arrow(tbl)
     return ds.map_batches(FrameSampleStage(), batch_format="pyarrow",
                           batch_size=64)
+
+
+def doc_sample_hash(sf_dir: str, rate: float = 0.1):
+    """Deterministic 10% sample by Knuth multiplicative hash of doc_id
+    (``baram_ray/sampling.py``): same row set on every run and shard
+    layout. SQL-expressible (HUGEINT arithmetic) → hash-exact oracle."""
+    from baram_ray.sampling import hash_sample
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    return hash_sample(ds, rate)
+
+
+def doc_split_counts(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by key hash →
+    per-split row counts. SQL-expressible → hash-exact oracle."""
+    from baram_ray.sampling import hash_split
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    out = hash_split(ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("split", as_index=False).size() \
+              .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+    return (out.map_batches(partial, batch_format="pandas")
+               .groupby("split").aggregate(Sum("n", alias_name="n")))
+
+
+def doc_mix_weighted(sf_dir: str):
+    """Deterministic training-mixture re-weighting: keep src0 at 100%,
+    src1 at 50%, src2 at 25%; every other source drops. Pure function
+    of (source, doc_id). SQL-expressible → hash-exact oracle."""
+    from baram_ray.sampling import weighted_mix
+    ds = read_table(sf_dir, "documents", ["doc_id", "source"])
+    return weighted_mix(ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25})
+
+
+def doc_pack_bins(sf_dir: str, max_tokens: int = 128):
+    """Greedy first-fit sequence packing of whitespace token counts
+    into ``max_tokens`` context bins (per-block, zero-shuffle).
+    Rows-only driver check; the packing invariants (every doc exactly
+    once, no bin over budget unless single-doc, ≥50% fill) are
+    pytest-checked."""
+    from baram_ray.pipelines.documents import token_count_ws
+    from baram_ray.sampling import pack_sequences
+    return pack_sequences(token_count_ws(sf_dir), max_tokens)
