@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_counts": trainp.doc_split_counts,
         "doc_mix_weighted": trainp.doc_mix_weighted,
         "doc_pack_bins": trainp.doc_pack_bins,
+        "doc_decontam": trainp.doc_decontam,
+        "doc_repetition": trainp.doc_repetition,
         # embedding prep (M16 + A1 actor-pool inference shape)
         "doc_embed_prep": trainp.doc_embed_prep,
         "doc_embed_vectors": trainp.doc_embed_vectors,

@@ -65,6 +65,40 @@ ORACLES: dict[str, str] = {
            OR (source = 'src1' AND h < 2147483648)
            OR (source = 'src2' AND h < 1073741824)
     """,
+    # benchmark decontamination: probe 8-grams = tokens 4..11 (1-based)
+    # of every 50th doc; a doc is contaminated iff any of its 8-grams
+    # equals a probe gram (exact token-sequence semantics)
+    "doc_decontam": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        bench AS (SELECT DISTINCT array_to_string(t[4:11], ' ') AS g
+                  FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 11),
+        grams AS (SELECT doc_id, array_to_string(t[x:x+7], ' ') AS g
+                  FROM toks, UNNEST(range(1, len(t) - 6)) AS u(x))
+        SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+    """,
+    # Gopher repetition signals: top 2-gram fraction + duplicate 3-gram
+    # fraction (docs with >= 3 tokens; exact IEEE divisions both sides)
+    "doc_repetition": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        g2 AS (SELECT doc_id, array_to_string(t[x:x+1], ' ') AS g
+               FROM toks, UNNEST(range(1, len(t))) AS u(x)),
+        top2 AS (SELECT doc_id,
+                        CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                          AS top2_frac
+                 FROM (SELECT doc_id, g, count(*) AS cnt
+                       FROM g2 GROUP BY doc_id, g)
+                 GROUP BY doc_id),
+        g3 AS (SELECT doc_id, array_to_string(t[x:x+2], ' ') AS g
+               FROM toks, UNNEST(range(1, len(t) - 1)) AS u(x)),
+        dup3 AS (SELECT doc_id,
+                        1.0 - CAST(count(DISTINCT g) AS DOUBLE)
+                              / CAST(count(*) AS DOUBLE) AS dup3_frac
+                 FROM g3 GROUP BY doc_id)
+        SELECT doc_id, top2_frac, dup3_frac
+        FROM top2 JOIN dup3 USING (doc_id)
+    """,
     "doc_term_df_top": r"""
         SELECT term, count(DISTINCT doc_id) AS df
         FROM (SELECT doc_id,

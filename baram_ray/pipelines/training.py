@@ -239,6 +239,40 @@ def doc_mix_weighted(sf_dir: str):
     return weighted_mix(ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25})
 
 
+def doc_decontam(sf_dir: str, n: int = 8):
+    """Benchmark decontamination (``baram_ray/decontam.py``): flag every
+    document containing any probe 8-gram. The probe set is derived
+    deterministically from the corpus (tokens 4..11 of every 50th doc —
+    standing in for an external eval suite, which is tiny by definition
+    and therefore broadcast, never shuffled). Exact token-sequence
+    semantics → hash-exact DuckDB unnest/semi-join oracle."""
+    from baram_ray import decontam
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # benchmark side: small driver-side read (the real-world shape is a
+    # separate few-MB eval table; ray.put broadcasts it once)
+    import pyarrow as pa
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["doc_id"].to_numpy() % 50 == 0))
+
+    bench = (read_table(sf_dir, "documents", ["doc_id", "text"])
+             .map_batches(pick, batch_format="pyarrow")
+             .to_pandas())
+    grams = decontam.benchmark_grams(bench["text"].tolist(), n=n,
+                                     start=3, count=1)
+    return decontam.decontaminate(ds, grams, n=n)
+
+
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document: most-
+    frequent-2-gram fraction + duplicate-3-gram fraction
+    (``stages/text.py::RepetitionStage``). SQL-expressible → hash-exact
+    oracle (exact IEEE divisions on both sides)."""
+    from baram_ray.stages.text import RepetitionStage
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
+
+
 def doc_pack_bins(sf_dir: str, max_tokens: int = 128):
     """Greedy first-fit sequence packing of whitespace token counts
     into ``max_tokens`` context bins (per-block, zero-shuffle).

@@ -173,6 +173,39 @@ class QualityStage:
         return pa.table(cols)
 
 
+class RepetitionStage:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    fraction of a document occupied by its most-frequent word 2-gram
+    (``top2_frac``) and the fraction of word 3-gram occurrences that are
+    repeats of an earlier 3-gram (``dup3_frac``). High values mark
+    boilerplate / generated spam that survives exact dedup. Pure
+    per-row token counting (string-bound like QualityStage), zero
+    shuffle; both fractions are exact IEEE divisions of small integers,
+    so the DuckDB unnest oracle is bit-equal. Docs with fewer than 3
+    tokens emit no row (no 3-grams exist — mirrors the oracle's join)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        ids, top2, dup3 = [], [], []
+        id_arr = batch["doc_id"].to_pylist()
+        for did, t in zip(id_arr, batch[self.text_col].to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < 3:
+                continue
+            pairs = list(zip(toks, toks[1:]))
+            c = Counter(pairs)
+            trips = list(zip(toks, toks[1:], toks[2:]))
+            ids.append(did)
+            top2.append(max(c.values()) / len(pairs))
+            dup3.append(1.0 - len(set(trips)) / len(trips))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "top2_frac": pa.array(top2, pa.float64()),
+                         "dup3_frac": pa.array(dup3, pa.float64())})
+
+
 # ------------------------------------------------------------------ #
 # document fingerprinting (winnowing rolling hash)
 # ------------------------------------------------------------------ #
