@@ -169,6 +169,10 @@ def run_bench() -> dict:
         "text_relations": timed(knowp.text_relations),
         "cluster_events": timed(knowp.cluster_events),
         "doc_embed_vectors": timed(trainp.doc_embed_vectors),
+        "doc_sample_hash": timed(trainp.doc_sample_hash),
+        "doc_pack_bins": timed(trainp.doc_pack_bins),
+        "doc_decontam": timed(trainp.doc_decontam),
+        "doc_repetition": timed(trainp.doc_repetition),
     }
 
     result = {
