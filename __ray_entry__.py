@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_paged": searchp.bm25_paged,
         "search_phrase_topk": searchp.phrase_topk,
         "phrase_match_docs": searchp.phrase_match_docs,
+        "search_phrase_slop_topk": searchp.phrase_slop_topk,
+        "phrase_slop_match_docs": searchp.phrase_slop_match_docs,
         "search_bool_topk": searchp.bool_topk,
         "bool_match_docs": searchp.bool_match_docs,
         "search_prefix_topk": searchp.prefix_topk,

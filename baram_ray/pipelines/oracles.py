@@ -130,6 +130,18 @@ ORACLES: dict[str, str] = {
         WHERE regexp_matches(lower(text),
               '(^|[^a-z0-9_])merge[^a-z0-9_]+sort([^a-z0-9_]|$)')
     """,
+    # sloppy phrase retrieval: t1 then t2 with at most `slop` intervening
+    # word tokens (ordered span-near slack ≤ slop; 2-token phrases only —
+    # the regex quantifier bounds the intervening tokens)
+    "phrase_slop_match_docs": r"""
+        SELECT CAST(0 AS BIGINT) AS phrase_id, doc_id FROM documents
+        WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9_])table([^a-z0-9_]+[a-z0-9_]+){0,1}[^a-z0-9_]+scan([^a-z0-9_]|$)')
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM documents
+        WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9_])merge([^a-z0-9_]+[a-z0-9_]+){0,2}[^a-z0-9_]+sort([^a-z0-9_]|$)')
+    """,
     # boolean retrieval: must AND (≥2 of the should clauses — any term of
     # a clause counts) AND NOT must_not, over whitespace word tokens
     # (single-space corpus: whitespace tokens == analyzer tokens)

@@ -280,6 +280,50 @@ def phrase_match_docs(sf_dir: str):
     return df.astype({"phrase_id": "int64", "doc_id": "int64"})
 
 
+SLOP_QUERIES = [
+    {"query_id": 0, "text": "table scan", "k": 10, "slop": 1},
+    {"query_id": 1, "text": "merge sort", "k": 10, "slop": 2},
+    {"query_id": 2, "text": "hash join merge", "k": 10, "slop": 2},
+]
+
+
+def phrase_slop_topk(sf_dir: str, queries: list[dict] | None = None):
+    """Sloppy-phrase BM25 top-k through the actor pool (ordered
+    span-near minimal windows, tf = Σ 1/(1+slack) — Lucene
+    SpanNear/SloppyPhrase semantics; per-row ``slop`` column).
+    Rows-only driver check; engine-vs-chain-enumeration-oracle rank
+    identity is pytest-checked, doc-set correctness has the
+    ``phrase_slop_match_docs`` SQL oracle."""
+    idx = ensure_index(sf_dir, positions=True)
+    qs = ray.data.from_items(queries or SLOP_QUERIES)
+    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                         fn_constructor_kwargs={"mode": "phrase"},
+                         batch_format="pandas", concurrency=2)
+
+    def _round(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    return out.map_batches(_round, batch_format="pandas")
+
+
+def phrase_slop_match_docs(sf_dir: str):
+    """Sloppy-phrase RETRIEVAL: all doc_ids with an ordered window of
+    slack ≤ slop for each (phrase, slop) probe. For two-token phrases
+    this is SQL-expressible — t1 then t2 with at most ``slop``
+    intervening word tokens → hash-exact DuckDB regex oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    rows = []
+    for pid, (phrase, slop) in enumerate(
+            [("table scan", 1), ("merge sort", 2)]):
+        for d in eng.match_phrase_docs(phrase, slop=slop):
+            rows.append({"phrase_id": pid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["phrase_id", "doc_id"])
+    return df.astype({"phrase_id": "int64", "doc_id": "int64"})
+
+
 # boolean query surface (reference bool DSL: should + minimum_should_match
 # + must_not complement, src/embedding/mod.rs:475-535)
 BOOL_QUERIES = [

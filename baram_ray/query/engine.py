@@ -576,9 +576,97 @@ class QueryEngine:
         uniq, counts = np.unique(ranks, return_counts=True)
         return dict(zip(uniq.tolist(), counts.tolist()))
 
+    @staticmethod
+    def _sloppy_freq(pos_lists: list[np.ndarray], slop: int) -> float:
+        """Ordered span-near sloppy frequency (Lucene SpanNearQuery
+        in_order=True semantics with SloppyPhraseScorer weighting):
+        enumerate the MINIMAL windows [s, e] containing an ordered chain
+        p_1 < p_2 < … < p_m with p_j a position of query token j, via
+        the classic plane-sweep (greedy forward chain from each start,
+        then maximize the start — the forward chain is unchanged because
+        the new start is still below the second element). Each window
+        with ``slack = (e - s) - (m - 1) ≤ slop`` contributes
+        ``1 / (1 + slack)``; slack 0 windows are exact-phrase matches.
+        """
+        L0 = pos_lists[0]
+        m = len(pos_lists)
+        freq = 0.0
+        i0 = 0
+        while i0 < len(L0):
+            b = int(L0[i0])
+            second = None
+            ok = True
+            for j in range(1, m):
+                Lj = pos_lists[j]
+                t = int(np.searchsorted(Lj, b, side="right"))
+                if t == len(Lj):
+                    ok = False
+                    break
+                b = int(Lj[t])
+                if j == 1:
+                    second = b
+            if not ok:
+                break
+            if m == 1:
+                second = int(L0[i0]) + 1        # degenerate single token
+            # maximize the start: largest L0 element strictly below the
+            # chain's second position (forward chain is unaffected)
+            i0n = int(np.searchsorted(L0, second, side="left")) - 1
+            start = int(L0[i0n])
+            slack = (b - start) - (m - 1)
+            if slack <= slop:
+                freq += 1.0 / (1.0 + slack)
+            i0 = i0n + 1
+        return freq
+
+    def _phrase_field_slop(self, field: str, qseq: list[str],
+                           slop: int):
+        """Conjunctive traversal + sloppy window verification for one
+        field: docs containing ALL phrase terms get their per-query-token
+        position arrays run through ``_sloppy_freq``. Returns
+        ({rank: sloppy_freq}, idf_sum) like ``_phrase_field``."""
+        r = self.r
+        n = r.n_docs
+        uniq = list(dict.fromkeys(qseq))
+        its: dict[str, _TermIter] = {}
+        idf_sum = 0.0
+        for t in uniq:
+            pl = r.postings.get((field, t))
+            if pl is None:
+                return {}, 0.0
+            df = r.df_global(field, t, pl)
+            idf_sum += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            its[t] = _TermIter(field, t, pl, 0.0, 1.0, self.k1, self.b)
+        iters = list(its.values())
+        lead = min(range(len(iters)), key=lambda i: iters[i].pl.df)
+        others = [it for i, it in enumerate(iters) if i != lead]
+        DONE = _TermIter.DONE
+        freqs: dict[int, float] = {}
+        d = iters[lead].doc
+        while d < DONE:
+            target = d
+            ok = True
+            for it in others:
+                nd = it.next_geq(target)
+                if nd != target:
+                    ok, target = False, nd
+                    break
+            if not ok:
+                if target >= DONE:
+                    break
+                d = iters[lead].next_geq(target)
+                continue
+            pos_by_term = {t: it.positions_at() for t, it in its.items()}
+            fr = self._sloppy_freq([pos_by_term[t] for t in qseq], slop)
+            if fr > 0.0:
+                freqs[d] = fr
+            d = iters[lead].advance()
+        return freqs, idf_sum
+
     def _phrase_freqs(self, query: str,
                       fields: list[str] | None = None,
-                      boosts: dict[str, float] | None = None):
+                      boosts: dict[str, float] | None = None,
+                      slop: int = 0):
         """Per-field phrase match maps: [(field, weight, idf_sum,
         {rank: freq})]. Shared by scoring and retrieval."""
         from baram_ray.tokenizer import analyze_phrase
@@ -596,7 +684,10 @@ class QueryEngine:
         out = []
         for f in (fields or self.r.fields):
             w = float(boosts.get(f, 1.0))
-            freqs, idf_sum = self._phrase_field(f, qterms, w)
+            if slop > 0:
+                freqs, idf_sum = self._phrase_field_slop(f, toks, slop)
+            else:
+                freqs, idf_sum = self._phrase_field(f, qterms, w)
             if freqs:
                 out.append((f, w, idf_sum, freqs))
         return out
@@ -605,13 +696,17 @@ class QueryEngine:
                       fields: list[str] | None = None,
                       boosts: dict[str, float] | None = None,
                       filters: dict | None = None,
-                      min_score: float | None = None
+                      min_score: float | None = None,
+                      slop: int = 0
                       ) -> list[tuple[int, float]]:
         """Exact-phrase top-k: the phrase scores as ONE composite term per
         field (Lucene PhraseQuery semantics: idf = Σ term idfs, tf =
         phrase frequency), bool-should across fields like ``search``.
-        Sorted (score desc, doc_id asc)."""
-        per_field = self._phrase_freqs(query, fields, boosts)
+        ``slop > 0`` switches to ordered span-near matching with sloppy
+        weighting (tf = Σ 1/(1+slack) over minimal windows with slack ≤
+        slop — ``_sloppy_freq``); slop=0 is the exact path. Sorted
+        (score desc, doc_id asc)."""
+        per_field = self._phrase_freqs(query, fields, boosts, slop)
         if not per_field or k <= 0:
             return []
         r = self.r
@@ -639,10 +734,12 @@ class QueryEngine:
 
     def match_phrase_docs(self, query: str,
                           fields: list[str] | None = None,
-                          filters: dict | None = None) -> np.ndarray:
-        """All doc_ids containing the exact phrase in ANY of ``fields`` —
-        retrieval without scoring (sorted ascending)."""
-        per_field = self._phrase_freqs(query, fields)
+                          filters: dict | None = None,
+                          slop: int = 0) -> np.ndarray:
+        """All doc_ids containing the phrase (exactly, or within ``slop``
+        ordered-window slack) in ANY of ``fields`` — retrieval without
+        scoring (sorted ascending)."""
+        per_field = self._phrase_freqs(query, fields, slop=slop)
         r = self.r
         mask = r.filter_mask(filters)
         ranks: set[int] = set()
@@ -868,7 +965,9 @@ class QueryActor:
             elif self.mode == "phrase":
                 hits = self.engine.search_phrase(
                     str(text), k=int(k), boosts=self.boosts,
-                    filters=self.filters, min_score=self.min_score)
+                    filters=self.filters, min_score=self.min_score,
+                    slop=(int(batch["slop"].iloc[i])
+                          if "slop" in batch.columns else 0))
             else:
                 hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
                                           algorithm=self.algorithm,

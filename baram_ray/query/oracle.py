@@ -257,12 +257,49 @@ class OracleIndex:
                 return 0
         return len(bases or ())
 
+    def _sloppy_freq_text(self, text: str, qtoks: list[str],
+                          slop: int) -> float:
+        """Brute-force sloppy phrase frequency, implemented INDEPENDENTLY
+        of the engine's plane-sweep: enumerate every ordered chain
+        p_1 < … < p_m (p_j a position of query token j), keep the spans
+        that are MINIMAL under interval containment, and sum
+        ``1/(1+slack)`` over those with ``slack = (e-s)-(m-1) ≤ slop``.
+        The containment-minimal span set provably equals the plane-sweep
+        enumeration, so engine and oracle must agree exactly."""
+        toks, poss = tokenize_with_positions(text or "")
+        at: dict[str, list[int]] = {}
+        for t, p in zip(toks, poss):
+            at.setdefault(t, []).append(p)
+        lists = [sorted(set(at.get(t, []))) for t in qtoks]
+        if any(not lst for lst in lists):
+            return 0.0
+        chains: list[tuple[int, ...]] = [(p,) for p in lists[0]]
+        for lst in lists[1:]:
+            chains = [c + (p,) for c in chains for p in lst if p > c[-1]]
+            if not chains:
+                return 0.0
+        spans = {(c[0], c[-1]) for c in chains}
+        minimal = sorted((s, e) for (s, e) in spans
+                         if not any(s2 >= s and e2 <= e
+                                    and (s2, e2) != (s, e)
+                                    for (s2, e2) in spans))
+        m = len(qtoks)
+        # accumulate in increasing-start order, matching the engine's
+        # plane-sweep addition order bit-for-bit
+        fr = 0.0
+        for s, e in minimal:
+            if (e - s) - (m - 1) <= slop:
+                fr += 1.0 / (1.0 + ((e - s) - (m - 1)))
+        return fr
+
     def search_phrase(self, docs: list[dict], query: str, k: int = 10,
-                      boosts: dict[str, float] | None = None
+                      boosts: dict[str, float] | None = None,
+                      slop: int = 0
                       ) -> list[tuple[int, float]]:
         """Brute-force reference for QueryEngine.search_phrase: phrase =
         one composite term per field (idf = Σ unique-term idfs, tf =
-        phrase freq), bool-should across fields."""
+        phrase freq — sloppy windowed freq when ``slop > 0``),
+        bool-should across fields."""
         qtoks = analyze_phrase(query)
         if not qtoks:
             return []
@@ -284,7 +321,9 @@ class OracleIndex:
             if missing:
                 continue
             for i, d in enumerate(docs):
-                fr = self._phrase_freq(d.get(f) or "", qtoks)
+                fr = (self._sloppy_freq_text(d.get(f) or "", qtoks, slop)
+                      if slop > 0 else
+                      self._phrase_freq(d.get(f) or "", qtoks))
                 if not fr:
                     continue
                 dl = self.dl[f][i]

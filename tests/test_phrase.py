@@ -222,3 +222,73 @@ def test_vectorized_phrase_path_identical(engine, oracle, docs, monkeypatch):
     for q, exp in loop.items():
         got = engine.search_phrase(q, k=25)
         assert got == exp, q
+
+
+# ------------------------------------------------------------------ #
+# Sloppy phrases (ordered span-near + Lucene sloppy weighting)
+# ------------------------------------------------------------------ #
+
+def test_sloppy_freq_known_windows(engine):
+    """Crafted position lists with hand-computed minimal windows."""
+    f = engine._sloppy_freq
+    # "a b": a at 0, b at 1 -> one window slack 0
+    assert f([np.array([0]), np.array([1])], 2) == 1.0
+    # a at 0, b at 3 -> slack 2: weight 1/3 at slop>=2, nothing at slop 1
+    assert f([np.array([0]), np.array([3])], 2) == pytest.approx(1 / 3)
+    assert f([np.array([0]), np.array([3])], 1) == 0.0
+    # a at [0, 5], b at [2, 6]: minimal windows (0,2) slack 1, (5,6) slack 0
+    got = f([np.array([0, 5]), np.array([2, 6])], 1)
+    assert got == pytest.approx(0.5 + 1.0)
+    # window (0,6) is NOT minimal (contains (5,6)) and must not count
+    assert f([np.array([0, 5]), np.array([2, 6])], 0) == 1.0
+    # three terms: a@0, b@2, c@3 -> span (0,3), slack 1
+    assert f([np.array([0]), np.array([2]), np.array([3])], 1) \
+        == pytest.approx(0.5)
+    # order matters: b before a never matches
+    assert f([np.array([5]), np.array([1])], 9) == 0.0
+
+
+def test_sloppy_slop0_equals_exact(engine, oracle, docs):
+    """slop=0 must reproduce the exact-phrase ranking bit-for-bit."""
+    for q in PHRASES + _dynamic_phrases(docs):
+        exact = engine.search_phrase(q, k=20)
+        slop0 = engine.search_phrase(q, k=20, slop=0)
+        assert exact == slop0, q
+
+
+def _gapped_phrases(docs):
+    """token_i + token_{i+2} of real docs: guaranteed slop-1 hits that
+    are usually NOT exact-phrase hits."""
+    out = []
+    for d in docs[:40]:
+        units = analyze_phrase(d.get("content") or "")
+        if len(units) >= 4 and units[0] != units[2]:
+            out.append(f"{units[0]} {units[2]}")
+        if len(out) >= 5:
+            break
+    return out
+
+
+def test_sloppy_rank_identity(engine, oracle, docs):
+    """Engine plane-sweep vs oracle chain-enumeration: identical docs
+    and scores for slop 1..3 over present and gapped phrases."""
+    for slop in (1, 2, 3):
+        for q in PHRASES + _dynamic_phrases(docs) + _gapped_phrases(docs):
+            got = engine.search_phrase(q, k=20, slop=slop)
+            exp = oracle.search_phrase(docs, q, k=20, slop=slop)
+            assert [d for d, _ in got] == [d for d, _ in exp], (q, slop)
+            np.testing.assert_allclose([s for _, s in got],
+                                       [s for _, s in exp], rtol=1e-9)
+
+
+def test_sloppy_match_docs_superset(engine, docs):
+    """Growing slop only grows the match set; slop hits include exact."""
+    for q in _gapped_phrases(docs)[:3]:
+        exact = set(engine.match_phrase_docs(q).tolist())
+        s1 = set(engine.match_phrase_docs(q, slop=1).tolist())
+        s3 = set(engine.match_phrase_docs(q, slop=3).tolist())
+        assert exact <= s1 <= s3
+    # and a gapped phrase finds its doc at slop>=1
+    gp = _gapped_phrases(docs)
+    if gp:
+        assert len(engine.match_phrase_docs(gp[0], slop=1)) > 0
