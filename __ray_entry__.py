@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_longest": docp.top_longest,
         "doc_token_count": docp.token_count_ws,
         "doc_term_df_top": docp.term_df_top,
+        "doc_unk_stats": docp.unk_stats,
         # events time-series (G4 SMA, G5 spikes, G8 top-k)
         "events_type_agg": evp.type_agg,
         "events_daily_counts": evp.daily_counts,

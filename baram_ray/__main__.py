@@ -163,6 +163,19 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from baram_ray.serve import create_server
+    srv = create_server(args.index, host=args.host, port=args.port,
+                        clusters_dir=args.clusters)
+    host, port = srv.server_address[:2]
+    print(f"serving {args.index} on http://{host}:{port}")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from baram_ray.i18n import init_from_env
     init_from_env()                     # BARAM_LANG (reference i18n)
@@ -234,6 +247,16 @@ def main(argv: list[str] | None = None) -> int:
     on.add_argument("--out", required=True)
     on.add_argument("--fmt", default="nt", choices=["nt", "ttl"])
     on.set_defaults(fn=cmd_ontology)
+
+    sv = sub.add_parser("serve", help="REST API over a built index "
+                        "(/api/health /api/search /api/explain "
+                        "/api/events)")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--clusters", default=None,
+                    help="S9 cluster-JSON dir for /api/events")
+    sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("stats", help="index metadata")
     st.add_argument("--index", required=True)

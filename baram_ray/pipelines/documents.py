@@ -75,6 +75,41 @@ def token_count_ws(sf_dir: str):
     return ds.map_batches(count_tokens, batch_format="pyarrow")
 
 
+def unk_stats(sf_dir: str, vocab_k: int = 200):
+    """G12 proper (reference TokenizerStats, src/embedding/tokenizer.rs:
+    63-79, 330-345): corpus token totals + UNK count + unk_ratio against
+    a model vocabulary. The vocabulary is the top ``vocab_k`` terms by
+    document frequency (ties broken term-asc — deterministic both
+    sides); it is SMALL by construction, so it is broadcast once and the
+    UNK count is a zero-shuffle per-batch scan with per-batch partial
+    sums. SQL-expressible → hash-exact oracle (exact IEEE ratio)."""
+    import pandas as pd
+
+    from baram_ray.pipelines.util import broadcast
+
+    vocab = set(term_df_top(sf_dir, k=vocab_k).to_pandas()["term"])
+    ref = broadcast(vocab)
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+        v = _ray.get(ref)
+        tot = unk = 0
+        for t in batch["text"].to_pylist():
+            toks = (t or "").lower().split()
+            tot += len(toks)
+            unk += sum(1 for w in toks if w not in v)
+        return pa.table({"n_tokens": pa.array([tot], pa.int64()),
+                         "unk_tokens": pa.array([unk], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, u = int(parts["n_tokens"].sum()), int(parts["unk_tokens"].sum())
+    return pd.DataFrame({"n_tokens": pd.Series([n], dtype="int64"),
+                         "unk_tokens": pd.Series([u], dtype="int64"),
+                         "unk_ratio": pd.Series(
+                             [u / n if n else 0.0], dtype="float64")})
+
+
 def term_df_top(sf_dir: str, k: int = 20):
     """G13-lite: document frequency of whitespace-lowercase terms, top-k.
 

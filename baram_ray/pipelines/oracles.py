@@ -99,6 +99,25 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, top2_frac, dup3_frac
         FROM top2 JOIN dup3 USING (doc_id)
     """,
+    # G12 tokenizer stats: UNK = token occurrences outside the top-200
+    # df vocabulary (df desc, term asc tie-break); exact IEEE ratio
+    "doc_unk_stats": r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS term
+                      FROM documents),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY term),
+        vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 200),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN term NOT IN
+                                     (SELECT term FROM vocab)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS unk_tokens
+                FROM toks)
+        SELECT n_tokens, unk_tokens,
+               CAST(unk_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS unk_ratio
+        FROM tot
+    """,
     "doc_term_df_top": r"""
         SELECT term, count(DISTINCT doc_id) AS df
         FROM (SELECT doc_id,

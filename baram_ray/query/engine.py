@@ -184,6 +184,46 @@ class QueryEngine:
         return hits
 
     # ------------------------------------------------------------------ #
+    def explain(self, query: str, doc_id: int,
+                boosts: dict[str, float] | None = None) -> dict:
+        """Score explanation for one document (the OpenSearch `_explain`
+        surface the reference gets for free from its backend): per
+        (field, term) BM25 components — tf, df, idf, dl, avgdl, boost
+        and the partial score — accumulated in the SAME (field-order,
+        sorted-term) order the scoring path uses, so ``total`` equals
+        the ``search`` score bit-for-bit (asserted in tests)."""
+        r = self.r
+        row = int(np.searchsorted(r.doc_ids, doc_id))
+        if row >= len(r.doc_ids) or int(r.doc_ids[row]) != doc_id:
+            raise KeyError(f"doc_id {doc_id} not in index/shard range")
+        rank = row + r.rank_base
+        details: list[dict] = []
+        total = 0.0
+        for it in self._iters(query, boosts):
+            if it.next_geq(rank) != rank:
+                continue
+            tf = float(it.tfs[it.pos])
+            dl = float(r.dl[it.field][row])
+            avg = float(r.avgdl[it.field] or 1.0)
+            norm = tf + self.k1 * (1.0 - self.b + (self.b * dl) / avg)
+            s = it.weight * it.idf * tf / norm
+            total += s
+            details.append({
+                "field": it.field, "term": it.term,
+                "tf": tf,
+                "df": int(r.df_global(it.field, it.term, it.pl)),
+                "idf": it.idf,
+                "dl": dl, "avgdl": avg, "boost": it.weight,
+                "score": s,
+                "description": (
+                    f"weight({it.field}:{it.term}) = boost {it.weight} "
+                    f"* idf {it.idf:.6f} * tf {tf:.0f} / "
+                    f"(tf + k1*(1-b+b*dl/avgdl)) {norm:.6f}"),
+            })
+        return {"doc_id": int(doc_id), "score": total,
+                "matched": bool(details), "details": details}
+
+    # ------------------------------------------------------------------ #
     # Boolean queries — the reference's bool DSL one level up from
     # bool-should-over-fields (src/embedding/mod.rs:475-535: should +
     # minimum_should_match + filter; must_not is the OpenSearch

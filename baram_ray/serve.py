@@ -1,0 +1,116 @@
+"""REST serving surface — the reference's axum API
+(``src/commands/serve.rs:753-757``: ``/api/health``, ``/api/search``,
+``/api/events``, ``/api/events/:id``) rebuilt on the stdlib
+``ThreadingHTTPServer`` in front of one resident ``QueryEngine``.
+
+Single-node by design: HTTP serving is the A7 resident-engine shape; the
+distributed serving path is the sharded ``QueryActor`` pool
+(``query/engine.py``) — this module is only the HTTP veneer the
+reference exposes, kept dependency-free (no axum/flask in the
+container). Parity points: ``k`` capped at 100
+(``src/commands/serve.rs:426``), events sorted by article_count desc
+(``src/clustering/engine.rs:122``), events served from the S9 cluster
+JSON directory. Extra endpoint beyond the reference: ``/api/explain``
+(the OpenSearch ``_explain`` surface the reference gets from its
+backend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+MAX_K = 100                      # src/commands/serve.rs:426
+
+
+def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
+                  clusters_dir: str | None = None) -> ThreadingHTTPServer:
+    """Build (but do not start) the API server; ``port=0`` picks an
+    ephemeral port (``srv.server_address``). Call ``serve_forever()`` /
+    ``shutdown()`` to run."""
+    from baram_ray.query.engine import QueryEngine
+    engine = QueryEngine(index_dir)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):      # quiet: no per-request stderr
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            u = urllib.parse.urlparse(self.path)
+            qs = {k: v[0]
+                  for k, v in urllib.parse.parse_qs(u.query).items()}
+            try:
+                if u.path == "/api/health":
+                    self._json(200, {"status": "ok",
+                                     "n_docs": int(engine.r.n_docs)})
+                elif u.path == "/api/search":
+                    self._search(qs)
+                elif u.path == "/api/explain":
+                    self._json(200, engine.explain(qs["q"],
+                                                   int(qs["doc_id"])))
+                elif u.path == "/api/events":
+                    self._events(None)
+                elif u.path.startswith("/api/events/"):
+                    self._events(u.path.rsplit("/", 1)[1])
+                else:
+                    self._json(404, {"error": "not found"})
+            except KeyError as e:
+                self._json(400, {"error": f"missing/unknown: {e}"})
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
+
+        def _search(self, qs: dict) -> None:
+            q = qs.get("q", "")
+            k = min(int(qs.get("k", 10)), MAX_K)
+            mode = qs.get("mode", "bm25")
+            ms = float(qs["min_score"]) if "min_score" in qs else None
+            if mode == "bm25":
+                hits = engine.search(q, k=k, min_score=ms)
+            elif mode == "phrase":
+                hits = engine.search_phrase(q, k=k, min_score=ms,
+                                            slop=int(qs.get("slop", 0)))
+            elif mode == "prefix":
+                hits = engine.search_prefix(q, k=k, min_score=ms)
+            elif mode == "fuzzy":
+                hits = engine.search_fuzzy(q, k=k, min_score=ms)
+            elif mode == "wildcard":
+                hits = engine.search_wildcard(q, k=k, min_score=ms)
+            else:
+                return self._json(400, {"error": f"unknown mode {mode}"})
+            self._json(200, {
+                "query": q, "mode": mode,
+                "results": [{"rank": i + 1, "doc_id": int(d),
+                             "score": float(s)}
+                            for i, (d, s) in enumerate(hits)]})
+
+        def _events(self, event_id: str | None) -> None:
+            if not clusters_dir or not os.path.isdir(clusters_dir):
+                return self._json(404, {"error": "no clusters dir"})
+            if event_id:
+                p = os.path.join(clusters_dir, f"{event_id}.json")
+                if not os.path.isfile(p):
+                    return self._json(404, {"error": "unknown event"})
+                with open(p) as f:
+                    return self._json(200, json.load(f))
+            evs = []
+            for fn in sorted(os.listdir(clusters_dir)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(clusters_dir, fn)) as f:
+                        evs.append(json.load(f))
+            evs.sort(key=lambda e: (-int(e.get("article_count", 0)),
+                                    str(e.get("event_id", ""))))
+            self._json(200, {"events": evs, "total": len(evs)})
+
+    srv = ThreadingHTTPServer((host, port), Handler)
+    srv.engine = engine          # exposed for tests / introspection
+    return srv

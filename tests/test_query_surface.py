@@ -194,3 +194,39 @@ def test_sharded_pipeline_matches_plain(ray_session):
     pd.testing.assert_frame_equal(
         a[["query_id", "rank", "doc_id", "score"]],
         b[["query_id", "rank", "doc_id", "score"]])
+
+
+# ------------------------------------------------------------------ #
+# explain (OpenSearch _explain surface)
+# ------------------------------------------------------------------ #
+
+def test_explain_matches_search_score(engine):
+    for q in ["data processing", "table scan merge", "query"]:
+        for doc_id, score in engine.search(q, k=8):
+            ex = engine.explain(q, doc_id)
+            assert ex["matched"]
+            assert ex["score"] == score, (q, doc_id)   # bit-for-bit
+            # details sum to the total in accumulation order
+            assert ex["score"] == sum(d["score"] for d in ex["details"])
+            for d in ex["details"]:
+                assert d["tf"] >= 1 and d["df"] >= 1 and d["idf"] > 0
+
+
+def test_explain_boosts_and_misses(engine):
+    q = "data"
+    hits = engine.search(q, k=3, boosts={"text": 2.0})
+    for doc_id, score in hits:
+        ex = engine.explain(q, doc_id, boosts={"text": 2.0})
+        assert ex["score"] == score
+        assert all(d["boost"] == 2.0 for d in ex["details"]
+                   if d["field"] == "text")
+    # a doc with none of the terms: matched False, score 0
+    all_ids = set(engine.r.doc_ids.tolist())
+    hit_ids = {d for d, _ in engine.search(q, k=10_000)}
+    missing = sorted(all_ids - hit_ids)
+    if missing:
+        ex = engine.explain(q, missing[0])
+        assert not ex["matched"] and ex["score"] == 0.0
+    # unknown doc raises
+    with pytest.raises(KeyError):
+        engine.explain(q, -12345)

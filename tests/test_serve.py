@@ -1,0 +1,100 @@
+"""REST API surface (baram_ray/serve.py): endpoint parity with the
+reference's axum routes (src/commands/serve.rs:753-757) — health,
+search modes, k cap, explain, events from the S9 cluster-JSON dir."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, tmp_path_factory):
+    from baram_ray.clustering import write_cluster_json
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.serve import create_server
+    import pandas as pd
+    clusters = pd.DataFrame([
+        {"event_id": "evt_20240101_001", "title": "a", "article_count": 3,
+         "category": "x", "avg_similarity": 0.9},
+        {"event_id": "evt_20240101_002", "title": "b", "article_count": 7,
+         "category": "y", "avg_similarity": 0.8},
+    ])
+    cdir = str(tmp_path_factory.mktemp("clusters"))
+    write_cluster_json(clusters, cdir)
+    srv = create_server(ensure_index(SF, positions=True), port=0,
+                        clusters_dir=cdir)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path):
+    host, port = server.server_address[:2]
+    conn = HTTPConnection(host, port, timeout=10)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    body = json.loads(r.read())
+    conn.close()
+    return r.status, body
+
+
+def test_health(server):
+    status, body = _get(server, "/api/health")
+    assert status == 200
+    assert body["status"] == "ok" and body["n_docs"] == 500
+
+
+def test_search_matches_engine(server):
+    status, body = _get(server, "/api/search?q=data+processing&k=5")
+    assert status == 200
+    hits = server.engine.search("data processing", k=5)
+    assert [(r["doc_id"], r["score"]) for r in body["results"]] == \
+        [(d, s) for d, s in hits]
+    assert [r["rank"] for r in body["results"]] == [1, 2, 3, 4, 5]
+
+
+def test_search_modes_and_k_cap(server):
+    for mode, q in [("phrase", "table+scan"), ("prefix", "dat"),
+                    ("fuzzy", "dataa"), ("wildcard", "dat*")]:
+        status, body = _get(server, f"/api/search?q={q}&mode={mode}&k=3")
+        assert status == 200, mode
+        assert len(body["results"]) <= 3
+    # k caps at 100 (serve.rs:426)
+    status, body = _get(server, "/api/search?q=data&k=5000")
+    assert status == 200 and len(body["results"]) <= 100
+    # sloppy phrase via query param
+    status, body = _get(server,
+                        "/api/search?q=table+scan&mode=phrase&slop=2")
+    assert status == 200
+    # unknown mode -> 400
+    status, _ = _get(server, "/api/search?q=x&mode=nope")
+    assert status == 400
+
+
+def test_explain_endpoint(server):
+    d, s = server.engine.search("data", k=1)[0]
+    status, body = _get(server, f"/api/explain?q=data&doc_id={d}")
+    assert status == 200 and body["matched"]
+    assert body["score"] == pytest.approx(s)
+
+
+def test_events(server):
+    status, body = _get(server, "/api/events")
+    assert status == 200 and body["total"] == 2
+    # sorted by article_count desc (engine.rs:122)
+    assert [e["event_id"] for e in body["events"]] == \
+        ["evt_20240101_002", "evt_20240101_001"]
+    status, one = _get(server, "/api/events/evt_20240101_001")
+    assert status == 200 and one["article_count"] == 3
+    status, _ = _get(server, "/api/events/evt_nope")
+    assert status == 404
+
+
+def test_not_found(server):
+    status, _ = _get(server, "/api/zzz")
+    assert status == 404
