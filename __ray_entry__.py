@@ -30,6 +30,11 @@ from baram_ray.pipelines import training as trainp
 from baram_ray.pipelines.oracles import ORACLES
 
 
+def _clean_stats(sf_dir: str):
+    from baram_ray.pipelines.clean import clean_corpus_stats
+    return clean_corpus_stats(sf_dir)
+
+
 def entry() -> Any:
     """Flagship: sf0.001 documents → index build (resume-aware) → batched
     BM25 top-k through the actor pool; returns (query_id, rank, doc_id,
@@ -109,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mix_weighted": trainp.doc_mix_weighted,
         "doc_pack_bins": trainp.doc_pack_bins,
         "doc_decontam": trainp.doc_decontam,
+        "doc_shuffle_head": trainp.doc_shuffle_head,
+        "clean_corpus_stats": _clean_stats,
         "doc_repetition": trainp.doc_repetition,
         # embedding prep (M16 + A1 actor-pool inference shape)
         "doc_embed_prep": trainp.doc_embed_prep,

@@ -65,6 +65,16 @@ ORACLES: dict[str, str] = {
            OR (source = 'src1' AND h < 2147483648)
            OR (source = 'src2' AND h < 1073741824)
     """,
+    # deterministic seeded shuffle: first 20 rows of the hash order
+    # (the head set verifies global ORDER, not just membership)
+    "doc_shuffle_head": """
+        SELECT doc_id,
+               CAST(((xor(doc_id, 7) % 4294967296) * 2654435761::HUGEINT)
+                    % 4294967296 AS BIGINT) AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 20
+    """,
     # benchmark decontamination: probe 8-grams = tokens 4..11 (1-based)
     # of every 50th doc; a doc is contaminated iff any of its 8-grams
     # equals a probe gram (exact token-sequence semantics)

@@ -273,6 +273,17 @@ def doc_repetition(sf_dir: str):
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
 
 
+def doc_shuffle_head(sf_dir: str, seed: int = 7, k: int = 20):
+    """Deterministic seeded training-order shuffle
+    (``sampling.hash_shuffle``): first ``k`` rows of the shuffled order.
+    The head SET is order-determined, so the hash-exact SQL oracle
+    (ORDER BY the same hash LIMIT k) verifies the global order, not
+    just membership."""
+    from baram_ray.sampling import hash_shuffle
+    ds = read_table(sf_dir, "documents", ["doc_id"])
+    return hash_shuffle(ds, seed=seed).limit(k)
+
+
 def doc_pack_bins(sf_dir: str, max_tokens: int = 128):
     """Greedy first-fit sequence packing of whitespace token counts
     into ``max_tokens`` context bins (per-block, zero-shuffle).

@@ -94,6 +94,28 @@ def weighted_mix(ds, weights: dict[str, float], *,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def hash_shuffle(ds, seed: int = 0, *, key_col: str = "doc_id"):
+    """Deterministic global training-order shuffle: every row gets
+    ``shuffle_key = h(key XOR seed)`` and the dataset is sorted by
+    ``(shuffle_key, key)``. Reproducible across runs/shard layouts (the
+    property ``ds.random_shuffle`` does NOT have), and changing ``seed``
+    gives an uncorrelated order. The sort is Ray Data's native
+    range-partitioned distributed sort — the one all-to-all exchange
+    this operator fundamentally requires; at 100 TB prefer epoch-local
+    shuffles (sort within partition ranges) if a full global order is
+    not needed."""
+    seed64 = np.uint64(seed)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = knuth_hash32(np.bitwise_xor(k, seed64))
+        return batch.append_column(
+            "shuffle_key", pa.array(h.astype(np.int64), pa.int64()))
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+              .sort(["shuffle_key", key_col]))
+
+
 def pack_sequences(ds, max_tokens: int, *, id_col: str = "doc_id",
                    tokens_col: str = "n_tokens"):
     """Greedy first-fit sequence packing per block: walk the block's

@@ -93,6 +93,35 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                              "score": float(s)}
                             for i, (d, s) in enumerate(hits)]})
 
+        def do_POST(self):
+            # embedding-server endpoints (src/commands/serve.rs:123-126;
+            # batch cap <=100 texts :231-235) over the deterministic stub
+            # encoder (no model weights in this container)
+            u = urllib.parse.urlparse(self.path)
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json(400, {"error": "bad json"})
+            from baram_ray.stages.embed import EmbedStage
+            enc = EmbedStage()
+            if u.path == "/embed":
+                text = payload.get("text")
+                if not isinstance(text, str):
+                    return self._json(400, {"error": "missing text"})
+                self._json(200,
+                           {"embedding": enc._encode_one(text).tolist()})
+            elif u.path == "/embed/batch":
+                texts = payload.get("texts")
+                if not isinstance(texts, list):
+                    return self._json(400, {"error": "missing texts"})
+                if len(texts) > 100:           # serve.rs:231-235 cap
+                    return self._json(400, {"error": "max 100 texts"})
+                self._json(200, {"embeddings": [
+                    enc._encode_one(str(t)).tolist() for t in texts]})
+            else:
+                self._json(404, {"error": "not found"})
+
         def _events(self, event_id: str | None) -> None:
             if not clusters_dir or not os.path.isdir(clusters_dir):
                 return self._json(404, {"error": "no clusters dir"})

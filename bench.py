@@ -173,6 +173,9 @@ def run_bench() -> dict:
         "doc_pack_bins": timed(trainp.doc_pack_bins),
         "doc_decontam": timed(trainp.doc_decontam),
         "doc_repetition": timed(trainp.doc_repetition),
+        "clean_corpus": timed(
+            __import__("baram_ray.pipelines.clean",
+                       fromlist=["clean_corpus"]).clean_corpus),
     }
 
     result = {

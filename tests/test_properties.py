@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) over the pure kernels — no Ray
+session needed: varint/delta codec roundtrips, sampling-hash algebra,
+sloppy-phrase plane-sweep vs independent chain enumeration, tokenizer
+determinism."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from baram_ray.index.codec import (
+    decode_block, decode_deltas, decode_varints, encode_blocks,
+    encode_deltas, encode_varints,
+)
+from baram_ray.sampling import knuth_hash32
+
+
+# ------------------------------------------------------------------ #
+# codec roundtrips
+# ------------------------------------------------------------------ #
+
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    buf = encode_varints(np.asarray(vals, dtype=np.int64))
+    out = decode_varints(buf, len(vals))
+    assert out.tolist() == vals
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_delta_roundtrip(ids):
+    arr = np.sort(np.asarray(sorted(ids), dtype=np.int64))
+    out = decode_deltas(encode_deltas(arr), len(arr))
+    assert out.tolist() == arr.tolist()
+
+
+@given(st.sets(st.integers(min_value=0, max_value=2**40),
+               min_size=1, max_size=400),
+       st.lists(st.integers(min_value=1, max_value=255), min_size=400,
+                max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_block_roundtrip(ids, tfs):
+    docs = np.sort(np.asarray(sorted(ids), dtype=np.int64))
+    tf = np.asarray(tfs[:len(docs)], dtype=np.int64)
+    blocks = encode_blocks(docs, tf)
+    got_d, got_t = [], []
+    for b in blocks:
+        d, t = decode_block(b)
+        got_d.extend(d.tolist())
+        got_t.extend(t.tolist())
+        # block-max metadata is truthful
+        assert b["max_doc"] == d.max()
+        assert b["max_tf"] == t.max()
+    assert got_d == docs.tolist()
+    assert got_t == tf.tolist()
+
+
+# ------------------------------------------------------------------ #
+# sampling-hash algebra
+# ------------------------------------------------------------------ #
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=500),
+       st.floats(min_value=0.0, max_value=1.0),
+       st.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=100, deadline=None)
+def test_sample_nesting(keys, r1, r2):
+    """A smaller-rate sample is always a subset of a larger-rate one."""
+    lo, hi = min(r1, r2), max(r1, r2)
+    h = knuth_hash32(np.asarray(keys, dtype=np.int64))
+    in_lo = set(np.asarray(keys)[h < np.uint64(int(lo * 2**32))].tolist())
+    in_hi = set(np.asarray(keys)[h < np.uint64(int(hi * 2**32))].tolist())
+    assert in_lo <= in_hi
+
+
+# ------------------------------------------------------------------ #
+# sloppy phrase: plane-sweep == chain enumeration
+# ------------------------------------------------------------------ #
+
+def _chain_freq(lists, slop):
+    """Independent reference: all ordered chains -> containment-minimal
+    spans -> Σ 1/(1+slack) in increasing-start order."""
+    chains = [(p,) for p in lists[0]]
+    for lst in lists[1:]:
+        chains = [c + (p,) for c in chains for p in lst if p > c[-1]]
+        if not chains:
+            return 0.0
+    spans = {(c[0], c[-1]) for c in chains}
+    minimal = sorted((s, e) for (s, e) in spans
+                     if not any(s2 >= s and e2 <= e and (s2, e2) != (s, e)
+                                for (s2, e2) in spans))
+    m = len(lists)
+    fr = 0.0
+    for s, e in minimal:
+        if (e - s) - (m - 1) <= slop:
+            fr += 1.0 / (1.0 + ((e - s) - (m - 1)))
+    return fr
+
+
+@given(st.integers(min_value=2, max_value=4).flatmap(
+           lambda m: st.lists(
+               st.lists(st.integers(min_value=0, max_value=60),
+                        min_size=1, max_size=8),
+               min_size=m, max_size=m)),
+       st.integers(min_value=0, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_sloppy_planesweep_equals_chains(lists, slop):
+    from baram_ray.query.engine import QueryEngine
+    arrs = [np.unique(np.asarray(sorted(set(lst)), dtype=np.int64))
+            for lst in lists]
+    got = QueryEngine._sloppy_freq(arrs, slop)
+    exp = _chain_freq([a.tolist() for a in arrs], slop)
+    assert got == exp, (lists, slop)
+
+
+# ------------------------------------------------------------------ #
+# tokenizer determinism
+# ------------------------------------------------------------------ #
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_tokenizer_deterministic_and_position_consistent(text):
+    from baram_ray.tokenizer import tokenize, tokenize_with_positions
+    t1, t2 = tokenize(text), tokenize(text)
+    assert t1 == t2
+    toks, poss = tokenize_with_positions(text)
+    assert toks == t1                    # positions never change tokens
+    assert len(toks) == len(poss)
+    if poss:
+        assert poss[0] == 0
+        assert all(b >= a for a, b in zip(poss, poss[1:]))
+    assert all(tok == tok.lower() for tok in toks)

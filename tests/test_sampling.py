@@ -102,3 +102,19 @@ def test_driver_pack_query(ray_session):
     assert len(out) == 500
     assert set(out.columns) == {"doc_id", "bin_id", "n_tokens",
                                 "bin_tokens"}
+
+
+def test_hash_shuffle_deterministic_and_seeded(ray_session):
+    from baram_ray.sampling import hash_shuffle
+    ds = ray.data.range(3000).map_batches(
+        lambda b: b.rename_columns(["doc_id"]), batch_format="pyarrow")
+    a = hash_shuffle(ds, seed=1).to_pandas()
+    b = hash_shuffle(ds, seed=1).to_pandas()
+    # global order is identical run-to-run
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    # same multiset, different order for a different seed
+    c = hash_shuffle(ds, seed=2).to_pandas()
+    assert sorted(c["doc_id"]) == sorted(a["doc_id"])
+    assert c["doc_id"].tolist() != a["doc_id"].tolist()
+    # the order is actually shuffled, not identity
+    assert a["doc_id"].tolist() != sorted(a["doc_id"])

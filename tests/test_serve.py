@@ -98,3 +98,33 @@ def test_events(server):
 def test_not_found(server):
     status, _ = _get(server, "/api/zzz")
     assert status == 404
+
+
+def _post(server, path, obj):
+    host, port = server.server_address[:2]
+    conn = HTTPConnection(host, port, timeout=10)
+    body = json.dumps(obj)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/json"})
+    r = conn.getresponse()
+    out = json.loads(r.read())
+    conn.close()
+    return r.status, out
+
+
+def test_embed_endpoints(server):
+    from baram_ray.stages.embed import EmbedStage
+    status, one = _post(server, "/embed", {"text": "hello world"})
+    assert status == 200
+    # deterministic: equals the stub encoder directly
+    assert one["embedding"] == EmbedStage()._encode_one("hello world").tolist()
+    status, batch = _post(server, "/embed/batch",
+                          {"texts": ["a", "b", "a"]})
+    assert status == 200 and len(batch["embeddings"]) == 3
+    assert batch["embeddings"][0] == batch["embeddings"][2]
+    # batch cap at 100 (serve.rs:231-235)
+    status, err = _post(server, "/embed/batch", {"texts": ["x"] * 101})
+    assert status == 400
+    # malformed
+    status, _ = _post(server, "/embed", {"nope": 1})
+    assert status == 400
