@@ -939,12 +939,26 @@ class ShardedEngine:
         self.engines = [QueryEngine(index_dir, shard_range=(lo, hi))
                         for lo, hi in zip(bounds, bounds[1:]) if hi > lo]
 
-    def search(self, query: str, k: int = 10, **kw) -> list:
+    def _scatter(self, method: str, k: int, args, kw) -> list:
         hits: list[tuple[int, float]] = []
         for eng in self.engines:            # scatter (actors in Ray form)
-            hits.extend(eng.search(query, k=k, **kw))
+            hits.extend(getattr(eng, method)(*args, k=k, **kw))
         hits.sort(key=lambda ds: (-ds[1], ds[0]))
         return hits[:k]
+
+    def search(self, query: str, k: int = 10, **kw) -> list:
+        return self._scatter("search", k, (query,), kw)
+
+    def search_phrase(self, query: str, k: int = 10, **kw) -> list:
+        """Phrase scatter-gather: per-doc window verification is shard-
+        local, idf is global (termdict) — merged top-k is rank- and
+        score-identical to a single reader (tested)."""
+        return self._scatter("search_phrase", k, (query,), kw)
+
+    def search_bool(self, k: int = 10, **kw) -> list:
+        """Bool scatter-gather: each shard's must_not complement is its
+        own doc range, so the union equals the global complement."""
+        return self._scatter("search_bool", k, (), kw)
 
 
 class QueryActor:

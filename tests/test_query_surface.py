@@ -230,3 +230,32 @@ def test_explain_boosts_and_misses(engine):
     # unknown doc raises
     with pytest.raises(KeyError):
         engine.explain(q, -12345)
+
+
+def test_sharded_phrase_and_bool_parity(ray_session, tmp_path):
+    """Phrase (exact + sloppy) and bool scatter-gather: rank- AND
+    score-identical to a single full reader."""
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    from tests.test_incremental_build import _write_part
+
+    src = str(tmp_path / "docs.parquet")
+    _write_part(src, 0, 400, seed=13)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang",),
+                      num_shards=4, positions=True)
+    build_index(src, idx, cfg, resume=False)
+
+    single = QueryEngine(idx)
+    sharded = ShardedEngine(idx, n_groups=2)
+    for q in ("data stream", "join sort", "hash table"):
+        for slop in (0, 2):
+            assert sharded.search_phrase(q, k=25, slop=slop) == \
+                single.search_phrase(q, k=25, slop=slop), (q, slop)
+    assert sharded.search_bool(k=25, must=["data"],
+                               should=["join sort", "hash"],
+                               must_not=["vector"],
+                               minimum_should_match=1) == \
+        single.search_bool(k=25, must=["data"],
+                           should=["join sort", "hash"],
+                           must_not=["vector"], minimum_should_match=1)
