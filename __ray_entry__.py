@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_orders_by_status": tpchp.orders_by_status,
         "tpch_revenue_by_nation": tpchp.revenue_by_nation,
         "tpch_top_parts": tpchp.top_parts_by_revenue,
+        "tpch_q3": tpchp.q3_shipping_priority,
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,

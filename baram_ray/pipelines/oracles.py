@@ -369,6 +369,22 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "tpch_q3": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount)
+                                   * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_u4,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_u4 DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
     "tpch_top_parts": """
         SELECT l_partkey,
                CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u4

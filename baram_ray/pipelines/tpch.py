@@ -143,6 +143,56 @@ def revenue_by_nation(sf_dir: str):
                              Sum("revenue_c", alias_name="revenue_c")))
 
 
+def q3_shipping_priority(sf_dir: str, k: int = 10,
+                         cutoff: str = "1998-07-01"):
+    """TPC-H Q3 shape — the three-table join pipeline: customer
+    (dimension, BUILDING segment → broadcast key set, J4) filters
+    orders; lineitem pre-aggregates revenue per order inside the scan
+    (combiner); the two FACT-sized sides meet in ONE hash-join exchange
+    (J7 — at 100 TB neither side is broadcastable); final grouped sum →
+    top-k by (revenue desc, date, orderkey). Exact scaled-integer
+    revenue → hash-exact SQL oracle."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    cut = np.datetime64(cutoff)
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bset = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    ref = ray.put(bset)
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(ref)
+        m = (df["o_orderdate"] < cut) & df["o_custkey"].isin(b)
+        out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        return out.rename(columns={"o_orderkey": "l_orderkey"})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_orderpriority"]) \
+        .map_batches(ofilter, batch_format="pandas")
+
+    def lpartial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["l_shipdate"] > cut]
+        g = pd.DataFrame({
+            "l_orderkey": d["l_orderkey"],
+            "revenue_u4": _cents(
+                (d["l_extendedprice"]
+                 * (1.0 - d["l_discount"])).to_numpy(), 10000.0),
+        }).groupby("l_orderkey", as_index=False).sum()
+        return g
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"]) \
+        .map_batches(lpartial, batch_format="pandas")
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+    agg = grouped_agg(j, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                      {"revenue_u4": ("revenue_u4", "sum")},
+                      num_buckets=16)
+    return (agg.sort(["revenue_u4", "o_orderdate", "l_orderkey"],
+                     descending=[True, False, False]).limit(k))
+
+
 def top_parts_by_revenue(sf_dir: str, k: int = 10):
     """Pre-aggregated per-batch partials → small groupby → top-k (exact
     integer revenue → deterministic ordering)."""
