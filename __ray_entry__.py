@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_alerts": evp.alerts,
         "events_source_failures": evp.source_failures,
         "events_user_topk": evp.user_topk,
+        "events_sessions": evp.sessionize,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)
         "tpch_q1": tpchp.q1_pricing,
         "tpch_orders_by_status": tpchp.orders_by_status,

@@ -15,7 +15,7 @@ import pandas as pd
 from ray.data.aggregate import Sum
 
 from baram_ray.pipelines.util import read_table
-from baram_ray.util import grouped_agg
+from baram_ray.util import grouped_agg, grouped_map
 
 
 def type_agg(sf_dir: str):
@@ -141,6 +141,41 @@ def source_failures(sf_dir: str):
     from baram_ray.alerts import source_failure_runs
     ds = read_table(sf_dir, "events", ["ts", "user_id", "event_type"])
     return source_failure_runs(ds, min_len=3)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization per user (the standard event-pipeline
+    windowing op): a new session starts when the gap to the previous
+    event exceeds ``gap_minutes``. One hash exchange on user_id; inside
+    each bucket the per-user history is sorted once and sessions fall
+    out of a vectorized cumsum over gap breaks (gaps-and-islands, same
+    shape as ``source_failures``). Partitioning assumption: one user's
+    history fits a bucket — the standard sessionization contract.
+    SQL-expressible (lag + windowed sum) → hash-exact oracle."""
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=df["user_id"].dtype
+                                     if "user_id" in df else "int64"),
+                "session_start": pd.Series(dtype="datetime64[ns]"),
+                "session_end": pd.Series(dtype="datetime64[ns]"),
+                "n_events": pd.Series(dtype="int64")})
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True)
+        new_user = d["user_id"].ne(d["user_id"].shift())
+        brk = new_user | (d["ts"] - d["ts"].shift() > gap)
+        d["sid"] = brk.cumsum()
+        g = (d.groupby(["user_id", "sid"], as_index=False)
+              .agg(session_start=("ts", "min"),
+                   session_end=("ts", "max"),
+                   n_events=("ts", "size")))
+        g["n_events"] = g["n_events"].astype("int64")
+        return g.drop(columns=["sid"])
+
+    return grouped_map(ds, ["user_id"], bucket, num_buckets=8)
 
 
 def user_topk(sf_dir: str, k: int = 10):

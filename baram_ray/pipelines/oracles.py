@@ -369,6 +369,27 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # gap-based sessionization: new session when gap > 30 min
+    # (lag + windowed-sum gaps-and-islands; ordering (ts, event_id))
+    "events_sessions": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
     "tpch_q3": """
         SELECT l_orderkey,
                CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount)
