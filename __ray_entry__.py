@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_failures": evp.source_failures,
         "events_user_topk": evp.user_topk,
         "events_sessions": evp.sessionize,
+        "events_asof_click": evp.asof_purchase_click,
+        "events_value_median": evp.value_median,
+        "events_value_hist": evp.value_hist,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)
         "tpch_q1": tpchp.q1_pricing,
         "tpch_orders_by_status": tpchp.orders_by_status,

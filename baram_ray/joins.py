@@ -49,3 +49,40 @@ def hash_join(left, right, on: list[str] | str, *, how: str = "inner",
         return lhs.merge(rhs, on=on, how=how)
 
     return cogroup(left, right, on, merge, num_buckets=num_buckets)
+
+
+def asof_join(left, right, *, on: str, by: list[str] | str,
+              direction: str = "backward", num_buckets: int = 32,
+              suffix: str = "_r"):
+    """As-of join — each left row gets the nearest right row along
+    ``on`` (backward: greatest ``right.on <= left.on``) within its
+    ``by`` group; unmatched left rows keep NULLs (left-join semantics,
+    DuckDB ``ASOF LEFT JOIN`` parity).
+
+    Ray Data has no native as-of join; this is the cogroup exchange on
+    the ``by`` key with a per-bucket vectorized ``pandas.merge_asof``.
+    Partitioning assumption (document per use): one ``by`` group's rows
+    fit a bucket — time-ordering is resolved inside the bucket, so no
+    global sort is needed. Tie note: if several right rows share the
+    winning ``on`` value, which ROW wins is engine-specific — attach
+    VALUE columns (e.g. the timestamp itself), not row identities, when
+    ties are possible."""
+    by = [by] if isinstance(by, str) else list(by)
+
+    def merge(lhs: pd.DataFrame, rhs: pd.DataFrame) -> pd.DataFrame:
+        clash = {c: c + suffix for c in rhs.columns
+                 if c in lhs.columns and c != on and c not in by}
+        rhs = rhs.rename(columns=clash)
+        lhs = lhs.sort_values(on, kind="stable").reset_index(drop=True)
+        rhs = rhs.sort_values(on, kind="stable").reset_index(drop=True)
+        if not len(lhs):
+            out = lhs.copy()
+            for c in rhs.columns:
+                if c not in out.columns:
+                    out[c] = pd.Series(dtype=rhs[c].dtype)
+            return out
+        return pd.merge_asof(lhs, rhs, on=on, by=by,
+                             direction=direction,
+                             allow_exact_matches=True)
+
+    return cogroup(left, right, by, merge, num_buckets=num_buckets)

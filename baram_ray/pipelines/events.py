@@ -178,6 +178,69 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     return grouped_map(ds, ["user_id"], bucket, num_buckets=8)
 
 
+def asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase event gets the timestamp of the most
+    recent prior-or-equal click by the same user (``joins.asof_join`` —
+    cogroup on user_id + per-bucket ``merge_asof``; unmatched purchases
+    keep NULL). Attaches the VALUE (click_ts), which is tie-safe when
+    several clicks share the winning timestamp. Hash-exact vs DuckDB's
+    native ASOF LEFT JOIN."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from baram_ray.joins import asof_join
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "ts", "user_id", "event_type"])
+    purchases = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase"))
+                   .drop_columns(["event_type"]),
+        batch_format="pyarrow")
+
+    def clicks_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "click_ts": t["ts"]})
+
+    clicks = ds.map_batches(clicks_f, batch_format="pyarrow")
+    return asof_join(purchases, clicks, on="ts", by="user_id",
+                     num_buckets=8)
+
+
+def value_median(sf_dir: str):
+    """Exact per-type median of event values (+ count): tiny key
+    cardinality → one bucketed exchange, whole-group pandas median
+    (identical even-count interpolation to DuckDB's ``median``)."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).agg(
+            median_value=("value", "median"), n=("value", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    return grouped_map(ds, ["event_type"], bucket, num_buckets=4)
+
+
+def value_hist(sf_dir: str, width: float = 50.0):
+    """Fixed-width value histogram: per-batch vectorized binning +
+    combiner, then a tiny grouped sum (the at-scale histogram shape:
+    the exchange carries one row per (batch, bin))."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = np.floor(b["value"].to_numpy() / width).astype(np.int64)
+        uniq, counts = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(uniq, pa.int64()),
+                         "n_partial": pa.array(counts, pa.int64())})
+
+    ds = read_table(sf_dir, "events", ["value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, ["bin"], {"n": ("n_partial", "sum")},
+                       num_buckets=4)
+
+
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])

@@ -369,6 +369,30 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    # as-of join: most recent prior-or-equal click per purchase
+    # (DuckDB native ASOF LEFT JOIN; DISTINCT right side makes the
+    # match unique under timestamp ties — the attached VALUE is
+    # tie-safe either way)
+    "events_asof_click": """
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                        WHERE event_type = 'click') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    # exact per-type median (even-count interpolation) + count
+    "events_value_median": """
+        SELECT event_type, median(value) AS median_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    # fixed-width histogram of event values
+    "events_value_hist": """
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """,
     # gap-based sessionization: new session when gap > 30 min
     # (lag + windowed-sum gaps-and-islands; ordering (ts, event_id))
     "events_sessions": """

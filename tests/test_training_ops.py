@@ -417,3 +417,27 @@ def test_ivf_topk_recall(ray_session):
         hits += len(e & a)
     recall = hits / 15
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: greatest right.on <= left.on per by-group;
+    unmatched keeps NULL; exact matches allowed."""
+    import pandas as pd
+    from baram_ray.joins import asof_join
+    left = ray.data.from_pandas(pd.DataFrame({
+        "by": [1, 1, 1, 2, 2],
+        "ts": [10, 25, 5, 30, 7],
+        "lv": ["a", "b", "c", "d", "e"]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "by": [1, 1, 2],
+        "ts": [10, 20, 8],
+        "rv": [100, 200, 300]}))
+    out = (asof_join(left, right, on="ts", by="by", num_buckets=2)
+           .to_pandas().sort_values(["by", "ts"]).reset_index(drop=True))
+    got = dict(zip(out["lv"], out["rv"]))
+    assert got["a"] == 100          # exact match at ts=10
+    assert got["b"] == 200          # 20 <= 25
+    assert pd.isna(got["c"])        # nothing at or before ts=5
+    assert pd.isna(got["e"])        # group 2: nothing <= 7
+    assert got["d"] == 300          # 8 <= 30
+    assert len(out) == 5            # left-join row preservation
