@@ -241,6 +241,52 @@ def value_hist(sf_dir: str, width: float = 50.0):
                        num_buckets=4)
 
 
+def distinct_kmv(sf_dir: str, k: int = 64):
+    """Approximate distinct (user, day) pairs per event_type via the
+    mergeable KMV sketch (``baram_ray/sketches.py``): deterministic
+    fixed-hash sketch → the ESTIMATE itself is hash-exact against the
+    DuckDB oracle that ranks the same hashes. Partials carry at most k
+    rows per (batch, type) — the at-scale sketch shape."""
+    import numpy as np
+
+    from baram_ray.sketches import distinct_kmv as _kmv
+
+    ds = read_table(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def key_fn(b) -> np.ndarray:
+        days = b["ts"].to_numpy().astype("datetime64[s]") \
+                      .astype(np.int64) // 86400
+        return b["user_id"].to_numpy(zero_copy_only=False) * 100000 + days
+
+    return _kmv(ds, key_fn, "event_type", k=k)
+
+
+def hopping_counts(sf_dir: str, window_hours: int = 2,
+                   hop_hours: int = 1):
+    """Hopping-window event counts (2-hour windows, 1-hour hop): each
+    event contributes to window_hours/hop_hours windows — a per-batch
+    vectorized flat-map + combiner, then one tiny grouped sum. The
+    overlapping-window aggregate the alert conditions' tumbling windows
+    don't cover. SQL-expressible (unnest of the window starts)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n_windows = window_hours // hop_hours
+
+    def partial(b: pa.Table) -> pa.Table:
+        hours = b["ts"].to_numpy().astype("datetime64[h]")
+        ws = np.concatenate([hours - np.timedelta64(i * hop_hours, "h")
+                             for i in range(n_windows)])
+        uniq, counts = np.unique(ws, return_counts=True)
+        return pa.table({"ws": pa.array(uniq.astype("datetime64[us]")),
+                         "n_partial": pa.array(counts, pa.int64())})
+
+    ds = read_table(sf_dir, "events", ["ts"])
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(parts, ["ws"], {"n": ("n_partial", "sum")},
+                       num_buckets=4)
+
+
 def user_topk(sf_dir: str, k: int = 10):
     """G8-style top-k by activity (ties: user_id asc)."""
     ds = read_table(sf_dir, "events", ["user_id"])

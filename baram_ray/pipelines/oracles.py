@@ -393,6 +393,38 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1
     """,
+    # KMV distinct sketch: same fixed hash + estimator as the engine —
+    # the APPROXIMATE estimate is itself hash-exact (keys = user*1e5+day)
+    "events_distinct_kmv": """
+        WITH keys AS (
+            SELECT DISTINCT event_type,
+                   ((key % 4294967296) * 2654435761::HUGEINT)
+                   % 4294967296 AS h
+            FROM (SELECT event_type,
+                         user_id * 100000
+                         + CAST(floor(epoch(ts) / 86400) AS BIGINT) AS key
+                  FROM events)),
+        ranked AS (SELECT event_type, h,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY h) AS rn,
+                          count(*) OVER (PARTITION BY event_type) AS nd
+                   FROM keys)
+        SELECT event_type,
+               CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                    ELSE 63.0 * 4294967296.0 / CAST(h AS DOUBLE) END
+                 AS est_distinct
+        FROM ranked
+        WHERE rn = CASE WHEN nd < 64 THEN nd ELSE 64 END
+    """,
+    # hopping windows: 2h windows, 1h hop — every event in 2 windows
+    "events_hopping_counts": """
+        SELECT ws, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest([date_trunc('hour', ts),
+                             date_trunc('hour', ts)
+                             - INTERVAL 1 HOUR]) AS ws
+              FROM events)
+        GROUP BY ws
+    """,
     # gap-based sessionization: new session when gap > 30 min
     # (lag + windowed-sum gaps-and-islands; ordering (ts, event_id))
     "events_sessions": """

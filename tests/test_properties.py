@@ -130,3 +130,36 @@ def test_tokenizer_deterministic_and_position_consistent(text):
         assert poss[0] == 0
         assert all(b >= a for a, b in zip(poss, poss[1:]))
     assert all(tok == tok.lower() for tok in toks)
+
+
+# ------------------------------------------------------------------ #
+# KMV sketch: merge invariance + exactness branch + accuracy
+# ------------------------------------------------------------------ #
+
+@given(st.lists(st.integers(min_value=0, max_value=2**50), min_size=1,
+                max_size=2000),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=100, deadline=None)
+def test_kmv_merge_invariance(keys, n_chunks):
+    """Sketching chunk-wise and merging equals sketching everything at
+    once — the mergeability contract that makes it a partial agg."""
+    from baram_ray.sketches import kmv_estimate, kmv_partial
+    arr = np.asarray(keys, dtype=np.int64)
+    whole = kmv_estimate(kmv_partial(arr).astype(np.uint64))
+    chunks = np.array_split(arr, n_chunks)
+    merged = np.concatenate([kmv_partial(c) for c in chunks if len(c)])
+    assert kmv_estimate(merged.astype(np.uint64)) == whole
+
+
+def test_kmv_exact_below_k_and_accuracy():
+    from baram_ray.sketches import kmv_estimate, kmv_partial
+    # < k distinct: exact
+    small = np.arange(50, dtype=np.int64)
+    assert kmv_estimate(kmv_partial(small, k=64).astype(np.uint64),
+                        k=64) == 50.0
+    # >= k: within the KMV relative-error envelope (~1/sqrt(k-2))
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 2**62, 20_000).astype(np.int64)
+    true = len(np.unique(big))
+    est = kmv_estimate(kmv_partial(big, k=256).astype(np.uint64), k=256)
+    assert abs(est - true) / true < 0.25
