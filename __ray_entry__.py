@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_head": trainp.doc_shuffle_head,
         "clean_corpus_stats": _clean_stats,
         "doc_repetition": trainp.doc_repetition,
+        "doc_dup_spans": trainp.doc_dup_spans,
+        "text_pii": trainp.text_pii,
+        "doc_tfidf_top": trainp.doc_tfidf_top,
         # embedding prep (M16 + A1 actor-pool inference shape)
         "doc_embed_prep": trainp.doc_embed_prep,
         "doc_embed_vectors": trainp.doc_embed_vectors,
@@ -145,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_ner": anap.text_ner,
         "events_props_json": anap.events_props_json,
         "text_entity_link": anap.text_entity_link,
+        "entity_related": anap.entity_related,
         # knowledge graph (M10 relations, G3 triple stats, S10 RDF
         # writers) + event cluster formation (S9 JSON writer)
         "text_relations": knowp.text_relations,

@@ -465,3 +465,83 @@ def join_anti_cust_no_orders(sf_dir: str):
     out = grouped_agg(no_orders, ["c_nationkey"],
                       {"n": (None, "count")}, num_buckets=4)
     return ensure_cols(out, {"c_nationkey": "int64", "n": "int64"})
+
+
+# ------------------------------------------------------------------ #
+# Entity network: document-level entity co-occurrence with PMI —
+# the reference EntityNetwork.cooccurrence / find_related /
+# cooccurrence_matrix (src/analytics/entity_trends.rs:345-492):
+# common docs per entity pair, PMI = log2(p_ab / (p_a * p_b)) over
+# doc-probabilities, pairs below min_count dropped.
+# ------------------------------------------------------------------ #
+
+def entity_related(sf_dir: str, min_count: int = 2):
+    """(entity_a, entity_b, n_docs, pmi) for every NER entity pair that
+    co-occurs in ≥ ``min_count`` documents.
+
+    Scale shape: the NER stage streams (doc_id, entity) rows; pair
+    generation is a bucketed exchange on doc_id (pairs of one doc in
+    one task, triu emission); pair counts and per-entity doc counts are
+    combiner-shrunk bucketed aggregates; per-entity counts are attached
+    to the pair rows through the cogroup exchange on each side in turn
+    (no entity-count broadcast — entity cardinality is corpus-scale in
+    general). N = docs with ≥1 entity, the reference's
+    document_entities.len() (entity_trends.rs:382).
+    """
+    from baram_ray.pipelines.util import ensure_cols
+    from baram_ray.util import attach_by_key, grouped_agg, grouped_map
+
+    ner = text_ner(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "entity"]), batch_format="pyarrow")
+
+    # distinct (doc_id, entity): tool/op vocabularies are disjoint so
+    # text_ner rows are already unique per (doc_id, entity)
+    def pairs_in_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for _, g in bucket.groupby("doc_id", sort=False):
+            ents = sorted(g["entity"].unique())
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    a_out.append(ents[i])
+                    b_out.append(ents[j])
+        return pd.DataFrame({"entity_a": a_out, "entity_b": b_out})
+
+    pairs = grouped_map(ner, ["doc_id"], pairs_in_doc, num_buckets=16)
+    pair_counts = grouped_agg(pairs, ["entity_a", "entity_b"],
+                              {"n_docs": (None, "count")}, num_buckets=16)
+
+    ent_counts = grouped_agg(ner, ["entity"], {"c": (None, "count")},
+                             num_buckets=16)
+
+    # N = number of documents holding at least one entity: tiny aggregate
+    n_total = int(grouped_agg(
+        ner, ["doc_id"], {"one": (None, "count")},
+        num_buckets=16).count())
+
+    withc = attach_by_key(pair_counts, ent_counts, side="entity_a",
+                          renames={"c": "c_a"}, key="entity",
+                          num_buckets=16)
+    withc = attach_by_key(withc, ent_counts, side="entity_b",
+                          renames={"c": "c_b"}, key="entity",
+                          num_buckets=16)
+
+    def pmi(bucket: pd.DataFrame) -> pd.DataFrame:
+        keep = bucket[bucket["n_docs"] >= min_count].copy()
+        if not len(keep):
+            return pd.DataFrame({"entity_a": pd.Series(dtype="object"),
+                                 "entity_b": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64"),
+                                 "pmi": pd.Series(dtype="float64")})
+        # log2((c_ab/N) / ((c_a/N)(c_b/N))) = log2(c_ab*N / (c_a*c_b)),
+        # computed as double(c_ab*N) / int(c_a*c_b) to match the oracle
+        num = (keep["n_docs"].to_numpy(np.int64)
+               * np.int64(n_total)).astype(np.float64)
+        den = (keep["c_a"].to_numpy(np.int64)
+               * keep["c_b"].to_numpy(np.int64)).astype(np.float64)
+        keep["pmi"] = np.round(np.log2(num / den), 6)
+        return keep[["entity_a", "entity_b", "n_docs", "pmi"]]
+
+    out = grouped_map(withc, ["entity_a"], pmi, num_buckets=8)
+    return ensure_cols(out, {"entity_a": "object", "entity_b": "object",
+                             "n_docs": "int64", "pmi": "float64"})

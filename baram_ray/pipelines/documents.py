@@ -131,3 +131,70 @@ def term_df_top(sf_dir: str, k: int = 20):
                         num_buckets=32)
             .sort(["df", "term"], descending=[True, False])
             .limit(k))
+
+
+def tfidf_top(sf_dir: str, k: int = 3):
+    """Top-``k`` TF-IDF terms per document — keyword extraction, the
+    per-doc counterpart of ``term_df_top`` (reference keyword surface:
+    src/analytics/keyword_trends.rs builds trends per keyword; this is
+    the stage that PICKS the keywords).
+
+    Scale shape: (doc_id, term, tf) rows are exploded per batch (the
+    forward-index explosion, streamed); df is the combiner-pattern
+    vocab aggregate; df is attached to the tf rows through the cogroup
+    exchange keyed on term (NO vocab broadcast — a code corpus'
+    identifier vocabulary is corpus-sized); top-k per doc is a second
+    bucketed exchange on doc_id. Score = tf * ln(N/df) rounded to 6
+    decimals (absorbs libm ulp differences vs the SQL oracle, same
+    treatment as doc_cooccur_pmi).
+    """
+    from collections import Counter
+
+    from baram_ray.util import attach_by_key, grouped_map
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # N: total documents — parquet metadata count, no data scan
+    n_docs = read_table(sf_dir, "documents", ["doc_id"]).count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            for term, n in Counter((t or "").lower().split()).items():
+                ids.append(did)
+                terms.append(term)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        from collections import Counter as C
+        c: C = C()
+        for t in batch["text"].to_pylist():
+            c.update(set((t or "").lower().split()))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "df_partial": pa.array(list(c.values()), pa.int64())})
+
+    df = grouped_agg(ds.map_batches(partial_df, batch_format="pyarrow"),
+                     ["term"], {"df": ("df_partial", "sum")}, num_buckets=32)
+
+    joined = attach_by_key(tf, df, side="term", renames={"df": "df"},
+                           key="term", num_buckets=32)
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        score = np.round(
+            bucket["tf"].to_numpy(np.float64)
+            * np.log(float(n_docs) / bucket["df"].to_numpy(np.float64)), 6)
+        bucket = bucket.assign(tfidf=score)
+        bucket = bucket.sort_values(["doc_id", "tfidf", "term"],
+                                    ascending=[True, False, True],
+                                    kind="stable")
+        out = bucket.groupby("doc_id", sort=False).head(k)
+        return out[["doc_id", "term", "tf", "df", "tfidf"]]
+
+    return grouped_map(joined, ["doc_id"], topk, num_buckets=32)

@@ -758,4 +758,119 @@ ORACLES: dict[str, str] = {
         FROM ner JOIN kb ON kb.alias = ner.entity
         GROUP BY 1, 2
     """,
+    # per-doc top-3 TF-IDF keywords: tf and df over whitespace-lower
+    # tokens, score = tf * ln(N/df) rounded to 6 decimals on both sides
+    # (same ulp treatment as doc_cooccur_pmi); ties broken term-asc on
+    # the ROUNDED score
+    "doc_tfidf_top": r"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS term
+                     FROM documents WHERE trim(text) <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df
+               FROM tok WHERE term <> '' GROUP BY 1),
+        n AS (SELECT count(*) AS total FROM documents),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     round(tf.tf * ln(CAST(total AS DOUBLE) / df.df), 6)
+                         AS tfidf
+              FROM tf JOIN df USING (term), n),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term ASC) AS rn
+              FROM s)
+        SELECT doc_id, term, tf, df, tfidf FROM r WHERE rn <= 3
+    """,
+    # entity co-occurrence network with PMI (reference EntityNetwork,
+    # src/analytics/entity_trends.rs:345-492): common-doc counts per
+    # NER entity pair, PMI = log2(p_ab/(p_a*p_b)) over doc
+    # probabilities with N = docs holding >=1 entity, pairs with
+    # n_docs < 2 dropped (find_related's min_count)
+    "entity_related": r"""
+        WITH ner AS (
+          SELECT DISTINCT doc_id, entity FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '\b(spark|hash|vector|stream)\b', 1)) AS entity
+            FROM documents
+            UNION ALL
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '\b(join|sort|merge|scan|filter|agg)\b', 1)) AS entity
+            FROM documents)),
+        n AS (SELECT count(DISTINCT doc_id) AS total FROM ner),
+        s AS (SELECT entity, count(*) AS c FROM ner GROUP BY 1),
+        p AS (SELECT a.entity AS entity_a, b.entity AS entity_b,
+                     count(*) AS n_docs
+              FROM ner a JOIN ner b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+              GROUP BY 1, 2)
+        SELECT entity_a, entity_b, n_docs,
+               round(log2(CAST(n_docs * total AS DOUBLE)
+                          / (sa.c * sb.c)), 6) AS pmi
+        FROM p, n
+        JOIN s sa ON sa.entity = p.entity_a
+        JOIN s sb ON sb.entity = p.entity_b
+        WHERE n_docs >= 2
+    """,
+    # PII scrub: doc_id-derived deterministic contact strings appended
+    # on BOTH sides (the corpus itself has no PII), then the SAME
+    # RE2-safe patterns applied in the SAME nesting order
+    # (email -> ipv4 -> phone), counts taken at each stage, sha256 of
+    # the fully-redacted text compared end-to-end
+    "text_pii": r"""
+        WITH a AS (SELECT doc_id,
+                          text || ' contact user' || doc_id || '@mail'
+                               || (doc_id % 7) || '.com srv 10.'
+                               || (doc_id % 256) || '.'
+                               || ((doc_id * 7) % 256) || '.'
+                               || ((doc_id * 13) % 256) || ' tel 010-'
+                               || (1000 + doc_id % 9000) || '-'
+                               || (2000 + doc_id % 8000) AS t0
+                   FROM documents),
+        e AS (SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                         AS n_email,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM a),
+        i AS (SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+                     regexp_replace(t1,
+                         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b',
+                         '<IP>', 'g') AS t2
+              FROM e),
+        p AS (SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t2,
+                         '\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b')) AS n_phone,
+                     regexp_replace(t2,
+                         '\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b',
+                         '<PHONE>', 'g') AS t3
+              FROM i)
+        SELECT doc_id, n_email, n_ipv4, n_phone,
+               sha256(t3) AS redacted_sha
+        FROM p
+    """,
+    # duplicate-span exposure (Lee et al. 2022): distinct 5-token spans
+    # per doc, span doc-frequency over the corpus, per-doc count and
+    # fraction of spans shared with another doc
+    "doc_dup_spans": r"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(lower(trim(text)),
+                                               '\s+') AS ts
+                     FROM documents WHERE trim(text) <> ''),
+        g AS (SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+              FROM tok, unnest(range(1, len(ts) - 3)) AS t(i)),
+        gg AS (SELECT DISTINCT doc_id, gram FROM g),
+        df AS (SELECT gram, count(*) AS d FROM gg GROUP BY 1)
+        SELECT gg.doc_id,
+               count(*) FILTER (d > 1) AS n_dup_grams,
+               count(*) AS n_grams,
+               round(CAST(count(*) FILTER (d > 1) AS DOUBLE)
+                     / count(*), 6) AS dup_frac
+        FROM gg JOIN df USING (gram)
+        GROUP BY 1
+    """,
 }

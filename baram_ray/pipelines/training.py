@@ -293,3 +293,101 @@ def doc_pack_bins(sf_dir: str, max_tokens: int = 128):
     from baram_ray.pipelines.documents import token_count_ws
     from baram_ray.sampling import pack_sequences
     return pack_sequences(token_count_ws(sf_dir), max_tokens)
+
+
+def text_pii(sf_dir: str):
+    """PII scrub (``stages/text.py::PiiStage``): per-doc email/IPv4/phone
+    counts + sha256 of the redacted text. The synthetic corpus carries no
+    PII, so the callable first augments each doc with deterministic
+    doc_id-derived contact strings (the SQL oracle concatenates the SAME
+    strings) — the stage itself is generic and runs unmodified over any
+    table. Hash-exact oracle: identical RE2-safe patterns, identical
+    nesting order, sha256 equality of the redacted text end-to-end."""
+    import pyarrow as pa
+
+    from baram_ray.stages.text import PiiStage
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = [
+            f"{t or ''} contact user{d}@mail{d % 7}.com srv "
+            f"10.{d % 256}.{(d * 7) % 256}.{(d * 13) % 256} "
+            f"tel 010-{1000 + d % 9000}-{2000 + d % 8000}"
+            for d, t in zip(ids, batch["text"].to_pylist())
+        ]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return (ds.map_batches(augment, batch_format="pyarrow")
+              .map_batches(PiiStage(), batch_format="pyarrow"))
+
+
+def doc_dup_spans(sf_dir: str, k: int = 5):
+    """Exact duplicate-span exposure per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    per-doc signal of substring-level duplication): for every doc, the
+    number of its distinct ``k``-token spans that also appear in at
+    least one other document, plus the duplicated fraction.
+
+    Scale shape: distinct (span, doc_id) rows stream through ONE
+    bucketed exchange on the span (each span's doc-frequency is
+    computed wholly inside its bucket and immediately collapsed to
+    per-doc partial counts — the corpus-sized span table never
+    aggregates globally), then a doc-cardinality exchange sums the
+    partials. At production scale the span key would be the uint64
+    rolling hash (FingerprintStage's) rather than the string; the
+    string key keeps the DuckDB oracle exact here."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_ray.util import grouped_agg, grouped_map
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        grams: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = (t or "").lower().split()
+            if len(toks) < k:
+                continue
+            for g in {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}:
+                ids_out.append(d)
+                grams.append(g)
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "gram": pa.array(grams, pa.string())})
+
+    spans = ds.map_batches(span_rows, batch_format="pyarrow")
+
+    def bucket_count(bucket: pd.DataFrame) -> pd.DataFrame:
+        df_per_gram = bucket.groupby("gram", sort=False)["doc_id"] \
+                            .transform("size")
+        dup = (df_per_gram > 1).astype("int64")
+        out = bucket.assign(dup=dup).groupby("doc_id", as_index=False) \
+                    .agg(n_dup_partial=("dup", "sum"),
+                         n_grams_partial=("dup", "size"))
+        return out
+
+    partials = grouped_map(spans, ["gram"], bucket_count, num_buckets=32)
+    totals = grouped_agg(partials, ["doc_id"],
+                         {"n_dup_grams": ("n_dup_partial", "sum"),
+                          "n_grams": ("n_grams_partial", "sum")},
+                         num_buckets=8)
+
+    def frac(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        nd = batch["n_dup_grams"].to_numpy().astype("float64")
+        ng = batch["n_grams"].to_numpy().astype("float64")
+        return batch.append_column(
+            "dup_frac", pa.array(np.round(nd / ng, 6), pa.float64()))
+
+    return totals.map_batches(frac, batch_format="pyarrow")
+
+
+def doc_tfidf_top(sf_dir: str):
+    from baram_ray.pipelines.documents import tfidf_top
+    return tfidf_top(sf_dir)

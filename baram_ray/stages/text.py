@@ -399,3 +399,56 @@ class ParseDispatchStage:
             "n_chars_out": pa.array([len(t) for t, _, _ in outs],
                                     pa.int64()),
         })
+
+
+# ------------------------------------------------------------------ #
+# PII detection / redaction
+# ------------------------------------------------------------------ #
+
+# RE2-compatible patterns (no lookaround/backrefs) so the DuckDB oracle
+# runs the SAME expressions; applied in a fixed order (email → ipv4 →
+# phone) so nested matches resolve identically on both sides.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b01[0-9]-[0-9]{3,4}-[0-9]{4}\b", "<PHONE>"),
+]
+
+
+class PiiStage:
+    """PII scrub for training corpora: count and redact emails, IPv4
+    addresses and KR-format phone numbers (the reference's locale,
+    src/i18n — patterns compiled once per actor/worker, M-class batch
+    map, zero shuffle). Emits per-doc match counts + the sha256 of the
+    redacted text so redaction equality is checkable end-to-end.
+
+    A training-data pipeline runs this before tokenization; counts
+    also feed quality filtering (docs that are mostly contact-list
+    boilerplate score high on pii density).
+    """
+
+    def __init__(self, text_col: str = "text"):
+        import re as _re
+        self.text_col = text_col
+        self.compiled = [(name, _re.compile(pat), repl)
+                         for name, pat, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        ids = batch["doc_id"].to_pylist()
+        out: dict[str, list] = {"doc_id": ids}
+        counts: dict[str, list[int]] = {n: [] for n, _, _ in self.compiled}
+        shas: list[str] = []
+        for t in batch[self.text_col].to_pylist():
+            s = t or ""
+            for name, pat, repl in self.compiled:
+                s, n = pat.subn(repl, s)
+                counts[name].append(n)
+            shas.append(hashlib.sha256(s.encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            **{f"n_{name}": pa.array(v, pa.int64())
+               for name, v in counts.items()},
+            "redacted_sha": pa.array(shas, pa.string()),
+        })

@@ -441,3 +441,78 @@ def test_asof_join_semantics(ray_session):
     assert pd.isna(got["e"])        # group 2: nothing <= 7
     assert got["d"] == 300          # 8 <= 30
     assert len(out) == 5            # left-join row preservation
+
+
+# ------------------------------------------------------------------ #
+# PII scrub stage
+# ------------------------------------------------------------------ #
+
+def test_pii_stage_redaction(ray_session):
+    from baram_ray.stages.text import PiiStage
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b-c+tag@sub.example.org now",
+            "host 192.168.0.1 and 10.0.0.255 call 010-1234-5678",
+            "no pii here",
+        ], pa.string()),
+    })
+    out = PiiStage()(batch).to_pydict()
+    assert out["n_email"] == [1, 0, 0]
+    assert out["n_ipv4"] == [0, 2, 0]
+    assert out["n_phone"] == [0, 1, 0]
+    import hashlib
+    assert out["redacted_sha"][0] == hashlib.sha256(
+        b"mail <EMAIL> now").hexdigest()
+    assert out["redacted_sha"][1] == hashlib.sha256(
+        b"host <IP> and <IP> call <PHONE>").hexdigest()
+    # untouched text hashes to itself
+    assert out["redacted_sha"][2] == hashlib.sha256(
+        b"no pii here").hexdigest()
+
+
+def test_pii_stage_nesting_order(ray_session):
+    """Counts are taken on the progressively-redacted text (email first,
+    then ip, then phone) — an IP inside an email address is consumed by
+    the email redaction and NOT double-counted."""
+    from baram_ray.stages.text import PiiStage
+    batch = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["u@10.0.0.1.com x 1.2.3.4"], pa.string()),
+    })
+    out = PiiStage()(batch).to_pydict()
+    assert out["n_email"] == [1]
+    assert out["n_ipv4"] == [1]      # only the standalone 1.2.3.4
+
+
+# ------------------------------------------------------------------ #
+# duplicate-span exposure
+# ------------------------------------------------------------------ #
+
+def test_dup_spans_invariants(ray_session):
+    from baram_ray.pipelines.training import doc_dup_spans
+    out = doc_dup_spans(SF).to_pandas()
+    assert (out["n_dup_grams"] <= out["n_grams"]).all()
+    assert (out["n_grams"] > 0).all()
+    assert ((out["dup_frac"] >= 0) & (out["dup_frac"] <= 1)).all()
+    # twin docs (sf corpus contains exact duplicates) must be fully
+    # duplicated span-wise: any doc with dup_frac == 1 has every span
+    # shared; conversely unique-text docs have dup_frac < 1
+    assert out["dup_frac"].max() == 1.0
+
+
+def test_tfidf_rare_term_outranks_common(ray_session):
+    """A term appearing in one doc outranks a same-tf term appearing
+    everywhere (idf ordering sanity)."""
+    from baram_ray.pipelines.documents import tfidf_top
+    out = tfidf_top(SF).to_pandas()
+    assert set(out.columns) == {"doc_id", "term", "tf", "df", "tfidf"}
+    assert (out.groupby("doc_id").size() <= 3).all()
+    # scores within each doc are non-increasing in listed order after
+    # sorting by score desc — and rarer terms carry higher idf at
+    # equal tf
+    sub = out[out["tf"] == 1]
+    if len(sub) > 1:
+        hi = sub.loc[sub["df"].idxmin(), "tfidf"]
+        lo = sub.loc[sub["df"].idxmax(), "tfidf"]
+        assert hi >= lo
