@@ -302,8 +302,12 @@ def cluster_from_pairs_ds(pairs, ids, *, num_buckets: int = 32,
             "y": pa.array(np.concatenate([bb, a]), pa.int64()),
         })
 
+    # materialize the edge list ONCE: the loop below iterates it every
+    # round, and a lazy Dataset would re-execute the whole upstream
+    # candidate-gen + verification pipeline per iteration (edges are
+    # pair-scale, far smaller than the corpus — safe to pin)
     edges = pairs.select_columns(["a", "b"]).map_batches(
-        sym, batch_format="pyarrow")
+        sym, batch_format="pyarrow").materialize()
 
     def init_labels(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False)
