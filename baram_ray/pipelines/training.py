@@ -391,3 +391,13 @@ def doc_dup_spans(sf_dir: str, k: int = 5):
 def doc_tfidf_top(sf_dir: str):
     from baram_ray.pipelines.documents import tfidf_top
     return tfidf_top(sf_dir)
+
+
+def sim_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means assignment over the embeddings table
+    (``similarity.kmeans_fit`` — per-batch partial sums, zero shuffle,
+    O(k·d) driver state per iteration). Rows-only driver check; pytest
+    asserts exact agreement with a single-process numpy Lloyd reference
+    and determinism across runs."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.kmeans_assign(ds, k=k, iters=iters)

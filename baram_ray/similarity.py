@@ -422,3 +422,71 @@ def assign_centroids(ds, n_centroids: int = 8):
         return df
 
     return out.map_batches(_round, batch_format="pandas")
+
+
+# --------------------------------------------------------------------- #
+# Distributed Lloyd k-means (full-corpus training, not the IVF sample)
+# --------------------------------------------------------------------- #
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5):
+    """Distributed Lloyd k-means over the embedding column → final
+    float64 centroid matrix (k × d).
+
+    The scale path the reference's greedy event clustering lacks: each
+    iteration is ONE streaming pass — ``map_batches`` computes per-batch
+    partial sums (k×d matrix + k counts, tiny and constant-size
+    regardless of corpus size), the driver reduces the per-batch
+    partials and broadcasts the next centroid matrix in the task
+    closure. Zero shuffle; per-iteration driver state is O(k·d).
+    Init is deterministic: the k lowest-id vectors (same convention as
+    ``assign_centroids``). Empty clusters keep their previous centroid.
+    """
+    _, cen = _lowest_vec_rows(ds, k)
+    cen = cen.copy()
+    k = len(cen)
+
+    for _ in range(iters):
+        def partial(batch: pa.Table, c=cen) -> pa.Table:
+            v = _matrix(batch)
+            d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            best = np.argmin(d2, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, best, v)
+            counts = np.bincount(best, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array([s.tolist() for s in sums],
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(cen)
+        counts = np.zeros(k, dtype=np.int64)
+        for cid, vs, n in zip(parts["cid"], parts["vsum"], parts["n"]):
+            sums[cid] += np.asarray(vs, dtype=np.float64)
+            counts[cid] += n
+        nz = counts > 0
+        cen[nz] = sums[nz] / counts[nz, None]
+    return cen
+
+
+def kmeans_assign(ds, k: int = 8, iters: int = 5):
+    """(vec_id, cluster, dist) after ``iters`` Lloyd rounds — cluster is
+    the 0-based centroid index, dist the final squared L2 (round 6).
+    Assignment is one more streaming pass with the fitted centroid
+    matrix shipped in the closure."""
+    cen = kmeans_fit(ds, k, iters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _matrix(batch)
+        d2 = ((v[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(best.astype(np.int64), pa.int64()),
+            "dist": pa.array(
+                np.round(d2[np.arange(len(best)), best], 6), pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

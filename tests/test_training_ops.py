@@ -516,3 +516,52 @@ def test_tfidf_rare_term_outranks_common(ray_session):
         hi = sub.loc[sub["df"].idxmin(), "tfidf"]
         lo = sub.loc[sub["df"].idxmax(), "tfidf"]
         assert hi >= lo
+
+
+# ------------------------------------------------------------------ #
+# distributed Lloyd k-means
+# ------------------------------------------------------------------ #
+
+def test_kmeans_matches_local_reference(ray_session):
+    import pyarrow.parquet as pq
+    from baram_ray.similarity import kmeans_assign
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in tbl["embedding"].to_pylist()])
+    order = np.argsort(ids, kind="stable")
+
+    # local float64 Lloyd, same init (k lowest ids), same empty-cluster
+    # rule
+    k, iters = 8, 5
+    cen = vecs[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((vecs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)
+        for ci in range(k):
+            m = best == ci
+            if m.any():
+                cen[ci] = vecs[m].mean(axis=0)
+    d2 = ((vecs[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(d2, axis=1)
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = kmeans_assign(ds, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = out["cluster"].to_numpy()
+    want_sorted = want[np.argsort(ids, kind="stable")]
+    # partial-sum reduction order differs from the local np.mean, so
+    # centroids can differ by ulps; assignments must still agree on
+    # (essentially) every point
+    agree = (got == want_sorted).mean()
+    assert agree >= 0.998, agree
+    # determinism: a second distributed run is bit-identical
+    out2 = kmeans_assign(ds, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+    # every cluster id in range, dists non-negative
+    assert out["cluster"].between(0, k - 1).all()
+    assert (out["dist"] >= 0).all()
