@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffled joins (§2.4 inner + anti)
         "join_orders_cust_segment": anap.join_orders_cust_segment,
         "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,
+        "events_range_clicks": evp.range_count_clicks,
     }
 
 

@@ -873,4 +873,16 @@ ORACLES: dict[str, str] = {
         FROM gg JOIN df USING (gram)
         GROUP BY 1
     """,
+    # windowed range join: clicks per user in the hour before each
+    # purchase, bounds (ts - 60min, ts]
+    "events_range_clicks": """
+        SELECT p.event_id, p.ts, p.user_id,
+               CAST(count(c.event_id) AS BIGINT) AS n_clicks_1h
+        FROM events p
+        LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+         AND c.ts > p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2, 3
+    """,
 }
