@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_stats": knowp.triple_stats,
         "rdf_export_nt": knowp.rdf_export_nt,
         "doc_markdown_export": knowp.doc_markdown_export,
+        "doc_markdown_roundtrip": knowp.doc_markdown_roundtrip,
         "cluster_events": knowp.cluster_events,
         "cluster_summaries": knowp.cluster_summaries,
         "text_said_relations": knowp.text_said_relations,

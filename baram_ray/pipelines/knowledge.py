@@ -115,3 +115,37 @@ def cluster_summaries(sf_dir: str):
         ds, threshold=CLUSTER_THRESHOLD, return_members=True)
     out = summarize_clusters(clusters, members).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_markdown_roundtrip(sf_dir: str):
+    """S1/S2 source parity: export the documents table through the
+    markdown sink, read the directory back through the markdown SOURCE
+    (``baram_ray/sources.py`` — the reference's index-input parser,
+    index.rs:402-520) and recover (doc_id, text). Hash-exact oracle:
+    the recovered text must equal the original column (the corpus text
+    is single-line, so the parser's blank-line drop is a no-op)."""
+    from baram_ray.sources import read_markdown_dir
+
+    doc_markdown_export(sf_dir)          # ensure the .md tree exists
+    out_dir = os.path.join("/tmp/baram_ray_markdown",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    back = read_markdown_dir(out_dir)
+
+    # front-matter in the export template is `doc_id:`/`lang:` — those
+    # land in the parser's meta dict, which the batch schema does not
+    # carry; recover doc_id from the filename column instead (the sink
+    # names files {doc_id}.md) and text as content minus the heading
+    def project(batch):
+        import pyarrow as pa
+        ids, texts = [], []
+        for path, content in zip(batch["path"].to_pylist(),
+                                 batch["content"].to_pylist()):
+            stem = os.path.splitext(os.path.basename(path))[0]
+            # content = '# Document N\n{text}' (single-line corpus)
+            body = content.split("\n", 1)
+            texts.append(body[1] if len(body) > 1 else "")
+            ids.append(int(stem))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    return back.map_batches(project, batch_format="pyarrow")

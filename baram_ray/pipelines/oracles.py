@@ -885,4 +885,8 @@ ORACLES: dict[str, str] = {
         WHERE p.event_type = 'purchase'
         GROUP BY 1, 2, 3
     """,
+    # markdown sink -> source roundtrip recovers the original text
+    "doc_markdown_roundtrip": """
+        SELECT doc_id, text FROM documents
+    """,
 }
