@@ -176,6 +176,11 @@ def run_bench() -> dict:
         "clean_corpus": timed(
             __import__("baram_ray.pipelines.clean",
                        fromlist=["clean_corpus"]).clean_corpus),
+        # round-2 continuation (fourth session) additions
+        "sim_kmeans": timed(trainp.sim_kmeans),
+        "text_pii": timed(trainp.text_pii),
+        "doc_dup_spans": timed(trainp.doc_dup_spans),
+        "doc_tfidf_top": timed(trainp.doc_tfidf_top),
     }
 
     result = {
