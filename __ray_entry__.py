@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_by_nation": tpchp.revenue_by_nation,
         "tpch_top_parts": tpchp.top_parts_by_revenue,
         "tpch_q3": tpchp.q3_shipping_priority,
+        "tpch_q5": tpchp.q5_local_supplier_volume,
+        "tpch_q6": tpchp.q6_forecast_revenue,
+        "tpch_q18": tpchp.q18_large_orders,
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,

@@ -889,4 +889,52 @@ ORACLES: dict[str, str] = {
     "doc_markdown_roundtrip": """
         SELECT doc_id, text FROM documents
     """,
+    # TPC-H Q6 shape: pure predicate scan + global exact scaled-integer
+    # sum (empty-window COALESCE on both sides)
+    "tpch_q6": """
+        SELECT CAST(COALESCE(sum(CAST(trunc(l_extendedprice * l_discount
+                                            * 10000 + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_u4,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+    # TPC-H Q5 shape: six-table join, region fixed to the first name,
+    # local-supplier constraint c_nationkey = s_nationkey
+    "tpch_q5": """
+        WITH r AS (SELECT r_regionkey FROM region
+                   WHERE r_name = (SELECT min(r_name) FROM region)),
+        n AS (SELECT n_nationkey, n_name FROM nation
+              WHERE n_regionkey IN (SELECT r_regionkey FROM r))
+        SELECT n.n_name,
+               CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_u4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN n        ON n.n_nationkey = c_nationkey
+                     AND s_nationkey = c_nationkey
+        GROUP BY 1
+    """,
+    # TPC-H Q18 shape: HAVING over per-order quantity sums (quantities
+    # are integer-valued doubles, so the sum is order-independent and
+    # exact) + join back to orders/customer; deterministic top-k
+    "tpch_q18": """
+        WITH t AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                   FROM lineitem GROUP BY 1
+                   HAVING sum(l_quantity) > 150.0)
+        SELECT t.l_orderkey, t.sum_qty, c_name, o_orderdate,
+               CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS o_totalprice_c
+        FROM t
+        JOIN orders   ON o_orderkey = t.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice_c DESC, o_orderdate, t.l_orderkey
+        LIMIT 20
+    """,
 }

@@ -267,3 +267,157 @@ def part_brand_stats(sf_dir: str):
         return df
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — pure predicate scan + global exact sum: shipdate
+    year window, discount band, quantity cap; revenue = Σ extprice·disc
+    as scaled integers (no groupby at all — the cheapest possible
+    full-scan aggregate, the shape a 100-TB predicate-pushdown scan
+    should collapse to)."""
+    ds = read_table(sf_dir, "lineitem",
+                    ["l_shipdate", "l_discount", "l_quantity",
+                     "l_extendedprice"])
+    lo, hi = np.datetime64("1997-01-01"), np.datetime64("1998-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ((df["l_shipdate"].to_numpy("datetime64[us]") >= lo)
+             & (df["l_shipdate"].to_numpy("datetime64[us]") < hi)
+             & (df["l_discount"] >= 0.02) & (df["l_discount"] <= 0.04)
+             & (df["l_quantity"] < 24))
+        d = df.loc[m]
+        rev = _cents((d["l_extendedprice"] * d["l_discount"]).to_numpy(),
+                     10000.0)
+        return pd.DataFrame({"revenue_u4": [int(rev.sum())],
+                             "n_lines": [int(m.sum())]})
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+            .aggregate(Sum("revenue_u4", alias_name="revenue_u4"),
+                       Sum("n_lines", alias_name="n_lines"))
+    return pd.DataFrame([{ "revenue_u4": int(agg["revenue_u4"] or 0),
+                           "n_lines": int(agg["n_lines"] or 0)}])
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape — the six-table join: region→nation (broadcast)
+    restricts customers AND suppliers; lineitem (fact) carries revenue;
+    the customer-nation == supplier-nation constraint is enforced by
+    joining the fact side ONCE on orderkey (orders⨝customer broadcast
+    maps o_orderkey→cust-nation) and comparing against the supplier's
+    nation from a broadcast s_suppkey→nation map. One fact-side
+    exchange (hash_join on l_orderkey); dims all broadcast (J4).
+    Region filter fixed to the first region name (deterministic)."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    region = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    r_name = sorted(region["r_name"])[0]
+    rkey = set(region.loc[region["r_name"] == r_name, "r_regionkey"])
+    nat = read_small(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"])
+    nat_in = nat[nat["n_regionkey"].isin(rkey)]
+    nation_name = dict(zip(nat_in["n_nationkey"], nat_in["n_name"]))
+
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    nat_ref, cust_ref, supp_ref = (ray.put(nation_name),
+                                   ray.put(cust_nat), ray.put(supp_nat))
+
+    def omap(df: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cust_ref)
+        nn = ray.get(nat_ref)
+        nk = df["o_custkey"].map(cn)
+        m = nk.isin(nn.keys())
+        return pd.DataFrame({
+            "l_orderkey": df.loc[m, "o_orderkey"].to_numpy(),
+            "cust_nk": nk[m].astype("int64").to_numpy()})
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(omap, batch_format="pandas")
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        sn = ray.get(supp_ref)
+        snk = df["l_suppkey"].map(sn)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "supp_nk": snk.astype("int64").to_numpy(),
+            "rev_u4": _cents((df["l_extendedprice"]
+                              * (1.0 - df["l_discount"])).to_numpy(),
+                             10000.0)})
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"]) \
+        .map_batches(lmap, batch_format="pandas")
+
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+
+    def local_only(df: pd.DataFrame) -> pd.DataFrame:
+        nn = ray.get(nat_ref)
+        d = df[df["cust_nk"] == df["supp_nk"]]
+        g = pd.DataFrame({
+            "n_name": d["cust_nk"].map(nn),
+            "revenue_u4": d["rev_u4"],
+        }).groupby("n_name", as_index=False).agg(
+            revenue_u4=("revenue_u4", "sum"))
+        return g
+
+    agg = grouped_agg(j.map_batches(local_only, batch_format="pandas"),
+                      ["n_name"], {"revenue_u4": ("revenue_u4", "sum")},
+                      num_buckets=4)
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(agg, {"n_name": "object", "revenue_u4": "int64"})
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
+    """TPC-H Q18 shape — HAVING over a high-cardinality group + semi
+    join back to the fact: per-order quantity sums through the bucketed
+    exchange (orderkey cardinality == orders table), HAVING sum > T
+    inside each bucket, then ONE hash-join exchange attaches order/
+    customer attributes to the survivors; top-k by (totalprice desc,
+    orderdate asc). The group table never lands on the driver."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def lpartial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"))
+
+    per_order = grouped_agg(li.map_batches(lpartial, batch_format="pandas"),
+                            ["l_orderkey"], {"sum_qty": ("sum_qty", "sum")},
+                            num_buckets=16)
+
+    def having(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["sum_qty"] > min_qty]
+
+    big = per_order.map_batches(having, batch_format="pandas")
+
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_name"])
+    cmap = dict(zip(cust["c_custkey"], cust["c_name"]))
+    cref = ray.put(cmap)
+
+    def oproj(df: pd.DataFrame) -> pd.DataFrame:
+        cn = ray.get(cref)
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "c_name": df["o_custkey"].map(cn).to_numpy(),
+            "o_orderdate": df["o_orderdate"].to_numpy(),
+            "o_totalprice_c": _cents(df["o_totalprice"].to_numpy(), 100.0)})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate",
+                         "o_totalprice"]) \
+        .map_batches(oproj, batch_format="pandas")
+
+    j = hash_join(big, orders, "l_orderkey", how="inner", num_buckets=16)
+    out = j.sort(["o_totalprice_c", "o_orderdate", "l_orderkey"],
+                 descending=[True, False, False]).limit(k)
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(out, {"l_orderkey": "int64", "sum_qty": "float64",
+                             "c_name": "object",
+                             "o_orderdate": "datetime64[us]",
+                             "o_totalprice_c": "int64"})
