@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": evp.value_hist,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
+        "events_comments_stats": evp.comments_stats,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)
         "tpch_q1": tpchp.q1_pricing,
         "tpch_orders_by_status": tpchp.orders_by_status,

@@ -352,3 +352,59 @@ def range_count_clicks(sf_dir: str, window_minutes: int = 60):
 
     return cogroup(purchases, clicks, ["user_id"], count_in_window,
                    num_buckets=8)
+
+
+def comments_stats(sf_dir: str):
+    """S8 comment JSONP reader end-to-end (``baram_ray/comments.py``):
+    synthesize one JSONP comment page per (article, block) from the
+    events table with a fixed deterministic field mapping, parse the
+    payloads back through the reference's parse chain (callback-regex →
+    JSON → visibility filter → content cleaning), then per-article
+    stats through the bucketed exchange. The SQL oracle computes the
+    same aggregate DIRECTLY from events — hash equality proves
+    parse(jsonp(x)) == x including tag-strip + entity-decode."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from baram_ray.comments import article_comment_stats, parse_comment_pages
+
+    ds = read_table(sf_dir, "events",
+                    ["event_id", "ts", "user_id", "event_type"])
+
+    def synth_pages(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy()
+        uid = batch["user_id"].to_numpy()
+        ts_ms = batch["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+        etype = batch["event_type"].to_pylist()
+        pages: dict[int, list] = {}
+        for i in range(len(eid)):
+            e = int(eid[i])
+            pages.setdefault(e % 50, []).append({
+                "comment_no": e,
+                "parent_comment_no": e - 50 if (e % 5 == 0 and e >= 50)
+                else 0,
+                "contents": f"<b>{etype[i]}</b> &amp; ok",
+                "user_name": f"u{int(uid[i])}",
+                "masked_user_id": f"m{int(uid[i])}",
+                "reg_time": int(ts_ms[i]),
+                "mod_time": 0,
+                "sympathy_count": int(uid[i]) % 100,
+                "antipathy_count": int(uid[i]) % 7,
+                "reply_count": 0,
+                "best": e % 10 == 0,
+                "visible": e % 11 != 0,
+                "deleted": e % 13 == 0,
+            })
+        aids, payloads = [], []
+        for aid, lst in pages.items():
+            body = _json.dumps({"success": True,
+                                "result": {"commentList": lst}})
+            aids.append(aid)
+            payloads.append(f"_callback({body});")
+        return pa.table({"article_id": pa.array(aids, pa.int64()),
+                         "payload": pa.array(payloads, pa.string())})
+
+    flat = parse_comment_pages(
+        ds.map_batches(synth_pages, batch_format="pyarrow"))
+    return article_comment_stats(flat)

@@ -937,4 +937,22 @@ ORACLES: dict[str, str] = {
         ORDER BY o_totalprice_c DESC, o_orderdate, t.l_orderkey
         LIMIT 20
     """,
+    # S8 comment JSONP roundtrip: the same deterministic field mapping
+    # computed directly from events; hash equality proves the JSONP
+    # parse chain (callback regex, visibility filter, tag strip, entity
+    # decode) is lossless
+    "events_comments_stats": """
+        SELECT CAST(event_id % 50 AS BIGINT) AS article_id,
+               CAST(count(*) AS BIGINT) AS n_comments,
+               CAST(sum(CASE WHEN event_id % 5 = 0 AND event_id > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_replies,
+               CAST(sum(CASE WHEN event_id % 10 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_best,
+               CAST(sum(user_id % 100) AS BIGINT) AS sum_likes,
+               CAST(sum(length(event_type) + 5) AS BIGINT)
+                   AS content_chars
+        FROM events
+        WHERE event_id % 11 != 0 AND event_id % 13 != 0
+        GROUP BY 1
+    """,
 }
