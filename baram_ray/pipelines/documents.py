@@ -140,17 +140,17 @@ def tfidf_top(sf_dir: str, k: int = 3):
     the stage that PICKS the keywords).
 
     Scale shape: (doc_id, term, tf) rows are exploded per batch (the
-    forward-index explosion, streamed); df is the combiner-pattern
-    vocab aggregate; df is attached to the tf rows through the cogroup
-    exchange keyed on term (NO vocab broadcast — a code corpus'
-    identifier vocabulary is corpus-sized); top-k per doc is a second
-    bucketed exchange on doc_id. Score = tf * ln(N/df) rounded to 6
-    decimals (absorbs libm ulp differences vs the SQL oracle, same
-    treatment as doc_cooccur_pmi).
+    forward-index explosion, streamed) into ONE bucketed exchange on
+    the term — a bucket holds every posting of its terms, so df is the
+    in-bucket group SIZE (rows are unique per (doc, term)) and is
+    attached without a separate aggregate or a vocab broadcast; top-k
+    per doc is the second exchange, on doc_id. Two exchanges total.
+    Score = tf * ln(N/df) rounded to 6 decimals (absorbs libm ulp
+    differences vs the SQL oracle, same treatment as doc_cooccur_pmi).
     """
     from collections import Counter
 
-    from baram_ray.util import attach_by_key, grouped_map
+    from baram_ray.util import grouped_map
 
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     # N: total documents — parquet metadata count, no data scan
@@ -172,19 +172,13 @@ def tfidf_top(sf_dir: str, k: int = 3):
 
     tf = ds.map_batches(tf_rows, batch_format="pyarrow")
 
-    def partial_df(batch: pa.Table) -> pa.Table:
-        from collections import Counter as C
-        c: C = C()
-        for t in batch["text"].to_pylist():
-            c.update(set((t or "").lower().split()))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "df_partial": pa.array(list(c.values()), pa.int64())})
+    def attach_df(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        bucket["df"] = bucket.groupby("term", sort=False)["doc_id"] \
+                             .transform("size").astype("int64")
+        return bucket
 
-    df = grouped_agg(ds.map_batches(partial_df, batch_format="pyarrow"),
-                     ["term"], {"df": ("df_partial", "sum")}, num_buckets=32)
-
-    joined = attach_by_key(tf, df, side="term", renames={"df": "df"},
-                           key="term", num_buckets=32)
+    joined = grouped_map(tf, ["term"], attach_df, num_buckets=32)
 
     def topk(bucket: pd.DataFrame) -> pd.DataFrame:
         score = np.round(
