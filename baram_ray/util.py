@@ -102,6 +102,22 @@ def _reduce_bucket(bucket_fn, batch_format: str, frag_refs: list):
     return out, out.num_rows
 
 
+def _clamp_buckets(num_buckets: int, n_blocks: int) -> int:
+    """Small-input bucket clamp: cut reduce-task count when blocks are
+    scarce, but never below the session CPU count — per-bucket work can
+    be CPU-heavy (pair verification, encode), and fewer buckets than
+    cores trades task overhead for idle cores. ``num_buckets`` remains
+    the ceiling; at scale (blocks >> cpus) the clamp never bites."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    floor = min(num_buckets, cpus)
+    return max(1, max(floor, min(num_buckets, 2 * n_blocks)))
+
+
 def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
                 batch_format: str = "pandas", pre_fn=None):
     """``groupby(keys).map_groups`` as an explicit two-stage hash exchange.
@@ -130,17 +146,28 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
     import time as _time
     dbg = os.environ.get("BARAM_TIMING") == "1"
     t0 = _time.perf_counter()
-    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
-    reduce = ray.remote(num_returns=2)(_reduce_bucket)
-    frag_refs = []                      # per block: list of B fragment refs
+    block_refs = []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref, meta in bundle.blocks:
             # Ray skips UDFs on 0-row blocks and emits SCHEMA-LESS empties;
             # they carry nothing and would KeyError the key select — drop.
             if meta.num_rows == 0:
                 continue
-            frag_refs.append(
-                split.remote(block_ref, keys, num_buckets, pre_fn))
+            block_refs.append(block_ref)
+    # clamp buckets to input size: with B buckets and K blocks the
+    # exchange creates K·B fragments + B reduce tasks; a small input
+    # through a 64-bucket exchange is pure task overhead. ``num_buckets``
+    # stays the ceiling for large inputs (where buckets must be
+    # block-sized), the clamp only bites when blocks are scarce.
+    # NOT applied when a pre_fn is set: combiners like PartialPostings
+    # precompute ``__bucket = hash % caller_num_buckets`` — clamping
+    # after the fact would drop every row whose bucket >= the clamp.
+    if block_refs and pre_fn is None:
+        num_buckets = _clamp_buckets(num_buckets, len(block_refs))
+    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce = ray.remote(num_returns=2)(_reduce_bucket)
+    frag_refs = [split.remote(r, keys, num_buckets, pre_fn)
+                 for r in block_refs]
     if not frag_refs:
         # zero input blocks: still produce bucket_fn's OUTPUT schema (an
         # empty input table run through pre_fn + bucket_fn), not the
@@ -191,20 +218,31 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
     import ray
     import ray.data
 
-    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
-    reduce = ray.remote(num_returns=2)(_reduce_cogroup)
-
-    def frags_of(ds):
+    def blocks_of(ds):
         out = []
         for bundle in ds.iter_internal_ref_bundles():
             for block_ref, meta in bundle.blocks:
                 if meta.num_rows == 0:   # schema-less empty (see grouped_map)
                     continue
-                r = split.remote(block_ref, keys, num_buckets)
-                out.append([r] if num_buckets == 1 else r)
+                out.append(block_ref)
         return out
 
-    lfrags, rfrags = frags_of(left), frags_of(right)
+    lblocks, rblocks = blocks_of(left), blocks_of(right)
+    # same small-input bucket clamp as grouped_map (sized by the larger side)
+    n_in = max(len(lblocks), len(rblocks))
+    if n_in:
+        num_buckets = _clamp_buckets(num_buckets, n_in)
+    split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+    reduce = ray.remote(num_returns=2)(_reduce_cogroup)
+
+    def frags_of(blocks):
+        out = []
+        for block_ref in blocks:
+            r = split.remote(block_ref, keys, num_buckets)
+            out.append([r] if num_buckets == 1 else r)
+        return out
+
+    lfrags, rfrags = frags_of(lblocks), frags_of(rblocks)
     if not lfrags or not rfrags:
         # one side has zero blocks: still emit bucket_fn's OUTPUT schema
         import pyarrow as pa
