@@ -545,3 +545,27 @@ def entity_related(sf_dir: str, min_count: int = 2):
     out = grouped_map(withc, ["entity_a"], pmi, num_buckets=8)
     return ensure_cols(out, {"entity_a": "object", "entity_b": "object",
                              "n_docs": "int64", "pmi": "float64"})
+
+
+def entity_top(sf_dir: str, k: int = 5):
+    """Reference ``EntityNetwork.top_entities`` (entity_trends.rs:
+    448-460): top-``k`` entities per type by TOTAL mentions (not doc
+    count), ties broken entity-asc for determinism. Mention counts
+    stream through one vocab-cardinality bucketed aggregate; the top-k
+    per type is a tiny sort."""
+    from baram_ray.util import grouped_agg
+
+    ner = text_ner(sf_dir)
+    agg = grouped_agg(ner, ["entity_type", "entity"],
+                      {"total_mentions": ("n_mentions", "sum"),
+                       "n_docs": (None, "count")},
+                      num_buckets=8)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["entity_type", "total_mentions", "entity"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("entity_type", sort=False).head(k) \
+                 .reset_index(drop=True)
+
+    out = topk(agg.to_pandas())
+    return out[["entity_type", "entity", "total_mentions", "n_docs"]]

@@ -955,4 +955,28 @@ ORACLES: dict[str, str] = {
         WHERE event_id % 11 != 0 AND event_id % 13 != 0
         GROUP BY 1
     """,
+    # top entities per type by total mentions (reference top_entities)
+    "entity_top": r"""
+        WITH tool AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                          '\b(spark|hash|vector|stream)\b', 1)) AS entity
+                      FROM documents),
+        op AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '\b(join|sort|merge|scan|filter|agg)\b', 1)) AS entity
+               FROM documents),
+        ner AS (
+            SELECT doc_id, 'tool' AS entity_type, entity,
+                   count(*) AS n FROM tool GROUP BY 1, 3
+            UNION ALL
+            SELECT doc_id, 'op', entity, count(*) FROM op GROUP BY 1, 3),
+        agg AS (SELECT entity_type, entity,
+                       CAST(sum(n) AS BIGINT) AS total_mentions,
+                       CAST(count(*) AS BIGINT) AS n_docs
+                FROM ner GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY entity_type
+                  ORDER BY total_mentions DESC, entity ASC) AS rn
+              FROM agg)
+        SELECT entity_type, entity, total_mentions, n_docs
+        FROM r WHERE rn <= 5
+    """,
 }

@@ -157,3 +157,55 @@ class UrlStage:
                          "url": pa.array(urls, pa.string()),
                          "oid": pa.array(oids, pa.string()),
                          "aid": pa.array(aids, pa.string())})
+
+
+# ------------------------------------------------------------------ #
+# NewsCategory + list/comment URL builders (src/models.rs:49-100,
+# src/crawler/list.rs:315-390, src/crawler/comment.rs:636-660) — the
+# pure string half of the fetch surface; the HTTP client itself stays
+# out of this engine.
+# ------------------------------------------------------------------ #
+
+NEWS_CATEGORIES: dict[str, int] = {
+    "politics": 100, "economy": 101, "society": 102,
+    "culture": 103, "world": 104, "it": 105,
+}
+KOREAN_NAMES: dict[str, str] = {
+    "politics": "정치", "economy": "경제", "society": "사회",
+    "culture": "문화", "world": "세계", "it": "IT",
+}
+
+
+def category_from_section_id(sid: int) -> str | None:
+    for name, v in NEWS_CATEGORIES.items():
+        if v == sid:
+            return name
+    return None
+
+
+def main_list_url(category: str, date: str, page: int) -> str:
+    sid = NEWS_CATEGORIES[category]
+    return (f"https://news.naver.com/main/list.naver?mode=LSD&mid=shm"
+            f"&sid1={sid}&date={date}&page={page}")
+
+
+def ranking_list_url(category: str, page: int) -> str:
+    sid = NEWS_CATEGORIES[category]
+    return (f"https://news.naver.com/main/ranking/popularDay.naver"
+            f"?mid=etc&sid1={sid}&page={page}")
+
+
+def section_latest_url(category: str) -> str:
+    return f"https://news.naver.com/section/{NEWS_CATEGORIES[category]}"
+
+
+def comment_api_url(oid: str, aid: str, page: int,
+                    page_size: int = 100, sort: str = "new") -> str:
+    """The comment-API URL the reference's CommentClient builds
+    (comment.rs:636-660): objectId = news{oid},{aid}."""
+    object_id = f"news{oid},{aid}"
+    return ("https://apis.naver.com/commentBox/cbox/"
+            "web_naver_list_jsonp.json"
+            f"?ticket=news&templateId=default_it&pool=cbox5&lang=ko"
+            f"&country=KR&objectId={object_id}&pageSize={page_size}"
+            f"&page={page}&sort={sort}&_callback=_callback")

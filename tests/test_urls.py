@@ -91,3 +91,24 @@ def test_url_stage_batch():
                           'article/001/0014123456">x</a>'], pa.string())})
     out = UrlStage()(batch).to_pydict()
     assert out["oid"] == ["001"] and out["aid"] == ["0014123456"]
+
+
+def test_list_url_builders():
+    from baram_ray.urls import (comment_api_url, main_list_url,
+                                ranking_list_url, section_latest_url)
+    u = main_list_url("politics", "20241215", 1)
+    assert "sid1=100" in u and "date=20241215" in u and "page=1" in u
+    assert "sid1=105" in ranking_list_url("it", 1)
+    assert "popularDay" in ranking_list_url("it", 1)
+    assert section_latest_url("society") == \
+        "https://news.naver.com/section/102"
+    cu = comment_api_url("001", "0014123456", 2)
+    assert "objectId=news001,0014123456" in cu
+    assert "page=2" in cu and "_callback=_callback" in cu
+
+
+def test_category_mapping():
+    from baram_ray.urls import NEWS_CATEGORIES, category_from_section_id
+    assert NEWS_CATEGORIES["politics"] == 100
+    assert category_from_section_id(105) == "it"
+    assert category_from_section_id(999) is None
