@@ -105,3 +105,82 @@ def test_comment_stats():
         {"comment_no": 3, "visible": False}])
     s = comment_stats(cs)
     assert s == {"after_filter": 2, "top_level": 1, "replies": 1, "best": 1}
+
+
+# ------------------------------------------------------------------ #
+# property tests
+# ------------------------------------------------------------------ #
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_raw = st.fixed_dictionaries({
+    "comment_no": st.integers(1, 10**9),
+    "parent_comment_no": st.integers(0, 10**6),
+    "contents": st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=80),
+    "user_name": st.text(max_size=10),
+    "reg_time": st.integers(0, 2**41),
+    "mod_time": st.just(0),
+    "sympathy_count": st.integers(0, 10**6),
+    "antipathy_count": st.integers(0, 10**6),
+    "best": st.booleans(),
+    "visible": st.booleans(),
+    "deleted": st.booleans(),
+})
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_raw, max_size=12))
+def test_jsonp_roundtrip_property(raws):
+    """parse_jsonp(wrap(x)) then convert == convert(x) directly, for
+    arbitrary unicode contents — the JSONP wrapper is lossless."""
+    import json as _json
+    payload = "_callback(" + _json.dumps(
+        {"success": True, "result": {"commentList": raws}}) + ");"
+    doc = _json.loads(parse_jsonp(payload))
+    assert convert_comments(doc["result"]["commentList"]) \
+        == convert_comments(raws)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_raw, max_size=16))
+def test_tree_partition_property(raws):
+    """Every converted comment lands in the tree exactly once (as top
+    level or in some replies list), except replies whose parent id is
+    absent — those are dropped by attach, like the reference's
+    replies_map leftovers."""
+    cs = convert_comments(raws)
+    ids = {c["id"] for c in cs}
+    tree = build_comment_tree(cs)
+
+    seen = []
+
+    def walk(nodes):
+        for n in nodes:
+            seen.append(n["id"])
+            walk(n.get("replies", []))
+
+    walk(tree)
+    expected = [c["id"] for c in cs
+                if not c["parent_id"] or _reachable(c, cs, ids)]
+    assert set(seen) <= ids
+    assert len(seen) == len(set(seen))          # no duplicates
+    # all top-level comments always present
+    top_ids = {c["id"] for c in cs if not c["parent_id"]}
+    assert top_ids <= set(seen)
+
+
+def _reachable(c, cs, ids):
+    by_id = {x["id"]: x for x in cs}
+    cur = c
+    hops = 0
+    while cur["parent_id"] is not None:
+        if cur["parent_id"] not in by_id:
+            return False
+        cur = by_id[cur["parent_id"]]
+        hops += 1
+        if hops > len(cs):
+            return False                         # cycle
+    return True

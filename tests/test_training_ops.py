@@ -565,3 +565,49 @@ def test_kmeans_matches_local_reference(ray_session):
     # every cluster id in range, dists non-negative
     assert out["cluster"].between(0, k - 1).all()
     assert (out["dist"] >= 0).all()
+
+
+def test_pii_stage_matches_duckdb_on_random_text(ray_session):
+    """The PII patterns are RE2-safe by construction: DuckDB's regexp
+    engine and Python re must agree on counts AND the redacted sha for
+    arbitrary ascii-ish text with embedded pii-like strings."""
+    import hashlib
+    import random
+
+    import duckdb
+
+    from baram_ray.stages.text import PII_PATTERNS, PiiStage
+
+    rng = random.Random(11)
+    frags = ["hello", "a.b@x.io", "10.1.2.3", "1.2.3.4.5", "x@y",
+             "user+tag@mail.example.org", "010-1234-5678", "010-123-4567",
+             "011-12-3456", "256.1.1.1", "w@rd", "plain words here",
+             "..@..", "a@b.co", "192.168.0.1isglued"]
+    texts = [" ".join(rng.choices(frags, k=rng.randint(0, 12)))
+             for _ in range(60)]
+    batch = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    got = PiiStage()(batch).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": range(60), "text": texts}))
+    e, i, p = (PII_PATTERNS[0][1], PII_PATTERNS[1][1], PII_PATTERNS[2][1])
+    exp = con.execute(f"""
+        WITH a AS (SELECT doc_id, text AS t0 FROM t),
+        e AS (SELECT doc_id, len(regexp_extract_all(t0, '{e}')) AS n_email,
+                     regexp_replace(t0, '{e}', '<EMAIL>', 'g') AS t1 FROM a),
+        i AS (SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '{i}')) AS n_ipv4,
+                     regexp_replace(t1, '{i}', '<IP>', 'g') AS t2 FROM e),
+        p AS (SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t2, '{p}')) AS n_phone,
+                     regexp_replace(t2, '{p}', '<PHONE>', 'g') AS t3 FROM i)
+        SELECT doc_id, n_email, n_ipv4, n_phone, sha256(t3) AS redacted_sha
+        FROM p ORDER BY doc_id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True)
+           .rename(columns={}),
+        exp.astype({"n_email": "int64", "n_ipv4": "int64",
+                    "n_phone": "int64"}),
+        check_dtype=False)
