@@ -324,7 +324,7 @@ def text_pii(sf_dir: str):
               .map_batches(PiiStage(), batch_format="pyarrow"))
 
 
-def doc_dup_spans(sf_dir: str, k: int = 5):
+def doc_dup_spans(sf_dir: str, k: int = 5, hash_spans: bool = False):
     """Exact duplicate-span exposure per document (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
     per-doc signal of substring-level duplication): for every doc, the
@@ -336,9 +336,11 @@ def doc_dup_spans(sf_dir: str, k: int = 5):
     computed wholly inside its bucket and immediately collapsed to
     per-doc partial counts — the corpus-sized span table never
     aggregates globally), then a doc-cardinality exchange sums the
-    partials. At production scale the span key would be the uint64
-    rolling hash (FingerprintStage's) rather than the string; the
-    string key keeps the DuckDB oracle exact here."""
+    partials. ``hash_spans=True`` is the production path — the span
+    key is an 8-byte blake2b instead of the k-word string (~10x less
+    exchange traffic; collisions ~n^2/2^64, i.e. none at real scale —
+    pytest asserts corpus-equality of the two paths); the string key
+    keeps the DuckDB oracle exact."""
     import pandas as pd
     import pyarrow as pa
 
@@ -347,8 +349,9 @@ def doc_dup_spans(sf_dir: str, k: int = 5):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def span_rows(batch: pa.Table) -> pa.Table:
+        import hashlib
         ids_out: list[int] = []
-        grams: list[str] = []
+        grams: list = []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             toks = (t or "").lower().split()
@@ -357,9 +360,14 @@ def doc_dup_spans(sf_dir: str, k: int = 5):
             for g in {" ".join(toks[i:i + k])
                       for i in range(len(toks) - k + 1)}:
                 ids_out.append(d)
-                grams.append(g)
+                grams.append(
+                    int.from_bytes(hashlib.blake2b(
+                        g.encode(), digest_size=8).digest(), "big") >> 1
+                    if hash_spans else g)
         return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
-                         "gram": pa.array(grams, pa.string())})
+                         "gram": pa.array(
+                             grams,
+                             pa.int64() if hash_spans else pa.string())})
 
     spans = ds.map_batches(span_rows, batch_format="pyarrow")
 

@@ -611,3 +611,14 @@ def test_pii_stage_matches_duckdb_on_random_text(ray_session):
         exp.astype({"n_email": "int64", "n_ipv4": "int64",
                     "n_phone": "int64"}),
         check_dtype=False)
+
+
+def test_dup_spans_hash_path_equals_string_path(ray_session):
+    """The production hash-keyed span exchange yields identical per-doc
+    counts to the exact string-keyed path on the test corpus."""
+    from baram_ray.pipelines.training import doc_dup_spans
+    a = doc_dup_spans(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = doc_dup_spans(SF, hash_spans=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
