@@ -150,6 +150,31 @@ def cmd_ontology(args) -> int:
     return 0
 
 
+def cmd_schedule(args) -> int:
+    """Print the daily crawl schedule (reference `baram distributed`
+    planning surface — scheduler.py)."""
+    import json as _json
+    from datetime import date as _date
+
+    from baram_ray.scheduler import (CategoryAssigner, RotationScheduler,
+                                     daily_rotation)
+    d = _date.fromisoformat(args.date) if args.date else _date.today()
+    if args.strategy == "rotation":
+        sched = RotationScheduler(
+            categories_per_slot=args.categories_per_slot)             .generate_daily_schedule(d)
+    else:
+        a = CategoryAssigner(strategy=args.strategy,
+                             categories_per_slot=args.categories_per_slot)
+        sched = a.generate_schedule(d, daily_rotation(d))
+    if args.json:
+        print(sched.to_json())
+    else:
+        for s in sched.slots:
+            print(s.display())
+        print(_json.dumps(sched.summary()))
+    return 0
+
+
 def cmd_stats(args) -> int:
     if getattr(args, "prometheus", False):
         from baram_ray.metrics import export_index_metrics
@@ -263,6 +288,16 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--prometheus", action="store_true",
                     help="render build metrics in Prometheus text format")
     st.set_defaults(fn=cmd_stats)
+
+    sc = sub.add_parser("schedule", help="daily crawl schedule plan "
+                        "(rotation + category assignment)")
+    sc.add_argument("--date", default=None, help="ISO date (default today)")
+    sc.add_argument("--strategy", default="rotation",
+                    choices=["rotation", "round_robin", "weighted",
+                             "load_balanced", "affinity"])
+    sc.add_argument("--categories-per-slot", type=int, default=2)
+    sc.add_argument("--json", action="store_true")
+    sc.set_defaults(fn=cmd_schedule)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
