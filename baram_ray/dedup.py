@@ -300,7 +300,8 @@ def cluster_from_pairs(pairs_df: pd.DataFrame, all_ids) -> pd.DataFrame:
 
 
 def cluster_from_pairs_ds(pairs, ids, *, num_buckets: int = 32,
-                          max_iters: int = 30):
+                          max_iters: int = 30,
+                          small_pairs_limit: int = 2_000_000):
     """Distributed connected components via min-label propagation —
     Dataset[(a, b)] pairs + Dataset[(doc_id)] universe →
     Dataset[(doc_id, cluster)] with cluster = component-min doc_id
@@ -311,6 +312,15 @@ def cluster_from_pairs_ds(pairs, ids, *, num_buckets: int = 32,
     are monotonically non-increasing, so an unchanged sum(label) is the
     fixpoint; rounds needed = component diameter (near-dup clusters are
     shallow). Nothing corpus-sized touches the driver.
+
+    Adaptive small path: the verified-pair set is orders of magnitude
+    smaller than the corpus; when it fits ``small_pairs_limit`` rows the
+    label map is computed by one driver union-find over the PAIR-TOUCHED
+    ids only (never the corpus) and broadcast as a dict into the final
+    corpus-wide map — the broadcast-when-small analogue of a join-side
+    strategy switch, replacing ~2·diameter exchange rounds with one
+    streaming pass. Beyond the limit the fully-distributed propagation
+    runs; both paths are output-identical (tested).
     """
     import ray.data
 
@@ -328,6 +338,28 @@ def cluster_from_pairs_ds(pairs, ids, *, num_buckets: int = 32,
     # pair-scale, far smaller than the corpus — safe to pin)
     edges = pairs.select_columns(["a", "b"]).map_batches(
         sym, batch_format="pyarrow").materialize()
+
+    if edges.count() <= 2 * small_pairs_limit:      # sym doubles rows
+        edf = edges.to_pandas()
+        touched = pd.DataFrame({"a": edf.loc[edf["x"] < edf["y"], "x"],
+                                "b": edf.loc[edf["x"] < edf["y"], "y"]})
+        labels_small = cluster_from_pairs(
+            touched, sorted(set(edf["x"].tolist())))
+        label_map = dict(zip(labels_small["doc_id"],
+                             labels_small["cluster"]))
+        import ray as _ray
+        ref = _ray.put(label_map)
+
+        def assign(b: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            lab = np.array([m.get(int(x), int(x)) for x in d],
+                           dtype=np.int64)
+            return pa.table({"doc_id": pa.array(d, pa.int64()),
+                             "cluster": pa.array(lab, pa.int64())})
+
+        return ids.select_columns(["doc_id"]).map_batches(
+            assign, batch_format="pyarrow")
 
     def init_labels(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy(zero_copy_only=False)

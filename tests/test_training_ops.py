@@ -622,3 +622,20 @@ def test_dup_spans_hash_path_equals_string_path(ray_session):
     b = doc_dup_spans(SF, hash_spans=True).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_cluster_paths_identical(ray_session):
+    """Adaptive small-pair driver path == fully-distributed propagation
+    (forced via small_pairs_limit=0)."""
+    pairs = pd.DataFrame({"a": [1, 2, 3, 4, 10, 20, 21],
+                          "b": [2, 3, 4, 5, 11, 21, 22]})
+    ids = pd.DataFrame({"doc_id": list(range(1, 6))
+                        + [10, 11, 20, 21, 22, 99]})
+    small = dedup.cluster_from_pairs_ds(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids)).to_pandas()
+    dist = dedup.cluster_from_pairs_ds(
+        ray.data.from_pandas(pairs), ray.data.from_pandas(ids),
+        small_pairs_limit=0).to_pandas()
+    sm = dict(zip(small["doc_id"], small["cluster"]))
+    dm = dict(zip(dist["doc_id"], dist["cluster"]))
+    assert sm == dm
