@@ -24,7 +24,13 @@ def dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clusters over documents (rows-only check;
     recall/precision asserted against exact Jaccard in tests). Fully
     distributed: cogroup-attached verification + min-label propagation."""
-    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    import ray as _ray
+    ncpu = int(_ray.cluster_resources().get("CPU", 8)) \
+        if _ray.is_initialized() else 8
+    # signature computation is CPU-heavy per row: floor the block count
+    # at the core count so a small table still fans out
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"],
+                    min_blocks=ncpu)
     pairs = dedup.minhash_dedup(ds, "text", threshold=0.7)
     ids = read_table(sf_dir, "documents", ["doc_id"])
     return dedup.cluster_from_pairs_ds(pairs, ids)

@@ -10,11 +10,22 @@ import ray.data
 from baram_ray.util import auto_num_blocks
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
-    """Column-pruned, block-size-aware parquet read of one testdata table."""
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None,
+               min_blocks: int | None = None):
+    """Column-pruned, block-size-aware parquet read of one testdata table.
+
+    ``min_blocks``: floor on the block count — pass ~CPU count when the
+    consumer is CPU-heavy per row (minhash signatures, model scoring):
+    the size-based heuristic targets scan efficiency and can emit too
+    few blocks to keep every core busy on a small table. At scale the
+    size heuristic already yields plenty of blocks and the floor is a
+    no-op."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    blocks = auto_num_blocks(path)
+    if min_blocks is not None:
+        blocks = max(blocks or 0, min_blocks) or None
     return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=auto_num_blocks(path))
+                                 override_num_blocks=blocks)
 
 
 def read_small(sf_dir: str, name: str, columns: list[str] | None = None):
