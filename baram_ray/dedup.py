@@ -224,12 +224,24 @@ def doc_token_hashes(ds, text_col: str, shingle_n: int):
     are dropped (they can't pass any Jaccard threshold and the degenerate
     all-identical minhash signature must not verify them)."""
     def f(batch: pa.Table) -> pa.Table:
+        # blake2b once per unique shingle in the batch (same
+        # memoization as the band map), then per-doc gather
+        docs = [(d, sorted(set(word_shingles(t, shingle_n))))
+                for d, t in zip(batch["doc_id"].to_pylist(),
+                                batch[text_col].to_pylist())]
+        all_sh = [s for _, sl in docs for s in sl]
+        if all_sh:
+            uniq, inv = np.unique(np.array(all_sh, dtype=object),
+                                  return_inverse=True)
+            hs_all = _hash64(list(uniq))[inv]
         ids, lists, szs = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch[text_col].to_pylist()):
-            hs = np.unique(_hash64(word_shingles(t, shingle_n)))
-            if len(hs) == 0:
+        pos = 0
+        for d, sl in docs:
+            n = len(sl)
+            if n == 0:
                 continue
+            hs = np.unique(hs_all[pos:pos + n])
+            pos += n
             ids.append(d); lists.append(hs.view(np.int64)); szs.append(len(hs))
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
