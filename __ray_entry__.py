@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing (stubbed decode, real Ray shape)
         "multimodal_decode": trainp.multimodal_decode,
         "multimodal_frames": trainp.multimodal_frames,
+        "multimodal_resize": trainp.multimodal_resize,
         # analytics (G6 velocity, G7 minmax, G9 PMI, G10 cluster stats)
         "events_velocity": anap.events_velocity,
         "events_minmax": anap.events_minmax,

@@ -138,3 +138,38 @@ class FrameSampleStage:
             "frame_idx": pa.array(frame_idx, pa.int32()),
             "ts_ms": pa.array(ts_ms, pa.int32()),
         })
+
+
+class ResizeStage:
+    """Image resize to a target box with aspect preserved (the standard
+    training-data image-prep step). Real impl: PIL thumbnail per batch,
+    loaded once per actor; this container has no codecs, so the output
+    DIMENSIONS (the part downstream layout depends on) are computed for
+    real from the decode stage's width/height, and the resized payload
+    is honestly stubbed as the original bytes + a resized flag.
+
+    Shape: runs AFTER DecodeStage on its narrow property rows —
+    ``map_batches(ResizeStage(256), concurrency=N, batch_size=64)``.
+    """
+
+    def __init__(self, target: int = 256, real_resize: bool = False):
+        self.target = target
+        self.real_resize = real_resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_resize:
+            raise NotImplementedError(
+                "media codecs not available in this container; "
+                "slot PIL thumbnail here")
+        import numpy as np
+        w = batch["decoded_width"].to_numpy().astype(np.float64)
+        h = batch["decoded_height"].to_numpy().astype(np.float64)
+        scale = np.minimum(1.0, self.target / np.maximum(w, h))
+        return pa.table({
+            "item_id": batch["item_id"],
+            "out_width": pa.array(np.maximum(1, np.round(w * scale))
+                                  .astype(np.int32), pa.int32()),
+            "out_height": pa.array(np.maximum(1, np.round(h * scale))
+                                   .astype(np.int32), pa.int32()),
+            "resized": pa.array((scale < 1.0), pa.bool_()),
+        })

@@ -208,6 +208,19 @@ def multimodal_frames(sf_dir: str):
                           batch_size=64)
 
 
+def multimodal_resize(sf_dir: str):
+    """A1 image-prep chain: decode → resize-to-256 box (aspect
+    preserved; dimensions real, pixel path honestly stubbed — no codecs
+    in container). Rows-only driver check; dimension/aspect invariants
+    pytest-asserted."""
+    from baram_ray.multimodal import DecodeStage, ResizeStage, synth_media_table
+    import ray.data as rd
+    ds = rd.from_arrow(synth_media_table(256))
+    decoded = ds.map_batches(DecodeStage, concurrency=2, batch_size=64,
+                             batch_format="pyarrow")
+    return decoded.map_batches(ResizeStage(256), batch_format="pyarrow")
+
+
 def doc_sample_hash(sf_dir: str, rate: float = 0.1):
     """Deterministic 10% sample by Knuth multiplicative hash of doc_id
     (``baram_ray/sampling.py``): same row set on every run and shard

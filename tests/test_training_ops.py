@@ -639,3 +639,18 @@ def test_cluster_paths_identical(ray_session):
     sm = dict(zip(small["doc_id"], small["cluster"]))
     dm = dict(zip(dist["doc_id"], dist["cluster"]))
     assert sm == dm
+
+
+def test_resize_stage_dimensions(ray_session):
+    from baram_ray.multimodal import DecodeStage, ResizeStage, synth_media_table
+    decoded = DecodeStage()(synth_media_table(64))
+    out = ResizeStage(256)(decoded).to_pandas()
+    assert len(out) == 64
+    assert (out[["out_width", "out_height"]].max(axis=1) <= 256).all()
+    big = decoded.to_pandas()[["decoded_width", "decoded_height"]].max(axis=1) > 256
+    assert (out["resized"] == big.to_numpy()).all()
+    # aspect preserved within rounding
+    d = decoded.to_pandas()
+    ar_in = d["decoded_width"] / d["decoded_height"]
+    ar_out = out["out_width"] / out["out_height"]
+    assert (abs(ar_in - ar_out) / ar_in < 0.1).all()
