@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": evp.sessionize,
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,
+        "events_value_quantiles": evp.value_quantiles,
         "events_value_hist": evp.value_hist,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": tpchp.q5_local_supplier_volume,
         "tpch_q6": tpchp.q6_forecast_revenue,
         "tpch_q18": tpchp.q18_large_orders,
+        "tpch_q10": tpchp.q10_returned_items,
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,

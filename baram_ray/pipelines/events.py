@@ -408,3 +408,30 @@ def comments_stats(sf_dir: str):
     flat = parse_comment_pages(
         ds.map_batches(synth_pages, batch_format="pyarrow"))
     return article_comment_stats(flat)
+
+
+def value_quantiles(sf_dir: str):
+    """Exact per-type discrete quantiles (p50/p95/p99) of event values:
+    one bucketed exchange on the (tiny-cardinality) type key, per-group
+    sort + index pick using DuckDB's ``quantile_disc`` convention
+    (element at ceil(q·n)−1 of the sorted values) so the oracle is
+    hash-exact. At scale the same exchange applies — a group's values
+    co-locate in its bucket; for corpus-sized groups swap in the KMV/
+    t-digest sketch path."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            pick = lambda q: float(v[min(n - 1, int(np.ceil(q * n)) - 1)])
+            rows.append({"event_type": et, "n": np.int64(n),
+                         "p50": pick(0.5), "p95": pick(0.95),
+                         "p99": pick(0.99)})
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["n"] = out["n"].astype("int64")
+        return out
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    return grouped_map(ds, ["event_type"], bucket, num_buckets=4)

@@ -979,4 +979,28 @@ ORACLES: dict[str, str] = {
         SELECT entity_type, entity, total_mentions, n_docs
         FROM r WHERE rn <= 5
     """,
+    # exact discrete per-type quantiles (quantile_disc convention)
+    "events_value_quantiles": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
+    # TPC-H Q10 shape: returned-item revenue per customer, one quarter
+    "tpch_q10": """
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_u4
+        FROM customer
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= DATE '1997-10-01'
+          AND o_orderdate < DATE '1998-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue_u4 DESC, c_custkey
+        LIMIT 20
+    """,
 }

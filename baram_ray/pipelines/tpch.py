@@ -421,3 +421,67 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
                              "c_name": "object",
                              "o_orderdate": "datetime64[us]",
                              "o_totalprice_c": "int64"})
+
+
+def q10_returned_items(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape — returned-item revenue per customer: lineitem
+    filtered to R-flag pre-aggregates revenue per order inside the scan
+    (combiner), one fact-side hash-join exchange to orders (quarter
+    window), customer attributes broadcast; top-k by revenue desc with
+    custkey tie-break."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import ensure_cols, read_small
+
+    lo, hi = np.datetime64("1997-10-01"), np.datetime64("1998-01-01")
+
+    def lpartial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["l_returnflag"] == "R"]
+        g = pd.DataFrame({
+            "l_orderkey": d["l_orderkey"],
+            "revenue_u4": _cents((d["l_extendedprice"]
+                                  * (1.0 - d["l_discount"])).to_numpy(),
+                                 10000.0),
+        }).groupby("l_orderkey", as_index=False).sum()
+        return g
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"]) \
+        .map_batches(lpartial, batch_format="pandas")
+
+    def ofilter(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["o_orderdate"].to_numpy("datetime64[us]")
+        m = (ts >= lo) & (ts < hi)
+        return pd.DataFrame({
+            "l_orderkey": df.loc[m, "o_orderkey"].to_numpy(),
+            "o_custkey": df.loc[m, "o_custkey"].to_numpy()})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ofilter, batch_format="pandas")
+
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+    per_cust = grouped_agg(j, ["o_custkey"],
+                           {"revenue_u4": ("revenue_u4", "sum")},
+                           num_buckets=8)
+
+    cust = read_small(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_acctbal"])
+    cmap = {int(k_): (n, float(b)) for k_, n, b in
+            zip(cust["c_custkey"], cust["c_name"], cust["c_acctbal"])}
+    cref = ray.put(cmap)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(cref)
+        names = [m[int(x)][0] for x in df["o_custkey"]]
+        bal = [m[int(x)][1] for x in df["o_custkey"]]
+        out = df.rename(columns={"o_custkey": "c_custkey"})
+        out["c_name"] = names
+        out["c_acctbal"] = bal
+        return out
+
+    out = (per_cust.map_batches(attach, batch_format="pandas")
+           .sort(["revenue_u4", "c_custkey"], descending=[True, False])
+           .limit(k))
+    return ensure_cols(out, {"c_custkey": "int64", "revenue_u4": "int64",
+                             "c_name": "object", "c_acctbal": "float64"})
