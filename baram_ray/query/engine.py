@@ -622,10 +622,13 @@ class QueryEngine:
         in_order=True semantics with SloppyPhraseScorer weighting):
         enumerate the MINIMAL windows [s, e] containing an ordered chain
         p_1 < p_2 < … < p_m with p_j a position of query token j, via
-        the classic plane-sweep (greedy forward chain from each start,
-        then maximize the start — the forward chain is unchanged because
-        the new start is still below the second element). Each window
-        with ``slack = (e - s) - (m - 1) ≤ slop`` contributes
+        the classic two-pass sweep: greedy forward chain from each start
+        fixes the minimal end e, then a FULL backward pass from e
+        re-maximizes every chain position (p_j = max L_j strictly below
+        p_{j+1}), yielding the maximal start s for that end. Successive
+        windows have strictly increasing s AND e, so the emitted set is
+        exactly the containment-minimal span set. Each window with
+        ``slack = (e - s) - (m - 1) ≤ slop`` contributes
         ``1 / (1 + slack)``; slack 0 windows are exact-phrase matches.
         """
         L0 = pos_lists[0]
@@ -634,7 +637,6 @@ class QueryEngine:
         i0 = 0
         while i0 < len(L0):
             b = int(L0[i0])
-            second = None
             ok = True
             for j in range(1, m):
                 Lj = pos_lists[j]
@@ -643,20 +645,21 @@ class QueryEngine:
                     ok = False
                     break
                 b = int(Lj[t])
-                if j == 1:
-                    second = b
             if not ok:
                 break
-            if m == 1:
-                second = int(L0[i0]) + 1        # degenerate single token
-            # maximize the start: largest L0 element strictly below the
-            # chain's second position (forward chain is unaffected)
-            i0n = int(np.searchsorted(L0, second, side="left")) - 1
-            start = int(L0[i0n])
+            # backward pass: from the fixed end, pull every earlier chain
+            # position as late as possible (the forward chain witnesses
+            # that each searchsorted finds an element, so t >= 0)
+            hi = b
+            for j in range(m - 2, -1, -1):
+                Lj = pos_lists[j]
+                t = int(np.searchsorted(Lj, hi, side="left")) - 1
+                hi = int(Lj[t])
+            start = hi
             slack = (b - start) - (m - 1)
             if slack <= slop:
                 freq += 1.0 / (1.0 + slack)
-            i0 = i0n + 1
+            i0 = int(np.searchsorted(L0, start, side="right"))
         return freq
 
     def _phrase_field_slop(self, field: str, qseq: list[str],
