@@ -1003,4 +1003,178 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue_u4 DESC, c_custkey
         LIMIT 20
     """,
+    # sanitize chain on decorated docs (see pipelines/training.py
+    # text_sanitize docstring): both sides wrap the text in the same
+    # tags/entities/ctrl/zero-width/whitespace junk, then run the same
+    # ordered chain — hash equality proves each step
+    "text_sanitize": r"""
+        WITH d AS (
+          SELECT doc_id,
+                 '<div id="d">' || coalesce(text, '') || '</div>'
+                 || chr(7)
+                 || '&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+                 || chr(8203) || '  ' || chr(9) || ' x'
+                 || repeat(chr(10), 4) || '  end  ' AS t
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+            trim(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      replace(replace(replace(replace(replace(replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(t, '<[^>]+>', '', 'g'),
+                            '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}]',
+                            '', 'g'),
+                          '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]',
+                          '', 'g'),
+                        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                        '&quot;', '"'), '&#39;', chr(39)),
+                        '&nbsp;', ' '),
+                      '[ '||chr(9)||']{2,}', ' ', 'g'),
+                    '(?m)^[ '||chr(9)||']+', '', 'g'),
+                  '(?m)[ '||chr(9)||']+$', '', 'g'),
+                chr(10)||'{3,}', chr(10)||chr(10), 'g'),
+              ' '||chr(9)||chr(10)||chr(13)) AS clean
+          FROM d)
+        SELECT doc_id, clean <> '' AS has_content,
+               CAST(length(clean) AS BIGINT) AS clean_len
+        FROM c
+    """,
+    # language-ID heuristic (stages/text.py LangIdStage): script-range
+    # char fractions, then first-argmax stopword hits over en/de/es/fr
+    # in dict order; conf values are exact small rationals (identity
+    # under round-6 on both sides, so neither side needs to round)
+    "text_langid": r"""
+        WITH q AS (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 greatest(1, length(coalesce(text, ''))) AS n,
+                 list_distinct(list_transform(
+                     regexp_extract_all(coalesce(text, ''), '[a-zA-Z]+'),
+                     w -> lower(w))) AS dw
+          FROM documents),
+        h AS (
+          SELECT doc_id, t, n, dw,
+                 len(list_intersect(dw, ['the','and','of','to','in','is',
+                                         'that','for','with','a'])) AS h_en,
+                 len(list_intersect(dw, ['der','die','das','und','ist',
+                                         'nicht','mit','ein','zu'])) AS h_de,
+                 len(list_intersect(dw, ['el','la','de','que','y','en',
+                                         'un','una','por','con'])) AS h_es,
+                 len(list_intersect(dw, ['le','la','les','de','et','un',
+                                         'une','est','pour','que'])) AS h_fr
+          FROM q)
+        SELECT doc_id,
+               CASE
+                 WHEN CAST(len(regexp_extract_all(t, '[가-힯]')) AS DOUBLE)
+                      / n > 0.1 THEN 'ko'
+                 WHEN CAST(len(regexp_extract_all(t, '[぀-ゟ゠-ヿ]')) AS DOUBLE)
+                      / n > 0.1 THEN 'ja'
+                 WHEN CAST(len(regexp_extract_all(t, '[一-鿿]')) AS DOUBLE)
+                      / n > 0.1 THEN 'zh'
+                 WHEN len(dw) = 0 THEN 'unknown'
+                 WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr
+                      THEN 'en'
+                 WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                 WHEN h_es >= h_fr THEN 'es'
+                 ELSE 'fr'
+               END AS pred_lang,
+               CASE
+                 WHEN CAST(len(regexp_extract_all(t, '[가-힯]')) AS DOUBLE)
+                      / n > 0.1 THEN 0.9::DOUBLE
+                 WHEN CAST(len(regexp_extract_all(t, '[぀-ゟ゠-ヿ]')) AS DOUBLE)
+                      / n > 0.1 THEN 0.9::DOUBLE
+                 WHEN CAST(len(regexp_extract_all(t, '[一-鿿]')) AS DOUBLE)
+                      / n > 0.1 THEN 0.8::DOUBLE
+                 WHEN len(dw) = 0 THEN 0.0::DOUBLE
+                 WHEN greatest(h_en, h_de, h_es, h_fr) > 0
+                      THEN least(1.0::DOUBLE,
+                                 CAST(greatest(h_en, h_de, h_es, h_fr)
+                                      AS DOUBLE) / 5.0)
+                 ELSE 0.1::DOUBLE
+               END AS confidence
+        FROM h
+    """,
+    # quality heuristics: every output is a single IEEE division of
+    # exact ints or a fixed-order sum of dyadic products — bit-exact
+    # with the engine WITHOUT rounding (see stages/text.py QualityStage)
+    "text_quality": r"""
+        WITH q AS (
+          SELECT doc_id,
+                 coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS n_chars,
+                 regexp_extract_all(coalesce(text, ''), '\S+') AS words
+          FROM documents),
+        m AS (
+          SELECT doc_id, n_chars,
+                 len(words) AS n_words,
+                 length(t) - length(regexp_replace(t,
+                     '[.,;:!?"''()\[\]{}]', '', 'g')) AS punct,
+                 len(regexp_extract_all(t, '[0-9]')) AS digits,
+                 length(regexp_replace(t, '\s', '', 'g')) AS sum_wl,
+                 len(list_filter(words, w -> list_contains(
+                     ['the','and','of','to','in','is','that','for',
+                      'with','a'], lower(w)))) AS sw
+          FROM q),
+        r AS (
+          SELECT doc_id,
+                 CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 CASE WHEN n_chars > 0
+                      THEN CAST(punct AS DOUBLE) / n_chars
+                      ELSE 0.0::DOUBLE END AS punct_ratio,
+                 CASE WHEN n_chars > 0
+                      THEN CAST(digits AS DOUBLE) / n_chars
+                      ELSE 0.0::DOUBLE END AS digit_ratio,
+                 CASE WHEN n_words > 0
+                      THEN CAST(sw AS DOUBLE) / n_words
+                      ELSE 0.0::DOUBLE END AS stop_ratio,
+                 CASE WHEN n_words > 0
+                      THEN CAST(sum_wl AS DOUBLE) / n_words
+                      ELSE 0.0::DOUBLE END AS mean_word_len
+          FROM m)
+        SELECT doc_id, n_chars, n_words, punct_ratio, digit_ratio,
+               stop_ratio, mean_word_len,
+               (((CASE WHEN n_words >= 5 THEN 0.25::DOUBLE
+                       ELSE 0.0::DOUBLE END)
+                 + (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 12.0
+                         THEN 0.25::DOUBLE ELSE 0.0::DOUBLE END))
+                + 0.25::DOUBLE * least(1.0::DOUBLE,
+                                       4.0::DOUBLE * stop_ratio))
+               + 0.25::DOUBLE * (1.0::DOUBLE
+                   - least(1.0::DOUBLE,
+                           4.0::DOUBLE * greatest(0.0::DOUBLE,
+                               digit_ratio - 0.05::DOUBLE)))
+                   AS quality
+        FROM r
+    """,
+    # CCNet-style corpus-bigram-LM perplexity (add-0.5 smoothing, V =
+    # distinct unigrams); ce/ppl round(6) absorbs sum-order/libm ulps
+    "doc_lm_score": r"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(lower(trim(text)),
+                                               '\s+') AS toks
+                     FROM documents WHERE trim(text) <> ''),
+        pos AS (SELECT doc_id, toks,
+                       unnest(range(1, len(toks))) AS i
+                FROM tok WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+        bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vsz
+              FROM (SELECT unnest(toks) AS t FROM tok)),
+        sc AS (SELECT bg.doc_id,
+                      ln((c12 + 0.5) / (c1 + 0.5 * vsz)) AS lp
+               FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1), v),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       sum(lp) AS s
+                FROM sc GROUP BY 1)
+        SELECT doc_id, n_bigrams,
+               round(-s / n_bigrams, 6) AS cross_entropy,
+               round(exp(-s / n_bigrams), 6) AS ppl
+        FROM agg
+    """,
 }

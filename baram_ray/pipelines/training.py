@@ -173,8 +173,30 @@ def text_fingerprint(sf_dir: str):
 
 
 def text_sanitize(sf_dir: str):
+    """Sanitize-chain exercise: the synthetic corpus carries no HTML /
+    entities / control chars, so (same pattern as ``text_pii``) the
+    driver query DECORATES each doc with a deterministic wrapper —
+    tags, a bell control char, all five entities, a zero-width space,
+    runs of spaces/tabs and newlines — on BOTH sides; hash equality
+    with the SQL oracle then proves every step of the chain (tag strip
+    → zw → ctrl → entity decode → space collapse → line trim → newline
+    collapse → trim) behaves identically."""
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(SanitizeStage("text"), batch_format="pyarrow")
+
+    def decorate(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        deco = pc.binary_join_element_wise(
+            pa.array(['<div id="d">'] * len(batch), pa.string()),
+            batch["text"],
+            pa.array(['</div>\x07&amp; &lt;tag&gt; &quot;q&quot; '
+                      '&#39;s&#39;\u200b  \t x\n\n\n\n  end  ']
+                     * len(batch), pa.string()),
+            "")
+        return pa.table({"doc_id": batch["doc_id"], "text": deco})
+
+    out = ds.map_batches(decorate, batch_format="pyarrow") \
+            .map_batches(SanitizeStage("text"), batch_format="pyarrow")
 
     def project(batch):
         import pyarrow as pa
@@ -182,7 +204,8 @@ def text_sanitize(sf_dir: str):
         return pa.table({
             "doc_id": batch["doc_id"],
             "has_content": batch["has_content"],
-            "clean_len": pc.utf8_length(batch["clean_text"]),
+            "clean_len": pc.cast(pc.utf8_length(batch["clean_text"]),
+                                 pa.int64()),
         })
 
     return out.map_batches(project, batch_format="pyarrow")
@@ -290,6 +313,93 @@ def doc_repetition(sf_dir: str):
     from baram_ray.stages.text import RepetitionStage
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
+
+
+def doc_lm_score(sf_dir: str, alpha: float = 0.5):
+    """CCNet-style corpus-LM quality scoring (Wenzek et al. 2020: docs
+    are ranked by the perplexity of an n-gram LM; here the LM is a
+    bigram model with add-``alpha`` smoothing trained ON the corpus
+    itself in the same pass). Per doc: cross-entropy
+    ``-1/n · Σ ln p(w2|w1)`` over its ``n`` bigram occurrences with
+    ``p(w2|w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V)``, and
+    ``ppl = exp(ce)``. Low-ppl docs look like the corpus average
+    (keep); high-ppl docs are outliers/noise (filter).
+
+    Scale shape: (doc_id, w1, w2, cnt) bigram rows are exploded per
+    batch and hit ONE bucketed exchange keyed on the CONTEXT word w1 —
+    a bucket holds every occurrence of its contexts, so both the
+    bigram count c12 and the context count c1 are in-bucket group sums
+    (no vocabulary broadcast, nothing corpus-sized on the driver); the
+    per-doc reduction is the second exchange. V (distinct unigrams) is
+    the row COUNT of a per-term partial-dedup exchange — a scalar.
+    ce/ppl rounded to 6 (absorbs sum-order + libm ulps vs the oracle,
+    same treatment as doc_cooccur_pmi)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_ray.util import grouped_agg, grouped_map
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        w1s: list[str] = []
+        w2s: list[str] = []
+        cnts: list[int] = []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = (t or "").lower().split()
+            for (a, b), n in Counter(zip(toks, toks[1:])).items():
+                ids.append(did)
+                w1s.append(a)
+                w2s.append(b)
+                cnts.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    def term_rows(batch: pa.Table) -> pa.Table:
+        terms: set[str] = set()
+        for t in batch["text"].to_pylist():
+            terms.update((t or "").lower().split())
+        return pa.table({"term": pa.array(sorted(terms), pa.string())})
+
+    # V: distinct unigrams — per-batch set, exchange-deduped, counted
+    vocab = grouped_agg(ds.map_batches(term_rows, batch_format="pyarrow"),
+                        ["term"], {"n": ("term", "size")}, num_buckets=32)
+    v_size = int(vocab.count())
+
+    bg = ds.map_batches(bigram_rows, batch_format="pyarrow")
+
+    def attach_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        bucket = bucket.copy()
+        g12 = bucket.groupby(["w1", "w2"], sort=False)["cnt"]
+        bucket["c12"] = g12.transform("sum").astype("int64")
+        g1 = bucket.groupby("w1", sort=False)["cnt"]
+        bucket["c1"] = g1.transform("sum").astype("int64")
+        return bucket
+
+    joined = grouped_map(bg, ["w1"], attach_counts, num_buckets=32)
+
+    def per_doc(bucket: pd.DataFrame) -> pd.DataFrame:
+        lp = np.log((bucket["c12"].to_numpy(np.float64) + alpha)
+                    / (bucket["c1"].to_numpy(np.float64) + alpha * v_size))
+        b = bucket.assign(_wlp=lp * bucket["cnt"].to_numpy(np.float64))
+        g = b.groupby("doc_id", sort=False).agg(
+            n_bigrams=("cnt", "sum"), _s=("_wlp", "sum")).reset_index()
+        ce = -g["_s"] / g["n_bigrams"]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_bigrams": g["n_bigrams"].astype("int64"),
+            "cross_entropy": ce.round(6),
+            "ppl": np.exp(ce).round(6),
+        })
+
+    return grouped_map(joined, ["doc_id"], per_doc, num_buckets=32)
 
 
 def doc_shuffle_head(sf_dir: str, seed: int = 7, k: int = 20):

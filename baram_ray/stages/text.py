@@ -155,13 +155,17 @@ class QualityStage:
             score += 0.25
         score += 0.25 * min(1.0, 4.0 * stop_ratio)
         score += 0.25 * (1.0 - min(1.0, 4.0 * max(0.0, digit_ratio - 0.05)))
+        # no rounding: every value is a single IEEE division of exact
+        # ints (or a fixed-order sum of dyadic products), bit-identical
+        # in any engine — rounding would ADD a banker's-vs-half-away tie
+        # hazard vs the SQL oracle (e.g. 1/128 = 0.0078125)
         return {
             "n_chars": n, "n_words": nw,
-            "punct_ratio": round(punct_ratio, 6),
-            "digit_ratio": round(digit_ratio, 6),
-            "stop_ratio": round(stop_ratio, 6),
-            "mean_word_len": round(mean_wl, 6),
-            "quality": round(score, 6),
+            "punct_ratio": punct_ratio,
+            "digit_ratio": digit_ratio,
+            "stop_ratio": stop_ratio,
+            "mean_word_len": mean_wl,
+            "quality": score,
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
