@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_stats": _clean_stats,
         "doc_repetition": trainp.doc_repetition,
         "doc_lm_score": trainp.doc_lm_score,
+        "doc_heavy_terms": trainp.doc_heavy_terms,
         "doc_dup_spans": trainp.doc_dup_spans,
         "text_pii": trainp.text_pii,
         "doc_tfidf_top": trainp.doc_tfidf_top,

@@ -1151,6 +1151,18 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # Misra–Gries heavy hitters in the exact regime (k=4096 ≫ vocab →
+    # no trim, dec=0): estimates equal exact counts, err_bound is 0
+    "doc_heavy_terms": r"""
+        WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS term
+                     FROM documents WHERE trim(text) <> '')
+        SELECT term, CAST(count(*) AS BIGINT) AS est_count,
+               CAST(0 AS BIGINT) AS err_bound
+        FROM tok GROUP BY term
+        ORDER BY est_count DESC, term ASC
+        LIMIT 20
+    """,
     # CCNet-style corpus-bigram-LM perplexity (add-0.5 smoothing, V =
     # distinct unigrams); ce/ppl round(6) absorbs sum-order/libm ulps
     "doc_lm_score": r"""

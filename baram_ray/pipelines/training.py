@@ -315,6 +315,34 @@ def doc_repetition(sf_dir: str):
     return ds.map_batches(RepetitionStage(), batch_format="pyarrow")
 
 
+def doc_heavy_terms(sf_dir: str, topn: int = 20):
+    """Misra–Gries heavy-hitter terms over the corpus token stream
+    (``sketches.heavy_hitters``). With counter budget k=4096 ≫ the
+    synthetic vocabulary no trim ever fires, so every count is EXACT
+    and the DuckDB oracle (exact top-n term counts) is hash-exact; at
+    web scale the identical operator degrades to the bounded-error
+    sketch (est ≤ true ≤ est + err_bound; any term with frequency
+    > n/(k+1) survives — pytest-asserted properties)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from baram_ray import sketches
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def keys(batch: pa.Table) -> np.ndarray:
+        toks: list[str] = []
+        for t in batch["text"].to_pylist():
+            toks.extend((t or "").lower().split())
+        return np.asarray(toks, dtype=object)
+
+    out = sketches.heavy_hitters(ds, keys, topn=topn)
+    out = out.rename(columns={"key": "term"})
+    out["est_count"] = out["est_count"].astype("int64")
+    out["err_bound"] = out["err_bound"].astype("int64")
+    return out
+
+
 def doc_lm_score(sf_dir: str, alpha: float = 0.5):
     """CCNet-style corpus-LM quality scoring (Wenzek et al. 2020: docs
     are ranked by the perplexity of an n-gram LM; here the LM is a

@@ -77,3 +77,109 @@ def distinct_kmv(ds, key_fn, group_col: str, *, k: int = DEFAULT_K,
 
     return grouped_map(parts, [group_col], reduce,
                        num_buckets=num_buckets)
+
+# ------------------------------------------------------------------ #
+# Misra–Gries heavy hitters (Misra & Gries 1982; mergeable-summaries
+# form from Agarwal et al. 2012): at most k counters; every estimate
+# UNDERCOUNTS by at most the accumulated decrement ``dec``, and any
+# key with true frequency > n/(k+1) is guaranteed to survive. When the
+# distinct-key count never exceeds k (the SQL-oracle regime — the
+# synthetic corpus vocabulary is tiny vs k=4096) no trim ever fires,
+# dec stays 0 and every count is EXACT; at web scale the same operator
+# degrades gracefully to the bounded-error sketch. Merge = counter sum
+# + one trim, so it composes through any reduce tree.
+# ------------------------------------------------------------------ #
+
+MG_K = 4096
+
+
+def mg_trim(terms: np.ndarray, counts: np.ndarray, k: int):
+    """Trim to ≤ k counters: subtract the (k+1)-th largest count from
+    all, keep strictly positive. Returns (terms, counts, dec) — dec is
+    0 when no trim was needed. Value-based criterion → deterministic
+    under any sort order of ties."""
+    if len(terms) <= k:
+        return terms, counts, 0
+    d = int(np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1])
+    keep = counts > d
+    return terms[keep], counts[keep] - d, d
+
+
+def mg_partial(keys: np.ndarray, k: int = MG_K):
+    """Sketch one batch of raw key occurrences."""
+    t, c = np.unique(keys, return_counts=True)
+    return mg_trim(t, c.astype(np.int64), k)
+
+
+def mg_merge(terms: np.ndarray, counts: np.ndarray, decs_in: int,
+             k: int = MG_K):
+    """Merge concatenated counter rows from several sketches (terms may
+    repeat across inputs): sum per key, trim once. ``decs_in`` is the
+    sum of the input sketches' decrements; the returned dec includes
+    it, so the error bound composes along the reduce tree."""
+    s = pd.Series(counts).groupby(pd.Series(terms), sort=False).sum()
+    t2 = s.index.to_numpy()
+    c2 = s.to_numpy().astype(np.int64)
+    t3, c3, d = mg_trim(t2, c2, k)
+    return t3, c3, int(decs_in) + int(d)
+
+
+def heavy_hitters(ds, key_fn, *, k: int = MG_K, topn: int = 20,
+                  num_buckets: int = 8):
+    """Top-``topn`` most frequent ``key_fn(batch)`` values with
+    Misra–Gries estimates and a global undercount bound.
+
+    At-scale shape: each map task emits ≤ k counter rows plus one
+    decrement row (key NULL) tagged by a deterministic partial id; the
+    exchange carries O(blocks × k) sketch rows, never the corpus; the
+    per-tag reduce is one MG merge; the driver merges only the ≤
+    ``num_buckets`` bucket sketches (sketch-sized, not corpus-sized).
+    Returns a pandas DataFrame (key, est_count, err_bound) sorted by
+    est desc / key asc — in the no-trim regime est_count is exact and
+    err_bound is 0.
+    """
+    from baram_ray.util import grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        t, c, d = mg_partial(keys, k)
+        # stable tag (Python str hash is per-process randomized): any
+        # spread works — merge is order/partition-insensitive — but a
+        # deterministic one keeps reruns byte-identical
+        import zlib
+        sig = f"{t[0]}|{t[-1]}|{len(t)}|{int(c.sum())}" if len(t) else ""
+        tag = zlib.crc32(sig.encode()) % num_buckets
+        terms = list(t.astype(str)) + [None]
+        cnts = list(c.astype(np.int64)) + [int(d)]
+        return pa.table({
+            "tag": pa.array([tag] * len(terms), pa.int64()),
+            "key": pa.array(terms, pa.string()),
+            "cnt": pa.array(np.asarray(cnts, np.int64), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        decs = int(df.loc[df["key"].isna(), "cnt"].sum())
+        live = df[df["key"].notna()]
+        t, c, d = mg_merge(live["key"].to_numpy(),
+                           live["cnt"].to_numpy(np.int64), decs, k)
+        out = pd.DataFrame({
+            "tag": np.zeros(len(t) + 1, np.int64),
+            "key": np.append(t.astype(object), None),
+            "cnt": np.append(c.astype(np.int64), np.int64(d)),
+        })
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    merged = grouped_map(parts, ["tag"], reduce,
+                         num_buckets=num_buckets).to_pandas()
+    decs = int(merged.loc[merged["key"].isna(), "cnt"].sum())
+    live = merged[merged["key"].notna()]
+    t, c, d = mg_merge(live["key"].to_numpy(),
+                       live["cnt"].to_numpy(np.int64), decs, k)
+    out = pd.DataFrame({"key": t, "est_count": c})
+    out["err_bound"] = np.int64(d)
+    out = out.sort_values(["est_count", "key"],
+                          ascending=[False, True], kind="stable")
+    return out.head(topn).reset_index(drop=True)

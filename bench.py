@@ -181,6 +181,7 @@ def run_bench() -> dict:
         "text_pii": timed(trainp.text_pii),
         "doc_dup_spans": timed(trainp.doc_dup_spans),
         "doc_tfidf_top": timed(trainp.doc_tfidf_top),
+        "doc_lm_score": timed(trainp.doc_lm_score),
     }
 
     result = {

@@ -163,3 +163,53 @@ def test_kmv_exact_below_k_and_accuracy():
     true = len(np.unique(big))
     est = kmv_estimate(kmv_partial(big, k=256).astype(np.uint64), k=256)
     assert abs(est - true) / true < 0.25
+
+
+# ------------------------------------------------------------------ #
+# Misra–Gries heavy hitters: exactness / undercount bound / survival
+# ------------------------------------------------------------------ #
+
+def _mg_run_chunks(arr, k, n_chunks):
+    """Sketch chunk-wise, merge the partials — the distributed shape."""
+    from baram_ray.sketches import mg_merge, mg_partial
+    parts = [mg_partial(c, k) for c in np.array_split(arr, n_chunks)
+             if len(c)]
+    terms = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    decs = sum(p[2] for p in parts)
+    return mg_merge(terms, counts, decs, k)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=3000),
+       st.integers(min_value=4, max_value=32),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=150, deadline=None)
+def test_mg_bounds(keys, k, n_chunks):
+    """est ≤ true ≤ est + dec for every surviving key, and any key with
+    true frequency > n/(k+1) survives — through an arbitrary merge tree."""
+    from collections import Counter
+    arr = np.asarray([str(x) for x in keys], dtype=object)
+    t, c, dec = _mg_run_chunks(arr, k, n_chunks)
+    est = dict(zip(t.tolist(), c.tolist()))
+    true = Counter(arr.tolist())
+    n = len(arr)
+    for key, tc in true.items():
+        e = est.get(key, 0)
+        assert e <= tc <= e + dec, (key, e, tc, dec)
+        if tc > n / (k + 1):
+            assert key in est, (key, tc, n, k)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=25), min_size=1,
+                max_size=500),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=100, deadline=None)
+def test_mg_exact_when_under_budget(keys, n_chunks):
+    """k ≥ distinct keys ⇒ no trim ever fires: dec == 0, counts exact
+    (the SQL-oracle regime of doc_heavy_terms)."""
+    from collections import Counter
+    arr = np.asarray([str(x) for x in keys], dtype=object)
+    t, c, dec = _mg_run_chunks(arr, 26, n_chunks)
+    assert dec == 0
+    assert dict(zip(t.tolist(), c.tolist())) == dict(Counter(arr.tolist()))
