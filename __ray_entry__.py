@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_topk": searchp.bm25_topk,
         "search_bm25_sharded": searchp.bm25_topk_sharded,
         "search_hybrid_topk": searchp.hybrid_topk,
+        "search_hybrid_rrf": searchp.hybrid_rrf_topk,
+        "search_facets": searchp.search_facets,
         "search_bm25_filtered": searchp.bm25_filtered,
         "search_bm25_daterange": searchp.bm25_daterange,
         "search_term_range": searchp.term_range,

@@ -1151,6 +1151,22 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # faceted search: terms aggregation over the full conjunctive match
+    # set ("data" AND "stream"), per kept metadata column
+    "search_facets": r"""
+        WITH m AS (SELECT lang, source
+                   FROM documents
+                   WHERE list_contains(string_split_regex(
+                             lower(trim(text)), '\s+'), 'data')
+                     AND list_contains(string_split_regex(
+                             lower(trim(text)), '\s+'), 'stream'))
+        SELECT 'lang' AS facet, lang AS value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM m GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, CAST(count(*) AS BIGINT)
+        FROM m GROUP BY source
+    """,
     # Misra–Gries heavy hitters in the exact regime (k=4096 ≫ vocab →
     # no trim, dec=0): estimates equal exact counts, err_bound is 0
     "doc_heavy_terms": r"""

@@ -564,6 +564,56 @@ def hybrid_topk(sf_dir: str, query_text: str = "data stream query",
     })
 
 
+def hybrid_rrf_topk(sf_dir: str, query_text: str = "data stream query",
+                    k: int = 10, pool: int = 100, rrf_k: int = 60):
+    """Hybrid BM25 + kNN fused by Reciprocal Rank Fusion — the OTHER
+    standard hybrid combiner (OpenSearch ``score-ranker-processor``
+    rrf, Cormack et al. 2009): score(d) = Σ_subquery 1/(rrf_k + rank),
+    rank-only so no score normalization is needed. Same distributed
+    sub-queries as ``hybrid_topk``; only the two pool-sized rank lists
+    meet on the driver. Rows-only driver check; fusion math is
+    unit-recomputed in tests."""
+    from baram_ray.similarity import brute_force_topk
+
+    idx = ensure_index(sf_dir)
+    bdf = _actor_search(idx, [{"query_id": 0, "text": query_text,
+                               "k": pool}])
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    kdf = brute_force_topk(ds, [HYBRID_QUERY_VEC], k=pool,
+                           round6=False).to_pandas()
+    fused: dict[int, float] = {}
+    for df, doc_col in ((bdf, "doc_id"), (kdf, "vec_id")):
+        df = df.sort_values("rank", kind="stable")
+        for rank, d in zip(df["rank"].tolist(), df[doc_col].tolist()):
+            fused[int(d)] = fused.get(int(d), 0.0) + 1.0 / (rrf_k + int(rank))
+    rows = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pd.DataFrame({
+        "rank": range(1, len(rows) + 1),
+        "doc_id": [d for d, _ in rows],
+        "score": [round(s, 6) for _, s in rows],
+    })
+
+
+def search_facets(sf_dir: str, query_text: str = "data stream",
+                  facet_fields: tuple[str, ...] = ("lang", "source")):
+    """Faceted search: terms aggregation over the FULL conjunctive
+    match set (every doc containing all query tokens), per kept
+    metadata column — OpenSearch ``aggs`` alongside a bool query.
+    Runs through the ShardedEngine scatter-gather (per-shard counts
+    sum exactly). The match predicate is SQL-expressible on the
+    plain-word corpus → hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    rows = eng.facets(query_text, list(facet_fields))
+    return pd.DataFrame({
+        "facet": [f for f, _, _ in rows],
+        "value": [str(v) for _, v, _ in rows],
+        "n": pd.array([c for _, _, c in rows], dtype="int64"),
+    })
+
+
 def build_metrics(sf_dir: str):
     """G11: per-stage pipeline counters from the build manifests (the
     reference's per-batch metrics / checkpoint records,

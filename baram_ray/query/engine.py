@@ -314,6 +314,37 @@ class QueryEngine:
                                 k=len(self.r.doc_ids), filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
+    def facets(self, query: str, facet_fields: list[str],
+               filters: dict | None = None
+               ) -> list[tuple[str, object, int]]:
+        """OpenSearch-style terms aggregation alongside a conjunctive
+        query: per facet field (a kept metadata column), the count of
+        EVERY matching doc per value — the full match set, not top-k.
+        Empty query aggregates the whole live corpus. Returns (facet,
+        value, count) rows sorted count desc / value asc within each
+        facet. Shard-local counts sum exactly (docs partition by
+        shard), so the sharded form merges by addition."""
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        terms = list(dict.fromkeys(tokenize(query or "")))
+        ok = (r.live.copy() if r.live is not None
+              else np.ones(len(r.doc_ids), dtype=bool))
+        for t in terms:
+            _, m = self._clause_eval(t, None)
+            ok &= m
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        out: list[tuple[str, object, int]] = []
+        for f in facet_fields:
+            if f not in r.doc_meta:
+                from baram_ray.errors import UnknownFilterColumn
+                raise UnknownFilterColumn(f)
+            uniq, cnts = np.unique(r.doc_meta[f][ok], return_counts=True)
+            order = np.lexsort((uniq, -cnts))
+            out.extend((f, uniq[i], int(cnts[i])) for i in order)
+        return out
+
     # ------------------------------------------------------------------ #
     def _score_expansions(self, exps, k: int,
                           filters: dict | None,
@@ -962,6 +993,21 @@ class ShardedEngine:
         """Bool scatter-gather: each shard's must_not complement is its
         own doc range, so the union equals the global complement."""
         return self._scatter("search_bool", k, (), kw)
+
+    def facets(self, query: str, facet_fields: list[str],
+               filters: dict | None = None
+               ) -> list[tuple[str, object, int]]:
+        """Facet scatter-gather: docs partition by shard, so per-shard
+        (facet, value) counts SUM to the global counts exactly — the
+        cheap merge that makes terms aggregation multi-node-friendly."""
+        totals: dict[tuple[str, object], int] = {}
+        for eng in self.engines:
+            for f, v, c in eng.facets(query, facet_fields,
+                                      filters=filters):
+                totals[(f, v)] = totals.get((f, v), 0) + c
+        out = sorted(totals.items(), key=lambda kv: (kv[0][0], -kv[1],
+                                                     str(kv[0][1])))
+        return [(f, v, c) for (f, v), c in out]
 
 
 class QueryActor:

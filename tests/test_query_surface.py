@@ -259,3 +259,84 @@ def test_sharded_phrase_and_bool_parity(ray_session, tmp_path):
         single.search_bool(k=25, must=["data"],
                            should=["join sort", "hash"],
                            must_not=["vector"], minimum_should_match=1)
+
+
+# ------------------------------------------------------------------ #
+# facets: terms aggregation over the FULL match set
+# ------------------------------------------------------------------ #
+
+def _facet_oracle(query_terms, facet_fields):
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    cond = " AND ".join(
+        "list_contains(string_split_regex(lower(trim(text)), '\\s+'), "
+        f"'{t}')" for t in query_terms) or "TRUE"
+    out = set()
+    for f in facet_fields:
+        rows = con.execute(
+            f"SELECT {f}, count(*) FROM documents WHERE {cond} "
+            f"GROUP BY 1").fetchall()
+        out |= {(f, str(v), int(c)) for v, c in rows}
+    return out
+
+
+def test_facets_match_bruteforce(engine, ray_session):
+    got = {(f, str(v), c)
+           for f, v, c in engine.facets("data stream", ["lang", "source"])}
+    assert got == _facet_oracle(["data", "stream"], ["lang", "source"])
+
+
+def test_facets_empty_query_is_corpus_counts(engine, ray_session):
+    got = {(f, str(v), c) for f, v, c in engine.facets("", ["lang"])}
+    assert got == _facet_oracle([], ["lang"])
+
+
+def test_facets_with_filter_and_sharded(engine, ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import ShardedEngine
+    # filters compose: facet over matching docs restricted by metadata
+    got = engine.facets("data", ["source"], filters={"lang": "en"})
+    assert all(f == "source" for f, _, _ in got)
+    # sharded sums equal the single-reader counts exactly
+    sh = ShardedEngine(ensure_index(SF), n_groups=2)
+    single = {(f, str(v), c)
+              for f, v, c in engine.facets("data stream", ["lang", "source"])}
+    sharded = {(f, str(v), c)
+               for f, v, c in sh.facets("data stream", ["lang", "source"])}
+    assert sharded == single
+    # unknown facet column raises like unknown filter columns do
+    from baram_ray.errors import UnknownFilterColumn
+    with pytest.raises(UnknownFilterColumn):
+        engine.facets("data", ["nope"])
+
+
+# ------------------------------------------------------------------ #
+# RRF hybrid fusion: exact recomputation of the merge
+# ------------------------------------------------------------------ #
+
+def test_hybrid_rrf_recomputation(ray_session):
+    from baram_ray.pipelines.search import (
+        HYBRID_QUERY_VEC, _actor_search, ensure_index, hybrid_rrf_topk,
+    )
+    from baram_ray.similarity import brute_force_topk
+    got = hybrid_rrf_topk(SF, "data stream query", k=10, pool=50)
+    # recompute from the two sub-query rank lists
+    idx = ensure_index(SF)
+    bdf = _actor_search(idx, [{"query_id": 0, "text": "data stream query",
+                               "k": 50}]).sort_values("rank")
+    kdf = brute_force_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]),
+        [HYBRID_QUERY_VEC], k=50, round6=False).to_pandas() \
+        .sort_values("rank")
+    fused = {}
+    for df, col in ((bdf, "doc_id"), (kdf, "vec_id")):
+        for r, d in zip(df["rank"], df[col]):
+            fused[int(d)] = fused.get(int(d), 0.0) + 1.0 / (60 + int(r))
+    exp = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert got["doc_id"].tolist() == [d for d, _ in exp]
+    assert got["score"].tolist() == [round(s, 6) for _, s in exp]
+    # rank-only fusion: ties in score imply doc_id ascending
+    assert got["rank"].tolist() == list(range(1, len(got) + 1))
