@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": trainp.doc_lm_score,
         "doc_heavy_terms": trainp.doc_heavy_terms,
         "doc_dup_spans": trainp.doc_dup_spans,
+        "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,
         "doc_tfidf_top": trainp.doc_tfidf_top,
         # embedding prep (M16 + A1 actor-pool inference shape)

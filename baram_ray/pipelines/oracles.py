@@ -1151,6 +1151,42 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # ExactSubstr duplicate-span removal: a token survives iff no
+    # k=5-token span with >= 2 corpus-wide occurrences covers it
+    "doc_dup_spans_removed": r"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(trim(text), '\s+') AS toks
+                     FROM documents),
+        sp AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+               FROM tok WHERE len(toks) >= 5),
+        spans AS (SELECT doc_id, i,
+                         array_to_string(toks[i:i + 4], ' ') AS span
+                  FROM sp),
+        occ AS (SELECT span, count(*) AS c FROM spans GROUP BY 1),
+        dup AS (SELECT spans.doc_id, i
+                FROM spans JOIN occ USING (span) WHERE c >= 2),
+        tpos AS (SELECT doc_id, unnest(toks) AS tokn,
+                        unnest(range(1, len(toks) + 1)) AS j,
+                        len(toks) AS n
+                 FROM tok),
+        kept AS (SELECT t.doc_id, t.tokn, t.j, t.n,
+                        NOT EXISTS (SELECT 1 FROM dup d
+                                    WHERE d.doc_id = t.doc_id
+                                      AND d.i BETWEEN t.j - 4 AND t.j)
+                            AS keep
+                 FROM tpos t)
+        SELECT tok.doc_id,
+               CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+               CAST(len(tok.toks)
+                    - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(k.txt, '') AS clean_text
+        FROM tok
+        LEFT JOIN (SELECT doc_id,
+                          count(*) FILTER (WHERE keep) AS n_kept,
+                          string_agg(tokn, ' ' ORDER BY j)
+                              FILTER (WHERE keep) AS txt
+                   FROM kept GROUP BY doc_id) k USING (doc_id)
+    """,
     # faceted search: terms aggregation over the full conjunctive match
     # set ("data" AND "stream"), per kept metadata column
     "search_facets": r"""

@@ -553,6 +553,83 @@ def doc_dup_spans(sf_dir: str, k: int = 5, hash_spans: bool = False):
     return totals.map_batches(frac, batch_format="pyarrow")
 
 
+def doc_dup_spans_removed(sf_dir: str, k: int = 5):
+    """ExactSubstr-style duplicate-span REMOVAL (Lee et al. 2022 §4.1 —
+    the companion to ``doc_dup_spans``' exposure signal): every
+    ``k``-token span occurring ≥ 2 times anywhere in the corpus
+    (across OR within docs) is cut from every document; a token
+    survives iff no duplicated span covers it. Returns (doc_id,
+    n_tokens, n_removed, clean_text) — clean_text is the surviving
+    tokens re-joined.
+
+    Scale shape: ALL span occurrences (doc_id, pos, span) stream
+    through ONE bucketed exchange keyed on the span — the occurrence
+    count is the in-bucket group size, and only the (doc_id, pos) rows
+    of duplicated spans leave the bucket; the rebuild is a cogroup of
+    the docs table with those positions (interval-union via a
+    difference array per doc). Nothing corpus-sized on the driver.
+    Hash-exact DuckDB oracle (string-span keys; the hashed-key
+    production variant of ``doc_dup_spans`` applies here identically).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_ray.util import cogroup, grouped_map
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def span_pos_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        poss: list[int] = []
+        spans: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = (t or "").split()
+            for i in range(len(toks) - k + 1):
+                ids.append(d)
+                poss.append(i)
+                spans.append(" ".join(toks[i:i + k]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "span": pa.array(spans, pa.string())})
+
+    spans = docs.map_batches(span_pos_rows, batch_format="pyarrow")
+
+    def dup_positions(bucket: pd.DataFrame) -> pd.DataFrame:
+        occ = bucket.groupby("span", sort=False)["doc_id"].transform("size")
+        return bucket.loc[occ >= 2, ["doc_id", "pos"]]
+
+    dups = grouped_map(spans, ["span"], dup_positions, num_buckets=32)
+
+    def rebuild(docs_df: pd.DataFrame, dup_df: pd.DataFrame) -> pd.DataFrame:
+        by_doc = {d: g["pos"].to_numpy(np.int64)
+                  for d, g in dup_df.groupby("doc_id", sort=False)}
+        ids, ntok, nrem, clean = [], [], [], []
+        for d, t in zip(docs_df["doc_id"].to_numpy(),
+                        docs_df["text"].to_list()):
+            toks = (t or "").split()
+            n = len(toks)
+            diff = np.zeros(n + 1, dtype=np.int64)
+            for p in by_doc.get(d, ()):
+                diff[p] += 1
+                diff[min(p + k, n)] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            ids.append(int(d))
+            ntok.append(n)
+            nrem.append(int(covered.sum()))
+            clean.append(" ".join(kept))
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, np.int64),
+            "n_tokens": np.asarray(ntok, np.int64),
+            "n_removed": np.asarray(nrem, np.int64),
+            "clean_text": pd.Series(clean, dtype="object"),
+        })
+
+    return cogroup(docs, dups, ["doc_id"], rebuild, num_buckets=16)
+
+
 def doc_tfidf_top(sf_dir: str):
     from baram_ray.pipelines.documents import tfidf_top
     return tfidf_top(sf_dir)

@@ -654,3 +654,34 @@ def test_resize_stage_dimensions(ray_session):
     ar_in = d["decoded_width"] / d["decoded_height"]
     ar_out = out["out_width"] / out["out_height"]
     assert (abs(ar_in - ar_out) / ar_in < 0.1).all()
+
+
+def test_dup_span_removal_invariants(ray_session):
+    """ExactSubstr removal: token accounting is exact, clean docs are
+    untouched, and every doc_dup_spans-flagged doc loses tokens."""
+    from baram_ray.pipelines.training import (
+        doc_dup_spans, doc_dup_spans_removed,
+    )
+    sf = "/root/testdata/sf0.001"
+    out = doc_dup_spans_removed(sf).to_pandas().set_index("doc_id")
+    exposure = doc_dup_spans(sf).to_pandas().set_index("doc_id")
+    # every doc present exactly once
+    import pandas as pd
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).set_index("doc_id")
+    assert sorted(out.index) == sorted(docs.index)
+    # token accounting: kept tokens == n_tokens - n_removed
+    kept_counts = out["clean_text"].str.split().str.len().fillna(0)
+    assert (kept_counts == out["n_tokens"] - out["n_removed"]).all()
+    # docs with no duplicated spans are byte-identical after the
+    # whitespace-normalizing rejoin
+    clean_ids = set(out.index) - set(exposure[exposure["n_dup_grams"] > 0]
+                                     .index)
+    for d in list(clean_ids)[:50]:
+        assert out.loc[d, "clean_text"] == " ".join(
+            docs.loc[d, "text"].split())
+        assert out.loc[d, "n_removed"] == 0
+    # exposure-flagged docs lose at least k tokens (a full span)
+    dup_ids = exposure[exposure["n_dup_grams"] > 0].index
+    if len(dup_ids):
+        assert (out.loc[dup_ids, "n_removed"] >= 5).all()
