@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_hybrid_topk": searchp.hybrid_topk,
         "search_hybrid_rrf": searchp.hybrid_rrf_topk,
         "search_facets": searchp.search_facets,
+        "search_facet_hist": searchp.search_facet_hist,
+        "search_sorted_docs": searchp.search_sorted_docs,
         "search_bm25_filtered": searchp.bm25_filtered,
         "search_bm25_daterange": searchp.bm25_daterange,
         "search_term_range": searchp.term_range,

@@ -1151,6 +1151,27 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # histogram aggregation over the full match set of 'data'
+    "search_facet_hist": r"""
+        SELECT floor(n_chars / 50.0) * 50.0 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        GROUP BY 1
+    """,
+    # metadata-sorted retrieval: match set of 'data' AND 'stream'
+    # ordered n_chars DESC, doc_id ASC, top 15
+    "search_sorted_docs": r"""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+          AND list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'stream')
+        ORDER BY n_chars DESC, doc_id ASC
+        LIMIT 15
+    """,
     # ExactSubstr duplicate-span removal: a token survives iff no
     # k=5-token span with >= 2 corpus-wide occurrences covers it
     "doc_dup_spans_removed": r"""

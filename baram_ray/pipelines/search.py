@@ -614,6 +614,39 @@ def search_facets(sf_dir: str, query_text: str = "data stream",
     })
 
 
+def search_facet_hist(sf_dir: str, query_text: str = "data",
+                      field: str = "n_chars", interval: float = 50.0):
+    """Histogram aggregation (OpenSearch ``histogram`` agg) over the
+    full match set: counts per fixed-width bucket of a kept numeric
+    metadata column, bucket key = floor(v/interval)*interval. Sharded
+    scatter-gather (per-shard histograms sum exactly); hash-exact
+    DuckDB oracle."""
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    rows = eng.facet_histogram(query_text, field, interval)
+    return pd.DataFrame({
+        "bucket": pd.array([b for b, _ in rows], dtype="float64"),
+        "n": pd.array([c for _, c in rows], dtype="int64"),
+    })
+
+
+def search_sorted_docs(sf_dir: str, query_text: str = "data stream",
+                       sort_by: str = "n_chars", k: int = 15):
+    """Metadata-sorted retrieval (OpenSearch ``sort`` clause): the
+    conjunctive match set ordered by a kept metadata column DESC
+    (doc_id-asc ties), top-k. Sharded scatter-gather merge is
+    identical to a single reader; hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    hits = eng.search_sorted(query_text, sort_by, k=k, ascending=False)
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+        sort_by: pd.array([int(v) for _, v in hits], dtype="int64"),
+    })
+
+
 def build_metrics(sf_dir: str):
     """G11: per-stage pipeline counters from the build manifests (the
     reference's per-batch metrics / checkpoint records,

@@ -33,6 +33,22 @@ import pandas as pd
 from baram_ray.index.segment import IndexReader, PostingList
 
 
+class _RevKey:
+    """Inverts comparison order for arbitrary comparable sort values
+    (descending merge key when the value type may not be negatable)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 # phrase auto-policy: below this rarest-term df the skip-loop (which only
 # decodes blocks the rarest term steers to) wins; above it the vectorized
 # whole-postings intersection wins (tests force both paths)
@@ -346,6 +362,62 @@ class QueryEngine:
         return out
 
     # ------------------------------------------------------------------ #
+    def facet_histogram(self, query: str, field: str, interval: float,
+                        filters: dict | None = None
+                        ) -> list[tuple[float, int]]:
+        """OpenSearch histogram aggregation over the full conjunctive
+        match set: counts per fixed-width bucket of a kept NUMERIC
+        metadata column; bucket key = floor(value / interval) *
+        interval (OpenSearch's convention). Returns (bucket_lo, count)
+        sorted by bucket. Shard-local histograms sum exactly."""
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        if field not in r.doc_meta:
+            from baram_ray.errors import UnknownFilterColumn
+            raise UnknownFilterColumn(field)
+        ok = (r.live.copy() if r.live is not None
+              else np.ones(len(r.doc_ids), dtype=bool))
+        for t in dict.fromkeys(tokenize(query or "")):
+            _, m = self._clause_eval(t, None)
+            ok &= m
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        vals = r.doc_meta[field][ok].astype(np.float64)
+        keys = np.floor(vals / interval) * interval
+        uniq, cnts = np.unique(keys, return_counts=True)
+        return [(float(u), int(c)) for u, c in zip(uniq, cnts)]
+
+    def search_sorted(self, query: str, sort_by: str, k: int = 10,
+                      ascending: bool = True,
+                      filters: dict | None = None
+                      ) -> list[tuple[int, object]]:
+        """Metadata-sorted retrieval (OpenSearch ``sort`` clause instead
+        of _score): the conjunctive match set ordered by a kept
+        metadata column (doc_id-asc tie-break), top-k. Returns
+        (doc_id, sort_value) rows."""
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        if sort_by not in r.doc_meta:
+            from baram_ray.errors import UnknownFilterColumn
+            raise UnknownFilterColumn(sort_by)
+        ok = (r.live.copy() if r.live is not None
+              else np.ones(len(r.doc_ids), dtype=bool))
+        for t in dict.fromkeys(tokenize(query or "")):
+            _, m = self._clause_eval(t, None)
+            ok &= m
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0 or k <= 0:
+            return []
+        df = pd.DataFrame({"v": r.doc_meta[sort_by][rows],
+                           "d": r.doc_ids[rows]})
+        df = df.sort_values(["v", "d"], ascending=[ascending, True],
+                            kind="stable").head(k)
+        return [(int(d), v) for d, v in zip(df["d"], df["v"])]
+
     def _score_expansions(self, exps, k: int,
                           filters: dict | None,
                           min_score: float | None
@@ -1008,6 +1080,31 @@ class ShardedEngine:
         out = sorted(totals.items(), key=lambda kv: (kv[0][0], -kv[1],
                                                      str(kv[0][1])))
         return [(f, v, c) for (f, v), c in out]
+
+    def facet_histogram(self, query: str, field: str, interval: float,
+                        filters: dict | None = None
+                        ) -> list[tuple[float, int]]:
+        """Histogram scatter-gather: per-shard bucket counts sum exactly."""
+        totals: dict[float, int] = {}
+        for eng in self.engines:
+            for b, c in eng.facet_histogram(query, field, interval,
+                                            filters=filters):
+                totals[b] = totals.get(b, 0) + c
+        return sorted(totals.items())
+
+    def search_sorted(self, query: str, sort_by: str, k: int = 10,
+                      ascending: bool = True,
+                      filters: dict | None = None) -> list:
+        """Sorted-retrieval scatter-gather: merge each shard's top-k by
+        the same (value, doc_id) key — identical to a single reader."""
+        hits = []
+        for eng in self.engines:
+            hits.extend(eng.search_sorted(query, sort_by, k=k,
+                                          ascending=ascending,
+                                          filters=filters))
+        hits.sort(key=lambda dv: ((dv[1], dv[0]) if ascending
+                                  else (_RevKey(dv[1]), dv[0])))
+        return hits[:k]
 
 
 class QueryActor:

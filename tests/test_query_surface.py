@@ -340,3 +340,39 @@ def test_hybrid_rrf_recomputation(ray_session):
     assert got["score"].tolist() == [round(s, 6) for _, s in exp]
     # rank-only fusion: ties in score imply doc_id ascending
     assert got["rank"].tolist() == list(range(1, len(got) + 1))
+
+
+# ------------------------------------------------------------------ #
+# histogram facets + metadata-sorted retrieval
+# ------------------------------------------------------------------ #
+
+def test_facet_histogram_and_sorted(engine, ray_session):
+    import duckdb
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import ShardedEngine
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    hist = engine.facet_histogram("data", "n_chars", 50.0)
+    exp = con.execute(
+        "SELECT floor(n_chars/50.0)*50.0, count(*) FROM documents "
+        "WHERE list_contains(string_split_regex(lower(trim(text)), "
+        "'\\s+'), 'data') GROUP BY 1 ORDER BY 1").fetchall()
+    assert [(float(b), int(c)) for b, c in exp] == hist
+    # sharded histogram sums to the single-reader one
+    sh = ShardedEngine(ensure_index(SF), n_groups=2)
+    assert sh.facet_histogram("data", "n_chars", 50.0) == hist
+    # sorted retrieval: desc and asc agree with SQL incl tie-breaks
+    for asc, order in ((True, "ASC"), (False, "DESC")):
+        got = engine.search_sorted("data stream", "n_chars", k=12,
+                                   ascending=asc)
+        exp = con.execute(
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE list_contains(string_split_regex(lower(trim(text)), "
+            "'\\s+'), 'data') AND list_contains(string_split_regex("
+            "lower(trim(text)), '\\s+'), 'stream') "
+            f"ORDER BY n_chars {order}, doc_id ASC LIMIT 12").fetchall()
+        assert [(int(d), int(v)) for d, v in got] == \
+               [(int(d), int(v)) for d, v in exp]
+        assert sh.search_sorted("data stream", "n_chars", k=12,
+                                ascending=asc) == got
