@@ -1151,6 +1151,22 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # percolation: stored conjunctive queries vs every doc
+    "search_percolate": r"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(lower(trim(text)),
+                                               '\s+') AS t
+                     FROM documents),
+        q AS (SELECT * FROM (VALUES
+                 (0, ['data', 'stream']),
+                 (1, ['hash', 'join']),
+                 (2, ['sort', 'merge', 'window']),
+                 (3, ['qqqxplughz']),
+                 (4, ['table'])) AS v(query_id, terms))
+        SELECT tok.doc_id, CAST(q.query_id AS BIGINT) AS query_id
+        FROM tok, q
+        WHERE len(list_intersect(list_distinct(t), terms)) = len(terms)
+    """,
     # histogram aggregation over the full match set of 'data'
     "search_facet_hist": r"""
         SELECT floor(n_chars / 50.0) * 50.0 AS bucket,

@@ -647,6 +647,59 @@ def search_sorted_docs(sf_dir: str, query_text: str = "data stream",
     })
 
 
+PERCOLATE_QUERIES = [
+    # stored conjunctive term queries (the percolator registry): the
+    # reference's keyword-alert conditions in their scalable streaming
+    # form — docs flow, queries are resident
+    {"query_id": 0, "terms": ["data", "stream"]},
+    {"query_id": 1, "terms": ["hash", "join"]},
+    {"query_id": 2, "terms": ["sort", "merge", "window"]},
+    {"query_id": 3, "terms": ["qqqxplughz"]},          # never matches
+    {"query_id": 4, "terms": ["table"]},
+]
+
+
+class PercolateStage:
+    """map_batches UDF: match each incoming doc against the resident
+    stored-query set (OpenSearch percolator semantics, conjunctive
+    terms per query) — the inverse of search, and the scalable shape
+    of the reference's keyword alerting (``src/notifications/``: the
+    watch list is tiny and ships in the task closure; docs stream).
+    Tokenizes each doc ONCE, then each query is a set-containment
+    check."""
+
+    def __init__(self, queries: list[dict], text_col: str = "text"):
+        from baram_ray.tokenizer import tokenize
+        self._tokenize = tokenize
+        self.text_col = text_col
+        self.queries = [(int(q["query_id"]), frozenset(q["terms"]))
+                        for q in queries]
+
+    def __call__(self, batch):
+        import pyarrow as pa
+        ids, qids = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch[self.text_col].to_pylist()):
+            toks = set(self._tokenize(t or ""))
+            for qid, terms in self.queries:
+                if terms <= toks:
+                    ids.append(d)
+                    qids.append(qid)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "query_id": pa.array(qids, pa.int64())})
+
+
+def search_percolate(sf_dir: str):
+    """Percolation over the documents table: (doc_id, query_id) pairs
+    for every stored query whose terms ALL appear in the doc. Pure
+    streaming map — no shuffle, queries broadcast in the closure.
+    Hash-exact DuckDB oracle."""
+    from baram_ray.pipelines.util import read_table
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(PercolateStage(PERCOLATE_QUERIES),
+                          batch_format="pyarrow")
+
+
 def build_metrics(sf_dir: str):
     """G11: per-stage pipeline counters from the build manifests (the
     reference's per-batch metrics / checkpoint records,
