@@ -151,6 +151,7 @@ def run_bench() -> dict:
         return round(time.perf_counter() - t, 3)
 
     from baram_ray.pipelines import knowledge as knowp
+    from baram_ray.pipelines import search as searchp
     from baram_ray.pipelines import training as trainp
 
     queries = {
@@ -182,6 +183,8 @@ def run_bench() -> dict:
         "doc_dup_spans": timed(trainp.doc_dup_spans),
         "doc_tfidf_top": timed(trainp.doc_tfidf_top),
         "doc_lm_score": timed(trainp.doc_lm_score),
+        "doc_dup_spans_removed": timed(trainp.doc_dup_spans_removed),
+        "search_percolate": timed(searchp.search_percolate),
     }
 
     result = {
