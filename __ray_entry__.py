@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": tpchp.q6_forecast_revenue,
         "tpch_q18": tpchp.q18_large_orders,
         "tpch_q10": tpchp.q10_returned_items,
+        "tpch_q4": tpchp.q4_order_priority,
+        "tpch_q12": tpchp.q12_priority_by_status,
+        "tpch_q14": tpchp.q14_promo_revenue,
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,

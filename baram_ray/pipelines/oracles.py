@@ -1151,6 +1151,51 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # TPC-H Q4 shape: EXISTS semi-join + priority counts (the synthetic
+    # lineitem has no commit/receipt dates; 'late' := returnflag 'R')
+    "tpch_q4": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1997-07-01'
+          AND o_orderdate < DATE '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q12 shape: join + CASE-sum split per linestatus
+    "tpch_q12": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+        GROUP BY l_linestatus
+    """,
+    # TPC-H Q14: promo revenue share; sums are exact scaled ints, the
+    # pct a single IEEE expression of them (bit-exact, no rounding)
+    "tpch_q14": """
+        WITH s AS (
+          SELECT
+            CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN CAST(trunc(l_extendedprice * (1 - l_discount)
+                                          * 10000 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS promo_u4,
+            CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                AS total_u4
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= DATE '1997-09-01'
+            AND l_shipdate < DATE '1997-10-01')
+        SELECT promo_u4, total_u4,
+               CASE WHEN total_u4 > 0
+                    THEN (100.0::DOUBLE * promo_u4) / total_u4
+                    ELSE 0.0::DOUBLE END AS promo_pct
+        FROM s
+    """,
     # percolation: stored conjunctive queries vs every doc
     "search_percolate": r"""
         WITH tok AS (SELECT doc_id,

@@ -485,3 +485,128 @@ def q10_returned_items(sf_dir: str, k: int = 20):
            .limit(k))
     return ensure_cols(out, {"c_custkey": "int64", "revenue_u4": "int64",
                              "c_name": "object", "c_acctbal": "float64"})
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS semi-join + low-cardinality count: orders
+    of one quarter having ≥ 1 qualifying line, counted per
+    o_orderpriority. The synthetic lineitem carries no
+    commit/receipt dates, so the EXISTS predicate is ``l_returnflag =
+    'R'`` — the same semi-join + GROUP BY shape as spec Q4
+    (ref: TPC-H 2.4.1). One fact-side exchange (the semi join); the
+    5-row result aggregates per bucket."""
+    from baram_ray.joins import hash_join
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lo, hi = np.datetime64("1997-07-01"), np.datetime64("1997-10-01")
+
+    def ofilt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy("datetime64[us]")
+        return df.loc[(d >= lo) & (d < hi),
+                      ["o_orderkey", "o_orderpriority"]]
+
+    o = orders.map_batches(ofilt, batch_format="pandas")
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def rfilt(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["l_returnflag"] == "R", ["l_orderkey"]]
+                  .drop_duplicates()
+                  .rename(columns={"l_orderkey": "o_orderkey"}))
+
+    ret = li.map_batches(rfilt, batch_format="pandas")
+    sj = hash_join(o, ret, "o_orderkey", how="semi")
+    out = grouped_agg(sj, ["o_orderpriority"],
+                      {"order_count": (None, "count")}, num_buckets=4)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["order_count"] = df["order_count"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q12_priority_by_status(sf_dir: str):
+    """TPC-H Q12 shape — fact-side join + conditional (CASE) counts:
+    lines shipped in one year joined to their order's priority, per
+    l_linestatus (stands in for l_shipmode, absent from the synthetic
+    schema) the count of high (1-URGENT/2-HIGH) vs lower priority
+    orders — exactly Q12's CASE-sum split. One hash-join exchange;
+    per-batch combiner shrinks to (status, is_high) partials first."""
+    from baram_ray.joins import hash_join
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_linestatus", "l_shipdate"])
+    lo, hi = np.datetime64("1997-01-01"), np.datetime64("1998-01-01")
+
+    def lfilt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        return df.loc[(d >= lo) & (d < hi),
+                      ["l_orderkey", "l_linestatus"]] \
+                 .rename(columns={"l_orderkey": "o_orderkey"})
+
+    lines = li.map_batches(lfilt, batch_format="pandas")
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderpriority"])
+    j = hash_join(lines, orders, "o_orderkey", how="inner")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        g = (df.assign(h=high.astype("int64"),
+                       l=(~high).astype("int64"))
+               .groupby("l_linestatus", as_index=False)
+               .agg(high_count=("h", "sum"), low_count=("l", "sum")))
+        return g
+
+    parts = j.map_batches(partial, batch_format="pandas")
+    out = grouped_agg(parts, ["l_linestatus"],
+                      {"high_count": ("high_count", "sum"),
+                       "low_count": ("low_count", "sum")}, num_buckets=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["high_count"] = df["high_count"].astype("int64")
+        df["low_count"] = df["low_count"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 — promotion revenue share: one month of lineitem
+    joined to part (p_type LIKE 'PROMO%'), 100·Σ promo-revenue /
+    Σ revenue. The part table is the broadcast small side (ray.put
+    once, dict lookup per batch — no shuffle); revenue sums are exact
+    scaled ints, the final ratio a single IEEE division of them on
+    both sides (bit-exact, no rounding needed)."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = {int(k): str(t).startswith("PROMO")
+             for k, t in zip(part["p_partkey"], part["p_type"])}
+    promo_ref = broadcast(promo)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_partkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"])
+    lo, hi = np.datetime64("1997-09-01"), np.datetime64("1997-10-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(promo_ref)
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        sel = df.loc[(d >= lo) & (d < hi)]
+        rev = _cents((sel["l_extendedprice"]
+                      * (1.0 - sel["l_discount"])).to_numpy(), 10000.0)
+        isp = sel["l_partkey"].map(pm).to_numpy(bool)
+        return pd.DataFrame({
+            "promo_u4": [int(rev[isp].sum())],
+            "total_u4": [int(rev.sum())],
+        })
+
+    agg = li.map_batches(partial, batch_format="pandas") \
+            .aggregate(Sum("promo_u4", alias_name="promo_u4"),
+                       Sum("total_u4", alias_name="total_u4"))
+    p, t = int(agg["promo_u4"] or 0), int(agg["total_u4"] or 0)
+    return pd.DataFrame([{
+        "promo_u4": p, "total_u4": t,
+        "promo_pct": (100.0 * p) / t if t else 0.0,
+    }])
