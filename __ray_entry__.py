@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_failures": evp.source_failures,
         "events_user_topk": evp.user_topk,
         "events_sessions": evp.sessionize,
+        "events_funnel": evp.funnel,
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,
         "events_value_quantiles": evp.value_quantiles,

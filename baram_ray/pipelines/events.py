@@ -435,3 +435,53 @@ def value_quantiles(sf_dir: str):
 
     ds = read_table(sf_dir, "events", ["event_type", "value"])
     return grouped_map(ds, ["event_type"], bucket, num_buckets=4)
+
+
+def funnel(sf_dir: str,
+           stages: tuple[str, ...] = ("view", "click", "purchase")):
+    """Ordered first-occurrence funnel (the standard product-analytics
+    op): a user reaches stage i+1 at the EARLIEST stage-i+1 event
+    STRICTLY AFTER their stage-i time (t1 = min view, t2 = min click
+    > t1, ...). Returns one row per stage with the user count.
+
+    Scale shape: only the stage-typed events leave the scan; ONE hash
+    exchange on user_id co-locates each user's history; per-bucket
+    stage times fall out of a per-user sorted walk and collapse
+    immediately to a 1-row partial per bucket — the driver sees
+    len(stages) integers per bucket. SQL-expressible (chained
+    min-after joins) → hash-exact oracle."""
+    ds = read_table(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(stages)]
+
+    ev = ds.map_batches(prefilter, batch_format="pandas")
+
+    def bucket_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(stages), dtype=np.int64)
+        b = bucket.sort_values(["user_id", "ts"], kind="stable")
+        for _, g in b.groupby("user_id", sort=False):
+            types = g["event_type"].to_numpy()
+            ts = g["ts"].to_numpy()
+            prev_t = None
+            for i, st in enumerate(stages):
+                m = (types == st) if prev_t is None \
+                    else (types == st) & (ts > prev_t)
+                if not m.any():
+                    break
+                prev_t = ts[m].min()
+                counts[i] += 1
+        return pd.DataFrame({"stage": list(stages),
+                             "stage_idx": np.arange(len(stages),
+                                                    dtype=np.int64),
+                             "users": counts})
+
+    parts = grouped_map(ev, ["user_id"], bucket_counts, num_buckets=8)
+    out = grouped_agg(parts, ["stage", "stage_idx"],
+                      {"users": ("users", "sum")}, num_buckets=1)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["users"] = df["users"].astype("int64")
+        return df[["stage", "stage_idx", "users"]]
+
+    return out.map_batches(cast, batch_format="pandas")

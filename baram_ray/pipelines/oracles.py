@@ -1151,6 +1151,25 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # ordered first-occurrence funnel view -> click -> purchase
+    "events_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        SELECT 'view' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+               CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+        UNION ALL
+        SELECT 'click', CAST(1 AS BIGINT),
+               CAST((SELECT count(*) FROM c) AS BIGINT)
+        UNION ALL
+        SELECT 'purchase', CAST(2 AS BIGINT),
+               CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
     # TPC-H Q4 shape: EXISTS semi-join + priority counts (the synthetic
     # lineitem has no commit/receipt dates; 'late' := returnflag 'R')
     "tpch_q4": """

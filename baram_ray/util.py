@@ -59,7 +59,9 @@ def _split_by_bucket(block, keys: list[str], num_buckets: int,
         idx = order[bounds[b]: bounds[b + 1]]
         out.append(block.take(pa.array(idx)) if len(idx)
                    else block.schema.empty_table())
-    return tuple(out)
+    # with num_returns=1 Ray hands the caller ONE ref to the return
+    # value itself — a 1-tuple would arrive as a tuple, not a table
+    return out[0] if num_buckets == 1 else tuple(out)
 
 
 def _empty_typed_table(ds):
