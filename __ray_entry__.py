@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": evp.user_topk,
         "events_sessions": evp.sessionize,
         "events_funnel": evp.funnel,
+        "events_retention": evp.retention,
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,
         "events_value_quantiles": evp.value_quantiles,

@@ -485,3 +485,44 @@ def funnel(sf_dir: str,
         return df[["stage", "stage_idx", "users"]]
 
     return out.map_batches(cast, batch_format="pandas")
+
+
+def retention(sf_dir: str):
+    """Weekly cohort retention (the standard growth-analytics matrix):
+    a user's cohort is the ISO week-start of their FIRST event; for
+    each (cohort_week, week_offset) the count of cohort users active
+    that week. ONE exchange on user_id — per bucket, each user's
+    (cohort, offset) pairs are distinct by construction, so the bucket
+    emits count partials directly; a tiny second exchange sums them.
+    Weeks are epoch-aligned 7-day buckets (floor(epoch_days / 7)), the
+    same arithmetic DuckDB runs → hash-exact."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def bucket_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        days = bucket["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        weeks = days // 7
+        df = pd.DataFrame({"user_id": bucket["user_id"].to_numpy(),
+                           "week": weeks})
+        first = df.groupby("user_id", sort=False)["week"].transform("min")
+        pairs = pd.DataFrame({
+            "cohort_week": first,
+            "week_offset": df["week"] - first,
+            "user_id": df["user_id"],
+        }).drop_duplicates()
+        out = pairs.groupby(["cohort_week", "week_offset"],
+                            as_index=False).size() \
+                   .rename(columns={"size": "users"})
+        return out
+
+    parts = grouped_map(ds, ["user_id"], bucket_counts, num_buckets=8)
+    out = grouped_agg(parts, ["cohort_week", "week_offset"],
+                      {"users": ("users", "sum")}, num_buckets=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": df["cohort_week"].astype("int64"),
+            "week_offset": df["week_offset"].astype("int64"),
+            "users": df["users"].astype("int64"),
+        })
+
+    return out.map_batches(cast, batch_format="pandas")

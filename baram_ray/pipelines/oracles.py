@@ -1151,6 +1151,20 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # weekly cohort retention: epoch-aligned 7-day buckets
+    "events_retention": """
+        WITH w AS (SELECT user_id,
+                          CAST(floor(epoch(ts) / 86400.0) AS BIGINT) // 7
+                              AS week
+                   FROM events),
+        f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        p AS (SELECT DISTINCT w.user_id, f.cohort_week,
+                     w.week - f.cohort_week AS week_offset
+              FROM w JOIN f USING (user_id))
+        SELECT cohort_week, week_offset,
+               CAST(count(*) AS BIGINT) AS users
+        FROM p GROUP BY 1, 2
+    """,
     # ordered first-occurrence funnel view -> click -> purchase
     "events_funnel": """
         WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
