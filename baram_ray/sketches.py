@@ -164,9 +164,11 @@ def heavy_hitters(ds, key_fn, *, k: int = MG_K, topn: int = 20,
         live = df[df["key"].notna()]
         t, c, d = mg_merge(live["key"].to_numpy(),
                            live["cnt"].to_numpy(np.int64), decs, k)
+        # pandas "string" dtype keeps the Arrow type `string` even when a
+        # bucket's only row is the None decrement (object → type `null`)
         out = pd.DataFrame({
             "tag": np.zeros(len(t) + 1, np.int64),
-            "key": np.append(t.astype(object), None),
+            "key": pd.array(list(t.astype(str)) + [None], dtype="string"),
             "cnt": np.append(c.astype(np.int64), np.int64(d)),
         })
         out["cnt"] = out["cnt"].astype("int64")

@@ -185,6 +185,8 @@ def run_bench() -> dict:
         "doc_lm_score": timed(trainp.doc_lm_score),
         "doc_dup_spans_removed": timed(trainp.doc_dup_spans_removed),
         "search_percolate": timed(searchp.search_percolate),
+        "events_funnel": timed(evp.funnel),
+        "events_retention": timed(evp.retention),
     }
 
     result = {
