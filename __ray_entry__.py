@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facet_hist": searchp.search_facet_hist,
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_percolate": searchp.search_percolate,
+        "search_suggest": searchp.search_suggest,
+        "search_mlt": searchp.search_mlt,
         "search_bm25_filtered": searchp.bm25_filtered,
         "search_bm25_daterange": searchp.bm25_daterange,
         "search_term_range": searchp.term_range,

@@ -1151,6 +1151,31 @@ ORACLES: dict[str, str] = {
                    AS quality
         FROM r
     """,
+    # 'did you mean' term suggestion: (distance asc, df desc, term asc)
+    # over the token vocabulary, first-char prefix constraint
+    "search_suggest": r"""
+        WITH tok AS (SELECT doc_id, unnest(list_distinct(
+                         string_split_regex(lower(trim(text)),
+                                            '\s+'))) AS term
+                     FROM documents WHERE trim(text) <> ''),
+        v AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM tok GROUP BY 1),
+        q AS (SELECT * FROM (VALUES ('dta'), ('streem'), ('winow'),
+                                    ('qury'), ('tabel'), ('jion'))
+                  AS t(input_term)),
+        c AS (SELECT q.input_term, v.term AS suggestion, v.df,
+                     CAST(damerau_levenshtein(q.input_term, v.term)
+                          AS BIGINT) AS distance
+              FROM q JOIN v
+                ON substr(v.term, 1, 1) = substr(q.input_term, 1, 1)
+               AND v.term <> q.input_term
+               AND damerau_levenshtein(q.input_term, v.term) <= 2),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY input_term
+                  ORDER BY distance, df DESC, suggestion) AS rn
+              FROM c)
+        SELECT input_term, suggestion, df, distance FROM r WHERE rn = 1
+    """,
     # weekly cohort retention: epoch-aligned 7-day buckets
     "events_retention": """
         WITH w AS (SELECT user_id,

@@ -700,6 +700,69 @@ def search_percolate(sf_dir: str):
                           batch_format="pyarrow")
 
 
+SUGGEST_INPUTS = ["dta", "streem", "winow", "qury", "tabel", "jion"]
+
+
+def search_suggest(sf_dir: str):
+    """'Did you mean' term suggestions (OpenSearch term suggester):
+    for each misspelled input, the vocabulary term within DL distance
+    ≤ 2 sharing the first char, ranked (distance asc, df desc, term
+    asc). Hash-exact DuckDB oracle (damerau_levenshtein + window
+    rank over the token vocabulary)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    for q in SUGGEST_INPUTS:
+        s = eng.suggest(q, max_edits=2, prefix_length=1)
+        if s is not None:
+            rows.append((q, s[0], s[1], s[2]))
+    return pd.DataFrame({
+        "input_term": [r[0] for r in rows],
+        "suggestion": [r[1] for r in rows],
+        "df": pd.array([r[2] for r in rows], dtype="int64"),
+        "distance": pd.array([r[3] for r in rows], dtype="int64"),
+    })
+
+
+def search_mlt(sf_dir: str, seed_doc_id: int = 0, k: int = 10,
+               max_terms: int = 5):
+    """More-like-this (OpenSearch MLT): the seed doc's top tf·idf terms
+    become a bool-should query; results exclude the seed. The seed text
+    is one pushdown-filtered row read; term selection uses the
+    resident reader's dfs. Rows-only driver check; pytest asserts the
+    seed itself would rank first."""
+    from collections import Counter
+
+    from baram_ray.query.engine import QueryEngine
+    from baram_ray.tokenizer import tokenize
+    import math as _math
+
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    seed = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "==", seed_doc_id)])
+    tf = Counter(tokenize(seed["text"].iloc[0] or ""))
+    n = eng.r.n_docs
+    scored = []
+    for t, f in tf.items():
+        df = eng.r.df(eng.r.fields[0], t)
+        if df == 0:
+            continue
+        idf = _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        scored.append((-f * idf, t))
+    terms = [t for _, t in sorted(scored)[:max_terms]]
+    hits = eng.search_bool(should=terms, minimum_should_match=1,
+                           k=k + 1)
+    hits = [(d, s) for d, s in hits if d != seed_doc_id][:k]
+    return pd.DataFrame({
+        "rank": range(1, len(hits) + 1),
+        "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+        "score": [round(s, 6) for _, s in hits],
+    })
+
+
 def build_metrics(sf_dir: str):
     """G11: per-stage pipeline counters from the build manifests (the
     reference's per-batch metrics / checkpoint records,

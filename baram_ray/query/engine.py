@@ -330,6 +330,37 @@ class QueryEngine:
                                 k=len(self.r.doc_ids), filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
+    def suggest(self, term: str, field: str | None = None,
+                max_edits: int = 2, prefix_length: int = 1
+                ) -> tuple[str, int, int] | None:
+        """'Did you mean' — OpenSearch term-suggester semantics: among
+        vocabulary terms within Damerau-Levenshtein distance
+        ``max_edits`` that share the first ``prefix_length`` chars
+        (and are not the input itself), pick by (distance asc, df
+        desc, term asc). Returns (suggestion, df, distance), or None
+        when nothing qualifies. An in-vocabulary input still gets a
+        suggestion (its best neighbour), like the real suggester."""
+        from baram_ray.index.segment import _dl_distance
+        r = self.r
+        fld = field or r.fields[0]
+        pre = term[:prefix_length]
+        best = None
+        for t in r._term_list(fld):
+            if t == term or not t.startswith(pre):
+                continue
+            if abs(len(t) - len(term)) > max_edits:
+                continue
+            d = _dl_distance(term, t, max_edits)
+            if d > max_edits:
+                continue
+            key = (d, -r.df(fld, t), t)
+            if best is None or key < best[0]:
+                best = (key, t)
+        if best is None:
+            return None
+        (d, ndf, t) = best[0]
+        return (t, -ndf, d)
+
     def facets(self, query: str, facet_fields: list[str],
                filters: dict | None = None
                ) -> list[tuple[str, object, int]]:

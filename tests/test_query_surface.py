@@ -376,3 +376,26 @@ def test_facet_histogram_and_sorted(engine, ray_session):
                [(int(d), int(v)) for d, v in exp]
         assert sh.search_sorted("data stream", "n_chars", k=12,
                                 ascending=asc) == got
+
+
+# ------------------------------------------------------------------ #
+# more-like-this + suggest semantics
+# ------------------------------------------------------------------ #
+
+def test_mlt_seed_ranks_first(engine, ray_session):
+    """The seed doc contains every one of its own MLT query terms, so
+    including it in the bool-should search must rank it at/near the
+    top — and the pipeline output must exclude it."""
+    from baram_ray.pipelines.search import search_mlt
+    out = search_mlt(SF, seed_doc_id=3, k=10)
+    assert 3 not in set(out["doc_id"])
+    assert len(out) == 10
+    assert out["score"].is_monotonic_decreasing
+
+
+def test_suggest_exact_neighbour(engine, ray_session):
+    # a one-edit misspelling of a high-df corpus word comes back
+    s = engine.suggest("dta")
+    assert s is not None and s[0] == "data" and s[2] == 1
+    # nothing within 2 edits sharing the first char -> None
+    assert engine.suggest("zzzzzzzzzz") is None
