@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_json": anap.events_props_json,
         "text_entity_link": anap.text_entity_link,
         "entity_related": anap.entity_related,
+        "entity_pagerank": anap.entity_pagerank,
         "entity_top": anap.entity_top,
         # knowledge graph (M10 relations, G3 triple stats, S10 RDF
         # writers) + event cluster formation (S9 JSON writer)

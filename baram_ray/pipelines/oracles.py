@@ -812,6 +812,48 @@ ORACLES: dict[str, str] = {
         JOIN s sb ON sb.entity = p.entity_b
         WHERE n_docs >= 2
     """,
+    # PageRank over the entity co-occurrence graph: 3 unrolled power
+    # iterations, damping 0.85 written as (1.0 - 0.85) exactly like the
+    # engine computes it; round-6 absorbs per-dst sum order
+    "entity_pagerank": r"""
+        WITH ner AS (
+          SELECT DISTINCT doc_id, entity FROM (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '\b(spark|hash|vector|stream)\b', 1)) AS entity
+            FROM documents
+            UNION ALL
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                '\b(join|sort|merge|scan|filter|agg)\b', 1)) AS entity
+            FROM documents)),
+        p AS (SELECT a.entity AS ea, b.entity AS eb, count(*) AS n_docs
+              FROM ner a JOIN ner b
+                ON a.doc_id = b.doc_id AND a.entity < b.entity
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+        e AS (SELECT ea AS src, eb AS dst FROM p
+              UNION ALL SELECT eb, ea FROM p),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM deg),
+        r0 AS (SELECT src AS node, 1.0::DOUBLE / nn AS pr FROM deg, n),
+        r1 AS (SELECT e.dst AS node,
+                      (1.0::DOUBLE - 0.85::DOUBLE) / nn
+                      + 0.85::DOUBLE * sum(r0.pr / deg.deg) AS pr
+               FROM e JOIN r0 ON r0.node = e.src
+                      JOIN deg ON deg.src = e.src, n
+               GROUP BY e.dst, nn),
+        r2 AS (SELECT e.dst AS node,
+                      (1.0::DOUBLE - 0.85::DOUBLE) / nn
+                      + 0.85::DOUBLE * sum(r1.pr / deg.deg) AS pr
+               FROM e JOIN r1 ON r1.node = e.src
+                      JOIN deg ON deg.src = e.src, n
+               GROUP BY e.dst, nn),
+        r3 AS (SELECT e.dst AS node,
+                      (1.0::DOUBLE - 0.85::DOUBLE) / nn
+                      + 0.85::DOUBLE * sum(r2.pr / deg.deg) AS pr
+               FROM e JOIN r2 ON r2.node = e.src
+                      JOIN deg ON deg.src = e.src, n
+               GROUP BY e.dst, nn)
+        SELECT node AS entity, round(pr, 6) AS pr FROM r3
+    """,
     # PII scrub: doc_id-derived deterministic contact strings appended
     # on BOTH sides (the corpus itself has no PII), then the SAME
     # RE2-safe patterns applied in the SAME nesting order
