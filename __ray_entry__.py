@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": docp.token_count_ws,
         "doc_term_df_top": docp.term_df_top,
         "doc_unk_stats": docp.unk_stats,
+        "doc_export_partitioned": docp.export_partitioned,
         # events time-series (G4 SMA, G5 spikes, G8 top-k)
         "events_type_agg": evp.type_agg,
         "events_daily_counts": evp.daily_counts,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_median": evp.value_median,
         "events_value_quantiles": evp.value_quantiles,
         "events_value_hist": evp.value_hist,
+        "events_value_stats": evp.value_stats,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,

@@ -192,3 +192,23 @@ def tfidf_top(sf_dir: str, k: int = 3):
         return out[["doc_id", "term", "tf", "df", "tfidf"]]
 
     return grouped_map(joined, ["doc_id"], topk, num_buckets=32)
+
+
+def export_partitioned(sf_dir: str):
+    """Resumable partitioned parquet export of the documents table,
+    one directory per ``lang`` (``sinks.export_partitioned``): data
+    file then done-marker, both atomic renames; a re-run skips marked
+    partitions before the exchange. Returns (partition, n_rows) —
+    stable across first runs and resumes, so the SQL count oracle is
+    hash-exact either way; the resume-skip behavior itself is
+    pytest-asserted."""
+    import hashlib
+    import os
+
+    from baram_ray.sinks import export_partitioned as _export
+
+    ds = read_table(sf_dir, "documents")
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/baram_ray_exports", f"docs_{tag}")
+    man = _export(ds, out_dir, "lang")
+    return man[["partition", "n_rows"]]

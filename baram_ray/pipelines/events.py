@@ -526,3 +526,39 @@ def retention(sf_dir: str):
         })
 
     return out.map_batches(cast, batch_format="pandas")
+
+
+def value_stats(sf_dir: str):
+    """Per-type moments via MERGEABLE partials (the combiner shape a
+    100-TB aggregate needs): each batch emits (n, Σv, Σv²) per type,
+    the tiny groupby sums them, and mean / var_pop / stddev_pop derive
+    from the exact sums — matching the SQL definitions. round-6
+    absorbs double-sum order."""
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = df.assign(v=v, v2=v * v).groupby("event_type",
+                                             as_index=False) \
+              .agg(n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    tot = grouped_agg(parts, ["event_type"],
+                      {"n": ("n", "sum"), "s": ("s", "sum"),
+                       "s2": ("s2", "sum")}, num_buckets=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.float64)
+        s = df["s"].to_numpy(np.float64)
+        s2 = df["s2"].to_numpy(np.float64)
+        mean = s / n
+        var = s2 / n - mean * mean
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": df["n"].astype("int64"),
+            "mean": np.round(mean, 6),
+            "var_pop": np.round(var, 6),
+        })
+
+    return tot.map_batches(finish, batch_format="pandas")

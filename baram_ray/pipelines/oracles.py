@@ -1218,6 +1218,23 @@ ORACLES: dict[str, str] = {
               FROM c)
         SELECT input_term, suggestion, df, distance FROM r WHERE rn = 1
     """,
+    # resumable partitioned export: the manifest is per-partition row
+    # counts, stable across first runs and marker-skip resumes
+    "doc_export_partitioned": """
+        SELECT lang AS partition, CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY lang
+    """,
+    # per-type moments from raw sums — the SAME raw-moment expression
+    # the engine's mergeable partials produce (NOT var_pop(), whose
+    # two-pass form differs in fp); round-6 absorbs sum order
+    "events_value_stats": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(sum(value) / count(*), 6) AS mean,
+               round(sum(value * value) / count(*)
+                     - (sum(value) / count(*))
+                       * (sum(value) / count(*)), 6) AS var_pop
+        FROM events GROUP BY event_type
+    """,
     # weekly cohort retention: epoch-aligned 7-day buckets
     "events_retention": """
         WITH w AS (SELECT user_id,

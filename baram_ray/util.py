@@ -65,12 +65,31 @@ def _split_by_bucket(block, keys: list[str], num_buckets: int,
 
 
 def _empty_typed_table(ds):
-    """Empty Arrow table with ``ds``'s schema (for the zero-block case)."""
+    """Empty Arrow table with ``ds``'s schema (for the zero-block case).
+
+    Pandas-format upstream blocks report a PandasBlockSchema whose
+    ``types`` are PYTHON classes / numpy dtypes, not Arrow DataTypes —
+    map those through pandas to get real Arrow fields."""
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
     schema = ds.schema()
-    return pa.schema(
-        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
-    ).empty_table()
+    fields = []
+    for n, t in zip(schema.names, schema.types):
+        if isinstance(t, pa.DataType):
+            fields.append(pa.field(n, t))
+            continue
+        if t is str or t is object:
+            fields.append(pa.field(n, pa.string()))
+        elif t is bool:
+            fields.append(pa.field(n, pa.bool_()))
+        else:
+            try:
+                fields.append(pa.field(
+                    n, pa.from_numpy_dtype(np.dtype(t))))
+            except Exception:
+                fields.append(pa.field(n, pa.string()))
+    return pa.schema(fields).empty_table()
 
 
 def _empty_exchange_result(ds, bucket_fn, batch_format: str, pre_fn=None):

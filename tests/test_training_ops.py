@@ -685,3 +685,42 @@ def test_dup_span_removal_invariants(ray_session):
     dup_ids = exposure[exposure["n_dup_grams"] > 0].index
     if len(dup_ids):
         assert (out.loc[dup_ids, "n_removed"] >= 5).all()
+
+
+def test_export_partitioned_resume(ray_session, tmp_path):
+    """Resumable partitioned export: first run writes every partition;
+    a resume skips marked partitions (files untouched); deleting one
+    marker re-writes only that partition; content always equals the
+    source."""
+    import os
+    import pandas as pd
+    from baram_ray.pipelines.util import read_table
+    from baram_ray.sinks import export_partitioned
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "exp")
+    m1 = export_partitioned(read_table(sf, "documents"), out, "lang")
+    assert m1["written"].all()
+    src = pd.read_parquet(f"{sf}/documents.parquet")
+    assert m1["n_rows"].sum() == len(src)
+    mtimes = {p: os.path.getmtime(os.path.join(out, f"lang={p}",
+                                               "part-0.parquet"))
+              for p in m1["partition"]}
+    # full resume: nothing rewritten
+    m2 = export_partitioned(read_table(sf, "documents"), out, "lang")
+    assert not m2["written"].any()
+    assert sorted(m2["partition"]) == sorted(m1["partition"])
+    assert m2["n_rows"].sum() == len(src)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f"lang={p}",
+                                             "part-0.parquet")) == t
+    # partial resume: drop one marker -> only that partition rewritten
+    victim = sorted(m1["partition"])[0]
+    os.remove(os.path.join(out, f"lang={victim}", "_DONE.json"))
+    m3 = export_partitioned(read_table(sf, "documents"), out, "lang")
+    assert set(m3.loc[m3["written"], "partition"]) == {victim}
+    # exported content equals the source table
+    got = pd.concat([pd.read_parquet(os.path.join(out, d))
+                     for d in os.listdir(out)], ignore_index=True)
+    assert len(got) == len(src)
+    assert sorted(got["doc_id"]) == sorted(src["doc_id"])
