@@ -74,9 +74,15 @@ def clean_corpus(sf_dir: str, *,
                  quality_min: float = QUALITY_MIN,
                  top2_max: float = TOP2_MAX,
                  neardup_threshold: float = NEARDUP_T,
+                 lm_max_ppl: float | None = None,
                  splits: dict[str, float] | None = None):
     """Run the full prep chain over the documents table; returns the
-    surviving rows ``(doc_id, lang, source, quality, split)``."""
+    surviving rows ``(doc_id, lang, source, quality, split)``.
+
+    ``lm_max_ppl``: optional CCNet-style LM filter — drop docs whose
+    corpus-bigram-LM perplexity (``doc_lm_score``) exceeds the
+    threshold (one extra semi-join; the LM trains on the same pass's
+    corpus, nothing corpus-sized on the driver)."""
     import pyarrow.compute as pc
 
     import ray
@@ -136,6 +142,16 @@ def clean_corpus(sf_dir: str, *,
         batch_format="pyarrow")
     alive = hash_join(passing, winners, "doc_id", how="semi")
     alive = hash_join(alive, reps, "doc_id", how="semi")
+
+    # --- 5b. optional LM-perplexity filter (CCNet-style) ------------ #
+    if lm_max_ppl is not None:
+        from baram_ray.pipelines.training import doc_lm_score
+        keep_lm = doc_lm_score(sf_dir).map_batches(
+            lambda b: b.filter(
+                pc.less_equal(b["ppl"], pa.scalar(float(lm_max_ppl)))
+            ).select(["doc_id"]),
+            batch_format="pyarrow")
+        alive = hash_join(alive, keep_lm, "doc_id", how="semi")
 
     # --- 6. deterministic split ------------------------------------ #
     return hash_split(alive,

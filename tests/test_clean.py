@@ -67,3 +67,16 @@ def test_stats_query(ray_session):
     g = clean_corpus_stats(SF)
     assert list(g.columns) == ["split", "n", "mean_quality"]
     assert g["n"].sum() > 0
+
+
+def test_lm_filter_composes(ray_session):
+    """lm_max_ppl: a huge threshold keeps the survivor set identical; a
+    tight one yields a strict subset (the CCNet-style LM filter slots
+    into the chain as one more semi-join)."""
+    from baram_ray.pipelines.clean import clean_corpus
+    sf = "/root/testdata/sf0.001"
+    base = set(clean_corpus(sf).to_pandas()["doc_id"])
+    loose = set(clean_corpus(sf, lm_max_ppl=1e9).to_pandas()["doc_id"])
+    assert loose == base
+    tight = set(clean_corpus(sf, lm_max_ppl=29.9).to_pandas()["doc_id"])
+    assert tight < base
