@@ -1,0 +1,139 @@
+"""Direct contract tests for the exchange layer (util.grouped_map /
+grouped_agg / cogroup and joins.hash_join) against pandas ground truth
+on seeded random frames — the primitives every pipeline rides on.
+Covers duplicate keys, missing keys, single-bucket clamp (the
+num_returns=1 path), empty inputs, and bucket-count invariance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from baram_ray.joins import hash_join
+from baram_ray.util import cogroup, grouped_agg, grouped_map
+
+
+def _rand_frame(rng, n, key_card, extra="v"):
+    return pd.DataFrame({
+        "k": rng.integers(0, key_card, n),
+        extra: rng.normal(size=n).round(3),
+    })
+
+
+def _canon(df):
+    df = df.reset_index(drop=True)
+    return df[sorted(df.columns)].sort_values(
+        sorted(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("seed,buckets", [(0, 1), (1, 2), (2, 7),
+                                          (3, 32), (4, 1)])
+def test_grouped_agg_matches_pandas(ray_session, seed, buckets):
+    rng = np.random.default_rng(seed)
+    df = _rand_frame(rng, 500, key_card=rng.integers(1, 40))
+    got = grouped_agg(ray.data.from_pandas(df), ["k"],
+                      {"s": ("v", "sum"), "n": (None, "count"),
+                       "mx": ("v", "max")},
+                      num_buckets=buckets).to_pandas()
+    exp = df.groupby("k", as_index=False).agg(
+        s=("v", "sum"), mx=("v", "max"), n=("v", "size"))
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)
+
+
+@pytest.mark.parametrize("buckets", [1, 3, 16])
+def test_grouped_map_key_locality(ray_session, buckets):
+    """Every row of one key lands in exactly one bucket_fn call."""
+    rng = np.random.default_rng(7)
+    df = _rand_frame(rng, 400, key_card=23)
+    # bucket_fn tags each row with the size of ITS bucket's key group;
+    # if a key were split across buckets, sizes would disagree with
+    # the global group sizes
+    def tag(bucket):
+        b = bucket.copy()
+        b["gsz"] = b.groupby("k")["v"].transform("size")
+        return b
+    got = grouped_map(ray.data.from_pandas(df), ["k"], tag,
+                      num_buckets=buckets).to_pandas()
+    exp = df.groupby("k")["v"].size()
+    assert len(got) == len(df)
+    for k, sz in exp.items():
+        assert (got.loc[got["k"] == k, "gsz"] == sz).all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_hash_join_matches_pandas(ray_session, how):
+    rng = np.random.default_rng(11)
+    left = _rand_frame(rng, 300, key_card=30)
+    right = pd.DataFrame({"k": rng.integers(10, 40, 80),
+                          "w": rng.integers(0, 9, 80)})
+    got = hash_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right), "k",
+                    how=how).to_pandas()
+    if how in ("inner", "left"):
+        exp = left.merge(right, on="k", how=how)
+        if how == "left":
+            # column naming: hash_join keeps NaN for misses like pandas
+            pass
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+    elif how == "semi":
+        exp = left[left["k"].isin(set(right["k"]))]
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+    else:
+        exp = left[~left["k"].isin(set(right["k"]))]
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+
+
+def test_cogroup_pairs_all_fragments(ray_session):
+    """Both sides' rows for a key meet in ONE bucket_fn call."""
+    rng = np.random.default_rng(13)
+    left = _rand_frame(rng, 250, key_card=20)
+    right = pd.DataFrame({"k": rng.integers(0, 20, 100),
+                          "w": rng.normal(size=100).round(3)})
+    def pair_counts(l, r):
+        ks = sorted(set(l["k"]) | set(r["k"]))
+        return pd.DataFrame({
+            "k": ks,
+            "nl": [int((l["k"] == k).sum()) for k in ks],
+            "nr": [int((r["k"] == k).sum()) for k in ks],
+        })
+    got = cogroup(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right), ["k"], pair_counts,
+                  num_buckets=5).to_pandas()
+    exp_l = left.groupby("k").size()
+    exp_r = right.groupby("k").size()
+    for _, row in got.iterrows():
+        assert row["nl"] == exp_l.get(row["k"], 0)
+        assert row["nr"] == exp_r.get(row["k"], 0)
+    assert set(got["k"]) == set(left["k"]) | set(right["k"])
+
+
+def test_exchange_bucket_invariance(ray_session):
+    """The same aggregate through different bucket counts is identical
+    (partitioning must never change results)."""
+    rng = np.random.default_rng(17)
+    df = _rand_frame(rng, 600, key_card=50)
+    outs = []
+    for b in (1, 4, 64):
+        outs.append(_canon(grouped_agg(
+            ray.data.from_pandas(df), ["k"],
+            {"n": (None, "count")}, num_buckets=b).to_pandas()))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_empty_input_keeps_output_schema(ray_session):
+    """Zero-block input still yields a DATASET with bucket_fn's output
+    schema (Ray's to_pandas drops 0-row blocks, so pipelines restore
+    columns via ensure_cols — the dataset-level schema is the
+    exchange's contract)."""
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="float64")})
+    ds = grouped_agg(ray.data.from_pandas(empty), ["k"],
+                     {"n": (None, "count")}, num_buckets=4)
+    assert sorted(ds.schema().names) == ["k", "n"]
+    assert ds.count() == 0
