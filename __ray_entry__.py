@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # M3 format-dispatch parse chain
         "doc_parse_dispatch": trainp.doc_parse_dispatch,
         "doc_sample_hash": trainp.doc_sample_hash,
+        "doc_sample_stratified": trainp.doc_sample_stratified,
         "doc_split_counts": trainp.doc_split_counts,
         "doc_mix_weighted": trainp.doc_mix_weighted,
         "doc_pack_bins": trainp.doc_pack_bins,

@@ -43,6 +43,15 @@ ORACLES: dict[str, str] = {
         WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
               < 429496729
     """,
+    # stratified sample: en at 50% (threshold 2147483648), every other
+    # lang at 10% (429496729) — same Knuth hash, per-lang kept counts
+    "doc_sample_stratified": """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents
+        WHERE ((doc_id % 4294967296) * 2654435761::HUGEINT) % 4294967296
+              < CASE WHEN lang = 'en' THEN 2147483648 ELSE 429496729 END
+        GROUP BY lang
+    """,
     "doc_split_counts": """
         SELECT CASE
                  WHEN h < 3435973836 THEN 'train'

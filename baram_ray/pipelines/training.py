@@ -643,3 +643,22 @@ def sim_kmeans(sf_dir: str, k: int = 8, iters: int = 5):
     and determinism across runs."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return similarity.kmeans_assign(ds, k=k, iters=iters)
+
+
+def doc_sample_stratified(sf_dir: str):
+    """Stratified deterministic sampling per language (the corpus-
+    rebalancing op a multilingual pretraining mix needs): en kept at
+    50%, every other lang at 10%, decided by the same Knuth key hash
+    as ``doc_sample_hash`` (nesting + reshard-stability hold per
+    stratum). Returns per-lang kept counts; hash-exact HUGEINT SQL
+    oracle."""
+    from baram_ray.sampling import hash_sample_stratified
+    from baram_ray.util import grouped_agg
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    kept = hash_sample_stratified(ds, {"en": 0.5}, 0.1,
+                                  stratum_col="lang")
+    out = grouped_agg(kept, ["lang"], {"n_kept": (None, "count")},
+                      num_buckets=2).to_pandas()
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

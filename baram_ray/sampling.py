@@ -150,3 +150,24 @@ def pack_sequences(ds, max_tokens: int, *, id_col: str = "doc_id",
         return out
 
     return ds.map_batches(pack, batch_format="pandas")
+
+
+def hash_sample_stratified(ds, rates: dict, default_rate: float, *,
+                           stratum_col: str, key_col: str = "doc_id"):
+    """Deterministic STRATIFIED sample: per-stratum keep rates (e.g.
+    downsample a dominant language, keep all of a rare one), decided by
+    the same Knuth key hash — resharding or re-running never re-rolls,
+    and a stratum's sample nests inside any higher rate for it. The
+    rate table is tiny and rides in the task closure."""
+    thresholds = {s: np.uint64(int(r * 4294967296))
+                  for s, r in rates.items()}
+    default_t = np.uint64(int(default_rate * 4294967296))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = knuth_hash32(batch[key_col].to_numpy(zero_copy_only=False))
+        strata = batch[stratum_col].to_pylist()
+        t = np.fromiter((thresholds.get(s, default_t) for s in strata),
+                        dtype=np.uint64, count=len(strata))
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
