@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,
         "events_value_quantiles": evp.value_quantiles,
+        "events_value_quantiles_sketch": evp.value_quantiles_sketch,
         "events_value_hist": evp.value_hist,
         "events_value_stats": evp.value_stats,
         "events_distinct_kmv": evp.distinct_kmv,

@@ -562,3 +562,53 @@ def value_stats(sf_dir: str):
         })
 
     return tot.map_batches(finish, batch_format="pandas")
+
+
+def value_quantiles_sketch(sf_dir: str, k: int = 4096):
+    """Per-type quantiles via the MERGEABLE KLL sketch
+    (``sketches.kll_*``) — the bounded-memory path for corpus-sized
+    groups (the exact op sorts a whole group in one task): each batch
+    emits ≤ k sketch rows (event_type, level, value) per type, the
+    type-keyed reduce merges + compacts once and reads the quantiles.
+    Total weight is conserved exactly, so ``n`` is exact at any scale;
+    at sf ≤ 0.01 per-type counts stay under k → no compaction → the
+    quantiles equal the exact op's and the quantile_disc oracle is
+    hash-exact (same pattern as the MG / KMV sketches; the
+    deep-compaction error envelope is hypothesis-tested)."""
+    from baram_ray.sketches import (
+        kll_merge, kll_partial, kll_quantile, kll_total_weight,
+    )
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ets, lvls, vals = [], [], []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = kll_partial(g["value"].to_numpy(np.float64), k)
+            for lvl, arr in sk.items():
+                ets.extend([et] * len(arr))
+                lvls.extend([lvl] * len(arr))
+                vals.extend(arr.tolist())
+        return pd.DataFrame({"event_type": ets,
+                             "level": np.asarray(lvls, np.int64),
+                             "value": np.asarray(vals, np.float64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            levels = {int(lvl): gg["value"].to_numpy(np.float64)
+                      for lvl, gg in g.groupby("level", sort=False)}
+            sk = kll_merge([levels], k)
+            rows.append({"event_type": et,
+                         "n": np.int64(kll_total_weight(sk)),
+                         "p50": kll_quantile(sk, 0.5),
+                         "p95": kll_quantile(sk, 0.95),
+                         "p99": kll_quantile(sk, 0.99)})
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["n"] = out["n"].astype("int64")
+        return out
+
+    return grouped_map(parts, ["event_type"], reduce, num_buckets=4)

@@ -1038,6 +1038,15 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # sketch-path quantiles: identical oracle to events_value_quantiles
+    # (exact regime at sf <= 0.01 — per-type counts stay under k)
+    "events_value_quantiles_sketch": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               quantile_disc(value, 0.5) AS p50,
+               quantile_disc(value, 0.95) AS p95,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
     # TPC-H Q10 shape: returned-item revenue per customer, one quarter
     "tpch_q10": """
         SELECT c_custkey, c_name, c_acctbal,

@@ -185,3 +185,78 @@ def heavy_hitters(ds, key_fn, *, k: int = MG_K, topn: int = 20,
     out = out.sort_values(["est_count", "key"],
                           ascending=[False, True], kind="stable")
     return out.head(topn).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ #
+# KLL-style mergeable quantile sketch (Karnin-Lang-Liberty 2016, the
+# deterministic even/odd-compaction variant): levels of sorted arrays,
+# level i items weigh 2^i; a level over capacity k sorts, promotes
+# every second PAIRED item and leaves an odd leftover in place. Total
+# weight is preserved exactly, so the sketch's weighted rank of any
+# value drifts from the true rank by at most one item per compaction
+# per level — O((n/k)·log(n/k)) worst case, property-tested. When the
+# total item count never exceeds k (the SQL-oracle regime) no
+# compaction fires and every quantile is EXACT. Merge = level-wise
+# concat + one compaction pass, so it composes through any reduce
+# tree (same exact-regime-oracle pattern as the MG sketch).
+# ------------------------------------------------------------------ #
+
+QK = 4096
+
+
+def _kll_compact(levels: dict, k: int) -> dict:
+    lvl = 0
+    top = max(levels.keys(), default=0)
+    while lvl <= top:
+        arr = levels.get(lvl)
+        if arr is None or len(arr) <= k:
+            lvl += 1
+            continue
+        arr = np.sort(arr)
+        m = len(arr) - (len(arr) % 2)
+        promote = arr[1:m:2]            # every second paired item
+        leftover = arr[m:]              # odd straggler stays put
+        if len(leftover):
+            levels[lvl] = leftover
+        else:
+            levels.pop(lvl)
+        levels[lvl + 1] = np.concatenate(
+            [levels.get(lvl + 1, np.empty(0, np.float64)), promote])
+        top = max(top, lvl + 1)
+        lvl += 1
+    return levels
+
+
+def kll_partial(vals: np.ndarray, k: int = QK) -> dict:
+    """Sketch one batch of raw float values: {level: sorted array}."""
+    return _kll_compact(
+        {0: np.sort(np.asarray(vals, np.float64))}, k)
+
+
+def kll_merge(sketches: list[dict], k: int = QK) -> dict:
+    """Merge sketches level-wise, then one compaction pass."""
+    out: dict = {}
+    for sk in sketches:
+        for lvl, arr in sk.items():
+            out[lvl] = np.concatenate(
+                [out.get(lvl, np.empty(0, np.float64)), arr])
+    return _kll_compact(out, k)
+
+
+def kll_total_weight(levels: dict) -> int:
+    """Exactly the item count fed in (compaction preserves weight)."""
+    return int(sum(len(a) * (1 << lvl) for lvl, a in levels.items()))
+
+
+def kll_quantile(levels: dict, q: float) -> float:
+    """Discrete quantile, DuckDB ``quantile_disc`` convention: the
+    smallest value whose cumulative weight ≥ ceil(q·W)."""
+    vals = np.concatenate([a for a in levels.values()])
+    ws = np.concatenate([np.full(len(a), 1 << lvl, np.int64)
+                         for lvl, a in levels.items()])
+    order = np.argsort(vals, kind="stable")
+    cum = np.cumsum(ws[order])
+    w = int(cum[-1])
+    r = max(1, int(np.ceil(q * w)))
+    i = int(np.searchsorted(cum, r))
+    return float(vals[order[min(i, len(order) - 1)]])

@@ -213,3 +213,53 @@ def test_mg_exact_when_under_budget(keys, n_chunks):
     t, c, dec = _mg_run_chunks(arr, 26, n_chunks)
     assert dec == 0
     assert dict(zip(t.tolist(), c.tolist())) == dict(Counter(arr.tolist()))
+
+
+# ------------------------------------------------------------------ #
+# KLL quantile sketch: exactness / weight conservation / rank error
+# ------------------------------------------------------------------ #
+
+def _kll_chunks(arr, k, n_chunks):
+    from baram_ray.sketches import kll_merge, kll_partial
+    parts = [kll_partial(c, k) for c in np.array_split(arr, n_chunks)
+             if len(c)]
+    return kll_merge(parts, k)
+
+
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=100, deadline=None)
+def test_kll_exact_when_under_capacity(vals, n_chunks):
+    """n ≤ k ⇒ no compaction: every quantile equals the exact
+    quantile_disc pick (the SQL-oracle regime)."""
+    from baram_ray.sketches import kll_quantile, kll_total_weight
+    arr = np.asarray(vals, np.float64)
+    sk = _kll_chunks(arr, 512, n_chunks)
+    assert kll_total_weight(sk) == len(arr)
+    s = np.sort(arr)
+    n = len(s)
+    for q in (0.1, 0.5, 0.95, 0.99):
+        exact = s[min(n - 1, int(np.ceil(q * n)) - 1)]
+        assert kll_quantile(sk, q) == exact
+
+
+@given(st.integers(min_value=0, max_value=2**31), 
+       st.integers(min_value=1, max_value=8))
+@settings(max_examples=30, deadline=None)
+def test_kll_rank_error_bound_under_compaction(seed, n_chunks):
+    """Deep-compaction regime (n = 64k, k = 256): weight is conserved
+    exactly and the observed rank error of every estimated quantile
+    stays within the O((n/k)·log(n/k)) envelope."""
+    from baram_ray.sketches import kll_quantile, kll_total_weight
+    rng = np.random.default_rng(seed)
+    n, k = 65536, 256
+    arr = rng.normal(size=n) * 1e3
+    sk = _kll_chunks(arr, k, n_chunks)
+    assert kll_total_weight(sk) == n
+    s = np.sort(arr)
+    budget = 4.0 * (n / k) * max(1.0, np.log2(n / k))
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = kll_quantile(sk, q)
+        true_rank = np.searchsorted(s, est, side="right")
+        assert abs(true_rank - q * n) <= budget, (q, true_rank, q * n)
