@@ -612,3 +612,36 @@ def value_quantiles_sketch(sf_dir: str, k: int = 4096):
         return out
 
     return grouped_map(parts, ["event_type"], reduce, num_buckets=4)
+
+
+def user_lifetime(sf_dir: str):
+    """Per-user lifetime summary (first/last event, span, event count)
+    — one bucketed exchange on user_id with per-batch combiner
+    partials (min/max/count merge associatively). Hash-exact oracle."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"),
+            n_events=("ts", "size"))
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    tot = grouped_agg(parts, ["user_id"],
+                      {"first_ts": ("first_ts", "min"),
+                       "last_ts": ("last_ts", "max"),
+                       "n_events": ("n_events", "sum")}, num_buckets=8)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        span = (df["last_ts"].to_numpy("datetime64[us]").astype(np.int64)
+                - df["first_ts"].to_numpy("datetime64[us]")
+                    .astype(np.int64)) // 1_000_000
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "first_ts": df["first_ts"],
+            "last_ts": df["last_ts"],
+            "lifetime_sec": span.astype("int64"),
+            "n_events": df["n_events"].astype("int64"),
+        })
+
+    return tot.map_batches(finish, batch_format="pandas")

@@ -1038,6 +1038,21 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # TPC-H Q16 shape: distinct suppliers per (brand, size)
+    "tpch_q16": """
+        SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_size
+    """,
+    # per-user lifetime summary
+    "events_user_lifetime": """
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS BIGINT) AS lifetime_sec,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+    """,
     # sketch-path quantiles: identical oracle to events_value_quantiles
     # (exact regime at sf <= 0.01 — per-type counts stay under k)
     "events_value_quantiles_sketch": """

@@ -25,7 +25,7 @@ import ray
 from ray.data.aggregate import Count, Max, Sum
 
 from baram_ray.pipelines.util import read_table
-from baram_ray.util import grouped_agg
+from baram_ray.util import grouped_agg, grouped_map
 
 
 def _cents(x: np.ndarray, scale: float) -> np.ndarray:
@@ -610,3 +610,44 @@ def q14_promo_revenue(sf_dir: str):
         "promo_u4": p, "total_u4": t,
         "promo_pct": (100.0 * p) / t if t else 0.0,
     }])
+
+
+def q16_supplier_variety(sf_dir: str):
+    """TPC-H Q16 shape — DISTINCT-count aggregate per dimension group:
+    distinct suppliers per (p_brand, p_size) over lineitem (the
+    synthetic schema has no partsupp table, so the fact side stands
+    in). The part attributes are the broadcast small side; the
+    distinct count happens INSIDE the brand-keyed exchange bucket
+    (a group's rows co-locate), never as a global distinct."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    pmap = {int(k): (str(b), int(s))
+            for k, b, s in zip(part["p_partkey"], part["p_brand"],
+                               part["p_size"])}
+    ref = broadcast(pmap)
+
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        pm = ray.get(ref)
+        bs = df["l_partkey"].map(pm)
+        out = pd.DataFrame({
+            "p_brand": [b for b, _ in bs],
+            "p_size": np.asarray([s for _, s in bs], np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+        })
+        # per-batch combiner: distinct (brand, size, supp) rows only
+        return out.drop_duplicates()
+
+    rows = li.map_batches(attach, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.drop_duplicates()
+               .groupby(["p_brand", "p_size"], as_index=False)["l_suppkey"]
+               .nunique()
+               .rename(columns={"l_suppkey": "supplier_cnt"}))
+        g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+        return g
+
+    return grouped_map(rows, ["p_brand", "p_size"], bucket, num_buckets=8)
