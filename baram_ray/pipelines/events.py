@@ -645,3 +645,30 @@ def user_lifetime(sf_dir: str):
         })
 
     return tot.map_batches(finish, batch_format="pandas")
+
+
+def activity_heatmap(sf_dir: str):
+    """Day-of-week × hour event-count heatmap (ISO dow, Mon=1): the
+    classic ops dashboard matrix — per-batch (dow, hour) partial
+    counts, tiny groupby. Hash-exact (isodow/hour arithmetic matches
+    numpy's weekday+1 / hour extraction)."""
+    ds = read_table(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.to_datetime(df["ts"])
+        g = pd.DataFrame({
+            "dow": (t.dt.dayofweek + 1).astype("int64"),   # ISO Mon=1
+            "hour": t.dt.hour.astype("int64"),
+        }).groupby(["dow", "hour"], as_index=False).size() \
+          .rename(columns={"size": "n"})
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = grouped_agg(parts, ["dow", "hour"], {"n": ("n", "sum")},
+                      num_buckets=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")

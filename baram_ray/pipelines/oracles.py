@@ -1038,6 +1038,31 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # ROLLUP(region, nation) revenue from exact scaled-int sums
+    "tpch_revenue_rollup": """
+        WITH base AS (
+          SELECT r_name, n_name,
+                 CAST(sum(CAST(trunc(o_totalprice * 100.0 + 0.5)
+                               AS BIGINT)) AS BIGINT) AS revenue_c
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT 'nation' AS level, n_name AS name, revenue_c FROM base
+        UNION ALL
+        SELECT 'region', r_name, CAST(sum(revenue_c) AS BIGINT)
+        FROM base GROUP BY r_name
+        UNION ALL
+        SELECT 'all', 'all', CAST(sum(revenue_c) AS BIGINT) FROM base
+    """,
+    # ISO dow x hour activity heatmap
+    "events_heatmap": """
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    """,
     # TPC-H Q16 shape: distinct suppliers per (brand, size)
     "tpch_q16": """
         SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,

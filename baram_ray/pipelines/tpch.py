@@ -651,3 +651,39 @@ def q16_supplier_variety(sf_dir: str):
         return g
 
     return grouped_map(rows, ["p_brand", "p_size"], bucket, num_buckets=8)
+
+
+def revenue_rollup(sf_dir: str):
+    """ROLLUP(region, nation) revenue — the multi-level aggregate from
+    ONE fact scan: the nation-level aggregate (same J4 broadcast-lookup
+    pipeline as ``revenue_by_nation``) is dimension-sized, so the
+    region level and the grand total derive from it by summing those
+    ~25 rows — no second pass over orders. Output mirrors SQL
+    GROUPING SETS: level ∈ ('nation', 'region', 'all')."""
+    from baram_ray.pipelines.util import read_small
+
+    nat = read_small(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"])
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    n2r = dict(zip(nat["n_name"],
+                   nat["n_regionkey"].map(dict(zip(reg["r_regionkey"],
+                                                   reg["r_name"])))))
+
+    base = revenue_by_nation(sf_dir).to_pandas()
+    base["r_name"] = base["n_name"].map(n2r)
+    nation_lvl = pd.DataFrame({
+        "level": "nation", "name": base["n_name"],
+        "revenue_c": base["revenue_c"].astype("int64"),
+    })
+    by_reg = base.groupby("r_name", as_index=False)["revenue_c"].sum()
+    region_lvl = pd.DataFrame({
+        "level": "region", "name": by_reg["r_name"],
+        "revenue_c": by_reg["revenue_c"].astype("int64"),
+    })
+    total = pd.DataFrame({"level": ["all"], "name": ["all"],
+                          "revenue_c": pd.array(
+                              [int(base["revenue_c"].sum())],
+                              dtype="int64")})
+    out = pd.concat([nation_lvl, region_lvl, total], ignore_index=True)
+    out["revenue_c"] = out["revenue_c"].astype("int64")
+    return out
