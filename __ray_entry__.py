@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": tpchp.q16_supplier_variety,
         "tpch_revenue_rollup": tpchp.revenue_rollup,
         "events_heatmap": evp.activity_heatmap,
+        "events_transitions": evp.transitions,
+        "search_count": searchp.search_count,
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,
         "events_value_quantiles": evp.value_quantiles,

@@ -672,3 +672,35 @@ def activity_heatmap(sf_dir: str):
         return df
 
     return out.map_batches(cast, batch_format="pandas")
+
+
+def transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov/behavior
+    matrix): consecutive event pairs in each user's ts-ordered history
+    (ties broken by event_id — deterministic on both sides), counted
+    per (prev_type, next_type). ONE user-keyed exchange; per-bucket
+    partial counts. Hash-exact lag-window oracle."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_type",
+                                       "event_id"])
+
+    def bucket_counts(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="stable")
+        same_user = b["user_id"].to_numpy()[1:] \
+            == b["user_id"].to_numpy()[:-1]
+        prev_t = b["event_type"].to_numpy()[:-1][same_user]
+        next_t = b["event_type"].to_numpy()[1:][same_user]
+        g = pd.DataFrame({"prev_type": prev_t, "next_type": next_t}) \
+            .groupby(["prev_type", "next_type"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g
+
+    parts = grouped_map(ds, ["user_id"], bucket_counts, num_buckets=8)
+    out = grouped_agg(parts, ["prev_type", "next_type"],
+                      {"n": ("n", "sum")}, num_buckets=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df
+
+    return out.map_batches(cast, batch_format="pandas")

@@ -1038,6 +1038,28 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # _count surface: conjunctive match-set size
+    "search_count": r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_hits
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+          AND list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'stream')
+    """,
+    # per-user event-type transition matrix (lag window, ties by
+    # event_id — the engine sorts by (ts, event_id) identically)
+    "events_transitions": """
+        WITH o AS (SELECT user_id, event_type,
+                          lead(event_type) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_type
+                   FROM events)
+        SELECT event_type AS prev_type, next_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     # ROLLUP(region, nation) revenue from exact scaled-int sums
     "tpch_revenue_rollup": """
         WITH base AS (

@@ -818,3 +818,18 @@ def index_stats(sf_dir: str):
         "avgdl_text": round(meta["avgdl"]["text"], 6),
         "num_shards": meta["num_shards"],
     }])
+
+
+def search_count(sf_dir: str, query_text: str = "data stream"):
+    """The OpenSearch ``_count`` surface: total hits of a conjunctive
+    query without scoring or fetching — per-shard match-count sum via
+    the facets machinery (counts over a constant facet would do; the
+    engines expose the mask size directly through facet totals).
+    Hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    # lang is a total partition of the corpus → facet counts sum to
+    # the match-set size
+    n = sum(c for _, _, c in eng.facets(query_text, ["lang"]))
+    return pd.DataFrame({"n_hits": pd.array([n], dtype="int64")})
