@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_revenue_rollup": tpchp.revenue_rollup,
         "events_heatmap": evp.activity_heatmap,
         "events_transitions": evp.transitions,
+        "events_dau_wau": evp.dau_wau,
         "search_count": searchp.search_count,
         "events_asof_click": evp.asof_purchase_click,
         "events_value_median": evp.value_median,

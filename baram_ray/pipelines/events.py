@@ -704,3 +704,39 @@ def transitions(sf_dir: str):
         return df
 
     return out.map_batches(cast, batch_format="pandas")
+
+
+def dau_wau(sf_dir: str):
+    """Weekly engagement: distinct weekly actives (WAU), the mean of
+    the 7 daily-active counts (avg DAU), and stickiness = avg_dau/wau
+    — the standard growth metric pair. ONE user-keyed exchange emits
+    each user's distinct (week, day) activity pairs (bucket-local
+    dedup), then tiny per-week aggregates; weeks/days are epoch-aligned
+    integer buckets exactly as the retention op computes them."""
+    ds = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(bucket: pd.DataFrame) -> pd.DataFrame:
+        days = bucket["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": bucket["user_id"].to_numpy(),
+                           "day": days, "week": days // 7}) \
+               .drop_duplicates()
+        return df
+
+    pairs = grouped_map(ds, ["user_id"], per_user, num_buckets=8)
+
+    def week_stats(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for wk, g in bucket.groupby("week", sort=False):
+            wau = g["user_id"].nunique()
+            dau = g.groupby("day")["user_id"].nunique()
+            avg_dau = float(dau.sum()) / 7.0
+            rows.append({"week": np.int64(wk), "wau": np.int64(wau),
+                         "avg_dau": round(avg_dau, 6),
+                         "stickiness": round(avg_dau / wau, 6)})
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["week"] = out["week"].astype("int64")
+            out["wau"] = out["wau"].astype("int64")
+        return out
+
+    return grouped_map(pairs, ["week"], week_stats, num_buckets=2)

@@ -1038,6 +1038,26 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # weekly DAU/WAU stickiness (epoch-aligned weeks; avg over a fixed
+    # 7-day denominator; round-6 on outputs only)
+    "events_dau_wau": """
+        WITH w AS (SELECT DISTINCT user_id,
+                          CAST(floor(epoch(ts) / 86400.0) AS BIGINT)
+                              AS day,
+                          CAST(floor(epoch(ts) / 86400.0) AS BIGINT) // 7
+                              AS week
+                   FROM events),
+        d AS (SELECT week, day, count(DISTINCT user_id) AS dau
+              FROM w GROUP BY 1, 2),
+        a AS (SELECT week, count(DISTINCT user_id) AS wau
+              FROM w GROUP BY 1),
+        s AS (SELECT week, CAST(sum(dau) AS DOUBLE) / 7.0 AS avg_dau
+              FROM d GROUP BY 1)
+        SELECT a.week, CAST(a.wau AS BIGINT) AS wau,
+               round(s.avg_dau, 6) AS avg_dau,
+               round(s.avg_dau / a.wau, 6) AS stickiness
+        FROM a JOIN s USING (week)
+    """,
     # _count surface: conjunctive match-set size
     "search_count": r"""
         SELECT CAST(count(*) AS BIGINT) AS n_hits
