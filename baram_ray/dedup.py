@@ -638,3 +638,56 @@ def ngram_jaccard_pairs(ds, text_col: str, *, n: int = 2,
                        num_buckets=num_buckets)
     return j2.map_batches(
         lambda b: _jaccard_of_attached(b, threshold), batch_format="pandas")
+
+
+def fingerprint_candidates(ds, text_col: str, *, min_shared: int = 2,
+                           k: int = 5, window: int = 4,
+                           num_buckets: int = 32,
+                           cap: int | None = 256):
+    """MOSS-style near-dup candidates from winnowing fingerprints
+    (Schleimer et al. 2003 — the plagiarism-detection recipe, the
+    character-level complement to the word-shingle MinHash path): docs
+    sharing ≥ ``min_shared`` selected fingerprints become a candidate
+    pair. The winnowing guarantee carries over: any shared substring of
+    ≥ window+k-1 chars shares at least one fingerprint.
+
+    Scale shape: distinct (fingerprint, doc_id) rows through ONE
+    bucketed exchange on the fingerprint — pair generation is
+    in-bucket (same ``cap`` guard as the LSH band buckets: a
+    fingerprint shared by half the corpus is a stop-gram, its bucket
+    is truncated WITH a logged count); shared-count aggregation is the
+    second exchange. Returns Dataset[(a, b, n_shared)].
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from baram_ray.stages.text import FingerprintStage
+    from baram_ray.util import grouped_agg, grouped_map
+
+    stage = FingerprintStage(text_col, k=k, window=window)
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch[text_col].to_pylist()):
+            for f in set(stage.fingerprints(t or "")):
+                ids.append(d)
+                fps.append(f)
+        return pa.table({"fp": pa.array(fps, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow")
+
+    def pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_in_buckets(bucket, ["fp"], cap=cap)
+
+    cand = grouped_map(rows, ["fp"], pairs, num_buckets=num_buckets)
+    shared = grouped_agg(cand, ["a", "b"], {"n_shared": (None, "count")},
+                         num_buckets=num_buckets)
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_shared"] >= min_shared].copy()
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out
+
+    return shared.map_batches(threshold, batch_format="pandas")

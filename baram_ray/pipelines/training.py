@@ -662,3 +662,19 @@ def doc_sample_stratified(sf_dir: str):
                       num_buckets=2).to_pandas()
     out["n_kept"] = out["n_kept"].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def dedup_fingerprint(sf_dir: str, min_shared: int = 50):
+    """MOSS-style winnowing-fingerprint near-dup candidates
+    (``dedup.fingerprint_candidates``): docs sharing ≥ ``min_shared``
+    selected fingerprints. The synthetic corpus draws from a ~40-word
+    vocabulary, so low thresholds match almost everything (median
+    pair shares 15 fingerprints); 50 keeps only heavy substring
+    overlap. Rows-only driver check; the winnowing guarantee (shared
+    substring ≥ window+k−1 chars ⇒ shared fingerprint) and candidate
+    recall on planted overlaps are pytest-asserted."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = dedup.fingerprint_candidates(ds, "text",
+                                       min_shared=min_shared)
+    return ensure_cols(out, {"a": "int64", "b": "int64",
+                             "n_shared": "int64"})

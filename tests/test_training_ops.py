@@ -724,3 +724,22 @@ def test_export_partitioned_resume(ray_session, tmp_path):
                      for d in os.listdir(out)], ignore_index=True)
     assert len(got) == len(src)
     assert sorted(got["doc_id"]) == sorted(src["doc_id"])
+
+
+def test_fingerprint_candidates_planted_overlap(ray_session):
+    """Winnowing guarantee: docs sharing a long substring become a
+    candidate pair; disjoint docs do not."""
+    import ray as _ray
+    from baram_ray.dedup import fingerprint_candidates
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"doc_id": 1, "text": "alpha " + shared + " omega"},
+        {"doc_id": 2, "text": "totally different prefix " + shared},
+        {"doc_id": 3, "text": "zebra yak xylophone walrus vulture unau"},
+    ]
+    ds = _ray.data.from_items(rows)
+    got = fingerprint_candidates(ds, "text", min_shared=2).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got.get("a", []),
+                                              got.get("b", []))}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
