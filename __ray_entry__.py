@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_longest": docp.top_longest,
         "doc_token_count": docp.token_count_ws,
         "doc_term_df_top": docp.term_df_top,
+        "doc_zipf_slope": docp.zipf_slope,
         "doc_unk_stats": docp.unk_stats,
         "doc_export_partitioned": docp.export_partitioned,
         # events time-series (G4 SMA, G5 spikes, G8 top-k)
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles_sketch": evp.value_quantiles_sketch,
         "events_value_hist": evp.value_hist,
         "events_value_stats": evp.value_stats,
+        "events_value_outliers_mad": evp.value_outliers_mad,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,

@@ -212,3 +212,41 @@ def export_partitioned(sf_dir: str):
     out_dir = os.path.join("/tmp/baram_ray_exports", f"docs_{tag}")
     man = _export(ds, out_dir, "lang")
     return man[["partition", "n_rows"]]
+
+
+def zipf_slope(sf_dir: str):
+    """Zipf-fit corpus statistic (a standard corpus-QA signal: natural
+    text slopes ≈ −1; generated/spammy corpora deviate): least-squares
+    slope of log(count) vs log(rank) over the term-frequency table,
+    rank = row_number by (count desc, term asc). Term counts come from
+    the vocabulary-keyed exchange; the regression consumes the
+    vocabulary-SIZED table. The closed-form slope
+    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is written out identically in the
+    SQL oracle (round-6 absorbs sum order)."""
+    from baram_ray.util import grouped_agg
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").lower().split())
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    parts = ds.map_batches(term_counts, batch_format="pyarrow")
+    counts = grouped_agg(parts, ["term"], {"cnt": ("cnt", "sum")},
+                         num_buckets=8).to_pandas()
+    counts = counts.sort_values(["cnt", "term"],
+                                ascending=[False, True], kind="stable")
+    x = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
+    y = np.log(counts["cnt"].to_numpy(np.float64))
+    n = float(len(x))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_terms": pd.array([int(n)], dtype="int64"),
+        "zipf_slope": pd.array([round(slope, 6)], dtype="float64"),
+    })

@@ -740,3 +740,34 @@ def dau_wau(sf_dir: str):
         return out
 
     return grouped_map(pairs, ["week"], week_stats, num_buckets=2)
+
+
+def value_outliers_mad(sf_dir: str):
+    """Robust per-type outlier counts via Median Absolute Deviation
+    (the z-score's robust sibling — G5's spike detector breaks on
+    heavy tails): med = quantile_disc-0.5 of values, MAD =
+    quantile_disc-0.5 of |v − med|, outlier ⇔ |v − med| > 3·MAD.
+    Discrete quantiles make both sides bit-deterministic (no rounding
+    anywhere). One type-keyed exchange; per-group vectorized."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = np.sort(g["value"].to_numpy(np.float64))
+            n = len(v)
+            med = float(v[min(n - 1, int(np.ceil(0.5 * n)) - 1)])
+            dev = np.sort(np.abs(g["value"].to_numpy(np.float64) - med))
+            mad = float(dev[min(n - 1, int(np.ceil(0.5 * n)) - 1)])
+            out = int((np.abs(g["value"].to_numpy(np.float64) - med)
+                       > 3.0 * mad).sum())
+            rows.append({"event_type": et, "n": np.int64(n),
+                         "med": med, "mad": mad,
+                         "n_outliers": np.int64(out)})
+        o = pd.DataFrame(rows)
+        if len(o):
+            o["n"] = o["n"].astype("int64")
+            o["n_outliers"] = o["n_outliers"].astype("int64")
+        return o
+
+    ds = read_table(sf_dir, "events", ["event_type", "value"])
+    return grouped_map(ds, ["event_type"], bucket, num_buckets=4)

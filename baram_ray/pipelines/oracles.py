@@ -1038,6 +1038,46 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # MAD robust outliers: discrete-quantile medians on both sides,
+    # no rounding anywhere (bit-deterministic)
+    "events_value_outliers_mad": """
+        WITH m AS (SELECT event_type,
+                          quantile_disc(value, 0.5) AS med
+                   FROM events GROUP BY 1),
+        d AS (SELECT e.event_type, e.value, m.med,
+                     abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (event_type)),
+        md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+               FROM d GROUP BY 1)
+        SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+               any_value(d.med) AS med, any_value(md.mad) AS mad,
+               CAST(count(*) FILTER (WHERE d.dev > 3.0 * md.mad)
+                    AS BIGINT) AS n_outliers
+        FROM d JOIN md USING (event_type)
+        GROUP BY d.event_type
+    """,
+    # Zipf slope: identical closed-form regression over the term table
+    "doc_zipf_slope": r"""
+        WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS term
+                     FROM documents WHERE trim(text) <> ''),
+        c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC,
+                                             term ASC) AS rnk
+              FROM c),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(ln(CAST(rnk AS DOUBLE))) AS sx,
+                     sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+                     sum(ln(CAST(rnk AS DOUBLE))
+                         * ln(CAST(cnt AS DOUBLE))) AS sxy,
+                     sum(ln(CAST(rnk AS DOUBLE))
+                         * ln(CAST(rnk AS DOUBLE))) AS sxx
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS zipf_slope
+        FROM s
+    """,
     # weekly DAU/WAU stickiness (epoch-aligned weeks; avg over a fixed
     # 7-day denominator; round-6 on outputs only)
     "events_dau_wau": """
