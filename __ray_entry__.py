@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_hist": evp.value_hist,
         "events_value_stats": evp.value_stats,
         "events_value_outliers_mad": evp.value_outliers_mad,
+        "events_forecast_holt": evp.forecast_holt,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,

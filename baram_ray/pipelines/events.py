@@ -771,3 +771,40 @@ def value_outliers_mad(sf_dir: str):
 
     ds = read_table(sf_dir, "events", ["event_type", "value"])
     return grouped_map(ds, ["event_type"], bucket, num_buckets=4)
+
+
+def forecast_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
+                  horizon: int = 7):
+    """Holt's linear-trend forecast (double exponential smoothing) of
+    per-type daily event counts — the G6 trend-velocity surface
+    extended to prediction. Each type's series (zero-filled over its
+    own [first, last] day range) smooths sequentially inside its
+    exchange bucket; output is the ``horizon`` daily forecasts per
+    type. Inherently recursive → no SQL oracle (rows-only); pytest
+    recomputes the recursion independently."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            days = g["ts"].to_numpy("datetime64[D]").astype(np.int64)
+            lo, hi = int(days.min()), int(days.max())
+            series = np.zeros(hi - lo + 1, dtype=np.float64)
+            np.add.at(series, days - lo, 1.0)
+            if len(series) < 2:
+                continue
+            level, trend = series[0], series[1] - series[0]
+            for y in series[1:]:
+                prev = level
+                level = alpha * y + (1.0 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1.0 - beta) * trend
+            for h in range(1, horizon + 1):
+                rows.append({"event_type": et,
+                             "day": np.int64(hi + h),
+                             "forecast": round(level + h * trend, 6)})
+        out = pd.DataFrame(rows)
+        if len(out):
+            out["day"] = out["day"].astype("int64")
+        return out
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+    return grouped_map(ds, ["event_type"], bucket, num_buckets=4)

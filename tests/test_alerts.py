@@ -242,3 +242,30 @@ def test_source_failure_in_evaluate_alerts(ray_session):
     hit = out[out["condition_type"] == "source_failure"]
     assert len(hit) == 1                         # only source 9 triggers
     assert hit.iloc[0]["observed"] == 4.0 and hit.iloc[0]["threshold"] == 3.0
+
+
+def test_forecast_holt_recomputation(ray_session):
+    """Independent recomputation of the Holt recursion from the raw
+    daily counts equals the pipeline's forecasts bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from baram_ray.pipelines.events import forecast_holt
+    sf = "/root/testdata/sf0.001"
+    got = forecast_holt(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "ts"])
+    for et, g in ev.groupby("event_type"):
+        days = g["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        lo, hi = int(days.min()), int(days.max())
+        series = np.zeros(hi - lo + 1)
+        np.add.at(series, days - lo, 1.0)
+        level, trend = series[0], series[1] - series[0]
+        for y in series[1:]:
+            prev = level
+            level = 0.5 * y + 0.5 * (level + trend)
+            trend = 0.3 * (level - prev) + 0.7 * trend
+        sub = got[got["event_type"] == et].sort_values("day")
+        assert len(sub) == 7
+        for h, (_, row) in enumerate(sub.iterrows(), 1):
+            assert row["day"] == hi + h
+            assert row["forecast"] == round(level + h * trend, 6)
