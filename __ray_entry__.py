@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": docp.token_count_ws,
         "doc_term_df_top": docp.term_df_top,
         "doc_zipf_slope": docp.zipf_slope,
+        "doc_ttr": docp.ttr,
         "doc_unk_stats": docp.unk_stats,
         "doc_export_partitioned": docp.export_partitioned,
         # events time-series (G4 SMA, G5 spikes, G8 top-k)
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": evp.value_stats,
         "events_value_outliers_mad": evp.value_outliers_mad,
         "events_forecast_holt": evp.forecast_holt,
+        "events_user_gini": evp.user_gini,
         "events_distinct_kmv": evp.distinct_kmv,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,

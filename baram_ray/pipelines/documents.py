@@ -250,3 +250,29 @@ def zipf_slope(sf_dir: str):
         "n_terms": pd.array([int(n)], dtype="int64"),
         "zipf_slope": pd.array([round(slope, 6)], dtype="float64"),
     })
+
+
+def ttr(sf_dir: str):
+    """Type-token ratio per document (lexical diversity — a standard
+    text-quality signal alongside the Gopher repetition fractions):
+    distinct tokens / tokens, exact IEEE division (no rounding).
+    Zero-shuffle batch map."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        ids, nt, nd, r = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            ids.append(d)
+            nt.append(len(toks))
+            nd.append(len(set(toks)))
+            r.append(len(set(toks)) / len(toks))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "ttr": pa.array(r, pa.float64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")

@@ -808,3 +808,27 @@ def forecast_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
 
     ds = read_table(sf_dir, "events", ["event_type", "ts"])
     return grouped_map(ds, ["event_type"], bucket, num_buckets=4)
+
+
+def user_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts (activity
+    concentration — the whale-vs-long-tail diagnostic): sorted-rank
+    closed form G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over counts sorted by
+    (count, user_id). Per-user counts via the exchange; the
+    coefficient consumes the user-cardinality table. The identical
+    expression runs in the oracle (round-6 absorbs sum order)."""
+    from baram_ray.util import grouped_agg
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+    counts = grouped_agg(ds, ["user_id"], {"n": (None, "count")},
+                         num_buckets=8).to_pandas()
+    counts = counts.sort_values(["n", "user_id"], kind="stable")
+    x = counts["n"].to_numpy(np.float64)
+    n = float(len(x))
+    i = np.arange(1, len(x) + 1, dtype=np.float64)
+    g = (2.0 * float((i * x).sum())) / (n * float(x.sum())) \
+        - (n + 1.0) / n
+    return pd.DataFrame({
+        "n_users": pd.array([int(n)], dtype="int64"),
+        "gini": pd.array([round(g, 6)], dtype="float64"),
+    })

@@ -1038,6 +1038,31 @@ ORACLES: dict[str, str] = {
                quantile_disc(value, 0.99) AS p99
         FROM events GROUP BY event_type
     """,
+    # type-token ratio per doc: exact IEEE division, no rounding
+    "doc_ttr": r"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(lower(trim(text)),
+                                               '\s+') AS toks
+                     FROM documents WHERE trim(text) <> '')
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / len(toks) AS ttr
+        FROM tok
+    """,
+    # Gini of per-user activity: identical sorted-rank closed form
+    "events_user_gini": """
+        WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        r AS (SELECT CAST(n AS DOUBLE) AS x,
+                     CAST(row_number() OVER (ORDER BY n, user_id)
+                          AS DOUBLE) AS i
+              FROM c),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                     sum(i * x) AS six, sum(x) AS sx FROM r)
+        SELECT CAST(n AS BIGINT) AS n_users,
+               round((2.0 * six) / (n * sx) - (n + 1.0) / n, 6) AS gini
+        FROM s
+    """,
     # MAD robust outliers: discrete-quantile medians on both sides,
     # no rounding anywhere (bit-deterministic)
     "events_value_outliers_mad": """
