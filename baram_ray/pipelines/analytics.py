@@ -464,7 +464,11 @@ def join_anti_cust_no_orders(sf_dir: str):
     from baram_ray.pipelines.util import ensure_cols
     out = grouped_agg(no_orders, ["c_nationkey"],
                       {"n": (None, "count")}, num_buckets=4)
-    return ensure_cols(out, {"c_nationkey": "int64", "n": "int64"})
+    df = ensure_cols(out, {"c_nationkey": "int64", "n": "int64"})
+    # the parquet key is int32: cast the NON-empty result too (the
+    # empty-case retype above masked this until a customer actually
+    # had no orders — first seen at sf0.1)
+    return df.astype({"c_nationkey": "int64", "n": "int64"})
 
 
 # ------------------------------------------------------------------ #

@@ -564,14 +564,14 @@ def value_stats(sf_dir: str):
     return tot.map_batches(finish, batch_format="pandas")
 
 
-def value_quantiles_sketch(sf_dir: str, k: int = 4096):
+def value_quantiles_sketch(sf_dir: str, k: int = 32768):
     """Per-type quantiles via the MERGEABLE KLL sketch
     (``sketches.kll_*``) — the bounded-memory path for corpus-sized
     groups (the exact op sorts a whole group in one task): each batch
     emits ≤ k sketch rows (event_type, level, value) per type, the
     type-keyed reduce merges + compacts once and reads the quantiles.
     Total weight is conserved exactly, so ``n`` is exact at any scale;
-    at sf ≤ 0.01 per-type counts stay under k → no compaction → the
+    at sf ≤ 0.1 per-type counts stay under k → no compaction → the
     quantiles equal the exact op's and the quantile_disc oracle is
     hash-exact (same pattern as the MG / KMV sketches; the
     deep-compaction error envelope is hypothesis-tested)."""
