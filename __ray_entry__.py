@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4": tpchp.q4_order_priority,
         "tpch_q12": tpchp.q12_priority_by_status,
         "tpch_q14": tpchp.q14_promo_revenue,
+        "tpch_q13": tpchp.q13_customer_distribution,
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,
@@ -143,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_fingerprint": trainp.dedup_fingerprint,
         # similarity search over embeddings (K2 native)
         "sim_knn_bruteforce": trainp.sim_knn_bruteforce,
+        "sim_range_search": trainp.sim_range_search,
         "sim_knn_lsh": trainp.sim_knn_lsh,
         "sim_knn_ivf": trainp.sim_knn_ivf,
         "sim_neardup_pairs": trainp.sim_neardup_pairs,

@@ -525,6 +525,28 @@ ORACLES: dict[str, str] = {
                                   ORDER BY c DESC, vec_id) AS rank
         FROM s QUALIFY rank <= 5
     """,
+    # cosine RANGE search: all matches at >= 0.3, no limit
+    "sim_range_search": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN (0, 1, 2))
+        SELECT q.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qv), 6) AS cosine
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.query_id
+          AND list_cosine_similarity(e.embedding::DOUBLE[], q.qv) >= 0.3
+    """,
+    # TPC-H Q13: count-of-counts histogram incl zero-order customers
+    "tpch_q13": """
+        WITH pc AS (SELECT c_custkey,
+                           count(o_orderkey) AS c_count
+                    FROM customer LEFT JOIN orders
+                      ON o_custkey = c_custkey
+                    GROUP BY c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(count(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY c_count
+    """,
     "sim_neardup_pairs": """
         SELECT a.vec_id AS a, b.vec_id AS b,
                round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -687,3 +687,45 @@ def revenue_rollup(sf_dir: str):
     out = pd.concat([nation_lvl, region_lvl, total], ignore_index=True)
     out["revenue_c"] = out["revenue_c"].astype("int64")
     return out
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 — the count-of-counts histogram: orders per customer
+    (LEFT side: customers with zero orders keep c_count 0), then the
+    distribution of those counts. Per-customer counts through one
+    custkey-keyed exchange; the zero-order customers come from ONE
+    anti semi-join (never a row-per-customer driver loop); the final
+    histogram is a tiny aggregate."""
+    from baram_ray.joins import hash_join
+
+    orders = read_table(sf_dir, "orders", ["o_custkey"])
+    per_cust = grouped_agg(
+        orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey"]),
+            batch_format="pyarrow"),
+        ["c_custkey"], {"c_count": (None, "count")}, num_buckets=8)
+
+    cust = read_table(sf_dir, "customer", ["c_custkey"])
+    zeros = hash_join(cust, per_cust.select_columns(["c_custkey"]),
+                      on="c_custkey", how="anti", num_buckets=8)
+
+    def zero_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": np.zeros(len(df), dtype=np.int64)})
+
+    def strip_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": df["c_count"].to_numpy(np.int64)})
+
+    counts = per_cust.map_batches(strip_key, batch_format="pandas") \
+        .union(zeros.map_batches(zero_counts, batch_format="pandas"))
+    hist = grouped_agg(counts, ["c_count"],
+                       {"custdist": (None, "count")}, num_buckets=2)
+
+    def cast(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_count": df["c_count"].astype("int64"),
+            "custdist": df["custdist"].astype("int64"),
+        })
+
+    return hist.map_batches(cast, batch_format="pandas")

@@ -678,3 +678,14 @@ def dedup_fingerprint(sf_dir: str, min_shared: int = 50):
                                        min_shared=min_shared)
     return ensure_cols(out, {"a": "int64", "b": "int64",
                              "n_shared": "int64"})
+
+
+def sim_range_search(sf_dir: str, threshold: float = 0.3):
+    """Cosine range search: all vectors within cosine ≥ 0.3 of the
+    fixed query vectors (``similarity.range_search``) — the radius
+    counterpart of top-k kNN. Hash-exact SQL oracle (f64 arithmetic on
+    both sides, round-6)."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = similarity.range_search(ds, KNN_QUERY_IDS, threshold)
+    return ensure_cols(out, {"query_id": "int64", "vec_id": "int64",
+                             "cosine": "float64"})

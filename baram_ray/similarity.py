@@ -490,3 +490,37 @@ def kmeans_assign(ds, k: int = 8, iters: int = 5):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def range_search(ds, query_ids: list[int], threshold: float,
+                 round6: bool = True):
+    """Cosine RANGE search (the radius counterpart of top-k): every
+    vector with cosine ≥ ``threshold`` to each query vector, excluding
+    self. Same broadcast-query / per-batch-matmul shape as
+    ``brute_force_topk`` — the filter happens inside the batch, so only
+    matches leave the scan (at scale the output is match-sized, not
+    corpus-sized)."""
+    q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
+    ref = ray.put(_norm_rows(q_vecs))
+
+    def matches(batch: pa.Table) -> pa.Table:
+        vecs = _norm_rows(_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vecs @ ray.get(ref).T
+        out_q, out_v, out_c = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            hit = np.nonzero((col >= threshold)
+                             & (vec_ids != q_ids[qi]))[0]
+            out_q.extend([int(q_ids[qi])] * len(hit))
+            out_v.extend(int(v) for v in vec_ids[hit])
+            out_c.extend(float(c) for c in col[hit])
+        cos = np.round(np.asarray(out_c, np.float64), 6) if round6 \
+            else np.asarray(out_c, np.float64)
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(cos, pa.float64()),
+        })
+
+    return ds.map_batches(matches, batch_format="pyarrow")
