@@ -137,3 +137,35 @@ def test_empty_input_keeps_output_schema(ray_session):
                      {"n": (None, "count")}, num_buckets=4)
     assert sorted(ds.schema().names) == ["k", "n"]
     assert ds.count() == 0
+
+
+def test_hot_key_skew(ray_session):
+    """90% of rows share one key: the exchange stays correct (the hot
+    key's group lands whole in one bucket) and per-batch combiners are
+    what keep the moved bytes bounded — the documented skew strategy.
+    Asserts correctness of both the raw exchange and the combiner
+    form on the same skewed input."""
+    rng = np.random.default_rng(23)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 50, n))
+    df = pd.DataFrame({"k": keys, "v": rng.normal(size=n).round(3)})
+    exp = df.groupby("k", as_index=False).agg(s=("v", "sum"),
+                                              n=("v", "size"))
+    # raw exchange
+    got = grouped_agg(ray.data.from_pandas(df), ["k"],
+                      {"s": ("v", "sum"), "n": (None, "count")},
+                      num_buckets=16).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                  check_dtype=False)
+    # combiner form: per-batch partials first (what the pipelines do) —
+    # the hot key then moves one row per block, not 18k rows
+    ds = ray.data.from_pandas(df).repartition(8)
+    parts = ds.map_batches(
+        lambda b: b.groupby("k", as_index=False).agg(
+            s=("v", "sum"), n=("v", "size")),
+        batch_format="pandas")
+    got2 = grouped_agg(parts, ["k"],
+                       {"s": ("s", "sum"), "n": ("n", "sum")},
+                       num_buckets=16).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got2), _canon(exp),
+                                  check_dtype=False)
