@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_source_failures": evp.source_failures,
         "events_user_topk": evp.user_topk,
         "events_sessions": evp.sessionize,
+        "events_session_stats": evp.session_stats,
         "events_funnel": evp.funnel,
         "events_retention": evp.retention,
         "events_user_lifetime": evp.user_lifetime,

@@ -832,3 +832,35 @@ def user_gini(sf_dir: str):
         "n_users": pd.array([int(n)], dtype="int64"),
         "gini": pd.array([round(g, 6)], dtype="float64"),
     })
+
+
+def session_stats(sf_dir: str, gap_minutes: int = 30):
+    """Per-user session summary on top of ``sessionize`` (composition —
+    the session table is already user-partitioned, so the second
+    aggregate reuses the same key): sessions per user, total events,
+    mean session length in whole seconds (exact integer-microsecond
+    arithmetic; mean = exact sum / count, round-6)."""
+    sess = sessionize(sf_dir, gap_minutes=gap_minutes)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        dur_us = (df["session_end"].to_numpy("datetime64[us]")
+                  .astype(np.int64)
+                  - df["session_start"].to_numpy("datetime64[us]")
+                  .astype(np.int64))
+        d = df.assign(dur_s=dur_us // 1_000_000)
+        g = d.groupby("user_id", as_index=False).agg(
+            n_sessions=("dur_s", "size"),
+            total_events=("n_events", "sum"),
+            total_dur_s=("dur_s", "sum"))
+        out = pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_sessions": g["n_sessions"].astype("int64"),
+            "total_events": g["total_events"].astype("int64"),
+            "mean_session_s": (g["total_dur_s"].to_numpy(np.float64)
+                               / g["n_sessions"].to_numpy(np.float64))
+                              .round(6),
+        })
+        return out
+
+    from baram_ray.util import grouped_map as _gm
+    return _gm(sess, ["user_id"], per_user, num_buckets=8)

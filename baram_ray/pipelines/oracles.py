@@ -455,6 +455,34 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, sid
     """,
+    # per-user session stats composed on the sessionization CTE
+    "events_session_stats": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+        ses AS (SELECT user_id,
+                       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                           AS dur_s,
+                       count(*) AS n_events
+                FROM s GROUP BY user_id, sid)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS total_events,
+               round(CAST(sum(dur_s) AS DOUBLE) / count(*), 6)
+                   AS mean_session_s
+        FROM ses GROUP BY user_id
+    """,
     "tpch_q3": """
         SELECT l_orderkey,
                CAST(sum(CAST(trunc(l_extendedprice * (1.0 - l_discount)
