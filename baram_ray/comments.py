@@ -139,7 +139,13 @@ class JsonpParseStage:
         out: dict[str, list] = {k: [] for k in self.COLS}
         for aid, payload in zip(batch["article_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
-            doc = json.loads(parse_jsonp(payload))
+            try:
+                doc = json.loads(parse_jsonp(payload))
+            except (ValueError, TypeError):
+                # the reference treats a malformed page as a per-page Err
+                # and skips it (never aborts the ingest) — mirror that:
+                # one corrupt JSONP payload drops that page only
+                continue
             if not doc.get("success", False):
                 continue
             raw = doc.get("result", {}).get("commentList", [])

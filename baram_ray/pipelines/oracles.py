@@ -1570,7 +1570,7 @@ ORACLES: dict[str, str] = {
     "doc_dup_spans_removed": r"""
         WITH tok AS (SELECT doc_id,
                             string_split_regex(trim(text), '\s+') AS toks
-                     FROM documents),
+                     FROM documents WHERE trim(text) <> ''),
         sp AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
                FROM tok WHERE len(toks) >= 5),
         spans AS (SELECT doc_id, i,
@@ -1589,17 +1589,18 @@ ORACLES: dict[str, str] = {
                                       AND d.i BETWEEN t.j - 4 AND t.j)
                             AS keep
                  FROM tpos t)
-        SELECT tok.doc_id,
-               CAST(len(tok.toks) AS BIGINT) AS n_tokens,
-               CAST(len(tok.toks)
+        SELECT d.doc_id,
+               CAST(coalesce(len(tok.toks), 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(len(tok.toks), 0)
                     - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
                coalesce(k.txt, '') AS clean_text
-        FROM tok
+        FROM documents d
+        LEFT JOIN tok USING (doc_id)
         LEFT JOIN (SELECT doc_id,
                           count(*) FILTER (WHERE keep) AS n_kept,
                           string_agg(tokn, ' ' ORDER BY j)
                               FILTER (WHERE keep) AS txt
-                   FROM kept GROUP BY doc_id) k USING (doc_id)
+                   FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
     """,
     # faceted search: terms aggregation over the full conjunctive match
     # set ("data" AND "stream"), per kept metadata column

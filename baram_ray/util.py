@@ -264,13 +264,21 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
         return out
 
     lfrags, rfrags = frags_of(lblocks), frags_of(rblocks)
-    if not lfrags or not rfrags:
-        # one side has zero blocks: still emit bucket_fn's OUTPUT schema
+    if not lfrags:
+        # LEFT side has zero blocks: the output is keyed off the left, so
+        # run bucket_fn once on empty-but-typed frames for its OUTPUT schema
         import pyarrow as pa
         out = bucket_fn(_empty_typed_table(left).to_pandas(),
                         _empty_typed_table(right).to_pandas())
         return ray.data.from_arrow(
             pa.Table.from_pandas(out, preserve_index=False))
+    if not rfrags:
+        # only the RIGHT side is empty: left-outer-shaped bucket_fns
+        # (dup-span rebuild, range-join counts) must still see every left
+        # row — run the normal per-bucket reduce with an empty typed
+        # right fragment instead of short-circuiting to (empty, empty)
+        empty_r = ray.put(_empty_typed_table(right))
+        rfrags = [[empty_r] * num_buckets]
     fn_ref = ray.put(bucket_fn)
     out_refs, size_refs = [], []
     for b in range(num_buckets):

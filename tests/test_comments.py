@@ -184,3 +184,24 @@ def _reachable(c, cs, ids):
         if hops > len(cs):
             return False                         # cycle
     return True
+
+
+def test_jsonp_stage_skips_malformed_pages():
+    """ADVICE r2: a corrupt JSONP page is a per-page skip (reference
+    treats it as a per-page Err), never an abort of the whole batch."""
+    import pyarrow as pa
+
+    from baram_ray.comments import JsonpParseStage
+
+    good = ('_cb({"success": true, "result": {"commentList": ['
+            '{"commentNo": "c1", "parentCommentNo": null, '
+            '"contents": "hello", "userName": "u", "regTime": 1000, '
+            '"sympathyCount": 1, "antipathyCount": 0, "best": false, '
+            '"visible": true, "deleted": false}]}});')
+    batch = pa.table({
+        "article_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([good, "_cb({not json", ""], pa.string()),
+    })
+    out = JsonpParseStage()(batch)
+    assert out.num_rows == 1
+    assert out["article_id"].to_pylist() == [1]

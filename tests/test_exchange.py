@@ -169,3 +169,36 @@ def test_hot_key_skew(ray_session):
                        num_buckets=16).to_pandas()
     pd.testing.assert_frame_equal(_canon(got2), _canon(exp),
                                   check_dtype=False)
+
+
+def test_cogroup_empty_right_keeps_left_rows(ray_session):
+    """Left-outer-shaped bucket_fns (dup-span rebuild, range-join
+    counts) must see every LEFT row even when the right side has zero
+    non-empty blocks — the reduce runs with an empty typed right
+    fragment instead of short-circuiting to bucket_fn(empty, empty)."""
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "v": np.arange(10, dtype=np.float64)})
+    right = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="float64")})
+
+    def left_outer_count(l, r):
+        m = l.merge(r.groupby("k", as_index=False).agg(nr=("w", "size")),
+                    on="k", how="left")
+        m["nr"] = m["nr"].fillna(0).astype("int64")
+        return m[["k", "v", "nr"]]
+
+    got = cogroup(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right), ["k"], left_outer_count,
+                  num_buckets=4).to_pandas()
+    assert len(got) == 10
+    assert (got["nr"] == 0).all()
+    assert set(got["k"]) == set(range(10))
+    # empty LEFT still short-circuits (output keyed off the left)
+    right2 = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                           "w": np.arange(5, dtype=np.float64)})
+    ds2 = cogroup(ray.data.from_pandas(right.rename(columns={"w": "v"})),
+                  ray.data.from_pandas(right2), ["k"], left_outer_count,
+                  num_buckets=4)
+    # (Ray's to_pandas() on an empty dataset drops columns; schema() keeps them)
+    assert sorted(ds2.schema().names) == ["k", "nr", "v"]
+    assert ds2.count() == 0

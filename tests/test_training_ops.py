@@ -743,3 +743,51 @@ def test_fingerprint_candidates_planted_overlap(ray_session):
                                               got.get("b", []))}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_degenerate_no_dup_spans_emits_all_docs(ray_session, tmp_path):
+    """ADVICE r2: when NO k-token span is duplicated corpus-wide the
+    rebuild cogroup's right side is empty — every doc must still be
+    emitted with n_removed=0 (left-outer shape through the exchange)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from baram_ray.pipelines.training import doc_dup_spans_removed
+
+    texts = [" ".join(f"tok{d}x{i}" for i in range(12)) for d in range(6)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    out = doc_dup_spans_removed(str(tmp_path)).to_pandas()
+    assert len(out) == 6
+    assert (out["n_removed"] == 0).all()
+    assert sorted(out["doc_id"]) == list(range(6))
+    assert (out.sort_values("doc_id")["clean_text"].to_numpy()
+            == np.asarray(texts)).all()
+
+
+def test_degenerate_no_clicks_emits_all_purchases(ray_session, tmp_path):
+    """ADVICE r2: with zero click events every purchase row must still
+    come back with n_clicks_1h=0 (not an empty result)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from baram_ray.pipelines.events import range_count_clicks
+
+    n = 8
+    ts = np.arange(n).astype("datetime64[h]").astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([i % 3 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["purchase"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    }), tmp_path / "events.parquet")
+    out = range_count_clicks(str(tmp_path)).to_pandas()
+    assert len(out) == n
+    assert (out["n_clicks_1h"] == 0).all()

@@ -17,9 +17,15 @@ import time
 import duckdb
 import pandas as pd
 
+import os
+
 import ray
 
-ray.init(address="local", num_cpus=32, include_dashboard=False,
+# default to the detected core count (the driver's real environment);
+# a hardcoded 32 oversubscribes smaller hosts AND changes bucket-clamp /
+# min_blocks behavior relative to what the driver exercises
+_CPUS = int(os.environ.get("MIMIC_CPUS", os.cpu_count() or 8))
+ray.init(address="local", num_cpus=_CPUS, include_dashboard=False,
          ignore_reinit_error=True)
 sys.path.insert(0, ".")
 import __ray_entry__ as contract  # noqa: E402
@@ -43,8 +49,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 Q = contract.queries()
 SQL = contract.oracle_sql()
+# optional filter: `python tools/mimic.py [sf_dir] [substr ...]` runs
+# only queries whose name contains any given substring
+ONLY = sys.argv[2:]
 fails, ok, rows_only = [], 0, 0
 for name in sorted(Q):
+    if ONLY and not any(s in name for s in ONLY):
+        continue
     t0 = time.time()
     try:
         res = Q[name](SF)
