@@ -118,14 +118,14 @@ class PartialPostings:
     lists, exchange bucket precomputed from a stable term hash.
 
     Postings are emitted in **rank space**: doc_id → its position in the
-    sorted global doc_id array (broadcast once via ``ray.put``). Dense
-    ranks make delta varints 1-2 bytes instead of the 7-8 a 63-bit hash
-    id costs, and turn every query-time doc→row lookup into direct array
-    indexing. Rank order == doc_id order (monotone map), so tie-breaks
-    and shard-range concatenation are unchanged. At 10^12-doc scale the
-    global array doesn't broadcast — ranks would be per-shard
-    (``base[shard] + local_rank`` with a tiny prefix-count table); same
-    layout, two-level map.
+    globally-sorted unique doc_id set, resolved through the two-level
+    :class:`RankMap` (``base[id_shard] + local_rank``; per-shard id
+    arrays are separate plasma objects fetched zero-copy on demand, no
+    corpus-sized broadcast). Dense ranks make delta varints 1-2 bytes
+    instead of the 7-8 a 63-bit hash id costs, and turn every
+    query-time doc→row lookup into direct array indexing. Rank order ==
+    doc_id order (monotone map), so tie-breaks and shard-range
+    concatenation are unchanged at any id-shard granularity.
 
     Fully vectorized: term strings are dictionary-encoded (C), postings
     regrouped with one lexsort per field, list columns built from
@@ -136,12 +136,13 @@ class PartialPostings:
     """
 
     def __init__(self, fields: tuple[str, ...], shard_shift: int,
-                 num_buckets: int, ids_ref=None, num_shards: int = 1,
+                 num_buckets: int, rank_map: "RankMap | None" = None,
+                 num_shards: int = 1,
                  rank_offset: int = 0, positions: bool = False):
         self.fields = fields
         self.shard_shift = shard_shift  # shard = rank >> shard_shift
         self.num_buckets = num_buckets
-        self.ids_ref = ids_ref          # ray.put(sorted global doc_id array)
+        self.rank_map = rank_map        # two-level doc_id → rank map
         self.num_shards = num_shards
         self.rank_offset = rank_offset  # delta builds: ranks continue after
         # the previous build's dense rank space (append-only precondition)
@@ -150,10 +151,8 @@ class PartialPostings:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        if self.ids_ref is not None:
-            import ray as _ray
-            sorted_ids = _ray.get(self.ids_ref)   # zero-copy, cached/worker
-            doc_ids = np.searchsorted(sorted_ids, doc_ids) + self.rank_offset
+        if self.rank_map is not None:
+            doc_ids = self.rank_map.rank(doc_ids) + self.rank_offset
         num_shards = self.num_shards
         pieces = []
         for fi, f in enumerate(self.fields):
@@ -381,6 +380,151 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+# ---- two-level doc_id → dense-rank map -------------------------------- #
+# Rank space (position in the globally-sorted unique doc_id array) makes
+# posting deltas 1-2 varint bytes and doc lookups direct array indexing —
+# but a single sorted global id array broadcast via ray.put is 8 B/doc:
+# fine at 10^8 docs, dead at the 10^10-10^11 a 100 TB corpus implies.
+# The two-level map shards the ID DOMAIN into contiguous value ranges:
+#     rank(id) = base[shard_of(id)] + searchsorted(shard_ids, id)
+# where shard_of is a searchsorted against S-1 boundary values and
+# shard_ids is that shard's sorted id slice, a separate plasma object of
+# ≤ ids_per_shard × 8 B. Ranks are IDENTICAL to the global-sort ranks
+# for any boundary choice (shards are value ranges, so concatenating
+# per-shard sorted slices in shard order IS the global sort) — the
+# boundaries only control object granularity, picked from a uniform
+# sample so shards stay balanced. Driver state: S boundaries + S bases
+# + S object refs. Duplicate detection is per-shard (equal ids share a
+# shard by construction).
+
+DEFAULT_IDS_PER_RANK_SHARD = 4 << 20      # 32 MiB objects at 8 B/id
+
+
+def _block_sorted_ids(files: list[str]):
+    """Stage 1 (one task per input file): the file's sorted doc_id array
+    (stays in plasma) + tiny stats (count, uniform sample for boundary
+    selection) back to the driver."""
+    import pyarrow.parquet as _pq
+    parts = [_pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+             for f in files]
+    ids = (np.sort(np.concatenate(parts)) if parts
+           else np.empty(0, dtype=np.int64))
+    step = max(1, len(ids) // 128)
+    return ids, {"n": int(len(ids)), "sample": ids[::step][:256].copy()}
+
+
+def _shard_sorted_ids(lo, hi, *blocks):
+    """Stage 2 (one task per id shard): slice every block's sorted ids
+    to [lo, hi), merge-sort them → the shard's sorted id array (stays
+    in plasma) + tiny stats (count, min/max, within-shard dup ids)."""
+    parts = []
+    for b in blocks:
+        a = b[(np.searchsorted(b, lo, side="left") if lo is not None else 0):
+              (np.searchsorted(b, hi, side="left") if hi is not None
+               else len(b))]
+        if len(a):
+            parts.append(a)
+    ids = (np.sort(np.concatenate(parts)) if parts
+           else np.empty(0, dtype=np.int64))
+    dups = (np.unique(ids[:-1][np.diff(ids) == 0]) if len(ids)
+            else np.empty(0, dtype=np.int64))
+    return ids, {"n": int(len(ids)), "dups": dups,
+                 "min": int(ids[0]) if len(ids) else None,
+                 "max": int(ids[-1]) if len(ids) else None}
+
+
+class RankMap:
+    """doc_id → dense global rank through the per-shard two-level map.
+
+    Pickles into map tasks carrying only boundaries, bases and object
+    refs; shard id arrays are ``ray.get`` (zero-copy plasma reads) on
+    demand inside the task and memoized per instance."""
+
+    def __init__(self, bounds: np.ndarray, bases: np.ndarray,
+                 refs: list, n_ids: int):
+        self.bounds = bounds      # (S-1,) shard s = ids in [bounds[s-1], bounds[s])
+        self.bases = bases        # (S,) prefix counts
+        self.refs = refs          # (S,) plasma refs of sorted shard id arrays
+        self.n_ids = n_ids
+        self._cache: dict = {}
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_cache"] = {}          # never ship fetched arrays
+        return d
+
+    def rank(self, doc_ids: np.ndarray) -> np.ndarray:
+        import ray as _ray
+        if not len(doc_ids):
+            return np.empty(0, dtype=np.int64)
+        if len(self.refs) == 1:
+            ids0 = self._cache.get(0)
+            if ids0 is None:
+                ids0 = self._cache[0] = _ray.get(self.refs[0])
+            return np.searchsorted(ids0, doc_ids)
+        shard = np.searchsorted(self.bounds, doc_ids, side="right")
+        out = np.empty(len(doc_ids), dtype=np.int64)
+        for sh in np.unique(shard):
+            ids_sh = self._cache.get(int(sh))
+            if ids_sh is None:
+                ids_sh = self._cache[int(sh)] = _ray.get(self.refs[sh])
+            m = shard == sh
+            out[m] = self.bases[sh] + np.searchsorted(ids_sh, doc_ids[m])
+        return out
+
+
+def build_rank_map(paths, *, ids_per_shard: int | None = None,
+                   num_id_shards: int | None = None
+                   ) -> tuple[RankMap, dict]:
+    """Distributed construction of the two-level rank map over the
+    doc_id column of ``paths`` (dirs or files). Returns (map, stats)
+    where stats carries n / min / max / dups — the driver never holds
+    more than S boundary values, S counts and the merged dup ids."""
+    import ray as _ray
+    if ids_per_shard is None:        # env override for tests / tuning
+        ids_per_shard = int(os.environ.get("BARAM_IDS_PER_RANK_SHARD",
+                                           DEFAULT_IDS_PER_RANK_SHARD))
+    files = _parquet_files(paths if isinstance(paths, list) else [paths])
+    empty_stats = {"n": 0, "min": None, "max": None,
+                   "dups": np.empty(0, dtype=np.int64)}
+    if not files:
+        ref = _ray.put(np.empty(0, dtype=np.int64))
+        return RankMap(np.empty(0, np.int64), np.zeros(1, np.int64),
+                       [ref], 0), empty_stats
+    blk = _ray.remote(num_returns=2)(_block_sorted_ids)
+    pairs = [blk.remote([f]) for f in files]
+    id_refs = [p[0] for p in pairs]
+    stats = _ray.get([p[1] for p in pairs])
+    total = sum(s["n"] for s in stats)
+    sample = np.sort(np.concatenate([s["sample"] for s in stats]))
+    n_shards = num_id_shards or max(1, -(-total // ids_per_shard))
+    n_shards = min(n_shards, max(1, len(sample)))
+    if n_shards > 1:
+        q = (np.arange(1, n_shards) * len(sample)) // n_shards
+        bounds = np.unique(sample[q])
+        n_shards = len(bounds) + 1
+    else:
+        bounds = np.empty(0, dtype=np.int64)
+    shard = _ray.remote(num_returns=2)(_shard_sorted_ids)
+    srefs, sstat_refs = [], []
+    for s in range(n_shards):
+        lo = None if s == 0 else int(bounds[s - 1])
+        hi = None if s == n_shards - 1 else int(bounds[s])
+        a, b = shard.remote(lo, hi, *id_refs)
+        srefs.append(a)
+        sstat_refs.append(b)
+    sstats = _ray.get(sstat_refs)
+    counts = np.array([s["n"] for s in sstats], dtype=np.int64)
+    bases = np.zeros(n_shards, dtype=np.int64)
+    np.cumsum(counts[:-1], out=bases[1:])
+    dups = np.unique(np.concatenate([s["dups"] for s in sstats]))
+    mins = [s["min"] for s in sstats if s["min"] is not None]
+    maxs = [s["max"] for s in sstats if s["max"] is not None]
+    return (RankMap(bounds, bases, srefs, total),
+            {"n": total, "min": min(mins) if mins else None,
+             "max": max(maxs) if maxs else None, "dups": dups})
+
+
 def _collect_sorted_ids(d: str) -> np.ndarray:
     """Sorted doc_id column of a stage directory (one pruned scan)."""
     tables = [pa.table({"doc_id": b["doc_id"]}) for b in
@@ -409,85 +553,52 @@ def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     id-upsert where a re-crawled (repo, path, commit) replaces its
     previous version).
 
-    One pruned scan resolves the winners: the (doc_id, sha256) pairs of
-    the CONFLICT rows only (duplicated ids are known and broadcast) come
-    back to the driver — O(conflict rows), not O(corpus) — and the
-    winner map is broadcast for a single full-read filtered rewrite.
-    No shuffle at all except for "twin" ids whose winning sha itself
-    occurs more than once (byte-identical re-crawls): those rare rows
-    go through a tiny exchange that keeps exactly one.
+    Nothing O(conflicts) on the driver: the only broadcast is the
+    (known) duplicated-id set. Rows with a non-duplicated id stream
+    straight to the rewrite; the CONFLICT rows — all columns — go
+    through one bucketed exchange keyed on doc_id, where each group
+    keeps its (sha256-min) first row. Twin rows (same id AND same sha,
+    byte-identical re-crawls) need no special path: the per-group pick
+    keeps exactly one row whatever the multiplicity.
     """
     import ray as _ray
     import shutil as _sh
+
+    import pyarrow.compute as pc
 
     dup_sorted = np.sort(dup_ids)
     dup_ref = _ray.put(dup_sorted)
     files = _parquet_files([fwd_dir])
     nb = auto_num_blocks(fwd_dir)
 
-    # pruned conflict scan → winner sha per duplicated id
-    def dup_keys(t: pa.Table) -> pa.Table:
+    def non_conflict(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~_member(ids, _ray.get(dup_ref))))
+
+    def conflict(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(_member(ids, _ray.get(dup_ref))))
 
-    keys = ray.data.read_parquet(files, columns=["doc_id", "sha256"],
-                                 override_num_blocks=nb) \
-        .map_batches(dup_keys, batch_format="pyarrow").to_pandas()
-    keys = keys.sort_values(["doc_id", "sha256"], kind="stable")
-    winners = keys.drop_duplicates("doc_id")
-    wmap = dict(zip(winners["doc_id"].astype(int), winners["sha256"]))
-    # twin ids: the winning (id, sha) pair itself occurs >1× — a filter
-    # can't pick one of identical rows, so they take the exchange path
-    counts = keys.groupby(["doc_id", "sha256"]).size()
-    twins = np.array(sorted(
-        int(i) for (i, s), n in counts.items()
-        if n > 1 and wmap[int(i)] == s), dtype=np.int64)
-    wref = _ray.put(wmap)
-    twin_ref = _ray.put(twins)
-
-    def keep_winners(t: pa.Table) -> pa.Table:
+    def pick_min_sha(t: pa.Table) -> pa.Table:
+        # Arrow-native (rows carry term-list columns — a pandas round-
+        # trip would materialize them as Python lists): order by
+        # (doc_id, sha256), keep each id's first row
+        order = pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("sha256", "ascending")])
+        t = t.take(order)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        dup = _member(ids, _ray.get(dup_ref))
-        if not dup.any():
-            return t
-        wm = _ray.get(wref)
-        shas = t["sha256"].to_pylist()
-        tw = _member(ids, _ray.get(twin_ref)) if len(twins) else \
-            np.zeros(len(ids), dtype=bool)
-        keep = ~dup | ((~tw) & np.array(
-            [wm.get(int(i)) == s for i, s in zip(ids, shas)]))
-        return t.filter(pa.array(keep))
+        first = np.ones(len(ids), dtype=bool)
+        first[1:] = ids[1:] != ids[:-1]
+        return t.filter(pa.array(first))
 
     clean = ray.data.read_parquet(files, override_num_blocks=nb) \
-        .map_batches(keep_winners, batch_format="pyarrow")
-
-    out = clean
-    if len(twins):
-        def twin_rows(t: pa.Table) -> pa.Table:
-            # only the WINNER-sha rows of twin ids (the id may also have
-            # losing shas — those never survive)
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            m = _member(ids, _ray.get(twin_ref))
-            if not m.any():
-                return t.filter(pa.array(m))
-            wm = _ray.get(wref)
-            shas = t["sha256"].to_pylist()
-            m &= np.array([wm.get(int(i)) == s for i, s in zip(ids, shas)])
-            return t.filter(pa.array(m))
-
-        def pick(t: pa.Table) -> pa.Table:
-            df = pd.DataFrame({
-                "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
-            df["i"] = np.arange(len(df))
-            keep = np.sort(df.drop_duplicates("doc_id")["i"].to_numpy())
-            return t.take(pa.array(keep))
-
-        twin_ds = ray.data.read_parquet(files, override_num_blocks=nb) \
-            .map_batches(twin_rows, batch_format="pyarrow")
-        one_each = grouped_map(twin_ds, ["doc_id"], pick,
-                               num_buckets=int(max(2, len(twins) // 50_000)),
-                               batch_format="pyarrow")
-        out = clean.union(one_each)
+        .map_batches(non_conflict, batch_format="pyarrow")
+    conflicts = ray.data.read_parquet(files, override_num_blocks=nb) \
+        .map_batches(conflict, batch_format="pyarrow")
+    one_each = grouped_map(conflicts, ["doc_id"], pick_min_sha,
+                           num_buckets=int(max(2, len(dup_sorted) // 50_000)),
+                           batch_format="pyarrow")
+    out = clean.union(one_each)
 
     tmp = fwd_dir + ".dedup"
     fresh_dir(tmp)
@@ -580,10 +691,12 @@ def build_index(
         res.stage_seconds["forward"] = t.seconds
 
     # ---- duplicate-id policy (reference ingests by id-upsert) ------------
-    # one pruned id scan, reused by the segments stage; the "first" policy
-    # pays one extra exchange ONLY when duplicates actually exist
-    ids_sorted = _collect_sorted_ids(fwd_dir)
-    dup_ids = _dups_in(ids_sorted)
+    # one distributed pruned id scan builds the two-level rank map AND
+    # detects duplicate ids (per id-shard; equal ids share a shard) —
+    # nothing corpus-sized ever lands on the driver. The "first" policy
+    # pays one extra exchange ONLY when duplicates actually exist.
+    rank_map, id_stats = build_rank_map([fwd_dir])
+    dup_ids = id_stats["dups"]
     if len(dup_ids):
         if cfg.on_duplicate == "error":
             raise ValueError(
@@ -592,7 +705,7 @@ def build_index(
                 "or dedup upstream (doc_dedup_exact)")
         with StageTimer() as t:
             _dedup_first_wins(fwd_dir, dup_ids)
-            ids_sorted = np.unique(ids_sorted)   # post-dedup id set
+            rank_map, id_stats = build_rank_map([fwd_dir])  # post-dedup ids
         res.stage_seconds["dedup_ids"] = t.seconds
 
     fwd_fp = fingerprint_paths([fwd_dir])
@@ -653,12 +766,10 @@ def build_index(
         from baram_ray.index.deletes import clear_tombstones
         clear_tombstones(out_dir)
         with StageTimer() as t:
-            import ray as _ray
-            # rank-space postings REQUIRE unique doc_ids (searchsorted
+            # rank-space postings REQUIRE unique doc_ids (the rank lookup
             # would silently collapse duplicates onto one rank); the
             # policy block above guaranteed it — keep the assert cheap
-            assert not len(_dups_in(ids_sorted))
-            ids_ref = _ray.put(ids_sorted)
+            assert not len(id_stats["dups"])
             post_cols = ["doc_id"] + [
                 c for f in cfg.fields
                 for c in ((f"{f}__terms", f"{f}__tfs", f"{f}__pos")
@@ -678,7 +789,7 @@ def build_index(
                             positions=cfg.positions),
                 num_buckets=n_buckets, batch_format="pyarrow",
                 pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
-                                       ids_ref=ids_ref,
+                                       rank_map=rank_map,
                                        num_shards=num_shards,
                                        positions=cfg.positions))
             seg.write_parquet(seg_dir)
@@ -763,16 +874,14 @@ def _parquet_files(dirs: list[str]) -> list[str]:
     return out
 
 
-def _encode_segments(fwd_paths, seg_dir: str, cfg, ids_sorted: np.ndarray,
-                     num_shards: int, shard_shift: int,
+def _encode_segments(fwd_paths, seg_dir: str, cfg, rank_map: RankMap,
+                     id_stats: dict, num_shards: int, shard_shift: int,
                      rank_offset: int, gen: int) -> None:
     """Shuffle-encode postings for the given forward partitions into
     ``seg_dir`` (append — caller clears the dir for full rebuilds)."""
-    import ray as _ray
-    if len(ids_sorted) and not np.all(np.diff(ids_sorted) > 0):
-        dup = ids_sorted[:-1][np.diff(ids_sorted) == 0]
-        raise ValueError(f"duplicate doc_id(s) (e.g. {dup[:5].tolist()})")
-    ids_ref = _ray.put(ids_sorted)
+    if len(id_stats["dups"]):
+        raise ValueError(
+            f"duplicate doc_id(s) (e.g. {id_stats['dups'][:5].tolist()})")
     post_cols = ["doc_id"] + [
         c for f in cfg.fields
         for c in ((f"{f}__terms", f"{f}__tfs", f"{f}__pos")
@@ -787,7 +896,7 @@ def _encode_segments(fwd_paths, seg_dir: str, cfg, ids_sorted: np.ndarray,
                     positions=cfg.positions),
         num_buckets=n_buckets, batch_format="pyarrow",
         pre_fn=PartialPostings(cfg.fields, shard_shift, n_buckets,
-                               ids_ref=ids_ref, num_shards=num_shards,
+                               rank_map=rank_map, num_shards=num_shards,
                                rank_offset=rank_offset,
                                positions=cfg.positions))
     if gen:
@@ -896,44 +1005,44 @@ def build_index_incremental(
                if h not in part_fp or covered[h] != part_fp[h]]
     new = [h for h in parts if h not in covered]
 
-    def _ids_of(hs: list[str]) -> np.ndarray:
-        fls = _parquet_files([os.path.join(docs_root, f"p_{h}")
-                              for h in hs])
-        tbl = pa.concat_tables([
-            pa.table({"doc_id": b["doc_id"]})
-            for b in ray.data.read_parquet(fls, columns=["doc_id"])
-                .iter_batches(batch_format="pyarrow", batch_size=65536)])
-        return np.sort(tbl["doc_id"].to_numpy())
+    def _rank_map_of(hs: list[str]) -> tuple[RankMap, dict]:
+        # two-level map over the partitions' docs tables — the delta /
+        # rebuild id sets never materialize on the driver (only per-
+        # id-shard counts, min/max and dup ids come back)
+        return build_rank_map([os.path.join(docs_root, f"p_{h}")
+                               for h in hs])
 
     with StageTimer() as t_seg:
         if not changed and not new:
             res.resumed_stages.append("segments")
             num_shards = int(state.get("num_shards", 1))
         else:
-            new_ids = _ids_of(new) if new else np.empty(0, dtype=np.int64)
-            append_ok = (covered and not changed and len(new_ids) > 0
-                         and int(new_ids[0]) > int(state["max_doc_id"]))
+            new_map, new_stats = (_rank_map_of(new) if new
+                                  else (None, {"n": 0, "min": None,
+                                               "max": None}))
+            append_ok = (covered and not changed and new_stats["n"] > 0
+                         and int(new_stats["min"]) > int(state["max_doc_id"]))
             if append_ok:
                 shard_shift = int(state["shard_shift"])
                 rank_offset = int(state["next_rank"])
-                top_rank = rank_offset + len(new_ids) - 1
+                top_rank = rank_offset + new_stats["n"] - 1
                 num_shards = (top_rank >> shard_shift) + 1
                 _encode_segments(
                     _parquet_files([os.path.join(fwd_root, f"p_{h}")
                                     for h in new]),
-                    seg_dir, cfg, new_ids, num_shards, shard_shift,
-                    rank_offset, gen=int(state["gen"]) + 1)
+                    seg_dir, cfg, new_map, new_stats, num_shards,
+                    shard_shift, rank_offset, gen=int(state["gen"]) + 1)
                 state = {
                     "covered": {**covered, **{h: part_fp[h] for h in new}},
                     "gen": int(state["gen"]) + 1,
-                    "next_rank": rank_offset + len(new_ids),
-                    "max_doc_id": int(new_ids[-1]),
+                    "next_rank": rank_offset + new_stats["n"],
+                    "max_doc_id": int(new_stats["max"]),
                     "shard_shift": shard_shift,
                     "num_shards": num_shards,
                 }
                 res.resumed_stages.append("segments:delta")
             else:
-                all_ids = _ids_of(list(parts))
+                all_map, all_stats = _rank_map_of(list(parts))
                 fresh_dir(seg_dir)
                 from baram_ray.index.deletes import clear_tombstones
                 clear_tombstones(out_dir)       # reindex restores deletions
@@ -944,12 +1053,13 @@ def build_index_incremental(
                 _encode_segments(
                     _parquet_files([os.path.join(fwd_root, f"p_{h}")
                                     for h in parts]),
-                    seg_dir, cfg, all_ids, num_shards, shard_shift,
-                    rank_offset=0, gen=0)
+                    seg_dir, cfg, all_map, all_stats, num_shards,
+                    shard_shift, rank_offset=0, gen=0)
                 state = {
                     "covered": dict(part_fp), "gen": 0,
-                    "next_rank": len(all_ids),
-                    "max_doc_id": int(all_ids[-1]) if len(all_ids) else -1,
+                    "next_rank": all_stats["n"],
+                    "max_doc_id": (int(all_stats["max"])
+                                   if all_stats["max"] is not None else -1),
                     "shard_shift": shard_shift, "num_shards": num_shards,
                 }
             man.mark_done("segments_inc", "state", **state)

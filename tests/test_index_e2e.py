@@ -296,3 +296,75 @@ def test_dl_distance_metric():
     assert _dl_distance("abc", "axc", 2) == 1
     assert _dl_distance("abc", "ab", 2) == 1
     assert _dl_distance("abcdef", "fedcba", 2) == 3  # capped: cap+1
+
+
+# ------------------------------------------------------------------ #
+# two-level rank map (round-3: no corpus-sized broadcast in the build)
+
+def test_rank_map_matches_global_sort(ray_session, tmp_path):
+    """rank(id) through the per-shard two-level map == position in the
+    globally-sorted unique id array, for ANY shard count; dup ids are
+    detected per shard."""
+    import pyarrow as pa
+
+    from baram_ray.index.build import build_rank_map
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(np.int64(1) << 40, size=5000, replace=False)
+    for i, chunk in enumerate(np.array_split(ids, 4)):
+        pq.write_table(pa.table({"doc_id": pa.array(chunk, pa.int64())}),
+                       tmp_path / f"part{i}.parquet")
+    expected_sorted = np.sort(ids)
+    for shards in (1, 7):
+        rmap, stats = build_rank_map([str(tmp_path)], num_id_shards=shards)
+        assert stats["n"] == 5000
+        assert stats["min"] == int(ids.min())
+        assert stats["max"] == int(ids.max())
+        assert len(stats["dups"]) == 0
+        probe = rng.permutation(ids)
+        got = rmap.rank(probe)
+        exp = np.searchsorted(expected_sorted, probe)
+        assert (got == exp).all()
+    assert rmap.rank(np.empty(0, dtype=np.int64)).shape == (0,)
+    # duplicate detection is per id-shard (equal values share a shard)
+    dup_dir = tmp_path / "dups"
+    dup_dir.mkdir()
+    dup_ids = ids.copy()
+    dup_ids[100] = dup_ids[200]
+    for i, chunk in enumerate(np.array_split(dup_ids, 4)):
+        pq.write_table(pa.table({"doc_id": pa.array(chunk, pa.int64())}),
+                       dup_dir / f"part{i}.parquet")
+    _, dstats = build_rank_map([str(dup_dir)], num_id_shards=7)
+    assert dstats["dups"].tolist() == [int(dup_ids[100])]
+
+
+def test_build_identical_across_id_shard_counts(ray_session, corpus_path,
+                                                tmp_path, monkeypatch):
+    """The index content (segments + termdict) must be byte-identical
+    whatever the id-shard granularity — shards are value ranges, so
+    per-shard local ranks + prefix bases reproduce the global sort."""
+    import glob
+
+    import pyarrow as pa
+
+    def canon(idx_dir, sub, keys):
+        t = pa.concat_tables([pq.read_table(f) for f in sorted(
+            glob.glob(os.path.join(idx_dir, sub, "*.parquet")))])
+        import pyarrow.compute as pc
+        return t.take(pc.sort_indices(
+            t, sort_keys=[(k, "ascending") for k in keys])) \
+            .combine_chunks()
+
+    outs = {}
+    for tag, ids_per in (("one", str(1 << 30)), ("many", "97")):
+        monkeypatch.setenv("BARAM_IDS_PER_RANK_SHARD", ids_per)
+        out = str(tmp_path / f"idx_{tag}")
+        build_index(corpus_path, out,
+                    IndexConfig(fields=("content",), num_shards=4,
+                                on_duplicate="first"), resume=False)
+        outs[tag] = out
+    seg_keys = ["field", "term", "shard", "block_id"]
+    assert canon(outs["one"], "segments", seg_keys).equals(
+        canon(outs["many"], "segments", seg_keys))
+    assert canon(outs["one"], "termdict", ["field", "term"]).equals(
+        canon(outs["many"], "termdict", ["field", "term"]))
