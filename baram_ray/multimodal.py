@@ -61,15 +61,21 @@ class DecodeStage:
     num_cpus=1)`` — small batches: payloads are wide rows.
     """
 
-    def __init__(self, real_decode: bool = False):
+    def __init__(self, real_decode: bool = False, decode_fn=None):
+        # decode_fn: user-supplied (kind, payload) → dict with keys
+        # ok / decoded_width / decoded_height / n_frames /
+        # payload_sha256 — the injection point for a real PIL/ffmpeg
+        # decoder without editing library code
         self.real_decode = real_decode
-        # real impl: self.decoder = PIL/ffmpeg handle, loaded once per actor
+        self._decode_fn = decode_fn
 
     def _decode_one(self, kind: str, payload: bytes) -> dict:
+        if self._decode_fn is not None:
+            return self._decode_fn(kind, payload)
         if self.real_decode:
             raise NotImplementedError(
                 "media codecs not available in this container; "
-                "slot PIL/ffmpeg decode here")
+                "pass decode_fn=<your decoder> to DecodeStage")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         return {
             "ok": True,
@@ -99,15 +105,33 @@ class FeatureStage:
     """Payload → fixed-dim feature vector (deterministic fake embedding;
     a real model runs batched inference here, loaded once per actor)."""
 
-    def __init__(self, dim: int = 64, real_model: bool = False):
+    def __init__(self, dim: int = 64, real_model: bool = False,
+                 feature_fn=None):
+        # feature_fn: user-supplied batched extractor,
+        # list[bytes] → (B, dim) array-like — the real-model slot
         self.dim = dim
         self.real_model = real_model
+        self._feature_fn = feature_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        if self._feature_fn is not None:
+            out = np.asarray(self._feature_fn(payloads), dtype=np.float32)
+            if out.shape != (batch.num_rows, self.dim):
+                raise ValueError(
+                    f"feature_fn returned {out.shape}, expected "
+                    f"({batch.num_rows}, {self.dim})")
+            feats = [v.tolist() for v in out]
+            return pa.table({
+                "item_id": batch["item_id"],
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            })
         if self.real_model:
-            raise NotImplementedError("no model runtime in this container")
+            raise NotImplementedError(
+                "no model runtime in this container; pass "
+                "feature_fn=<your batched extractor> to FeatureStage")
         feats = []
-        for p in batch["payload"].to_pylist():
+        for p in payloads:
             seed = int.from_bytes(
                 hashlib.blake2b(p, digest_size=8).digest(), "big") % (2**31)
             feats.append(np.random.RandomState(seed)

@@ -87,18 +87,27 @@ def unk_stats(sf_dir: str, vocab_k: int = 200):
 
     from baram_ray.pipelines.util import broadcast
 
-    vocab = set(term_df_top(sf_dir, k=vocab_k).to_pandas()["term"])
-    ref = broadcast(vocab)
+    vocab = sorted(set(term_df_top(sf_dir, k=vocab_k).to_pandas()["term"]))
+    ref = broadcast(np.asarray(vocab, dtype=object))   # sorted for searchsorted
     ds = read_table(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         import ray as _ray
         v = _ray.get(ref)
-        tot = unk = 0
+        toks: list = []
         for t in batch["text"].to_pylist():
-            toks = (t or "").lower().split()
-            tot += len(toks)
-            unk += sum(1 for w in toks if w not in v)
+            toks.extend((t or "").lower().split())
+        tot = len(toks)
+        if tot and len(v):
+            # per-token membership loop → unique+searchsorted: dedup the
+            # batch vocabulary once, one binary-search pass, weight by
+            # counts (round-2 verdict #7 — ~20× cheaper per batch)
+            uniq, cnts = np.unique(np.asarray(toks, dtype=object),
+                                   return_counts=True)
+            pos = np.searchsorted(v, uniq).clip(max=len(v) - 1)
+            unk = int(cnts[v[pos] != uniq].sum())
+        else:
+            unk = tot
         return pa.table({"n_tokens": pa.array([tot], pa.int64()),
                          "unk_tokens": pa.array([unk], pa.int64())})
 
@@ -214,15 +223,39 @@ def export_partitioned(sf_dir: str):
     return man[["partition", "n_rows"]]
 
 
+def _zipf_partials(specs: list) -> tuple:
+    """Partial Zipf regression sums over rank runs: each spec is
+    (rank_start, run_length, log_count) — every rank in the run shares
+    one y = log(count), so Σxy = log c · Σ log r. Runs in a task."""
+    sx = sy = sxy = sxx = 0.0
+    for start, ln, logc in specs:
+        lr = np.log(np.arange(start, start + ln, dtype=np.float64))
+        s = float(lr.sum())
+        sx += s
+        sy += ln * logc
+        sxy += logc * s
+        sxx += float((lr * lr).sum())
+    return sx, sy, sxy, sxx
+
+
 def zipf_slope(sf_dir: str):
     """Zipf-fit corpus statistic (a standard corpus-QA signal: natural
     text slopes ≈ −1; generated/spammy corpora deviate): least-squares
     slope of log(count) vs log(rank) over the term-frequency table,
-    rank = row_number by (count desc, term asc). Term counts come from
-    the vocabulary-keyed exchange; the regression consumes the
-    vocabulary-SIZED table. The closed-form slope
-    (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is written out identically in the
-    SQL oracle (round-6 absorbs sum order)."""
+    rank = row_number by (count desc, term asc).
+
+    Nothing vocabulary-sized on the driver (round-2 verdict #3): term
+    counts stay in the vocabulary-keyed exchange; a second tiny
+    exchange reduces them to the per-count histogram (cnt, m) —
+    O(distinct frequency values) ≈ O(√corpus tokens), driver-safe at
+    any scale. Terms sharing a count occupy a contiguous rank run (the
+    term tie-break never changes the sums: y is constant within a
+    run), so the Σ log r / Σ(log r)² / Σ log r·log c partials are
+    computed by rank-chunked Ray tasks; the driver reduces 4 floats.
+    The closed-form slope (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) is written out
+    identically in the SQL oracle (round-6 absorbs sum order)."""
+    import ray as _ray
+
     from baram_ray.util import grouped_agg
 
     ds = read_table(sf_dir, "documents", ["text"])
@@ -237,17 +270,50 @@ def zipf_slope(sf_dir: str):
 
     parts = ds.map_batches(term_counts, batch_format="pyarrow")
     counts = grouped_agg(parts, ["term"], {"cnt": ("cnt", "sum")},
-                         num_buckets=8).to_pandas()
-    counts = counts.sort_values(["cnt", "term"],
-                                ascending=[False, True], kind="stable")
-    x = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
-    y = np.log(counts["cnt"].to_numpy(np.float64))
-    n = float(len(x))
-    sx, sy = float(x.sum()), float(y.sum())
-    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+                         num_buckets=8)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        u, m = np.unique(batch["cnt"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"cnt": pa.array(u, pa.int64()),
+                         "m": pa.array(m, pa.int64())})
+
+    h = grouped_agg(counts.map_batches(hist, batch_format="pyarrow"),
+                    ["cnt"], {"m": ("m", "sum")}, num_buckets=2).to_pandas()
+    h = h.sort_values("cnt", ascending=False, kind="stable")
+    m = h["m"].to_numpy(np.int64)
+    n_terms = int(m.sum())
+    if n_terms == 0:
+        return pd.DataFrame({
+            "n_terms": pd.array([0], dtype="int64"),
+            "zipf_slope": pd.array([float("nan")], dtype="float64")})
+    log_c = np.log(h["cnt"].to_numpy(np.float64))
+    run_start = np.cumsum(m) - m + 1           # 1-based rank runs
+    chunk = 1 << 21                            # ranks per partial task
+    specs: list = []
+    for s0, mm, lc in zip(run_start, m, log_c):
+        off = 0
+        while off < mm:
+            ln = int(min(chunk, mm - off))
+            specs.append((int(s0 + off), ln, float(lc)))
+            off += ln
+    # pack specs into tasks of ~chunk total ranks each (tiny
+    # vocabularies collapse into one task)
+    lens = np.fromiter((s[1] for s in specs), dtype=np.int64)
+    task_of = (np.cumsum(lens) - 1) // chunk
+    cuts = np.nonzero(np.diff(task_of))[0] + 1
+    groups = np.split(np.arange(len(specs)), cuts)
+    part = _ray.remote(_zipf_partials)
+    refs = [part.remote([specs[i] for i in g]) for g in groups if len(g)]
+    parts4 = _ray.get(refs)
+    sx = sum(p[0] for p in parts4)
+    sy = sum(p[1] for p in parts4)
+    sxy = sum(p[2] for p in parts4)
+    sxx = sum(p[3] for p in parts4)
+    n = float(n_terms)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     return pd.DataFrame({
-        "n_terms": pd.array([int(n)], dtype="int64"),
+        "n_terms": pd.array([n_terms], dtype="int64"),
         "zipf_slope": pd.array([round(slope, 6)], dtype="float64"),
     })
 

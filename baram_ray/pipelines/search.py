@@ -22,6 +22,23 @@ from baram_ray.query.queryset import QUERY_SET
 _INDEX_ROOT = "/tmp/baram_ray_indexes"
 
 
+def query_pool_size(default: int = 2) -> int:
+    """Actor-pool size for the resident-index query stages (round-2
+    verdict #8 — was hardcoded 2): ``BARAM_QUERY_POOL`` env wins, else
+    scale with the cluster (~1/4 of cluster CPUs, capped at 16 so the
+    pool never starves co-running build/aggregate stages). At the
+    4-cpu test scale this resolves to the old default of 2."""
+    v = os.environ.get("BARAM_QUERY_POOL")
+    if v:
+        return max(1, int(v))
+    try:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(default, min(16, cpus // 4))
+
+
 def ensure_index(sf_dir: str, positions: bool = False) -> str:
     """Build (or resume) the documents-table index for sf_dir; return its dir.
 
@@ -52,13 +69,14 @@ DOC_QUERIES = [
 
 
 def bm25_topk(sf_dir: str, queries: list[dict] | None = None,
-              concurrency: int = 2):
+              concurrency: int | None = None):
     """Batched BM25 top-k via the query actor pool; rows
     (query_id, rank, doc_id, score)."""
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or DOC_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         batch_format="pandas", concurrency=concurrency)
+                         batch_format="pandas",
+                         concurrency=(1, concurrency or query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -73,7 +91,7 @@ def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
     qs = ray.data.from_items(queries)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs=actor_kw,
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
     return out.to_pandas()
 
 
@@ -255,7 +273,7 @@ def phrase_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or PHRASE_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "phrase"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -298,7 +316,7 @@ def phrase_slop_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or SLOP_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "phrase"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -345,7 +363,7 @@ def bool_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or BOOL_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "bool"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -387,7 +405,7 @@ def prefix_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or PREFIX_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "prefix"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -425,7 +443,7 @@ def wildcard_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or WILDCARD_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "wildcard"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)
@@ -461,7 +479,7 @@ def fuzzy_topk(sf_dir: str, queries: list[dict] | None = None):
     qs = ray.data.from_items(queries or FUZZY_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs={"mode": "fuzzy"},
-                         batch_format="pandas", concurrency=2)
+                         batch_format="pandas", concurrency=(1, query_pool_size()))
 
     def _round(df: pd.DataFrame) -> pd.DataFrame:
         df["score"] = df["score"].round(6)

@@ -75,11 +75,19 @@ class EmbedStage:
                          batch_size=EMBED_BATCH, batch_format="pyarrow")
     """
 
-    def __init__(self, real_model: bool = False, dim: int = EMBED_DIM):
-        if real_model:
+    def __init__(self, real_model: bool = False, dim: int = EMBED_DIM,
+                 encode_fn=None):
+        # encode_fn: user-supplied batched encoder, list[str] → (B, dim)
+        # array-like — the injection point for a real model (construct /
+        # load it inside a zero-arg factory passed via
+        # fn_constructor_kwargs so the load happens once per actor)
+        self._encode_fn = encode_fn
+        if real_model and encode_fn is None:
             raise NotImplementedError(
-                "no embedding model in this container; the deterministic "
-                "fake below exercises the full Ray plumbing")
+                "no embedding model in this container; pass "
+                "encode_fn=<your batched encoder> to EmbedStage (the "
+                "deterministic fake below otherwise exercises the full "
+                "Ray plumbing)")
         self.dim = dim
         # deterministic projection matrix = the 'loaded model' (per-actor
         # one-time init; seeded so every actor computes identical vectors)
@@ -103,8 +111,15 @@ class EmbedStage:
         return v / n if n else v
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = [self._encode_one(t or "")
-                for t in batch["embed_text"].to_pylist()]
+        texts = [t or "" for t in batch["embed_text"].to_pylist()]
+        if self._encode_fn is not None:
+            vecs = np.asarray(self._encode_fn(texts), dtype=np.float32)
+            if vecs.shape != (batch.num_rows, self.dim):
+                raise ValueError(
+                    f"encode_fn returned {vecs.shape}, expected "
+                    f"({batch.num_rows}, {self.dim})")
+        else:
+            vecs = [self._encode_one(t) for t in texts]
         return pa.table({
             "doc_id": batch["doc_id"],
             "embedding": pa.array([v.tolist() for v in vecs],

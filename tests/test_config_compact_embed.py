@@ -171,3 +171,68 @@ def test_caching_query_engine():
     assert eng.invalidate() >= 1
     eng.search("q", k=5, filters={"lang": "en"})
     assert f.calls == 4                                  # invalidated
+
+
+def test_injected_model_callables_bypass_stubs(ray_session):
+    """Round-2 verdict #6: a user-supplied callable slots into the
+    stages' real-model branch without editing library code — exercised
+    through the actual map_batches actor-pool plumbing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from baram_ray.multimodal import (DecodeStage, FeatureStage,
+                                      synth_media_table)
+    from baram_ray.stages.embed import EmbedStage
+
+    # EmbedStage with an injected batched encoder
+    def fake_real_encoder(texts):
+        return np.stack([np.full(8, float(len(t)), dtype=np.float32)
+                         for t in texts])
+
+    ds = ray.data.from_items([{"doc_id": 1, "embed_text": "ab"},
+                              {"doc_id": 2, "embed_text": "abcd"}])
+    out = ds.map_batches(
+        EmbedStage, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"real_model": True, "dim": 8,
+                               "encode_fn": fake_real_encoder}).to_pandas()
+    got = {int(r.doc_id): list(r.embedding) for r in out.itertuples()}
+    assert got[1] == [2.0] * 8 and got[2] == [4.0] * 8
+
+    # DecodeStage with an injected per-item decoder
+    import hashlib
+
+    def fake_decoder(kind, payload):
+        return {"ok": True, "decoded_width": 1, "decoded_height": 2,
+                "n_frames": 3,
+                "payload_sha256": hashlib.sha256(payload).hexdigest()}
+
+    media = ray.data.from_arrow(synth_media_table(6, seed=3))
+    dec = media.map_batches(
+        DecodeStage, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"real_decode": True,
+                               "decode_fn": fake_decoder}).to_pandas()
+    assert len(dec) == 6
+    assert (dec["n_frames"] == 3).all() and (dec["decoded_width"] == 1).all()
+
+    # FeatureStage with an injected batched extractor
+    def fake_features(payloads):
+        return np.stack([np.full(4, float(len(p) % 7), dtype=np.float32)
+                         for p in payloads])
+
+    feats = media.map_batches(
+        FeatureStage, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"dim": 4, "real_model": True,
+                               "feature_fn": fake_features}).to_pandas()
+    assert len(feats) == 6 and all(len(v) == 4 for v in feats["feature"])
+
+    # the stub still raises when nothing is injected
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        EmbedStage(real_model=True)
+    with _pytest.raises(NotImplementedError):
+        DecodeStage(real_decode=True)._decode_one("image", b"x")
+    with _pytest.raises(NotImplementedError):
+        FeatureStage(real_model=True)(pa.table(
+            {"item_id": pa.array([1], pa.int64()),
+             "payload": pa.array([b"x"], pa.binary())}))
