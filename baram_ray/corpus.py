@@ -162,3 +162,44 @@ def corpus_parquet(n_rows: int, seed: int = 42, cache_dir: str = "/tmp/baram_cor
                        row_group_size=8192)
         os.replace(tmp, path)  # atomic, reference checkpoint idiom src/storage/checkpoint.rs:229-248
     return path
+
+
+def generate_vectors(n_rows: int, dim: int = 64, n_clusters: int = 64,
+                     seed: int = 7, sigma: float | None = None) -> pa.Table:
+    """Synthetic clustered embedding table (vec_id, embedding) for ANN
+    recall/latency benchmarks: rows scatter around ``n_clusters``
+    unit-norm Gaussian centers. ``sigma`` defaults to 0.5/√dim so the
+    noise vector's norm is ~0.5 of the center's — tight real-embedding-
+    like clusters an IVF coarse quantizer can actually learn (a σ whose
+    noise norm exceeds 1 drowns the centers and measures nothing).
+    Deterministic per (n_rows, dim, n_clusters, seed, sigma)."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    if sigma is None:
+        sigma = 0.5 / dim ** 0.5
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, size=n_rows)
+    vecs = centers[assign] + sigma * rng.standard_normal((n_rows, dim))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n_rows, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in
+                               vecs.astype(np.float32)],
+                              pa.list_(pa.float32())),
+    })
+
+
+def vectors_parquet(n_rows: int, dim: int = 64, n_clusters: int = 64,
+                    seed: int = 7, sigma: float | None = None,
+                    cache_dir: str = "/tmp/baram_corpus") -> str:
+    """Write (once) and return the clustered-vector parquet path."""
+    os.makedirs(cache_dir, exist_ok=True)
+    stag = "d" if sigma is None else f"{sigma:g}"
+    path = os.path.join(
+        cache_dir, f"vecs_v2_{n_rows}_{dim}_{n_clusters}_{seed}_{stag}.parquet")
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pq.write_table(generate_vectors(n_rows, dim, n_clusters, seed, sigma),
+                       tmp, row_group_size=8192)
+        os.replace(tmp, path)
+    return path

@@ -75,6 +75,25 @@ def sim_knn_ivf(sf_dir: str):
     return similarity.ivf_topk(ds, KNN_QUERY_IDS, k=5)
 
 
+def sim_knn_ivf_indexed(sf_dir: str):
+    """Partitioned-IVF top-5 — the pruned-READ ANN shape
+    (``similarity.ivf_build``: spherical-kmeans cells, parquet
+    partitioned per cell; ``ivf_search`` reads ONLY the probed cells'
+    files). Index built once per sf_dir under /tmp and reused; rows-only
+    driver check, recall + prune-fraction asserted in tests."""
+    import hashlib as _hl
+    import os as _os
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tag = _hl.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/baram_ray_ivf/emb_{tag}"
+    if not _os.path.exists(_os.path.join(idx, "meta.json")):
+        similarity.ivf_build(ds, idx, n_cells=16, train_iters=4)
+    _, q_vecs = similarity._collect_query_vecs(ds, KNN_QUERY_IDS)
+    return similarity.ivf_search(idx, q_vecs, KNN_QUERY_IDS, k=5,
+                                 nprobe=4)
+
+
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)

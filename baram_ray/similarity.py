@@ -218,12 +218,17 @@ def _kmeans(vecs: np.ndarray, k: int, iters: int = 10,
 
 
 def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_cells: int = 16,
-             nprobe: int = 4, train_sample: int = 2048, seed: int = 13):
+             nprobe: int = 4, train: str = "kmeans", train_iters: int = 5,
+             train_sample: int = 2048, seed: int = 13):
     """IVF (inverted-file) approximate top-k — the coarse-quantizer scale
     path (the reference's HNSW lives inside OpenSearch; IVF is the
     partition-friendly equivalent for a block-streaming engine):
 
-    1. train a spherical k-means coarse quantizer on a SAMPLE;
+    1. train a spherical k-means coarse quantizer — by default with the
+       DISTRIBUTED Lloyd pass over the full corpus
+       (``kmeans_fit(spherical=True)``, round-2 verdict #5: centroids
+       from a driver-side head sample under-covered the tail);
+       ``train="sample"`` keeps the cheap sampled variant;
     2. per batch, assign rows to their nearest cell and keep only rows
        whose cell is among each query's ``nprobe`` closest cells;
     3. exact cosine rerank of the kept rows, distributed dedupe +
@@ -233,7 +238,11 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_cells: int = 16,
     corpus-sized touches the driver.
     """
     q_ids, q_vecs = _collect_query_vecs(ds, query_ids)
-    cen = _kmeans(_sample_vectors(ds, train_sample), n_cells, seed=seed)
+    if train == "kmeans":
+        cen = kmeans_fit(ds, n_cells, iters=train_iters, spherical=True,
+                         init_sample=train_sample)
+    else:
+        cen = _kmeans(_sample_vectors(ds, train_sample), n_cells, seed=seed)
     q_norm = _norm_rows(q_vecs)
     q_cells = np.argsort(-(q_norm @ cen.T), axis=1)[:, :nprobe]  # (Q, p)
 
@@ -258,6 +267,109 @@ def ivf_topk(ds, query_ids: list[int], k: int = 5, *, n_cells: int = 16,
         })
 
     cand = ds.map_batches(candidates, batch_format="pyarrow")
+    dedup = grouped_agg(cand, ["query_id", "vec_id"],
+                        {"cosine": ("cosine", "min")}, num_buckets=8)
+    return dedup.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas")
+
+
+def ivf_build(ds, out_dir: str, *, n_cells: int = 64, train_iters: int = 5,
+              train_sample: int = 2048) -> dict:
+    """Build a PARTITIONED IVF index: train the spherical coarse
+    quantizer with the distributed Lloyd pass, assign every vector to
+    its nearest cell in one more streaming pass, and write the corpus
+    as parquet partitioned by ``cell`` (one directory per cell) plus
+    the centroid matrix + meta.
+
+    This is the pruned-READ scale path the single-shot ``ivf_topk``
+    lacks: a query then touches only its ``nprobe`` cells' files —
+    ~nprobe/n_cells of the corpus leaves storage instead of a full
+    scan. Partitioned output is also resumable/appendable (one dir per
+    cell). Centroids are O(n_cells × d); nothing corpus-sized on the
+    driver."""
+    import json as _json
+    import os as _os
+
+    cen = kmeans_fit(ds, n_cells, iters=train_iters, spherical=True,
+                     init_sample=train_sample)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _norm_rows(_matrix(batch))
+        cell = np.argmax(v @ cen.T, axis=1).astype(np.int64)
+        # ``cell`` rides in the data AND as the hive partition key
+        # (partition_cols strips its column from the file bytes, and a
+        # leaf-directory read doesn't re-infer it)
+        return batch.append_column("cell", pa.array(cell, pa.int64())) \
+                    .append_column("cellp", pa.array(cell, pa.int64()))
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+      .write_parquet(_os.path.join(out_dir, "cells"),
+                     partition_cols=["cellp"])
+    np.save(_os.path.join(out_dir, "centroids.npy"), cen)
+    meta = {"n_cells": int(len(cen)), "dim": int(cen.shape[1]),
+            "metric": "cosine"}
+    with open(_os.path.join(out_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ivf_search(index_dir: str, query_vecs: np.ndarray,
+               query_ids: list[int] | None = None, k: int = 5, *,
+               nprobe: int = 4, exclude_self: bool = True):
+    """Top-k over an ``ivf_build`` index: rank cells per query against
+    the saved centroids, ``read_parquet`` ONLY the union of probed cell
+    directories (pruned read — the index's point), and exact-rerank
+    each batch against the queries that probed its cell. Returns a
+    Dataset[(query_id, rank, vec_id, cosine)]."""
+    import json as _json
+    import os as _os
+
+    cen = np.load(_os.path.join(index_dir, "centroids.npy"))
+    q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+    q_ids = np.asarray(query_ids if query_ids is not None
+                       else range(len(q)), dtype=np.int64)
+    nprobe = min(nprobe, len(cen))
+    q_cells = np.argsort(-(q @ cen.T), axis=1)[:, :nprobe]   # (Q, p)
+    needed = sorted({int(c) for row in q_cells for c in row})
+    dirs = [_os.path.join(index_dir, "cells", f"cellp={c}") for c in needed]
+    files = [_os.path.join(d, f) for d in dirs if _os.path.isdir(d)
+             for f in sorted(_os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    cand_ds = ray.data.read_parquet(files,
+                                    columns=["vec_id", "embedding", "cell"])
+    cells_of_q = [set(int(c) for c in row) for row in q_cells]
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        nvecs = _norm_rows(_matrix(batch))
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        cells = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cells, list(cells_of_q[qi]))
+            if exclude_self:
+                m &= vec_ids != q_ids[qi]
+            rows = np.nonzero(m)[0]
+            if len(rows) == 0:
+                continue
+            cos = nvecs[rows] @ q[qi]
+            kk = min(k, len(rows))
+            sel = np.argpartition(-cos, kk - 1)[:kk]
+            out_q.extend([int(q_ids[qi])] * kk)
+            out_v.extend(int(x) for x in vec_ids[rows[sel]])
+            out_c.extend(float(c) for c in cos[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    cand = cand_ds.map_batches(candidates, batch_format="pyarrow")
     dedup = grouped_agg(cand, ["query_id", "vec_id"],
                         {"cosine": ("cosine", "min")}, num_buckets=8)
     return dedup.groupby("query_id").map_groups(
@@ -428,7 +540,8 @@ def assign_centroids(ds, n_centroids: int = 8):
 # Distributed Lloyd k-means (full-corpus training, not the IVF sample)
 # --------------------------------------------------------------------- #
 
-def kmeans_fit(ds, k: int = 8, iters: int = 5):
+def kmeans_fit(ds, k: int = 8, iters: int = 5, *, spherical: bool = False,
+               init_sample: int | None = None):
     """Distributed Lloyd k-means over the embedding column → final
     float64 centroid matrix (k × d).
 
@@ -440,14 +553,27 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5):
     closure. Zero shuffle; per-iteration driver state is O(k·d).
     Init is deterministic: the k lowest-id vectors (same convention as
     ``assign_centroids``). Empty clusters keep their previous centroid.
+
+    ``spherical=True`` runs the cosine variant (inputs and centroids
+    L2-normalized each round) — the IVF coarse-quantizer training mode.
+    ``init_sample=N`` seeds the Lloyd rounds with a sampled k-means fit
+    (deterministic) instead of the k lowest-id vectors — the lowest-id
+    init can collapse nearby clusters, which costs IVF recall.
     """
-    _, cen = _lowest_vec_rows(ds, k)
-    cen = cen.copy()
+    if init_sample:
+        cen = _kmeans(_sample_vectors(ds, init_sample), k)
+    else:
+        _, cen = _lowest_vec_rows(ds, k)
+        cen = cen.copy()
+    if spherical:
+        cen = _norm_rows(cen)
     k = len(cen)
 
     for _ in range(iters):
-        def partial(batch: pa.Table, c=cen) -> pa.Table:
+        def partial(batch: pa.Table, c=cen, sph=spherical) -> pa.Table:
             v = _matrix(batch)
+            if sph:
+                v = _norm_rows(v)
             d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             best = np.argmin(d2, axis=1)
             sums = np.zeros_like(c)
@@ -468,6 +594,8 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5):
             counts[cid] += n
         nz = counts > 0
         cen[nz] = sums[nz] / counts[nz, None]
+        if spherical:
+            cen = _norm_rows(cen)
     return cen
 
 

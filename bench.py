@@ -263,6 +263,69 @@ def run_code_bench(n_docs: int | None = None) -> dict:
     return result
 
 
+def run_ann_bench(n_vecs: int | None = None) -> dict:
+    """ANN recall/latency curve (round-2 verdict #5): brute-force exact
+    top-10 vs trained-IVF at nprobe 1/2/4 over a 100k clustered-vector
+    corpus. Reports recall@10 and wall seconds per variant."""
+    _quiet_thp()
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms",
+                          "600000")
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_vecs = n_vecs or int(os.environ.get("GRAFT_ANN_VECS", "100000"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from baram_ray import similarity
+    from baram_ray.corpus import vectors_parquet
+
+    # cells SUBDIVIDE the 64 true clusters (n_cells=256) so the
+    # nprobe curve has a real gradient; sigma=0.13 keeps moderate
+    # cluster overlap
+    path = vectors_parquet(n_vecs, dim=64, n_clusters=64, seed=7,
+                           sigma=0.13)
+    qids = [11, 2025, 31337, 54321, 99998][:5]
+    qids = [q % n_vecs for q in qids]
+
+    def read():
+        return ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    t0 = time.perf_counter()
+    exact = similarity.brute_force_topk(read(), qids, k=10).to_pandas()
+    t_exact = time.perf_counter() - t0
+    exact_sets = {q: set(exact[exact["query_id"] == q]["vec_id"])
+                  for q in qids}
+    # build the partitioned IVF index ONCE (training amortizes across
+    # every later query; queries then READ only their probed cells)
+    idx_dir = f"/tmp/baram_ivf_{n_vecs}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    similarity.ivf_build(read(), idx_dir, n_cells=256, train_iters=4)
+    t_build = time.perf_counter() - t0
+    _, q_vecs = similarity._collect_query_vecs(read(), qids)
+    out = {"metric": "ann_recall_curve", "unit": "recall@10",
+           "n_vecs": n_vecs, "num_cpus": num_cpus,
+           "exact_sec": round(t_exact, 3),
+           "ivf_build_sec": round(t_build, 3), "curve": {}}
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
+        approx = similarity.ivf_search(idx_dir, q_vecs, qids, k=10,
+                                       nprobe=nprobe).to_pandas()
+        sec = time.perf_counter() - t0
+        hits = total = 0
+        for q in qids:
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            hits += len(exact_sets[q] & a)
+            total += len(exact_sets[q])
+        out["curve"][f"nprobe_{nprobe}"] = {
+            "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
+    out["value"] = out["curve"]["nprobe_4"]["recall_at_10"]
+    ray.shutdown()
+    return out
+
+
 def run_calibrate() -> dict:
     """Host-ceiling probe: a PURE embarrassingly-parallel map (sha256
     over fixed random blocks through ray.data) with zero shuffle and
@@ -385,6 +448,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(lo, hi, rounds)))
     elif "--calibrate" in sys.argv:
         print(json.dumps(run_calibrate()))
+    elif "--ann" in sys.argv:
+        print(json.dumps(run_ann_bench()))
     elif "--code" in sys.argv:
         print(json.dumps(run_code_bench()))
     else:

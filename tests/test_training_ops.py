@@ -791,3 +791,76 @@ def test_degenerate_no_clicks_emits_all_purchases(ray_session, tmp_path):
     out = range_count_clicks(str(tmp_path)).to_pandas()
     assert len(out) == n
     assert (out["n_clicks_1h"] == 0).all()
+
+
+def test_trained_ivf_recall_clustered_20k(ray_session):
+    """Round-2 verdict #5: distributed-Lloyd-trained IVF centroids must
+    reach recall@10 ≥ 0.95 at nprobe ≤ 4 on a clustered corpus (20k
+    vectors in tests; bench.py --ann runs the 100k curve)."""
+    from baram_ray.corpus import vectors_parquet
+
+    path = vectors_parquet(20_000, dim=32, n_clusters=32, seed=7)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    qids = [5, 1234, 9999]
+    exact = similarity.brute_force_topk(ds, qids, k=10).to_pandas()
+    approx = similarity.ivf_topk(ds, qids, k=10, n_cells=32, nprobe=4,
+                                 train="kmeans", train_iters=4).to_pandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall >= 0.95, f"trained-IVF recall {recall}"
+
+
+def test_spherical_kmeans_unit_centroids(ray_session):
+    """spherical=True keeps centroids on the unit sphere and is
+    deterministic across runs."""
+    from baram_ray.corpus import vectors_parquet
+
+    path = vectors_parquet(2_000, dim=16, n_clusters=8, seed=3)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    c1 = similarity.kmeans_fit(ds, k=8, iters=3, spherical=True)
+    c2 = similarity.kmeans_fit(ds, k=8, iters=3, spherical=True)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_partitioned_index_prunes_and_recalls(ray_session, tmp_path):
+    """ivf_build writes one directory per cell; ivf_search reads only
+    the probed cells (pruned read) and still reaches recall@10 ≥ 0.95
+    at nprobe ≤ 4 when cells subdivide the true clusters."""
+    import os
+
+    from baram_ray.corpus import vectors_parquet
+
+    path = vectors_parquet(20_000, dim=32, n_clusters=16, seed=7,
+                           sigma=0.13)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "ivf")
+    meta = similarity.ivf_build(ds, idx, n_cells=64, train_iters=4)
+    assert meta["n_cells"] == 64
+    cell_dirs = [d for d in os.listdir(os.path.join(idx, "cells"))
+                 if d.startswith("cellp=")]
+    assert len(cell_dirs) >= 32          # cells materialized as dirs
+    qids = [5, 1234, 9999, 15000]
+    exact = similarity.brute_force_topk(ds, qids, k=10).to_pandas()
+    _, q_vecs = similarity._collect_query_vecs(ds, qids)
+    got = similarity.ivf_search(idx, q_vecs, qids, k=10,
+                                nprobe=4).to_pandas()
+    hits = total = 0
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        a = set(got[got["query_id"] == q]["vec_id"])
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.95, f"indexed-IVF recall {hits / total}"
+    # rows per cell sum to the corpus (partition completeness)
+    import pyarrow.parquet as pq_
+    n = sum(pq_.ParquetFile(os.path.join(idx, "cells", d, f)).metadata.num_rows
+            for d in cell_dirs
+            for f in os.listdir(os.path.join(idx, "cells", d))
+            if f.endswith(".parquet"))
+    assert n == 20_000
