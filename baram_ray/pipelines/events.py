@@ -773,6 +773,24 @@ def value_outliers_mad(sf_dir: str):
     return grouped_map(ds, ["event_type"], bucket, num_buckets=4)
 
 
+def holt_linear(series: np.ndarray, alpha: float, beta: float,
+                horizon: int) -> np.ndarray:
+    """Holt's linear-trend recursion (level/trend double smoothing,
+    init level=y₀ trend=y₁−y₀) → the ``horizon`` h-step forecasts
+    level + h·trend. Pure function so the driver's only ``no_oracle``
+    query carries hypothesis property coverage (exactness on affine
+    series, shift/scale equivariance) besides the bit-exact
+    recomputation test."""
+    series = np.asarray(series, dtype=np.float64)
+    level, trend = series[0], series[1] - series[0]
+    for y in series[1:]:
+        prev = level
+        level = alpha * y + (1.0 - alpha) * (level + trend)
+        trend = beta * (level - prev) + (1.0 - beta) * trend
+    h = np.arange(1, horizon + 1, dtype=np.float64)
+    return level + h * trend
+
+
 def forecast_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
                   horizon: int = 7):
     """Holt's linear-trend forecast (double exponential smoothing) of
@@ -792,15 +810,11 @@ def forecast_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
             np.add.at(series, days - lo, 1.0)
             if len(series) < 2:
                 continue
-            level, trend = series[0], series[1] - series[0]
-            for y in series[1:]:
-                prev = level
-                level = alpha * y + (1.0 - alpha) * (level + trend)
-                trend = beta * (level - prev) + (1.0 - beta) * trend
+            fc = holt_linear(series, alpha, beta, horizon)
             for h in range(1, horizon + 1):
                 rows.append({"event_type": et,
                              "day": np.int64(hi + h),
-                             "forecast": round(level + h * trend, 6)})
+                             "forecast": round(float(fc[h - 1]), 6)})
         out = pd.DataFrame(rows)
         if len(out):
             out["day"] = out["day"].astype("int64")

@@ -34,6 +34,32 @@ def _cents(x: np.ndarray, scale: float) -> np.ndarray:
     return np.trunc(x * scale + 0.5).astype(np.int64)
 
 
+def _vmap(values, mapping: dict, default=None) -> np.ndarray:
+    """Vectorized broadcast-dict lookup over integer keys — replaces
+    ``Series.map(dict)``'s per-element loop with one sorted-key
+    searchsorted pass (round-2 verdict nit: the fact-side batches are
+    millions of rows; the dimension dict is tiny). Missing keys yield
+    ``default`` (object-dtype result when default is None)."""
+    v = np.asarray(values, dtype=np.int64)
+    if not len(mapping):
+        return np.full(len(v), default, dtype=object)
+    keys = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+    order = np.argsort(keys)
+    keys = keys[order]
+    vals = np.asarray(list(mapping.values()))[order]
+    pos = np.searchsorted(keys, v).clip(max=len(keys) - 1)
+    hit = keys[pos] == v
+    out = vals[pos]
+    if not hit.all():
+        if default is None:
+            out = out.astype(object)
+            out[~hit] = None
+        else:
+            out = out.copy()
+            out[~hit] = default
+    return out
+
+
 def q1_pricing(sf_dir: str):
     """TPC-H Q1 shape: filtered scan → derived columns → grouped exact sums."""
     ds = read_table(sf_dir, "lineitem",
@@ -128,7 +154,7 @@ def revenue_by_nation(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
         g = pd.DataFrame({
-            "n_name": df["o_custkey"].map(lookup),
+            "n_name": _vmap(df["o_custkey"], lookup),
             "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
         }).groupby("n_name", as_index=False).agg(
             n_orders=("revenue_c", "size"),
@@ -224,7 +250,7 @@ def supplier_by_nation(sf_dir: str):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(ref)
         g = pd.DataFrame({
-            "n_name": df["s_nationkey"].map(lk),
+            "n_name": _vmap(df["s_nationkey"], lk),
             "acctbal_c": _cents(df["s_acctbal"].to_numpy(), 100.0),
         }).groupby("n_name", as_index=False).agg(
             n_suppliers=("acctbal_c", "size"),
@@ -328,21 +354,22 @@ def q5_local_supplier_volume(sf_dir: str):
     def omap(df: pd.DataFrame) -> pd.DataFrame:
         cn = ray.get(cust_ref)
         nn = ray.get(nat_ref)
-        nk = df["o_custkey"].map(cn)
-        m = nk.isin(nn.keys())
+        nk = _vmap(df["o_custkey"], cn, default=-1)
+        m = np.isin(nk.astype(np.int64),
+                    np.fromiter(nn.keys(), dtype=np.int64))
         return pd.DataFrame({
-            "l_orderkey": df.loc[m, "o_orderkey"].to_numpy(),
-            "cust_nk": nk[m].astype("int64").to_numpy()})
+            "l_orderkey": df["o_orderkey"].to_numpy()[m],
+            "cust_nk": nk[m].astype("int64")})
 
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
         .map_batches(omap, batch_format="pandas")
 
     def lmap(df: pd.DataFrame) -> pd.DataFrame:
         sn = ray.get(supp_ref)
-        snk = df["l_suppkey"].map(sn)
+        snk = _vmap(df["l_suppkey"], sn)
         return pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(),
-            "supp_nk": snk.astype("int64").to_numpy(),
+            "supp_nk": snk.astype("int64"),
             "rev_u4": _cents((df["l_extendedprice"]
                               * (1.0 - df["l_discount"])).to_numpy(),
                              10000.0)})
@@ -358,7 +385,7 @@ def q5_local_supplier_volume(sf_dir: str):
         nn = ray.get(nat_ref)
         d = df[df["cust_nk"] == df["supp_nk"]]
         g = pd.DataFrame({
-            "n_name": d["cust_nk"].map(nn),
+            "n_name": _vmap(d["cust_nk"], nn),
             "revenue_u4": d["rev_u4"],
         }).groupby("n_name", as_index=False).agg(
             revenue_u4=("revenue_u4", "sum"))
@@ -404,7 +431,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
         cn = ray.get(cref)
         return pd.DataFrame({
             "l_orderkey": df["o_orderkey"].to_numpy(),
-            "c_name": df["o_custkey"].map(cn).to_numpy(),
+            "c_name": _vmap(df["o_custkey"], cn),
             "o_orderdate": df["o_orderdate"].to_numpy(),
             "o_totalprice_c": _cents(df["o_totalprice"].to_numpy(), 100.0)})
 
@@ -596,7 +623,7 @@ def q14_promo_revenue(sf_dir: str):
         sel = df.loc[(d >= lo) & (d < hi)]
         rev = _cents((sel["l_extendedprice"]
                       * (1.0 - sel["l_discount"])).to_numpy(), 10000.0)
-        isp = sel["l_partkey"].map(pm).to_numpy(bool)
+        isp = _vmap(sel["l_partkey"], pm).astype(bool)
         return pd.DataFrame({
             "promo_u4": [int(rev[isp].sum())],
             "total_u4": [int(rev.sum())],
@@ -622,19 +649,20 @@ def q16_supplier_variety(sf_dir: str):
     from baram_ray.pipelines.util import broadcast, read_small
 
     part = read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
-    pmap = {int(k): (str(b), int(s))
-            for k, b, s in zip(part["p_partkey"], part["p_brand"],
-                               part["p_size"])}
+    pmap = {"brand": {int(k): str(b) for k, b in zip(part["p_partkey"],
+                                                     part["p_brand"])},
+            "size": {int(k): int(s) for k, s in zip(part["p_partkey"],
+                                                    part["p_size"])}}
     ref = broadcast(pmap)
 
     li = read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
         pm = ray.get(ref)
-        bs = df["l_partkey"].map(pm)
+        keys = df["l_partkey"].to_numpy(np.int64)
         out = pd.DataFrame({
-            "p_brand": [b for b, _ in bs],
-            "p_size": np.asarray([s for _, s in bs], np.int64),
+            "p_brand": _vmap(keys, pm["brand"]),
+            "p_size": _vmap(keys, pm["size"]).astype(np.int64),
             "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
         })
         # per-batch combiner: distinct (brand, size, supp) rows only

@@ -160,6 +160,22 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
 
     Use ``batch_format="pyarrow"`` when buckets carry list/binary columns
     (pandas conversion materializes millions of Python objects).
+
+    Multi-node / driver-memory behavior (round-2 verdict #5): the
+    driver holds only REFS (a few hundred bytes each), never fragment
+    bytes — fragments live in the object store of whichever node ran
+    the split and are pulled by the reduce that needs them. With a
+    ``pre_fn`` (the flagship combiner path, where inputs are biggest)
+    split tasks are submitted AS upstream blocks materialize — the
+    map stage of the exchange overlaps the producing stage instead of
+    waiting behind a full materialization. Fragment refs are released
+    per COMPLETED reduce (a ray.wait loop), so plasma can evict each
+    bucket's fragments while later reduces still run, bounding peak
+    object-store footprint to ~input + the in-flight buckets instead
+    of input + all fragments. Driver ref bookkeeping is
+    O(blocks × buckets); at 10⁶ blocks × 10³ buckets that is GBs of
+    refs — beyond that, nest two exchanges (bucket-of-buckets) rather
+    than widening this one.
     """
     import ray
     import ray.data
@@ -167,49 +183,74 @@ def grouped_map(ds, keys: list[str], bucket_fn, *, num_buckets: int,
     import time as _time
     dbg = os.environ.get("BARAM_TIMING") == "1"
     t0 = _time.perf_counter()
-    block_refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref, meta in bundle.blocks:
-            # Ray skips UDFs on 0-row blocks and emits SCHEMA-LESS empties;
-            # they carry nothing and would KeyError the key select — drop.
-            if meta.num_rows == 0:
-                continue
-            block_refs.append(block_ref)
-    # clamp buckets to input size: with B buckets and K blocks the
-    # exchange creates K·B fragments + B reduce tasks; a small input
-    # through a 64-bucket exchange is pure task overhead. ``num_buckets``
-    # stays the ceiling for large inputs (where buckets must be
-    # block-sized), the clamp only bites when blocks are scarce.
-    # NOT applied when a pre_fn is set: combiners like PartialPostings
-    # precompute ``__bucket = hash % caller_num_buckets`` — clamping
-    # after the fact would drop every row whose bucket >= the clamp.
-    if block_refs and pre_fn is None:
-        num_buckets = _clamp_buckets(num_buckets, len(block_refs))
     split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
-    reduce = ray.remote(num_returns=2)(_reduce_bucket)
-    frag_refs = [split.remote(r, keys, num_buckets, pre_fn)
-                 for r in block_refs]
+    frag_refs: list = []
+    if pre_fn is not None:
+        # combiner path: bucket ids are precomputed by pre_fn, so the
+        # bucket count is fixed and splits can launch as blocks land
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                # Ray skips UDFs on 0-row blocks and emits SCHEMA-LESS
+                # empties; they carry nothing and would KeyError — drop
+                if meta.num_rows == 0:
+                    continue
+                r = split.remote(block_ref, keys, num_buckets, pre_fn)
+                frag_refs.append([r] if num_buckets == 1 else list(r))
+    else:
+        block_refs = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                if meta.num_rows == 0:
+                    continue
+                block_refs.append(block_ref)
+        # clamp buckets to input size: with B buckets and K blocks the
+        # exchange creates K·B fragments + B reduce tasks; a small input
+        # through a 64-bucket exchange is pure task overhead.
+        # ``num_buckets`` stays the ceiling for large inputs (where
+        # buckets must be block-sized), the clamp only bites when blocks
+        # are scarce. NOT applied with a pre_fn: combiners like
+        # PartialPostings precompute ``__bucket = hash % caller_buckets``
+        # — clamping after the fact would drop rows.
+        if block_refs:
+            num_buckets = _clamp_buckets(num_buckets, len(block_refs))
+        split = ray.remote(num_returns=num_buckets)(_split_by_bucket)
+        for block_ref in block_refs:
+            r = split.remote(block_ref, keys, num_buckets, None)
+            frag_refs.append([r] if num_buckets == 1 else list(r))
     if not frag_refs:
         # zero input blocks: still produce bucket_fn's OUTPUT schema (an
         # empty input table run through pre_fn + bucket_fn), not the
         # pre-exchange schema — downstream stages read typed columns
         return ray.data.from_arrow(
             _empty_exchange_result(ds, bucket_fn, batch_format, pre_fn))
-    if num_buckets == 1:                # num_returns=1 yields a bare ref
-        frag_refs = [[r] for r in frag_refs]
     t1 = _time.perf_counter()
+    reduce = ray.remote(num_returns=2)(_reduce_bucket)
     fn_ref = ray.put(bucket_fn)         # ship the closure once, not per task
-    out_refs, size_refs = [], []
+    frags_by_bucket = {b: [fr[b] for fr in frag_refs]
+                       for b in range(num_buckets)}
+    del frag_refs
+    out_refs, size_refs, bucket_of = [], [], {}
     for b in range(num_buckets):
-        t_ref, n_ref = reduce.remote(
-            fn_ref, batch_format, [fr[b] for fr in frag_refs])
+        t_ref, n_ref = reduce.remote(fn_ref, batch_format,
+                                     frags_by_bucket[b])
         out_refs.append(t_ref)
         size_refs.append(n_ref)
-    sizes = ray.get(size_refs)          # tiny ints; tables stay in plasma
+        bucket_of[n_ref] = b
+    # tiny ints; tables stay in plasma. Collect via ray.wait so each
+    # completed bucket's fragment refs release immediately.
+    sizes_map: dict = {}
+    pending = list(size_refs)
+    while pending:
+        done, pending = ray.wait(pending,
+                                 num_returns=min(len(pending), 16))
+        for n_ref in done:
+            sizes_map[n_ref] = ray.get(n_ref)
+            frags_by_bucket.pop(bucket_of[n_ref], None)
+    sizes = [sizes_map[r] for r in size_refs]
     t2 = _time.perf_counter()
     if dbg:
         print(f"[grouped_map] submit={t1-t0:.1f}s reduce={t2-t1:.1f}s "
-              f"blocks={len(frag_refs)} buckets={num_buckets}", flush=True)
+              f"buckets={num_buckets}", flush=True)
     keep = [r for r, n in zip(out_refs, sizes) if n > 0]
     if not keep:                        # empty result, output schema intact
         keep = out_refs[:1]
@@ -280,13 +321,28 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
         empty_r = ray.put(_empty_typed_table(right))
         rfrags = [[empty_r] * num_buckets]
     fn_ref = ray.put(bucket_fn)
-    out_refs, size_refs = [], []
+    frags_by_bucket = {b: ([fr[b] for fr in lfrags],
+                           [fr[b] for fr in rfrags])
+                       for b in range(num_buckets)}
+    del lfrags, rfrags
+    out_refs, size_refs, bucket_of = [], [], {}
     for b in range(num_buckets):
-        t_ref, n_ref = reduce.remote(
-            fn_ref, [fr[b] for fr in lfrags], [fr[b] for fr in rfrags])
+        lf, rf = frags_by_bucket[b]
+        t_ref, n_ref = reduce.remote(fn_ref, lf, rf)
         out_refs.append(t_ref)
         size_refs.append(n_ref)
-    sizes = ray.get(size_refs)
+        bucket_of[n_ref] = b
+    # release each bucket's fragment refs as its reduce completes (same
+    # plasma-footprint bound as grouped_map)
+    sizes_map: dict = {}
+    pending = list(size_refs)
+    while pending:
+        done, pending = ray.wait(pending,
+                                 num_returns=min(len(pending), 16))
+        for n_ref in done:
+            sizes_map[n_ref] = ray.get(n_ref)
+            frags_by_bucket.pop(bucket_of[n_ref], None)
+    sizes = [sizes_map[r] for r in size_refs]
     keep = [r for r, n in zip(out_refs, sizes) if n > 0] or out_refs[:1]
     return ray.data.from_arrow_refs(keep)
 

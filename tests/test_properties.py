@@ -263,3 +263,50 @@ def test_kll_rank_error_bound_under_compaction(seed, n_chunks):
         est = kll_quantile(sk, q)
         true_rank = np.searchsorted(s, est, side="right")
         assert abs(true_rank - q * n) <= budget, (q, true_rank, q * n)
+
+
+# ------------------------------------------------------------------ #
+# Holt linear-trend forecast (round-2 verdict #10: the one no_oracle
+# driver row gets fuzzed coverage beyond the bit-exact recomputation)
+
+@given(
+    n=st.integers(min_value=2, max_value=200),
+    a=st.floats(min_value=-50, max_value=50),
+    b=st.floats(min_value=-5, max_value=5),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+    beta=st.floats(min_value=0.05, max_value=0.95),
+    horizon=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_exact_on_affine_series(n, a, b, alpha, beta, horizon):
+    """On a perfectly affine series y_t = a + b·t the recursion locks
+    level/trend exactly, so every h-step forecast is the affine
+    continuation — for ANY alpha/beta."""
+    from baram_ray.pipelines.events import holt_linear
+    t = np.arange(n, dtype=np.float64)
+    series = a + b * t
+    got = holt_linear(series, alpha, beta, horizon)
+    exp = a + b * (n - 1 + np.arange(1, horizon + 1, dtype=np.float64))
+    scale = max(1.0, abs(a) + abs(b) * (n + horizon))
+    assert np.allclose(got, exp, rtol=0, atol=1e-7 * scale)
+
+
+@given(
+    ys=st.lists(st.floats(min_value=-100, max_value=100), min_size=2,
+                max_size=120),
+    c=st.floats(min_value=-100, max_value=100),
+    s=st.floats(min_value=0.1, max_value=10),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+    beta=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(max_examples=60, deadline=None)
+def test_holt_shift_and_scale_equivariance(ys, c, s, alpha, beta):
+    """The recursion is affine in the data: forecasts of c + s·y are
+    c + s·forecast(y) — catches any init/update asymmetry a refactor
+    could introduce."""
+    from baram_ray.pipelines.events import holt_linear
+    y = np.asarray(ys, dtype=np.float64)
+    base = holt_linear(y, alpha, beta, 7)
+    shifted = holt_linear(c + s * y, alpha, beta, 7)
+    scale = max(1.0, np.abs(base).max()) * max(1.0, abs(c), s)
+    assert np.allclose(shifted, c + s * base, rtol=0, atol=1e-6 * scale)
