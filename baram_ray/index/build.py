@@ -472,6 +472,33 @@ class RankMap:
             out[m] = self.bases[sh] + np.searchsorted(ids_sh, doc_ids[m])
         return out
 
+    def rank_and_member(self, doc_ids: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """Like :meth:`rank`, plus a membership mask — for callers whose
+        ids may not all exist in the corpus (e.g. tombstone purge).
+        Ranks of absent ids are where they WOULD insert (clipped)."""
+        import ray as _ray
+        n = len(doc_ids)
+        if not n:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=bool))
+        shard = (np.searchsorted(self.bounds, doc_ids, side="right")
+                 if len(self.refs) > 1 else np.zeros(n, dtype=np.int64))
+        ranks = np.empty(n, dtype=np.int64)
+        member = np.zeros(n, dtype=bool)
+        for sh in np.unique(shard):
+            ids_sh = self._cache.get(int(sh))
+            if ids_sh is None:
+                ids_sh = self._cache[int(sh)] = _ray.get(self.refs[sh])
+            m = shard == sh
+            p = np.searchsorted(ids_sh, doc_ids[m])
+            inside = p < len(ids_sh)
+            pc = p.clip(max=max(0, len(ids_sh) - 1))
+            member[m] = inside & (len(ids_sh) > 0) \
+                & (ids_sh[pc] == doc_ids[m])
+            ranks[m] = self.bases[sh] + pc
+        return ranks, member
+
 
 def build_rank_map(paths, *, ids_per_shard: int | None = None,
                    num_id_shards: int | None = None

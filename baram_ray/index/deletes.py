@@ -228,7 +228,7 @@ def purge_deletes(index_dir: str) -> dict:
     import ray
     import ray.data
 
-    from baram_ray.index.build import _collect_sorted_ids, _parquet_files
+    from baram_ray.index.build import _parquet_files, build_rank_map
     from baram_ray.util import auto_num_blocks, grouped_agg, input_bytes
 
     meta_path = os.path.join(index_dir, "meta.json")
@@ -239,16 +239,15 @@ def purge_deletes(index_dir: str) -> dict:
         return {"n_purged": 0, "n_live": meta["n_docs"],
                 "blocks_before": 0, "blocks_after": 0}
 
-    # deleted doc_ids → global ranks (positions in the sorted id array)
+    # deleted doc_ids → global ranks via the two-level rank map (the
+    # corpus id array never lands on the driver; only the O(deletes)
+    # tombstone list does, and tombstones are small by construction)
     docs_dir = os.path.join(index_dir, "docs")
-    ids_sorted = _collect_sorted_ids(docs_dir)
-    pos = np.searchsorted(ids_sorted, del_ids)
-    ok = pos < len(ids_sorted)
-    pos, present = pos[ok], del_ids[ok]
-    hit = ids_sorted[pos] == present
-    del_ranks = np.sort(pos[hit])
+    rmap, _ = build_rank_map([docs_dir])
+    ranks, member = rmap.rank_and_member(np.asarray(del_ids, np.int64))
+    del_ranks = np.sort(ranks[member])
     del_ref = ray.put(del_ranks)
-    del_ids_ref = ray.put(np.sort(present[hit]))
+    del_ids_ref = ray.put(np.sort(np.asarray(del_ids, np.int64)[member]))
     positions = bool(meta.get("positions", False))
 
     # ---- segments: per-block rewrite (no shuffle), atomic dir swap ----

@@ -556,12 +556,14 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, *, spherical: bool = False,
 
     ``spherical=True`` runs the cosine variant (inputs and centroids
     L2-normalized each round) — the IVF coarse-quantizer training mode.
-    ``init_sample=N`` seeds the Lloyd rounds with a sampled k-means fit
-    (deterministic) instead of the k lowest-id vectors — the lowest-id
+    ``init_sample=N`` seeds the Lloyd rounds with a k-means fit over the
+    N lowest-id rows (reshard-stable, so deterministic under ANY block
+    layout) instead of the k lowest-id vectors alone — the k-vector
     init can collapse nearby clusters, which costs IVF recall.
     """
     if init_sample:
-        cen = _kmeans(_sample_vectors(ds, init_sample), k)
+        _, sample = _lowest_vec_rows(ds, init_sample)
+        cen = _kmeans(sample, k)
     else:
         _, cen = _lowest_vec_rows(ds, k)
         cen = cen.copy()

@@ -326,6 +326,12 @@ def test_rank_map_matches_global_sort(ray_session, tmp_path):
         exp = np.searchsorted(expected_sorted, probe)
         assert (got == exp).all()
     assert rmap.rank(np.empty(0, dtype=np.int64)).shape == (0,)
+    # membership-aware variant: absent ids flagged, present ranks exact
+    absent = np.array([ids.max() + 5, ids.min() - 5, int(ids[42])],
+                      dtype=np.int64)
+    ranks, member = rmap.rank_and_member(absent)
+    assert member.tolist() == [False, False, True]
+    assert ranks[2] == np.searchsorted(expected_sorted, ids[42])
     # duplicate detection is per id-shard (equal values share a shard)
     dup_dir = tmp_path / "dups"
     dup_dir.mkdir()
