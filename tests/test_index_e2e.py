@@ -374,3 +374,50 @@ def test_build_identical_across_id_shard_counts(ray_session, corpus_path,
         canon(outs["many"], "segments", seg_keys))
     assert canon(outs["one"], "termdict", ["field", "term"]).equals(
         canon(outs["many"], "termdict", ["field", "term"]))
+
+
+def test_resume_after_mid_segment_crash(ray_session, corpus_path, tmp_path):
+    """Crash MID-segments (partial files on disk, stage manifest never
+    written) → resume must discard the partial output and rebuild to a
+    content-identical index — the per-partition-checkpoint claim under
+    the worst interruption point."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq_
+
+    def canon(idx_dir):
+        t = pa.concat_tables([pq_.read_table(f) for f in sorted(
+            glob.glob(os.path.join(idx_dir, "segments", "*.parquet")))])
+        keys = [("field", "ascending"), ("term", "ascending"),
+                ("shard", "ascending"), ("block_id", "ascending")]
+        return t.take(pc.sort_indices(t, sort_keys=keys)).combine_chunks()
+
+    cfg = IndexConfig(fields=("content",), num_shards=4)
+    clean_dir = str(tmp_path / "clean")
+    build_index(corpus_path, clean_dir, cfg, resume=False)
+
+    crash_dir = str(tmp_path / "crashed")
+    build_index(corpus_path, crash_dir, cfg, resume=False)
+    # simulate the crash: segments half-written (drop some files, plant
+    # a garbage partial), manifest for the stage missing
+    seg_files = sorted(glob.glob(os.path.join(crash_dir, "segments",
+                                              "*.parquet")))
+    for f in seg_files[::2]:
+        os.remove(f)
+    with open(os.path.join(crash_dir, "segments",
+                           "partial_garbage.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
+    os.remove(os.path.join(crash_dir, "_manifests", "segments.json"))
+    os.remove(os.path.join(crash_dir, "_manifests", "termdict.json"))
+    shutil.rmtree(os.path.join(crash_dir, "termdict"))
+
+    r = build_index(corpus_path, crash_dir, cfg, resume=True)
+    assert "forward" in r.resumed_stages          # early stages kept
+    assert "segments" not in r.resumed_stages     # stage re-ran
+    assert canon(clean_dir).equals(canon(crash_dir))
+    e1, e2 = QueryEngine(clean_dir), QueryEngine(crash_dir)
+    for q in QUERY_SET[:6]:
+        assert e1.search(q["text"], k=q["k"]) == e2.search(q["text"],
+                                                           k=q["k"])
