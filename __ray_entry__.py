@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_supplier_by_nation": tpchp.supplier_by_nation,
         "tpch_orders_top": tpchp.orders_top_totalprice,
         "tpch_part_brand_stats": tpchp.part_brand_stats,
+        "tpch_q7": tpchp.q7_volume_shipping,
+        "tpch_q15": tpchp.q15_top_supplier,
+        "tpch_q17": tpchp.q17_small_quantity_revenue,
+        "tpch_q19": tpchp.q19_discounted_revenue,
+        "tpch_q22": tpchp.q22_global_sales_opportunity,
         # full-text core (non-SQL: checked rows-only here, rank-identity
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,

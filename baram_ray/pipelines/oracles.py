@@ -1656,4 +1656,98 @@ ORACLES: dict[str, str] = {
                round(exp(-s / n_bigrams), 6) AS ppl
         FROM agg
     """,
+    # Q7 volume shipping: revenue flow between the two first nations,
+    # both directions, by ship year (exact u4 sums)
+    "tpch_q7": """
+        WITH ns AS (SELECT n_name FROM nation ORDER BY n_name LIMIT 2)
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_u4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        WHERE cn.n_name IN (SELECT n_name FROM ns)
+          AND sn.n_name IN (SELECT n_name FROM ns)
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    # Q15 top supplier: max revenue over the fixed 3-month window, ties
+    # kept (exact u4 sums)
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                       * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) AS total_revenue_u4
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-07-01'
+              AND l_shipdate <  DATE '1997-10-01'
+            GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue_u4
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE total_revenue_u4 = (SELECT max(total_revenue_u4) FROM rev)
+    """,
+    # Q17 small-quantity revenue: correlated per-part 0.2*avg(qty) cut
+    # over the min-brand parts; exact cent sum, then /100/7 in order
+    "tpch_q17": """
+        WITH pk AS (SELECT p_partkey FROM part
+                    WHERE p_brand = (SELECT min(p_brand) FROM part)),
+        cut AS (SELECT l_partkey,
+                       0.2 * (sum(l_quantity) / count(*)) AS c
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM pk)
+                GROUP BY 1),
+        hit AS (SELECT CAST(trunc(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           AS rc
+                FROM lineitem JOIN cut ON lineitem.l_partkey = cut.l_partkey
+                WHERE l_quantity < c)
+        SELECT (CAST(coalesce(sum(rc), 0) AS DOUBLE) / 100.0) / 7.0
+                   AS avg_yearly
+        FROM hit
+    """,
+    # Q19 disjunctive brand/size/qty predicates (brands = first three
+    # distinct, same combos as the engine)
+    "tpch_q19": """
+        WITH b AS (SELECT p_brand, row_number() OVER (ORDER BY p_brand)
+                              AS i
+                   FROM (SELECT DISTINCT p_brand FROM part)),
+        pa AS (SELECT p_partkey, p_brand, p_size FROM part)
+        SELECT CAST(coalesce(sum(CAST(trunc(l_extendedprice
+                                            * (1 - l_discount) * 10000
+                                            + 0.5) AS BIGINT)), 0)
+                    AS BIGINT) AS revenue_u4
+        FROM lineitem JOIN pa ON l_partkey = p_partkey
+        WHERE (p_brand = (SELECT p_brand FROM b WHERE i = 1)
+               AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = (SELECT p_brand FROM b WHERE i = 2)
+               AND p_size BETWEEN 5 AND 25
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = (SELECT p_brand FROM b WHERE i = 3)
+               AND p_size BETWEEN 15 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    # Q22: customers above the avg POSITIVE balance (avg from exact
+    # cents, one division) with no orders, per nation
+    "tpch_q22": """
+        WITH c AS (SELECT c_custkey, c_nationkey,
+                          CAST(trunc(c_acctbal * 100 + 0.5) AS BIGINT)
+                              AS bal_c
+                   FROM customer),
+        cut AS (SELECT CAST(sum(bal_c) AS DOUBLE) / count(*) AS v
+                FROM c WHERE bal_c > 0)
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        FROM c
+        WHERE bal_c > (SELECT v FROM cut)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= DATE '2000-01-01')
+        GROUP BY 1
+    """,
 }

@@ -757,3 +757,283 @@ def q13_customer_distribution(sf_dir: str):
         })
 
     return hist.map_batches(cast, batch_format="pandas")
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — revenue flow between a nation PAIR by ship
+    year, both directions (supp_nation ≠ cust_nation). One fact-side
+    exchange: lineitem ⨝ orders on l_orderkey (hash_join); the
+    customer-nation and supplier-nation come from broadcast dimension
+    maps; the (supp_nation, cust_nation, year) aggregate is tiny.
+    Nations fixed to the two lexicographically first names
+    (deterministic). Revenue as exact u4-scaled integers."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    n1, n2 = sorted(nat["n_name"])[:2]
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cnat = {int(k): nname[v] for k, v in zip(cust["c_custkey"],
+                                             cust["c_nationkey"])}
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    snat = {int(k): nname[v] for k, v in zip(supp["s_suppkey"],
+                                             supp["s_nationkey"])}
+    cref, sref = ray.put(cnat), ray.put(snat)
+
+    def omap(df: pd.DataFrame) -> pd.DataFrame:
+        cn = _vmap(df["o_custkey"], ray.get(cref), default="")
+        m = np.isin(cn, (n1, n2))
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy()[m],
+            "cust_nation": cn[m].astype(object)})
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(omap, batch_format="pandas")
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        sn = _vmap(df["l_suppkey"], ray.get(sref), default="")
+        m = np.isin(sn, (n1, n2))
+        d = df.loc[m]
+        return pd.DataFrame({
+            "l_orderkey": d["l_orderkey"].to_numpy(),
+            "supp_nation": sn[m].astype(object),
+            "l_year": d["l_shipdate"].to_numpy("datetime64[Y]")
+                       .astype(np.int64) + 1970,
+            "rev_u4": _cents((d["l_extendedprice"]
+                              * (1.0 - d["l_discount"])).to_numpy(),
+                             10000.0)})
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate",
+                     "l_extendedprice", "l_discount"]) \
+        .map_batches(lmap, batch_format="pandas")
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["supp_nation"] != df["cust_nation"]]
+        g = d.groupby(["supp_nation", "cust_nation", "l_year"],
+                      as_index=False).agg(revenue_u4=("rev_u4", "sum"))
+        return g
+
+    agg = grouped_agg(j.map_batches(partial, batch_format="pandas"),
+                      ["supp_nation", "cust_nation", "l_year"],
+                      {"revenue_u4": ("revenue_u4", "sum")}, num_buckets=2)
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(agg, {"supp_nation": "object",
+                             "cust_nation": "object",
+                             "l_year": "int64", "revenue_u4": "int64"})
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — the revenue view + max: per-supplier revenue
+    over a 3-month ship window (per-batch combiner → supplier-keyed
+    exchange, bounded by supplier cardinality), then the supplier(s)
+    whose revenue equals the maximum, joined to the (small) supplier
+    table for the name. Revenue exact u4 integers, ties kept."""
+    from baram_ray.pipelines.util import read_small
+
+    lo, hi = np.datetime64("1997-07-01"), np.datetime64("1997-10-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        sel = df.loc[(d >= lo) & (d < hi)]
+        g = pd.DataFrame({
+            "l_suppkey": sel["l_suppkey"].to_numpy(np.int64),
+            "rev_u4": _cents((sel["l_extendedprice"]
+                              * (1.0 - sel["l_discount"])).to_numpy(),
+                             10000.0),
+        }).groupby("l_suppkey", as_index=False).agg(
+            total_revenue_u4=("rev_u4", "sum"))
+        return g
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_suppkey", "l_shipdate", "l_extendedprice",
+                     "l_discount"]) \
+        .map_batches(partial, batch_format="pandas")
+    per_supp = grouped_agg(li, ["l_suppkey"],
+                           {"total_revenue_u4": ("total_revenue_u4",
+                                                 "sum")},
+                           num_buckets=4).to_pandas()  # supplier-sized
+    if not len(per_supp):
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "total_revenue_u4": pd.Series(dtype="int64")})
+    mx = per_supp["total_revenue_u4"].max()
+    top = per_supp[per_supp["total_revenue_u4"] == mx]
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue_u4"]] \
+        .sort_values("s_suppkey", kind="stable").reset_index(drop=True)
+    out["total_revenue_u4"] = out["total_revenue_u4"].astype("int64")
+    return out
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated per-part average: for the parts of
+    one brand (dimension-sized, broadcast), lineitems with
+    l_quantity < 0.2 × that part's average quantity contribute
+    extendedprice to the total; result = sum / 7.0. Two streaming
+    passes: pass 1 per-part (sum_qty, n) partials through the exchange
+    (bounded by the brand's part cardinality), pass 2 filters with the
+    broadcast avg map. Sum as exact cents; the final division is one
+    IEEE op in both engines."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand = sorted(part["p_brand"])[0]
+    keys = np.sort(part.loc[part["p_brand"] == brand,
+                            "p_partkey"].to_numpy(np.int64))
+    kref = broadcast(keys)
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(kref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        pos = np.searchsorted(ks, pk).clip(max=max(0, len(ks) - 1))
+        m = len(ks) > 0
+        sel = df.loc[(ks[pos] == pk) if m else np.zeros(len(pk), bool)]
+        g = sel.groupby("l_partkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    per_part = grouped_agg(
+        read_table(sf_dir, "lineitem", li_cols)
+        .map_batches(qty_partial, batch_format="pandas"),
+        ["l_partkey"], {"sum_qty": ("sum_qty", "sum"),
+                        "n": ("n", "sum")}, num_buckets=2).to_pandas()
+    avg = {int(k): 0.2 * (s / n) for k, s, n in
+           zip(per_part["l_partkey"], per_part["sum_qty"],
+               per_part["n"])}
+    aref = broadcast(avg)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        am = ray.get(aref)
+        if not am:
+            return pd.DataFrame({"rev_c": pd.Series([0], dtype="int64")})
+        cut = _vmap(df["l_partkey"], am, default=-1.0).astype(np.float64)
+        m = (cut >= 0) & (df["l_quantity"].to_numpy() < cut)
+        rev = _cents(df["l_extendedprice"].to_numpy()[m], 100.0)
+        return pd.DataFrame({"rev_c": pd.Series([int(rev.sum())],
+                                                dtype="int64")})
+
+    agg = read_table(sf_dir, "lineitem", li_cols) \
+        .map_batches(rev_partial, batch_format="pandas") \
+        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    total_c = int(agg["rev_c"] or 0)
+    return pd.DataFrame({
+        "avg_yearly": pd.Series([(total_c / 100.0) / 7.0],
+                                dtype="float64")})
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive brand/size/quantity predicates:
+    revenue of lineitems matching ANY of three (brand, size-range,
+    qty-range) combos. Part attrs broadcast once; one filtered-scan
+    pass with exact u4 sums."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    brands = sorted(part["p_brand"].unique())
+    combos = [(brands[0], 1, 10, 1, 20),
+              (brands[min(1, len(brands) - 1)], 5, 25, 10, 40),
+              (brands[min(2, len(brands) - 1)], 15, 50, 20, 50)]
+    pm = {"brand": {int(k): str(b) for k, b in zip(part["p_partkey"],
+                                                   part["p_brand"])},
+          "size": {int(k): int(s) for k, s in zip(part["p_partkey"],
+                                                  part["p_size"])}}
+    ref = broadcast(pm)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m0 = ray.get(ref)
+        keys = df["l_partkey"].to_numpy(np.int64)
+        brand = _vmap(keys, m0["brand"], default="")
+        size = _vmap(keys, m0["size"], default=-1).astype(np.int64)
+        qty = df["l_quantity"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for b, slo, shi, qlo, qhi in combos:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = _cents((df["l_extendedprice"]
+                      * (1.0 - df["l_discount"])).to_numpy()[keep],
+                     10000.0)
+        return pd.DataFrame({"revenue_u4": pd.Series([int(rev.sum())],
+                                                     dtype="int64")})
+
+    agg = read_table(sf_dir, "lineitem",
+                     ["l_partkey", "l_quantity", "l_extendedprice",
+                      "l_discount"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .aggregate(Sum("revenue_u4", alias_name="revenue_u4"))
+    return pd.DataFrame({
+        "revenue_u4": pd.Series([int(agg["revenue_u4"] or 0)],
+                                dtype="int64")})
+
+
+def q22_global_sales_opportunity(sf_dir: str,
+                                 inactive_since: str = "2000-01-01"):
+    """TPC-H Q22 shape — anti-join + global-average predicate:
+    customers with above-average POSITIVE account balance and NO
+    orders since ``inactive_since`` (the synthetic corpus gives every
+    customer at least one lifetime order, so the classic no-orders
+    form is vacuous — dated inactivity keeps the same anti-join shape
+    with a non-trivial result), counted per nation. The average is
+    derived from exact cent partials (one IEEE division, identical in
+    SQL); the inactive side streams through the anti-join exchange."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    # global avg positive acctbal from exact cents (dimension-sized
+    # read is fine for customers ≤ sf·150k; stays exact at any sf)
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["c_acctbal"].to_numpy(), 100.0)
+        pos = c > 0
+        return pd.DataFrame({"s": pd.Series([int(c[pos].sum())],
+                                            dtype="int64"),
+                             "n": pd.Series([int(pos.sum())],
+                                            dtype="int64")})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    agg = read_table(sf_dir, "customer", cust_cols) \
+        .map_batches(bal_partial, batch_format="pandas") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    s, n = int(agg["s"] or 0), int(agg["n"] or 0)
+    cut_c = s / n if n else 0.0          # avg in cents, one division
+
+    def rich(df: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(df["c_acctbal"].to_numpy(), 100.0)
+        m = c > cut_c
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy()[m],
+            "c_nationkey": df["c_nationkey"].to_numpy()[m],
+            "bal_c": c[m]})
+
+    rich_ds = read_table(sf_dir, "customer", cust_cols) \
+        .map_batches(rich, batch_format="pandas")
+    since = np.datetime64(inactive_since)
+
+    def recent(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["o_orderdate"].to_numpy("datetime64[us]") >= since
+        return pd.DataFrame({"c_custkey": df["o_custkey"].to_numpy()[m]})
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(recent, batch_format="pandas")
+    no_orders = hash_join(rich_ds, orders, "c_custkey", how="anti",
+                          num_buckets=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c_nationkey", as_index=False).agg(
+            numcust=("bal_c", "size"), totacctbal_c=("bal_c", "sum"))
+        g["numcust"] = g["numcust"].astype("int64")
+        return g
+
+    out = grouped_agg(no_orders.map_batches(partial,
+                                            batch_format="pandas"),
+                      ["c_nationkey"],
+                      {"numcust": ("numcust", "sum"),
+                       "totacctbal_c": ("totacctbal_c", "sum")},
+                      num_buckets=2)
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(out, {"c_nationkey": "int64", "numcust": "int64",
+                             "totacctbal_c": "int64"})

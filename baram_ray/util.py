@@ -74,6 +74,11 @@ def _empty_typed_table(ds):
     import pandas as pd
     import pyarrow as pa
     schema = ds.schema()
+    if schema is None:
+        # a dataset whose every block was 0-row (Ray skipped the UDFs)
+        # has NO schema at all — degrade to a zero-column empty table;
+        # callers' ensure_cols restores the declared output columns
+        return pa.schema([]).empty_table()
     fields = []
     for n, t in zip(schema.names, schema.types):
         if isinstance(t, pa.DataType):
@@ -97,6 +102,11 @@ def _empty_exchange_result(ds, bucket_fn, batch_format: str, pre_fn=None):
     zero-block exchange still yields the correct OUTPUT schema."""
     import pyarrow as pa
     tbl = _empty_typed_table(ds)
+    if tbl.num_columns == 0:
+        # schema-less empty input (see _empty_typed_table): bucket_fn
+        # can't run without its key columns — pass the zero-column
+        # empty through; ensure_cols downstream restores declared cols
+        return tbl
     if pre_fn is not None:
         tbl = pre_fn(tbl)
     if batch_format == "pandas":
