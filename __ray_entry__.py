@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": tpchp.q17_small_quantity_revenue,
         "tpch_q19": tpchp.q19_discounted_revenue,
         "tpch_q22": tpchp.q22_global_sales_opportunity,
+        "tpch_cube_status_priority": tpchp.cube_status_priority,
+        "events_topn_per_user": evp.topn_per_user,
         # full-text core (non-SQL: checked rows-only here, rank-identity
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,

@@ -878,3 +878,28 @@ def session_stats(sf_dir: str, gap_minutes: int = 30):
 
     from baram_ray.util import grouped_map as _gm
     return _gm(sess, ["user_id"], per_user, num_buckets=8)
+
+
+def topn_per_user(sf_dir: str, n: int = 3):
+    """Top-N-per-group — the windowed row_number() shape (distinct from
+    a global top-k: every group keeps its own N): each user's ``n``
+    highest-value events, rank ties broken by event_id asc. One
+    user-keyed exchange; inside each bucket a single vectorized
+    sort + cumcount gives ranks for every user at once. Hash-exact vs
+    the SQL window oracle."""
+    from baram_ray.util import grouped_map
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "value", "event_id"],
+                           ascending=[True, False, True], kind="stable")
+        d["rnk"] = d.groupby("user_id", sort=False).cumcount() + 1
+        d = d[d["rnk"] <= n]
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64),
+            "rnk": d["rnk"].to_numpy(np.int64),
+            "event_id": d["event_id"].to_numpy(np.int64),
+            "value": d["value"].to_numpy(np.float64),
+        })
+
+    ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
+    return grouped_map(ds, ["user_id"], bucket, num_buckets=8)

@@ -1750,4 +1750,28 @@ ORACLES: dict[str, str] = {
                             AND o_orderdate >= DATE '2000-01-01')
         GROUP BY 1
     """,
+    # top-N per group (windowed row_number), ties by event_id asc
+    "events_topn_per_user": """
+        WITH r AS (SELECT user_id, event_id, value,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY value DESC,
+                                                      event_id ASC) AS rnk
+                   FROM events)
+        SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        FROM r WHERE rnk <= 3
+    """,
+    # CUBE(status, priority) from one scan — 'all' sentinels for the
+    # coarser grouping sets, exact cent sums
+    "tpch_cube_status_priority": """
+        WITH f AS (SELECT o_orderstatus, o_orderpriority,
+                          CAST(trunc(o_totalprice * 100 + 0.5) AS BIGINT)
+                              AS c
+                   FROM orders)
+        SELECT coalesce(o_orderstatus, 'all') AS o_orderstatus,
+               coalesce(o_orderpriority, 'all') AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS total_c
+        FROM f
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
 }

@@ -1037,3 +1037,50 @@ def q22_global_sales_opportunity(sf_dir: str,
     from baram_ray.pipelines.util import ensure_cols
     return ensure_cols(out, {"c_nationkey": "int64", "numcust": "int64",
                              "totacctbal_c": "int64"})
+
+
+def cube_status_priority(sf_dir: str):
+    """CUBE(o_orderstatus, o_orderpriority) — all four grouping sets
+    from ONE fact scan: the finest (status, priority) aggregate is
+    tiny (|status|×|priority| rows), so the three coarser levels
+    derive from it driver-side by re-summing those rows, mirroring
+    SQL GROUPING SETS semantics with 'all' sentinels."""
+    ds = read_table(sf_dir, "orders",
+                    ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderstatus": df["o_orderstatus"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "total_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
+        }).groupby(["o_orderstatus", "o_orderpriority"],
+                   as_index=False).agg(n=("total_c", "size"),
+                                       total_c=("total_c", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    fine = (ds.map_batches(partial, batch_format="pandas")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("total_c", alias_name="total_c"))).to_pandas()
+
+    def lvl(df, status, prio):
+        return pd.DataFrame({
+            "o_orderstatus": status, "o_orderpriority": prio,
+            "n": df["n"].astype("int64"),
+            "total_c": df["total_c"].astype("int64")})
+
+    by_s = fine.groupby("o_orderstatus", as_index=False)[["n", "total_c"]].sum()
+    by_p = fine.groupby("o_orderpriority", as_index=False)[["n", "total_c"]].sum()
+    out = pd.concat([
+        lvl(fine, fine["o_orderstatus"], fine["o_orderpriority"]),
+        lvl(by_s, by_s["o_orderstatus"], "all"),
+        lvl(by_p, "all", by_p["o_orderpriority"]),
+        pd.DataFrame({"o_orderstatus": ["all"], "o_orderpriority": ["all"],
+                      "n": pd.array([int(fine["n"].sum())], dtype="int64"),
+                      "total_c": pd.array([int(fine["total_c"].sum())],
+                                          dtype="int64")}),
+    ], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["total_c"] = out["total_c"].astype("int64")
+    return out
