@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_centroid_assign": trainp.sim_centroid_assign,
         "sim_kmeans": trainp.sim_kmeans,
         "doc_quality_model": trainp.doc_quality_model,
+        "sim_semdedup": trainp.sim_semdedup,
         # M3 format-dispatch parse chain
         "doc_parse_dispatch": trainp.doc_parse_dispatch,
         "doc_sample_hash": trainp.doc_sample_hash,

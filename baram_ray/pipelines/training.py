@@ -728,3 +728,14 @@ def doc_quality_model(sf_dir: str):
         .astype("float64"), iters=60, lr=1.0)
     return logistic_score(
         read_table(sf_dir, "documents", ["doc_id", "text"]), w)
+
+
+def sim_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: k-means
+    clusters (distributed Lloyd) then per-cluster greedy leader pruning
+    at cosine ≥ 0.9 through the cluster-keyed exchange. Rows-only
+    driver check; pytest asserts the invariants (no kept pair ≥ t
+    within a cluster, every dropped row has a kept leader ≥ t) and
+    determinism."""
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return similarity.semdedup(ds, threshold=0.9, k=8, iters=5)

@@ -654,3 +654,65 @@ def range_search(ds, query_ids: list[int], threshold: float,
         })
 
     return ds.map_batches(matches, batch_format="pyarrow")
+
+
+def semdedup(ds, threshold: float = 0.9, *, k: int = 8, iters: int = 5):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via clustered embeddings — k-means the corpus
+    (distributed Lloyd), then WITHIN each cluster greedily keep the
+    lowest-id vector of every cosine-≥-threshold neighborhood and mark
+    the rest as its duplicates. The pairwise work is confined to one
+    cluster per reduce task (the paper's point: O(Σ n_c²) ≪ O(N²)),
+    routed through the cluster-keyed exchange; nothing corpus-sized on
+    the driver. Deterministic: the leader rule is id order, clusters
+    come from the deterministic Lloyd init.
+
+    Returns (vec_id, cluster, kept, dup_of) — dup_of = leader id for
+    dropped rows, -1 for kept ones.
+    """
+    from baram_ray.util import grouped_map
+
+    cen = kmeans_fit(ds, k=k, iters=iters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _matrix(batch)
+        d2 = ((v[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int64)))
+
+    labeled = ds.map_batches(assign, batch_format="pyarrow")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id", kind="stable")
+            ids = g["vec_id"].to_numpy(np.int64)
+            vecs = _norm_rows(np.stack([np.asarray(e, dtype=np.float64)
+                                        for e in g["embedding"]]))
+            kept_rows: list[int] = []
+            dup_of = np.full(len(ids), -1, dtype=np.int64)
+            kept = np.zeros(len(ids), dtype=bool)
+            for i in range(len(ids)):
+                if kept_rows:
+                    sims = vecs[kept_rows] @ vecs[i]
+                    j = int(np.argmax(sims))
+                    if sims[j] >= threshold:
+                        dup_of[i] = ids[kept_rows[j]]
+                        continue
+                kept[i] = True
+                kept_rows.append(i)
+            out.append(pd.DataFrame({
+                "vec_id": ids,
+                "cluster": np.full(len(ids), cl, dtype=np.int64),
+                "kept": kept,
+                "dup_of": dup_of,
+            }))
+        if not out:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype="int64"),
+                "cluster": pd.Series(dtype="int64"),
+                "kept": pd.Series(dtype="bool"),
+                "dup_of": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return grouped_map(labeled, ["cluster"], prune, num_buckets=8)

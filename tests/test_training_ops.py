@@ -864,3 +864,41 @@ def test_ivf_partitioned_index_prunes_and_recalls(ray_session, tmp_path):
             for f in os.listdir(os.path.join(idx, "cells", d))
             if f.endswith(".parquet"))
     assert n == 20_000
+
+
+def test_semdedup_invariants(ray_session):
+    """SemDeDup: within a cluster no two KEPT vectors have cosine ≥ t;
+    every dropped vector's dup_of is a kept lower-id vector in the same
+    cluster with cosine ≥ t; output is deterministic."""
+    t = 0.9
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = similarity.semdedup(ds, threshold=t, k=4, iters=3).to_pandas()
+    out2 = similarity.semdedup(ds, threshold=t, k=4, iters=3).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        out2.sort_values("vec_id").reset_index(drop=True))
+    import pyarrow.parquet as pq_
+    tbl = pq_.read_table(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    vecs = {int(i): np.asarray(e, dtype=np.float64)
+            for i, e in zip(tbl["vec_id"].to_pylist(),
+                            tbl["embedding"].to_pylist())}
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+        return float(va @ vb / (na * nb)) if na and nb else 0.0
+
+    assert len(out) == len(vecs)                  # every vector judged
+    for cl, g in out.groupby("cluster"):
+        kept = g[g["kept"]]["vec_id"].tolist()
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert cos(a, b) < t, (a, b)
+        kept_set = set(kept)
+        for _, row in g[~g["kept"]].iterrows():
+            leader = int(row["dup_of"])
+            assert leader in kept_set and leader < int(row["vec_id"])
+            assert cos(int(row["vec_id"]), leader) >= t
+    assert (out.loc[out["kept"], "dup_of"] == -1).all()
