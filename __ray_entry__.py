@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": tpchp.q22_global_sales_opportunity,
         "tpch_cube_status_priority": tpchp.cube_status_priority,
         "events_topn_per_user": evp.topn_per_user,
+        "events_inter_deltas": evp.inter_event_deltas,
+        "events_running_total": evp.running_daily_total,
         # full-text core (non-SQL: checked rows-only here, rank-identity
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,

@@ -903,3 +903,44 @@ def topn_per_user(sf_dir: str, n: int = 3):
 
     ds = read_table(sf_dir, "events", ["event_id", "user_id", "value"])
     return grouped_map(ds, ["user_id"], bucket, num_buckets=8)
+
+
+def inter_event_deltas(sf_dir: str):
+    """Per-user inter-event gaps — the lag() window shape: for every
+    event after a user's first, the seconds since that user's previous
+    event (order by ts, event_id). One user-keyed exchange; inside a
+    bucket ONE vectorized sort + shift computes every user's lags
+    (NULL-dropping matches the SQL's lag IS NOT NULL). Hash-exact
+    oracle."""
+    from baram_ray.util import grouped_map
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True)
+        same = d["user_id"].eq(d["user_id"].shift())
+        prev = d["ts"].shift()
+        gap = (d["ts"] - prev).dt.total_seconds()
+        m = same.to_numpy()
+        return pd.DataFrame({
+            "user_id": d["user_id"].to_numpy(np.int64)[m],
+            "event_id": d["event_id"].to_numpy(np.int64)[m],
+            "gap_sec": np.round(gap.to_numpy(np.float64)[m], 6),
+        })
+
+    ds = read_table(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return grouped_map(ds, ["user_id"], bucket, num_buckets=8)
+
+
+def running_daily_total(sf_dir: str):
+    """Cumulative daily count per event_type — the unbounded-preceding
+    window sum: the tiny (type, day) aggregate comes from the exchange,
+    the running total is a per-type cumsum over the day-sorted series
+    (bounded by days, not events). Hash-exact oracle."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        g["running_n"] = g["n"].cumsum().astype("int64")
+        return g
+
+    return _daily(sf_dir).groupby("event_type").map_groups(
+        roll, batch_format="pandas")

@@ -1774,4 +1774,24 @@ ORACLES: dict[str, str] = {
         FROM f
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
+    # lag() window: per-user inter-event gap seconds
+    "events_inter_deltas": """
+        WITH d AS (SELECT user_id, event_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT user_id, event_id,
+               round(epoch(ts) - epoch(prev), 6) AS gap_sec
+        FROM d WHERE prev IS NOT NULL
+    """,
+    # unbounded-preceding window sum: cumulative daily count per type
+    "events_running_total": """
+        WITH dd AS (SELECT event_type, date_trunc('day', ts) AS day,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS running_n
+        FROM dd
+    """,
 }
