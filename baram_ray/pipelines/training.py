@@ -725,7 +725,7 @@ def doc_quality_model(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     w = logistic_fit(
         ds, label_fn=lambda b: (b["n_chars"].to_numpy() > 300)
-        .astype("float64"), iters=60, lr=1.0)
+        .astype("float64"), iters=25, lr=2.0)
     return logistic_score(
         read_table(sf_dir, "documents", ["doc_id", "text"]), w)
 
