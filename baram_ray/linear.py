@@ -79,8 +79,8 @@ def _sigmoid(z: np.ndarray) -> np.ndarray:
 def logistic_fit(ds, label_col: str | None = None, label_value=None, *,
                  text_col: str = "text", id_col: str = "doc_id",
                  feature_fn=None, label_fn=None,
-                 iters: int = 30, lr: float = 0.5, l2: float = 1e-4
-                 ) -> "LinearModel":
+                 iters: int = 30, lr: float = 0.5, l2: float = 1e-4,
+                 method: str = "gd") -> "LinearModel":
     """Fit P(label_col == label_value | text) → :class:`LinearModel`.
 
     ``feature_fn(list[str]) -> (B, d)`` swaps the feature family
@@ -93,6 +93,10 @@ def logistic_fit(ds, label_col: str | None = None, label_value=None, *,
     gradient rows (grad vector, loss, count, batch min-id); driver
     sorts partials by min-id (deterministic reduce order), sums, and
     steps with plain GD on the mean-loss + L2 objective.
+    ``method="irls"`` takes Newton steps instead (each pass also ships
+    the (d+1)² weighted Gram partial — still constant-size): ~6-8
+    passes to convergence vs tens of GD epochs, i.e. far fewer corpus
+    scans for the same model.
     """
     fx = feature_fn or text_features
     dim = fx([""]).shape[1]
@@ -128,6 +132,7 @@ def logistic_fit(ds, label_col: str | None = None, label_value=None, *,
     sd = np.sqrt(var)
     sd[sd == 0] = 1.0
 
+    newton = method == "irls"
     w = np.zeros(dim + 1, dtype=np.float64)
     for _ in range(iters):
         def partial(batch: pa.Table, w=w) -> pa.Table:
@@ -142,27 +147,38 @@ def logistic_fit(ds, label_col: str | None = None, label_value=None, *,
                      == label_value).astype(np.float64)
             p = _sigmoid(xb @ w)
             g = xb.T @ (p - y)                        # (d+1,)
-            eps = 1e-12
-            loss = -float(np.sum(y * np.log(p + eps)
-                                 + (1 - y) * np.log(1 - p + eps)))
+            cols = {"grad": pa.array([g.tolist()], pa.list_(pa.float64()))}
+            if newton:
+                # Newton/IRLS partial: the (d+1)² weighted Gram matrix,
+                # still constant-size regardless of corpus
+                h = (xb * (p * (1.0 - p))[:, None]).T @ xb
+                cols["hess"] = pa.array([h.ravel().tolist()],
+                                        pa.list_(pa.float64()))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             return pa.table({
                 "key": pa.array([int(ids.min()) if len(ids) else 0],
                                 pa.int64()),
-                "grad": pa.array([g.tolist()], pa.list_(pa.float64())),
-                "loss": pa.array([loss], pa.float64()),
+                **cols,
                 "n": pa.array([len(y)], pa.int64()),
             })
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         parts = parts.sort_values("key", kind="stable")
         g = np.zeros_like(w)
+        h = np.zeros((dim + 1, dim + 1)) if newton else None
         n = 0
-        for gr, nn in zip(parts["grad"], parts["n"]):
-            g += np.asarray(gr, dtype=np.float64)
-            n += int(nn)
-        g = g / n + l2 * w
-        w = w - lr * g
+        for _, row in parts.iterrows():
+            g += np.asarray(row["grad"], dtype=np.float64)
+            if newton:
+                h += np.asarray(row["hess"],
+                                dtype=np.float64).reshape(dim + 1, -1)
+            n += int(row["n"])
+        if newton:
+            # (H/n + l2 I) Δ = g/n + l2 w  — one small solve per pass
+            a = h / n + l2 * np.eye(dim + 1)
+            w = w - np.linalg.solve(a, g / n + l2 * w)
+        else:
+            w = w - lr * (g / n + l2 * w)
     return LinearModel(w, mu, sd)
 
 
@@ -199,10 +215,11 @@ def logistic_score(ds, model: "LinearModel", *, text_col: str = "text",
 
 
 def logistic_fit_numpy(x: np.ndarray, y: np.ndarray, *, iters: int = 30,
-                       lr: float = 0.5, l2: float = 1e-4) -> "LinearModel":
+                       lr: float = 0.5, l2: float = 1e-4,
+                       method: str = "gd") -> "LinearModel":
     """Single-process reference implementation (whole matrix in memory)
     — the pytest oracle for the distributed fit (same standardize +
-    full-batch GD recursion)."""
+    full-batch GD / IRLS recursion)."""
     mu = x.mean(axis=0)
     sd = x.std(axis=0)
     sd = np.where(sd == 0, 1.0, sd)
@@ -212,5 +229,10 @@ def logistic_fit_numpy(x: np.ndarray, y: np.ndarray, *, iters: int = 30,
     for _ in range(iters):
         p = _sigmoid(xb @ w)
         g = xb.T @ (p - y) / len(y) + l2 * w
-        w = w - lr * g
+        if method == "irls":
+            h = (xb * (p * (1.0 - p))[:, None]).T @ xb / len(y) \
+                + l2 * np.eye(xb.shape[1])
+            w = w - np.linalg.solve(h, g)
+        else:
+            w = w - lr * g
     return LinearModel(w, mu, sd)

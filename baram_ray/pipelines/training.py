@@ -713,8 +713,10 @@ def sim_range_search(sf_dir: str, threshold: float = 0.3):
 def doc_quality_model(sf_dir: str):
     """Distributed trainable classifier (``baram_ray.linear``): fit a
     logistic model for the long-document label (n_chars > 300) with
-    full-batch GD — one streaming partial-gradient pass per epoch,
-    O(d) driver state — then score every doc in one stateless pass.
+    distributed IRLS/Newton — one streaming partial pass per step
+    (gradient + (d+1)-square Gram partials, O(d²) driver state), ~8
+    passes to convergence — then score every doc in one stateless
+    pass.
     Returns (doc_id, prob, pred). Iterative training is not
     SQL-expressible (rows-only driver check); pytest asserts the
     distributed fit matches the in-memory numpy reference to ~1e-9,
@@ -725,7 +727,7 @@ def doc_quality_model(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "n_chars"])
     w = logistic_fit(
         ds, label_fn=lambda b: (b["n_chars"].to_numpy() > 300)
-        .astype("float64"), iters=25, lr=2.0)
+        .astype("float64"), iters=8, method="irls")
     return logistic_score(
         read_table(sf_dir, "documents", ["doc_id", "text"]), w)
 

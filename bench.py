@@ -187,6 +187,14 @@ def run_bench() -> dict:
         "search_percolate": timed(searchp.search_percolate),
         "events_funnel": timed(evp.funnel),
         "events_retention": timed(evp.retention),
+        # round-3 additions
+        "sim_semdedup": timed(trainp.sim_semdedup),
+        "sim_knn_ivf_indexed": timed(trainp.sim_knn_ivf_indexed),
+        "doc_quality_model": timed(trainp.doc_quality_model),
+        "events_topn_per_user": timed(evp.topn_per_user),
+        "events_inter_deltas": timed(evp.inter_event_deltas),
+        "tpch_q7": timed(tpchp.q7_volume_shipping),
+        "tpch_q22": timed(tpchp.q22_global_sales_opportunity),
     }
 
     result = {
