@@ -741,3 +741,23 @@ def sim_semdedup(sf_dir: str):
     determinism."""
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     return similarity.semdedup(ds, threshold=0.9, k=8, iters=5)
+
+
+def doc_dsir_sample(sf_dir: str, k: int = 100):
+    """DSIR importance resampling (``baram_ray.dsir``, Xie et al.
+    2023): hashed-bigram histograms for raw (all documents) and target
+    (the lexicographically-first source's documents), per-doc log
+    importance weights, deterministic Gumbel top-k selection. Rows-only
+    driver check; pytest asserts target-enrichment on the separable
+    code corpus plus reshard-stable determinism."""
+    import pyarrow.compute as pc
+
+    from baram_ray.dsir import dsir_sample
+
+    raw = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    first_source = sorted(
+        read_table(sf_dir, "documents", ["source"])
+        .unique("source"))[0]
+    target = raw.filter(
+        lambda r: r["source"] == first_source)
+    return dsir_sample(raw, target, k=k)

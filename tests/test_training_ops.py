@@ -902,3 +902,35 @@ def test_semdedup_invariants(ray_session):
             assert leader in kept_set and leader < int(row["vec_id"])
             assert cos(int(row["vec_id"]), leader) >= t
     assert (out.loc[out["kept"], "dup_of"] == -1).all()
+
+
+def test_dsir_enriches_target_distribution(ray_session):
+    """DSIR on the separable code corpus: sampling toward a python-only
+    target must raise the python fraction well above the base rate;
+    weights and the selected set are reshard-stable."""
+    import pyarrow.parquet as pq_
+
+    from baram_ray.corpus import corpus_parquet
+    from baram_ray.dsir import dsir_sample, dsir_weights
+
+    path = corpus_parquet(3000, seed=5, cache_dir="/tmp/baram_dsir")
+    t = pq_.read_table(path, columns=["lang", "content"]).to_pandas()
+    t["doc_id"] = np.arange(len(t), dtype=np.int64)
+
+    def mk(df):
+        return ray.data.from_pandas(df[["doc_id", "content"]])
+
+    raw = mk(t)
+    target = mk(t[t["lang"] == "python"])
+    sel = dsir_sample(raw, target, k=300, text_col="content")
+    langs = dict(zip(t["doc_id"], t["lang"]))
+    frac = np.mean([langs[d] == "python" for d in sel["doc_id"]])
+    base = (t["lang"] == "python").mean()
+    assert frac > base + 0.15, f"python frac {frac} vs base {base}"
+    # reshard stability: same selection at a different block layout
+    sel2 = dsir_sample(mk(t).repartition(7), target, k=300,
+                       text_col="content")
+    assert sorted(sel["doc_id"]) == sorted(sel2["doc_id"])
+    # weights deterministic and finite
+    w = dsir_weights(raw, target, text_col="content").to_pandas()
+    assert len(w) == len(t) and np.isfinite(w["weight"]).all()
