@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact": docp.dedup_exact,
         "doc_top_longest": docp.top_longest,
         "doc_token_count": docp.token_count_ws,
+        "doc_token_count_bpe": docp.token_count_bpe,
         "doc_term_df_top": docp.term_df_top,
         "doc_zipf_slope": docp.zipf_slope,
         "doc_ttr": docp.ttr,

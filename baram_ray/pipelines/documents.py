@@ -342,3 +342,37 @@ def ttr(sf_dir: str):
                          "ttr": pa.array(r, pa.float64())})
 
     return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer shape (contractions / letter runs / digit
+# runs / punct runs / whitespace) — ASCII classes only so Python re and
+# the oracle's RE2 agree; compiled ONCE at module import
+_BPE_SPLIT = None
+
+
+def _bpe_pattern():
+    global _BPE_SPLIT
+    if _BPE_SPLIT is None:
+        import re
+        _BPE_SPLIT = re.compile(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^A-Za-z0-9\s]+|\s+")
+    return _BPE_SPLIT
+
+
+def token_count_bpe(sf_dir: str):
+    """BPE-ish pre-tokenizer token count per doc (the GPT-2 split
+    regex, whitespace runs counted as tokens) — the training-data
+    token-budget signal next to the whitespace count (M7). Zero
+    shuffle; regex compiled once per process. Hash-exact oracle via
+    DuckDB regexp_extract_all (same ASCII-only pattern)."""
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        pat = _bpe_pattern()
+        ns = [len(pat.findall(t or "")) for t in
+              batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_bpe_tokens": pa.array(ns, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow")

@@ -1794,4 +1794,12 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS running_n
         FROM dd
     """,
+    # GPT-2-style pre-tokenizer count (ASCII classes; RE2 == re here)
+    "doc_token_count_bpe": r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
 }
