@@ -810,7 +810,10 @@ def index_term_stats(sf_dir: str):
     agg = td.aggregate(Count(alias_name="n_terms"),
                        Sum("cf", alias_name="cf_total"),
                        Max("df", alias_name="max_df"))
-    hapax = td.filter(lambda r: r["df"] == 1).count()
+    import pyarrow.compute as pc
+    hapax = td.map_batches(
+        lambda b: b.filter(pc.equal(b["df"], 1)),
+        batch_format="pyarrow").count()
     n_terms = int(agg["n_terms"])
     return pd.DataFrame([{
         "n_terms": n_terms,

@@ -750,6 +750,7 @@ def doc_dsir_sample(sf_dir: str, k: int = 100):
     importance weights, deterministic Gumbel top-k selection. Rows-only
     driver check; pytest asserts target-enrichment on the separable
     code corpus plus reshard-stable determinism."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from baram_ray.dsir import dsir_sample
@@ -758,6 +759,9 @@ def doc_dsir_sample(sf_dir: str, k: int = 100):
     first_source = sorted(
         read_table(sf_dir, "documents", ["source"])
         .unique("source"))[0]
-    target = raw.filter(
-        lambda r: r["source"] == first_source)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["source"], first_source))
+
+    target = raw.map_batches(pick, batch_format="pyarrow")
     return dsir_sample(raw, target, k=k)
