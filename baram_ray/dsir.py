@@ -44,11 +44,12 @@ def hashed_histogram(ds, text_col: str = "text",
                      buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
     """Corpus hashed-bigram count vector via per-batch partials."""
     def partial(batch: pa.Table) -> pa.Table:
-        counts = np.zeros(buckets, dtype=np.int64)
-        for t in batch[text_col].to_pylist():
-            ids = _gram_ids(t, buckets)
-            if len(ids):
-                np.add.at(counts, ids, 1)
+        # one concatenated hash + bincount per batch, not per doc
+        all_ids = [_gram_ids(t, buckets)
+                   for t in batch[text_col].to_pylist()]
+        flat = (np.concatenate(all_ids) if all_ids
+                else np.empty(0, dtype=np.int64))
+        counts = np.bincount(flat, minlength=buckets).astype(np.int64)
         return pa.table({
             "counts": pa.array([counts.tolist()], pa.list_(pa.int64()))})
 
