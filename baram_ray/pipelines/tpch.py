@@ -51,9 +51,11 @@ def _vmap(values, mapping: dict, default=None) -> np.ndarray:
     hit = keys[pos] == v
     out = vals[pos]
     if not hit.all():
-        if default is None:
+        if default is None or vals.dtype.kind in "USO":
+            # fixed-width string arrays TRUNCATE an assigned default
+            # longer than their itemsize — go through object dtype
             out = out.astype(object)
-            out[~hit] = None
+            out[~hit] = default
         else:
             out = out.copy()
             out[~hit] = default

@@ -310,3 +310,58 @@ def test_holt_shift_and_scale_equivariance(ys, c, s, alpha, beta):
     shifted = holt_linear(c + s * y, alpha, beta, 7)
     scale = max(1.0, np.abs(base).max()) * max(1.0, abs(c), s)
     assert np.allclose(shifted, c + s * base, rtol=0, atol=1e-6 * scale)
+
+
+# ------------------------------------------------------------------ #
+# round-3 primitives: vectorized dict lookup + two-level rank map
+
+@given(
+    keys=st.lists(st.integers(min_value=-1000, max_value=1000),
+                  min_size=1, max_size=50, unique=True),
+    probe=st.lists(st.integers(min_value=-1100, max_value=1100),
+                   min_size=0, max_size=80),
+    use_default=st.booleans(),
+)
+@settings(max_examples=80, deadline=None)
+def test_vmap_matches_series_map(keys, probe, use_default):
+    """_vmap == Series.map(dict) for hits; misses yield the default."""
+    import pandas as pd
+
+    from baram_ray.pipelines.tpch import _vmap
+    mapping = {k: f"v{k}" for k in keys}
+    got = _vmap(np.asarray(probe, dtype=np.int64), mapping,
+                default="MISS" if use_default else None)
+    exp = pd.Series(probe, dtype="int64").map(mapping)
+    for g, e in zip(got, exp):
+        if pd.isna(e):
+            assert g == ("MISS" if use_default else None)
+        else:
+            assert g == e
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10 ** 12),
+                 min_size=1, max_size=300, unique=True),
+    n_shards=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=10 ** 6),
+)
+@settings(max_examples=25, deadline=None)
+def test_rank_map_fuzz(ray_session, tmp_path_factory, ids, n_shards, seed):
+    """build_rank_map reproduces global-sort ranks for arbitrary id
+    sets at any shard count."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from baram_ray.index.build import build_rank_map
+    d = tmp_path_factory.mktemp("rmfuzz")
+    arr = np.asarray(ids, dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(arr)
+    for i, chunk in enumerate(np.array_split(perm, min(3, len(perm)))):
+        if len(chunk):
+            pq.write_table(pa.table({"doc_id": pa.array(chunk)}),
+                           d / f"p{i}.parquet")
+    rmap, stats = build_rank_map([str(d)], num_id_shards=n_shards)
+    assert stats["n"] == len(arr) and len(stats["dups"]) == 0
+    got = rmap.rank(perm)
+    assert (got == np.searchsorted(np.sort(arr), perm)).all()
