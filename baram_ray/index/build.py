@@ -931,7 +931,44 @@ def _encode_segments(fwd_paths, seg_dir: str, cfg, rank_map: RankMap,
             return t.append_column(
                 "gen", pa.array(np.full(t.num_rows, gen, dtype=np.int64)))
         seg = seg.map_batches(tag, batch_format="pyarrow")
+        # crash-safe delta commit: encode into a staging dir, then move
+        # files in under gen-prefixed names. A crash before the manifest
+        # records this generation leaves either a stale staging dir or
+        # gen-prefixed orphans — both removed by
+        # _clean_uncommitted_generations at the next build. (The full
+        # rebuild path is already safe: fresh_dir + write + mark.)
+        staging = os.path.join(seg_dir, f".gen{gen}.staging")
+        fresh_dir(staging)
+        seg.write_parquet(staging)
+        for i, fn in enumerate(sorted(os.listdir(staging))):
+            if fn.endswith(".parquet"):
+                os.replace(os.path.join(staging, fn),
+                           os.path.join(seg_dir, f"gen{gen}_{i}.parquet"))
+        import shutil as _sh
+        _sh.rmtree(staging, ignore_errors=True)
+        return
     seg.write_parquet(seg_dir)
+
+
+def _clean_uncommitted_generations(seg_dir: str, committed_gen: int) -> None:
+    """Remove delta artifacts of generations the manifest never
+    committed (crash between the delta write and mark_done): stale
+    ``.genN.staging`` dirs and ``genN_*.parquet`` files with
+    N > committed_gen. Re-running the delta would otherwise DOUBLE
+    those docs' postings."""
+    import re
+    import shutil as _sh
+    if not os.path.isdir(seg_dir):
+        return
+    for fn in os.listdir(seg_dir):
+        full = os.path.join(seg_dir, fn)
+        m = re.match(r"\.gen(\d+)\.staging$", fn)
+        if m:
+            _sh.rmtree(full, ignore_errors=True)
+            continue
+        m = re.match(r"gen(\d+)_\d+\.parquet$", fn)
+        if m and int(m.group(1)) > committed_gen:
+            os.remove(full)
 
 
 def build_index_incremental(
@@ -1027,6 +1064,10 @@ def build_index_incremental(
 
     # ---- segments: delta or full rebuild ------------------------------
     state = man.get("segments_inc") or {}
+    # drop any delta generation a previous crashed run wrote but never
+    # committed to the manifest (idempotent restart; see
+    # _clean_uncommitted_generations)
+    _clean_uncommitted_generations(seg_dir, int(state.get("gen", 0)))
     covered: dict = dict(state.get("covered", {}))
     changed = [h for h in covered
                if h not in part_fp or covered[h] != part_fp[h]]

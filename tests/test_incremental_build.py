@@ -231,3 +231,44 @@ def test_since_prefilter(tmp_path, ray_session):
     with pytest.raises(ValueError):
         build_index([str(tmp_path)], out, cfg, resume=False,
                     since=cutoff + 10_000)
+
+
+def test_delta_crash_before_manifest_is_idempotent(ray_session, corpus,
+                                                   tmp_path):
+    """Crash AFTER the delta generation's segment files land but BEFORE
+    the manifest commits them: re-running the build must discard the
+    orphan generation (not double those docs' postings) and produce
+    query-identical results to a clean two-step build."""
+    import glob
+
+    from baram_ray.index.build import (_encode_segments, _parquet_files,
+                                       build_rank_map)
+
+    inc_dir = str(tmp_path / "inc")
+    clean_dir = str(tmp_path / "clean")
+    p0 = os.path.join(corpus, "part0.parquet")
+    p1 = os.path.join(corpus, "part1.parquet")
+
+    build_index_incremental([p0], inc_dir, CFG)
+    # simulate the crashed delta: encode part1's forward partition as
+    # generation 1 directly (files land in segments/), skip mark_done
+    from baram_ray.index.build import _part_key
+    build_index_incremental([p0, p1], str(tmp_path / "throwaway"), CFG)
+    fwd1 = os.path.join(str(tmp_path / "throwaway"), "forward",
+                        f"p_{_part_key(p1)}")
+    rmap, stats = build_rank_map([os.path.join(
+        str(tmp_path / "throwaway"), "docs", f"p_{_part_key(p1)}")])
+    seg_dir = os.path.join(inc_dir, "segments")
+    _encode_segments(_parquet_files([fwd1]), seg_dir, CFG, rmap, stats,
+                     num_shards=1, shard_shift=9, rank_offset=120, gen=1)
+    orphans = glob.glob(os.path.join(seg_dir, "gen1_*.parquet"))
+    assert orphans                      # the crash left committed-looking files
+    # resume: the real append run must first remove the orphans
+    r = build_index_incremental([p0, p1], inc_dir, CFG)
+    assert "segments:delta" in r.resumed_stages
+    build_index_incremental([p0, p1], clean_dir, CFG)
+    inc_hits, clean_hits = _all_hits(inc_dir), _all_hits(clean_dir)
+    for q in QUERIES:
+        assert inc_hits[q] == clean_hits[q], q
+    pd.testing.assert_frame_equal(_termdict(inc_dir),
+                                  _termdict(clean_dir))
