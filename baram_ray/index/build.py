@@ -749,21 +749,42 @@ def build_index(
             doc_cols = ["doc_id", "sha256", *cfg.keep, *len_cols]
             fwd_ds = ray.data.read_parquet(fwd_dir, columns=doc_cols,
                 override_num_blocks=auto_num_blocks(fwd_dir))
-            fwd_ds.write_parquet(docs_dir)
-            stats_ds = ray.data.read_parquet(docs_dir, columns=len_cols,
-                override_num_blocks=auto_num_blocks(docs_dir))
+            # partition the docs table by the rank map's id shards
+            # (hive dirs ids_shard=N): a shard-range reader then loads
+            # ONLY its overlapping id shards instead of the whole docs
+            # table — the serving-side counterpart of the two-level
+            # rank map. Rank offsets per id shard go into meta.
+            rm = rank_map
+
+            def tag(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                if len(rm.refs) > 1:
+                    sh = np.searchsorted(rm.bounds, ids, side="right")
+                else:
+                    sh = np.zeros(len(ids), dtype=np.int64)
+                return batch.append_column(
+                    "ids_shard", pa.array(sh.astype(np.int64)))
+
+            fwd_ds.map_batches(tag, batch_format="pyarrow") \
+                .write_parquet(docs_dir, partition_cols=["ids_shard"])
+            stats_ds = ray.data.read_parquet(
+                _parquet_files([docs_dir]), columns=len_cols)
             aggs = [Count(alias_name="n_docs")] + [
                 Sum(c, alias_name=f"total_{c}") for c in len_cols]
             stats = stats_ds.aggregate(*aggs)
             n_docs = int(stats["n_docs"])
             avgdl = {f: (stats[f"total_{f}__len"] or 0) / max(1, n_docs)
                      for f in cfg.fields}
+        id_shard_ranks = rank_map.bases.tolist() + [int(rank_map.n_ids)]
         meta = {
             "fields": list(cfg.fields), "n_docs": n_docs, "avgdl": avgdl,
             "k1": cfg.k1, "b": cfg.b,
             "tokenizer_version": TOKENIZER_VERSION,
             "keep": list(cfg.keep),
             "positions": bool(cfg.positions),
+            # id-shard s holds ranks [ranks[s], ranks[s+1]) in dir
+            # docs/ids_shard=s
+            "id_shard_ranks": id_shard_ranks,
         }
         with open(meta_path + ".tmp", "w") as f:
             json.dump(meta, f)
@@ -890,12 +911,17 @@ def _part_key(path: str) -> str:
 
 def _parquet_files(dirs: list[str]) -> list[str]:
     """Flatten partition dirs to file lists (ray.data.read_parquet treats
-    list entries as files, not directories)."""
+    list entries as files, not directories). Recurses into nested
+    partition layouts (hive ``col=value`` dirs); hidden dirs (staging)
+    are skipped."""
     out: list[str] = []
     for d in dirs:
         if os.path.isdir(d):
-            out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                       if f.endswith(".parquet"))
+            for root, subdirs, fs in os.walk(d):
+                subdirs[:] = sorted(s for s in subdirs
+                                    if not s.startswith("."))
+                out.extend(os.path.join(root, f) for f in sorted(fs)
+                           if f.endswith(".parquet"))
         else:
             out.append(d)
     return out

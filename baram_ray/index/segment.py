@@ -243,11 +243,38 @@ class IndexReader:
         # --- docs table: doc_id -> row index; dl arrays; metadata ---------
         # (dataset API: the incremental build nests per-input partitions)
         import pyarrow.dataset as _pads
-        docs = _pads.dataset(os.path.join(index_dir, "docs"),
-                             format="parquet").to_table()
+        docs_dir = os.path.join(index_dir, "docs")
+        id_ranks = self.meta.get("id_shard_ranks")
+        rank_off = 0
+        if shard_range is not None and id_ranks and len(id_ranks) > 2:
+            # id-shard-partitioned docs table (round 3): load ONLY the
+            # id shards overlapping this reader's rank range — each
+            # shard dir holds ranks [id_ranks[s], id_ranks[s+1]), so a
+            # shard-group actor reads ~its fraction of the docs table
+            # instead of all of it (the serving-side two-level map)
+            r = np.asarray(id_ranks, dtype=np.int64)
+            lo, hi = self.rank_base, min(self._rank_hi, int(r[-1]))
+            need = [s for s in range(len(r) - 1)
+                    if r[s + 1] > lo and r[s] < hi]
+            dirs = [os.path.join(docs_dir, f"ids_shard={s}")
+                    for s in need]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+            files = [os.path.join(d, f) for d in dirs
+                     for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+            if files:
+                docs = _pads.dataset(files, format="parquet").to_table()
+                rank_off = int(r[need[0]])
+            else:                      # degenerate range → legacy path
+                docs = _pads.dataset(docs_dir,
+                                     format="parquet").to_table()
+                rank_off = 0
+        else:
+            docs = _pads.dataset(docs_dir, format="parquet").to_table()
         order = np.argsort(docs["doc_id"].to_numpy(), kind="stable")
         if shard_range is not None:        # rank order == sorted-id order:
-            order = order[self.rank_base: self._rank_hi]   # array slice
+            order = order[self.rank_base - rank_off:
+                          self._rank_hi - rank_off]   # array slice
         self.doc_ids = docs["doc_id"].to_numpy()[order]
         self.doc_index = {int(d): i for i, d in enumerate(self.doc_ids)}
         self.dl = {f: docs[f"{f}__len"].to_numpy().astype(np.float64)[order]

@@ -421,3 +421,42 @@ def test_resume_after_mid_segment_crash(ray_session, corpus_path, tmp_path):
     for q in QUERY_SET[:6]:
         assert e1.search(q["text"], k=q["k"]) == e2.search(q["text"],
                                                            k=q["k"])
+
+
+def test_sharded_reader_prunes_docs_partitions(ray_session, corpus_path,
+                                               tmp_path, monkeypatch):
+    """Round-3 serving-side scale path: with the docs table partitioned
+    by id shard, a shard-range reader loads ONLY its overlapping id
+    shards — and stays rank- AND score-identical to the full reader."""
+    import glob
+    import json as _json
+
+    from baram_ray.index.segment import IndexReader
+
+    monkeypatch.setenv("BARAM_IDS_PER_RANK_SHARD", "64")  # many id shards
+    out = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("content",), num_shards=4,
+                      on_duplicate="first")
+    build_index(corpus_path, out, cfg, resume=False)
+    with open(os.path.join(out, "meta.json")) as f:
+        meta = _json.load(f)
+    ranks = meta["id_shard_ranks"]
+    assert len(ranks) > 3                       # really multi-shard
+    shard_dirs = glob.glob(os.path.join(out, "docs", "ids_shard=*"))
+    assert len(shard_dirs) == len(ranks) - 1
+    full = IndexReader(out)
+    total = len(full.doc_ids)
+    halves = []
+    for rng_ in ((0, 2), (2, 4)):
+        r = IndexReader(out, shard_range=rng_)
+        halves.append(r)
+        # pruned: strictly fewer docs rows resident than the corpus
+        assert 0 < len(r.doc_ids) < total
+    assert len(halves[0].doc_ids) + len(halves[1].doc_ids) == total
+    # rank+score identity: full == merge of the two shard groups
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    e1 = QueryEngine(out)
+    e2 = ShardedEngine(out, n_groups=2)
+    for q in QUERY_SET[:8]:
+        assert e1.search(q["text"], k=q["k"]) == e2.search(q["text"],
+                                                           k=q["k"])
