@@ -332,6 +332,14 @@ def test_rank_map_matches_global_sort(ray_session, tmp_path):
     ranks, member = rmap.rank_and_member(absent)
     assert member.tolist() == [False, False, True]
     assert ranks[2] == np.searchsorted(expected_sorted, ids[42])
+    # the broadcastable-object bound the design promises: every shard's
+    # id array is ≤ ~(n/num_shards)·8 B (balanced by sampled bounds;
+    # allow 3× sampling skew), NEVER the corpus
+    import ray as _ray
+    rmap7, _ = build_rank_map([str(tmp_path)], num_id_shards=7)
+    sizes = [len(_ray.get(ref)) for ref in rmap7.refs]
+    assert sum(sizes) == 5000
+    assert max(sizes) <= 3 * (5000 // len(sizes) + 1)
     # duplicate detection is per id-shard (equal values share a shard)
     dup_dir = tmp_path / "dups"
     dup_dir.mkdir()
