@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": tpchp.q17_small_quantity_revenue,
         "tpch_q19": tpchp.q19_discounted_revenue,
         "tpch_q22": tpchp.q22_global_sales_opportunity,
+        "tpch_q2": tpchp.q2_min_cost_supplier,
+        "tpch_q8": tpchp.q8_market_share,
+        "tpch_q9": tpchp.q9_product_type_profit,
+        "tpch_q11": tpchp.q11_important_stock,
+        "tpch_q20": tpchp.q20_part_promotion,
+        "tpch_q21": tpchp.q21_waiting_suppliers,
         "tpch_cube_status_priority": tpchp.cube_status_priority,
         "events_topn_per_user": evp.topn_per_user,
         "events_inter_deltas": evp.inter_event_deltas,

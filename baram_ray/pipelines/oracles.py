@@ -1802,4 +1802,148 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS n_bpe_tokens
         FROM documents
     """,
+    # Q2 min-cost supplier: correlated per-part min unit cost over
+    # the first region's suppliers, size-15 parts, ties kept, top 100
+    "tpch_q2": """
+        WITH r AS (SELECT r_regionkey FROM region
+                   WHERE r_name = (SELECT min(r_name) FROM region)),
+        sn AS (SELECT s_suppkey, s_name,
+                      CAST(trunc(s_acctbal * 100 + 0.5) AS BIGINT)
+                          AS bal_c, n_name
+               FROM supplier JOIN nation ON n_nationkey = s_nationkey
+               WHERE n_regionkey IN (SELECT r_regionkey FROM r)),
+        pk AS (SELECT p_partkey FROM part WHERE p_size = 15),
+        cost AS (SELECT l_partkey, l_suppkey,
+                        min(CAST(trunc(l_extendedprice / l_quantity
+                                       * 10000 + 0.5) AS BIGINT))
+                            AS cost_u4
+                 FROM lineitem
+                 WHERE l_partkey IN (SELECT p_partkey FROM pk)
+                   AND l_suppkey IN (SELECT s_suppkey FROM sn)
+                 GROUP BY 1, 2),
+        best AS (SELECT * FROM cost c
+                 WHERE cost_u4 = (SELECT min(cost_u4) FROM cost c2
+                                  WHERE c2.l_partkey = c.l_partkey))
+        SELECT bal_c AS s_acctbal_c, s_name, n_name,
+               l_partkey AS p_partkey, s_suppkey, cost_u4
+        FROM best JOIN sn ON sn.s_suppkey = best.l_suppkey
+        ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    # Q8 national market share: first region, ECONOMY parts, share of
+    # the region's first nation by order year (exact u4 sums; the
+    # share is one IEEE division of them)
+    "tpch_q8": """
+        WITH r AS (SELECT r_regionkey FROM region
+                   WHERE r_name = (SELECT min(r_name) FROM region)),
+        rn AS (SELECT n_nationkey, n_name FROM nation
+               WHERE n_regionkey IN (SELECT r_regionkey FROM r)),
+        tgt AS (SELECT n_nationkey FROM rn
+                WHERE n_name = (SELECT min(n_name) FROM rn)),
+        f AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(trunc(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT) AS rev_u4,
+                     (s_nationkey IN (SELECT n_nationkey FROM tgt))
+                         AS is_t
+              FROM lineitem
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN part     ON p_partkey = l_partkey
+              WHERE c_nationkey IN (SELECT n_nationkey FROM rn)
+                AND p_type = \'ECONOMY\'
+                AND o_orderdate >= DATE \'1996-01-01\'
+                AND o_orderdate <  DATE \'1998-01-01\')
+        SELECT o_year,
+               CAST(sum(CASE WHEN is_t THEN rev_u4 ELSE 0 END)
+                    AS BIGINT) AS nation_u4,
+               CAST(sum(rev_u4) AS BIGINT) AS total_u4,
+               CAST(sum(CASE WHEN is_t THEN rev_u4 ELSE 0 END)
+                    AS DOUBLE) / sum(rev_u4) AS mkt_share
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
+    # Q9 product-type profit by (supplier nation, order year): parts
+    # named %red%, cost term = 0.5 * retailprice * qty (no partsupp),
+    # both terms exact u4 integers
+    "tpch_q9": """
+        SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                   * 10000 + 0.5) AS BIGINT)
+                        - CAST(trunc(p_retailprice * 0.5 * l_quantity
+                                     * 10000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_profit_u4
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        JOIN part     ON p_partkey = l_partkey
+        WHERE p_name LIKE \'%red%\'
+        GROUP BY 1, 2 ORDER BY n_name, o_year DESC
+    """,
+    # Q11 important stock: per-part value over the first nation\'s
+    # suppliers, HAVING > 0.001 of the grand total
+    "tpch_q11": """
+        WITH tgt AS (SELECT n_nationkey FROM nation
+                     WHERE n_name = (SELECT min(n_name) FROM nation)),
+        sk AS (SELECT s_suppkey FROM supplier
+               WHERE s_nationkey IN (SELECT n_nationkey FROM tgt)),
+        v AS (SELECT l_partkey AS p_partkey,
+                     CAST(sum(CAST(trunc(l_extendedprice
+                                         * (1 - l_discount) * 10000
+                                         + 0.5) AS BIGINT)) AS BIGINT)
+                         AS value_u4
+              FROM lineitem
+              WHERE l_suppkey IN (SELECT s_suppkey FROM sk)
+              GROUP BY 1)
+        SELECT p_partkey, value_u4 FROM v
+        WHERE value_u4 > (SELECT sum(value_u4) FROM v) * 2.0
+                         / (SELECT count(*) FROM part)
+        ORDER BY value_u4 DESC, p_partkey
+    """,
+    # Q20 dominant-supplier promotion: first region\'s suppliers who
+    # shipped > half of some small%-part\'s 1997 total quantity
+    "tpch_q20": """
+        WITH pk AS (SELECT p_partkey FROM part
+                    WHERE p_name LIKE \'small%\'),
+        q AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM pk)
+                AND l_shipdate >= DATE \'1997-01-01\'
+                AND l_shipdate <  DATE \'1998-01-01\'
+              GROUP BY 1, 2),
+        dom AS (SELECT DISTINCT l_suppkey FROM q
+                WHERE sq > 0.5 * (SELECT sum(sq) FROM q q2
+                                  WHERE q2.l_partkey = q.l_partkey)),
+        r AS (SELECT r_regionkey FROM region
+              WHERE r_name = (SELECT min(r_name) FROM region))
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN dom ON l_suppkey = s_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_regionkey IN (SELECT r_regionkey FROM r)
+        ORDER BY s_name, s_suppkey
+    """,
+    # Q21 sole-late supplier: finished multi-supplier orders where one
+    # supplier\'s max ship date strictly leads all others, counted per
+    # supplier, top 100
+    "tpch_q21": """
+        WITH f AS (SELECT l_orderkey, l_suppkey, l_shipdate
+                   FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                   WHERE o_orderstatus = \'F\'),
+        per AS (SELECT l_orderkey, l_suppkey,
+                       max(l_shipdate) AS smax
+                FROM f GROUP BY 1, 2),
+        om AS (SELECT l_orderkey, max(smax) AS omax,
+                      count(*) AS nsupp
+               FROM per GROUP BY 1),
+        w AS (SELECT per.l_orderkey, per.l_suppkey FROM per
+              JOIN om ON om.l_orderkey = per.l_orderkey
+              WHERE nsupp >= 2 AND smax = omax),
+        sole AS (SELECT l_orderkey FROM w GROUP BY 1
+                 HAVING count(*) = 1)
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM w JOIN sole ON sole.l_orderkey = w.l_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, s_name, s_suppkey LIMIT 100
+    """,
 }

@@ -1086,3 +1086,457 @@ def cube_status_priority(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["total_c"] = out["total_c"].astype("int64")
     return out
+
+
+def _in_sorted(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a SORTED int64 key array —
+    the broadcast-set filter used by the region/type-restricted
+    queries (one searchsorted pass per batch, no Python set)."""
+    v = np.asarray(vals, dtype=np.int64)
+    if not len(keys):
+        return np.zeros(len(v), dtype=bool)
+    pos = np.searchsorted(keys, v).clip(max=len(keys) - 1)
+    return keys[pos] == v
+
+
+def q2_min_cost_supplier(sf_dir: str, size: int = 15, k: int = 100):
+    """TPC-H Q2 shape — correlated per-part minimum: for parts of one
+    size, the region's supplier(s) offering the minimum unit cost
+    (the synthetic schema has no partsupp, so unit cost derives from
+    lineitem: min over shipments of extendedprice/quantity, scaled to
+    an exact u4 integer). The region's supplier set and the size's
+    part set are broadcast key arrays; per-(part,supplier) minima
+    combine per batch, and the per-part argmin happens inside ONE
+    part-keyed exchange bucket. Ties (several suppliers at the min)
+    are kept, mirroring the SQL. Reference parity: multi-way
+    dimension join + correlated aggregate (SURVEY.md §2.4 J4/J7)."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == reg["r_name"].min(),
+                       "r_regionkey"].iloc[0])
+    nat = read_small(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"])
+    nat = nat[nat["n_regionkey"] == rkey]
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = read_small(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    supp = supp[supp["s_nationkey"].isin(nname.keys())]
+    sinfo = {int(r.s_suppkey): (str(r.s_name),
+                                int(np.trunc(r.s_acctbal * 100 + 0.5)),
+                                str(nname[int(r.s_nationkey)]))
+             for r in supp.itertuples()}
+    part = read_small(sf_dir, "part", ["p_partkey", "p_size"])
+    pkeys = np.sort(part.loc[part["p_size"] == size,
+                             "p_partkey"].to_numpy(np.int64))
+    skeys = np.sort(np.fromiter(sinfo.keys(), dtype=np.int64,
+                                count=len(sinfo)))
+    pref, sref = broadcast(pkeys), broadcast(skeys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["l_partkey"].to_numpy(np.int64)
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        m = _in_sorted(ray.get(pref), pk) & _in_sorted(ray.get(sref), sk)
+        d = df.loc[m]
+        cost = np.trunc(d["l_extendedprice"].to_numpy()
+                        / d["l_quantity"].to_numpy() * 10000.0
+                        + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "p_partkey": d["l_partkey"].to_numpy(np.int64),
+            "s_suppkey": d["l_suppkey"].to_numpy(np.int64),
+            "cost_u4": cost,
+        }).groupby(["p_partkey", "s_suppkey"], as_index=False).min()
+
+    rows = read_table(sf_dir, "lineitem",
+                      ["l_partkey", "l_suppkey", "l_extendedprice",
+                       "l_quantity"]) \
+        .map_batches(partial, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_partkey", "s_suppkey"],
+                       as_index=False)["cost_u4"].min()
+        return g[g["cost_u4"]
+                 == g.groupby("p_partkey")["cost_u4"].transform("min")]
+
+    best = grouped_map(rows, ["p_partkey"], bucket,
+                       num_buckets=4).to_pandas()
+    cols = {"s_acctbal_c": "int64", "s_name": "object",
+            "n_name": "object", "p_partkey": "int64",
+            "s_suppkey": "int64", "cost_u4": "int64"}
+    if not len(best):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    sk = best["s_suppkey"].to_numpy(np.int64)
+    best["s_name"] = [sinfo[int(s)][0] for s in sk]
+    best["s_acctbal_c"] = np.array([sinfo[int(s)][1] for s in sk],
+                                   dtype=np.int64)
+    best["n_name"] = [sinfo[int(s)][2] for s in sk]
+    out = best.sort_values(
+        ["s_acctbal_c", "n_name", "s_name", "p_partkey", "s_suppkey"],
+        ascending=[False, True, True, True, True],
+        kind="stable").head(k).reset_index(drop=True)
+    out = out[list(cols)]
+    for c in ("s_acctbal_c", "p_partkey", "s_suppkey", "cost_u4"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q8_market_share(sf_dir: str, ptype: str = "ECONOMY",
+                    lo: str = "1996-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q8 shape — national market share: of the revenue for one
+    part type sold to customers of one region in a 2-year window, the
+    fraction supplied by the region's first nation, by order year.
+    Customers-of-region and parts-of-type are broadcast key arrays;
+    the target-nation supplier set a third; lineitem meets orders in
+    ONE fact-fact hash exchange (J7). Numerator/denominator are exact
+    u4 sums; the share is a single IEEE division of them."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == reg["r_name"].min(),
+                       "r_regionkey"].iloc[0])
+    nat = read_small(sf_dir, "nation",
+                     ["n_nationkey", "n_name", "n_regionkey"])
+    rn = nat[nat["n_regionkey"] == rkey]
+    target = rn["n_name"].min()
+    tkey = int(rn.loc[rn["n_name"] == target, "n_nationkey"].iloc[0])
+    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ckeys = np.sort(cust.loc[cust["c_nationkey"].isin(
+        rn["n_nationkey"]), "c_custkey"].to_numpy(np.int64))
+    part = read_small(sf_dir, "part", ["p_partkey", "p_type"])
+    pkeys = np.sort(part.loc[part["p_type"] == ptype,
+                             "p_partkey"].to_numpy(np.int64))
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    tsupp = np.sort(supp.loc[supp["s_nationkey"] == tkey,
+                             "s_suppkey"].to_numpy(np.int64))
+    cref, pref, sref = broadcast(ckeys), broadcast(pkeys), broadcast(tsupp)
+    dlo, dhi = np.datetime64(lo), np.datetime64(hi)
+
+    def omap(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy("datetime64[us]")
+        m = ((d >= dlo) & (d < dhi)
+             & _in_sorted(ray.get(cref),
+                          df["o_custkey"].to_numpy(np.int64)))
+        sel = df.loc[m]
+        return pd.DataFrame({
+            "l_orderkey": sel["o_orderkey"].to_numpy(),
+            "o_year": sel["o_orderdate"].to_numpy("datetime64[Y]")
+                        .astype(np.int64) + 1970})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(omap, batch_format="pandas")
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        m = _in_sorted(ray.get(pref),
+                       df["l_partkey"].to_numpy(np.int64))
+        sel = df.loc[m]
+        return pd.DataFrame({
+            "l_orderkey": sel["l_orderkey"].to_numpy(),
+            "rev_u4": _cents((sel["l_extendedprice"]
+                              * (1.0 - sel["l_discount"])).to_numpy(),
+                             10000.0),
+            "is_target": _in_sorted(
+                ray.get(sref), sel["l_suppkey"].to_numpy(np.int64))})
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"]) \
+        .map_batches(lmap, batch_format="pandas")
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(nation_u4=np.where(df["is_target"],
+                                         df["rev_u4"], 0)) \
+              .groupby("o_year", as_index=False) \
+              .agg(nation_u4=("nation_u4", "sum"),
+                   total_u4=("rev_u4", "sum"))
+        return g
+
+    agg = grouped_agg(j.map_batches(partial, batch_format="pandas"),
+                      ["o_year"],
+                      {"nation_u4": ("nation_u4", "sum"),
+                       "total_u4": ("total_u4", "sum")},
+                      num_buckets=2).to_pandas()  # ≤ window-years rows
+    cols = {"o_year": "int64", "nation_u4": "int64",
+            "total_u4": "int64", "mkt_share": "float64"}
+    if not len(agg):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    agg["mkt_share"] = agg["nation_u4"] / agg["total_u4"]
+    out = agg.sort_values("o_year", kind="stable").reset_index(drop=True)
+    for c in ("o_year", "nation_u4", "total_u4"):
+        out[c] = out[c].astype("int64")
+    return out[list(cols)]
+
+
+def q9_product_type_profit(sf_dir: str, name_sub: str = "red"):
+    """TPC-H Q9 shape — profit by (supplier nation, order year) over
+    parts whose name contains a substring. No partsupp table, so the
+    cost term uses the part's retail price: amount = disc-revenue −
+    0.5·retailprice·quantity, both terms as exact u4 integers. Part
+    attrs and supplier→nation are broadcast; lineitem meets orders in
+    one hash exchange for the order year; the (nation, year) aggregate
+    is tiny."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part",
+                      ["p_partkey", "p_name", "p_retailprice"])
+    sel = part[part["p_name"].str.contains(name_sub, regex=False)]
+    retail = {int(k): float(v) for k, v in zip(sel["p_partkey"],
+                                               sel["p_retailprice"])}
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    snat = {int(k): str(nname[int(v)])
+            for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
+    rref, sref = broadcast(retail), broadcast(snat)
+
+    def lmap(df: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rref)
+        price = _vmap(df["l_partkey"], rm, default=-1.0) \
+            .astype(np.float64)
+        m = price >= 0
+        d = df.loc[m]
+        rev = _cents((d["l_extendedprice"]
+                      * (1.0 - d["l_discount"])).to_numpy(), 10000.0)
+        cost = _cents(price[m] * 0.5 * d["l_quantity"].to_numpy(),
+                      10000.0)
+        return pd.DataFrame({
+            "l_orderkey": d["l_orderkey"].to_numpy(),
+            "n_name": _vmap(d["l_suppkey"], ray.get(sref),
+                            default="").astype(object),
+            "amount_u4": rev - cost})
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice", "l_discount"]) \
+        .map_batches(lmap, batch_format="pandas")
+
+    def omap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "o_year": df["o_orderdate"].to_numpy("datetime64[Y]")
+                        .astype(np.int64) + 1970})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderdate"]) \
+        .map_batches(omap, batch_format="pandas")
+    j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["n_name", "o_year"], as_index=False) \
+                 .agg(sum_profit_u4=("amount_u4", "sum"))
+
+    agg = grouped_agg(j.map_batches(partial, batch_format="pandas"),
+                      ["n_name", "o_year"],
+                      {"sum_profit_u4": ("sum_profit_u4", "sum")},
+                      num_buckets=2).to_pandas()  # nations × years
+    cols = {"n_name": "object", "o_year": "int64",
+            "sum_profit_u4": "int64"}
+    if not len(agg):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    out = agg.sort_values(["n_name", "o_year"],
+                          ascending=[True, False],
+                          kind="stable").reset_index(drop=True)
+    out["o_year"] = out["o_year"].astype("int64")
+    out["sum_profit_u4"] = out["sum_profit_u4"].astype("int64")
+    return out[list(cols)]
+
+
+def q11_important_stock(sf_dir: str, over_avg: float = 2.0):
+    """TPC-H Q11 shape — global-total HAVING predicate: per-part
+    shipped value (exact u4 discounted revenue) restricted to the
+    first nation's suppliers, keeping parts whose value exceeds
+    ``over_avg`` × the average per-part value (TPC-H's fixed fraction
+    scales with 1/SF; the cardinality-relative form keeps the result
+    non-degenerate at every scale). Per-batch partials → part-keyed
+    exchange (bounded by part cardinality); the grand total is a
+    second tiny aggregate over the per-part table; the filtered
+    result (few rows by construction) sorts driver-side."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    tkey = int(nat.loc[nat["n_name"] == nat["n_name"].min(),
+                       "n_nationkey"].iloc[0])
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    skeys = np.sort(supp.loc[supp["s_nationkey"] == tkey,
+                             "s_suppkey"].to_numpy(np.int64))
+    sref = broadcast(skeys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = _in_sorted(ray.get(sref),
+                       df["l_suppkey"].to_numpy(np.int64))
+        d = df.loc[m]
+        return pd.DataFrame({
+            "p_partkey": d["l_partkey"].to_numpy(np.int64),
+            "value_u4": _cents((d["l_extendedprice"]
+                                * (1.0 - d["l_discount"])).to_numpy(),
+                               10000.0),
+        }).groupby("p_partkey", as_index=False)["value_u4"].sum()
+
+    per_part = grouped_agg(
+        read_table(sf_dir, "lineitem",
+                   ["l_partkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"])
+        .map_batches(partial, batch_format="pandas"),
+        ["p_partkey"], {"value_u4": ("value_u4", "sum")}, num_buckets=4)
+
+    n_parts = len(read_small(sf_dir, "part", ["p_partkey"]))
+    tot = per_part.aggregate(_Sum("value_u4", alias_name="value_u4"))
+    # same op order as the SQL: (total * k) / n — one IEEE result
+    threshold = (int(tot["value_u4"] or 0)) * over_avg / max(n_parts, 1)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["value_u4"] > threshold]
+
+    out = per_part.map_batches(keep, batch_format="pandas").to_pandas()
+    cols = {"p_partkey": "int64", "value_u4": "int64"}
+    if not len(out):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    out = out.sort_values(["value_u4", "p_partkey"],
+                          ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)]
+
+
+def q20_part_promotion(sf_dir: str, prefix: str = "small",
+                       lo: str = "1997-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q20 shape — dominant-supplier semi-join: suppliers of the
+    first region who, for some part named ``prefix``…, shipped MORE
+    than half that part's total quantity in the window (no partsupp
+    availqty in the synthetic schema, so 'availqty > ½·shipped'
+    becomes 'this supplier shipped > ½ of the part's total' — the
+    same correlated-threshold shape). Per-(part,supplier) quantity
+    partials → ONE part-keyed exchange where the per-part total and
+    the >½ filter are computed in-bucket; the qualifying supplier set
+    (supplier-bounded) then filters against the region's suppliers."""
+    from baram_ray.pipelines.util import broadcast, read_small
+
+    part = read_small(sf_dir, "part", ["p_partkey", "p_name"])
+    pkeys = np.sort(part.loc[part["p_name"].str.startswith(prefix),
+                             "p_partkey"].to_numpy(np.int64))
+    reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
+    rkey = int(reg.loc[reg["r_name"] == reg["r_name"].min(),
+                       "r_regionkey"].iloc[0])
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    nkeys = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"])
+    supp = read_small(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey"])
+    rsupp = supp[supp["s_nationkey"].isin(nkeys)]
+    sname = {int(k): str(v) for k, v in zip(rsupp["s_suppkey"],
+                                            rsupp["s_name"])}
+    pref = broadcast(pkeys)
+    dlo, dhi = np.datetime64(lo), np.datetime64(hi)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["l_shipdate"].to_numpy("datetime64[us]")
+        m = ((d >= dlo) & (d < dhi)
+             & _in_sorted(ray.get(pref),
+                          df["l_partkey"].to_numpy(np.int64)))
+        sel = df.loc[m]
+        return pd.DataFrame({
+            "p_partkey": sel["l_partkey"].to_numpy(np.int64),
+            "s_suppkey": sel["l_suppkey"].to_numpy(np.int64),
+            "qty": sel["l_quantity"].to_numpy(),
+        }).groupby(["p_partkey", "s_suppkey"], as_index=False)["qty"] \
+          .sum()
+
+    rows = read_table(sf_dir, "lineitem",
+                      ["l_partkey", "l_suppkey", "l_quantity",
+                       "l_shipdate"]) \
+        .map_batches(partial, batch_format="pandas")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["p_partkey", "s_suppkey"],
+                       as_index=False)["qty"].sum()
+        tot = g.groupby("p_partkey")["qty"].transform("sum")
+        return g.loc[g["qty"] > 0.5 * tot, ["s_suppkey"]] \
+                .drop_duplicates()
+
+    dom = grouped_map(rows, ["p_partkey"], bucket,
+                      num_buckets=4).to_pandas()  # ≤ supplier-sized
+    cols = {"s_suppkey": "int64", "s_name": "object"}
+    if not len(dom):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    keys = np.unique(dom["s_suppkey"].to_numpy(np.int64))
+    keys = [int(k) for k in keys if int(k) in sname]
+    out = pd.DataFrame({
+        "s_suppkey": pd.array(keys, dtype="int64"),
+        "s_name": [sname[k] for k in keys]})
+    return out.sort_values(["s_name", "s_suppkey"], kind="stable") \
+              .reset_index(drop=True)
+
+
+def q21_waiting_suppliers(sf_dir: str, k: int = 100):
+    """TPC-H Q21 shape — the sole-late-supplier EXISTS/NOT-EXISTS
+    pair: for finished multi-supplier orders, the supplier whose max
+    ship date strictly leads every other supplier's (the synthetic
+    lineitem has no commit/receipt dates, so 'kept the order waiting'
+    = uniquely latest ship date). Fact-fact semi-join of lineitem
+    against F-status orders (J7), then ONE order-keyed exchange
+    evaluates both quantified predicates in-bucket; the per-supplier
+    count is supplier-bounded."""
+    from baram_ray.joins import hash_join
+    from baram_ray.pipelines.util import read_small
+
+    def ofilt(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df.loc[df["o_orderstatus"] == "F"]
+        return pd.DataFrame({"l_orderkey": sel["o_orderkey"].to_numpy()})
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(ofilt, batch_format="pandas")
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = hash_join(li, orders, "l_orderkey", how="semi", num_buckets=16)
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        # per-(order, supplier) max ship date — batch-level combiner
+        return df.groupby(["l_orderkey", "l_suppkey"],
+                          as_index=False)["l_shipdate"].max()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_orderkey", "l_suppkey"],
+                       as_index=False)["l_shipdate"].max()
+        grp = g.groupby("l_orderkey")["l_shipdate"]
+        omax = grp.transform("max")
+        nsupp = grp.transform("size")
+        at_max = g["l_shipdate"] == omax
+        nmax = at_max.groupby(g["l_orderkey"]).transform("sum")
+        sole = g.loc[at_max & (nsupp >= 2) & (nmax == 1)]
+        out = sole.groupby("l_suppkey", as_index=False) \
+                  .agg(numwait=("l_orderkey", "size"))
+        out["numwait"] = out["numwait"].astype("int64")
+        return out
+
+    per_supp = grouped_map(
+        j.map_batches(pre, batch_format="pandas"),
+        ["l_orderkey"], bucket, num_buckets=8)
+    agg = grouped_agg(per_supp, ["l_suppkey"],
+                      {"numwait": ("numwait", "sum")},
+                      num_buckets=2).to_pandas()  # supplier-sized
+    cols = {"s_suppkey": "int64", "s_name": "object",
+            "numwait": "int64"}
+    if not len(agg):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sname = {int(a): str(b) for a, b in zip(supp["s_suppkey"],
+                                            supp["s_name"])}
+    agg["s_suppkey"] = agg["l_suppkey"].astype("int64")
+    agg["s_name"] = [sname[int(s)] for s in agg["s_suppkey"]]
+    agg["numwait"] = agg["numwait"].astype("int64")
+    out = agg.sort_values(["numwait", "s_name", "s_suppkey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k).reset_index(drop=True)
+    return out[list(cols)]
