@@ -1,0 +1,294 @@
+"""Sharded HNSW graph ANN index — the graph-index counterpart to the
+partitioned IVF in ``similarity.py``.
+
+The reference delegates kNN to OpenSearch's HNSW (config m=16,
+ef_construction=128, ``src/embedding/mod.rs:309-321``); this is a
+native rebuild of that index class on Ray:
+
+- **Build** (``hnsw_build``): vectors hash-shard by ``vec_id``; ONE
+  graph per shard is built inside the shard-keyed exchange (all
+  shards build in parallel, each task holds only its shard's
+  vectors — the multi-node layout where every node owns a graph over
+  its slice). Insertion is the standard HNSW loop (geometric level
+  draw with mult = 1/ln(M), greedy descent above the node's level,
+  ef_construction best-first search + top-M linking + degree-capped
+  reverse-link pruning at every level at or below it), with the
+  neighbor-expansion cosine computed as one numpy matvec per pop.
+- **Search** (``hnsw_search``): scatter-gather — one task per shard
+  runs the layered best-first descent on its graph, the driver merges
+  the S×Q×k candidate rows (query-bounded, never corpus-sized).
+  Per-shard search is sublinear in shard size, so total work scales
+  with S·ef·log(n/S) rather than n.
+
+Determinism: level draws and all tie-breaks derive from a fixed seed
+and vec_id order, so two builds over the same corpus produce
+identical graphs and identical search results (tested).
+
+Scale note: python-loop insertion costs ~1-3 ms/vector — a shard
+builds ~50k vectors/min. That is the honest cost of a graph index
+without a native kernel; shards amortize it linearly across the
+cluster, and searches (the hot path) are a few matvecs each. The
+graph file per shard is O(n_shard × (2M + d)) — bounded by the
+shard, never the corpus.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from baram_ray.similarity import _matrix, _norm_rows
+from baram_ray.util import grouped_map
+
+_HASH_MULT = 2654435761  # Knuth multiplicative hash (shard routing)
+_MAX_LEVEL = 8
+
+
+def _shard_of(vec_ids: np.ndarray, num_shards: int) -> np.ndarray:
+    h = (vec_ids.astype(np.uint64) * np.uint64(_HASH_MULT)) \
+        & np.uint64(0xFFFFFFFF)
+    return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def _search_layer(vecs: np.ndarray, adj: np.ndarray, q: np.ndarray,
+                  eps: list[int], ef: int,
+                  visited: np.ndarray | None = None) -> list[tuple[float, int]]:
+    """Best-first search on one layer; returns up to ``ef`` (sim, id)
+    pairs sorted by descending similarity. ``adj`` is (n, width) int32
+    with -1 padding; neighbor sims are one matvec per expansion.
+    ``visited`` is an optional caller-owned bool scratch buffer (reset
+    on entry) — the build loop reuses one across inserts instead of
+    allocating a Python set per layer."""
+    if visited is None:
+        visited = np.zeros(len(vecs), dtype=bool)
+    else:
+        visited[:] = False
+    sims0 = vecs[eps] @ q
+    visited[eps] = True
+    cand = [(-float(s), int(e)) for s, e in zip(sims0, eps)]
+    heapq.heapify(cand)
+    res = [(float(s), int(e)) for s, e in zip(sims0, eps)]
+    heapq.heapify(res)
+    while len(res) > ef:
+        heapq.heappop(res)
+    while cand:
+        negs, c = heapq.heappop(cand)
+        if len(res) >= ef and -negs < res[0][0]:
+            break
+        nbrs = adj[c]
+        nbrs = nbrs[nbrs >= 0]
+        new = nbrs[~visited[nbrs]]
+        if not len(new):
+            continue
+        visited[new] = True
+        sims = vecs[new] @ q
+        lb = res[0][0]
+        full = len(res) >= ef
+        for s, x in zip(sims.tolist(), new.tolist()):
+            if not full:
+                heapq.heappush(res, (s, x))
+                heapq.heappush(cand, (-s, x))
+                full = len(res) >= ef
+                lb = res[0][0]
+            elif s > lb:
+                heapq.heapreplace(res, (s, x))
+                heapq.heappush(cand, (-s, x))
+                lb = res[0][0]
+    return sorted(res, key=lambda t: (-t[0], t[1]))
+
+
+def _build_graph(vecs: np.ndarray, M: int = 16, efc: int = 128,
+                 seed: int = 7):
+    """Insert-at-a-time HNSW over normalized ``vecs``. Returns
+    (levels, [adj_level0, adj_level1, ...], entry_node)."""
+    n = len(vecs)
+    rng = np.random.RandomState(seed)
+    mult = 1.0 / np.log(max(M, 2))
+    draws = rng.uniform(low=1e-12, high=1.0, size=max(n, 1))
+    levels = np.minimum((-np.log(draws) * mult).astype(np.int64),
+                        _MAX_LEVEL)
+    if n == 0:
+        return levels[:0], [np.full((0, 2 * M), -1, np.int32)], -1
+    max_l = int(levels.max())
+    widths = [2 * M if lev == 0 else M for lev in range(max_l + 1)]
+    adj = [np.full((n, w), -1, np.int32) for w in widths]
+    deg = [np.zeros(n, np.int32) for _ in range(max_l + 1)]
+    entry, entry_l = 0, int(levels[0])
+    scratch = np.zeros(n, dtype=bool)
+    for i in range(1, n):
+        li = int(levels[i])
+        q = vecs[i]
+        ep = [entry]
+        for lev in range(entry_l, li, -1):
+            best = _search_layer(vecs, adj[lev], q, ep, 1, scratch)
+            ep = [best[0][1]]
+        for lev in range(min(li, entry_l), -1, -1):
+            found = _search_layer(vecs, adj[lev], q, ep, efc, scratch)
+            cand_ids = [x for _, x in found]
+            width = adj[lev].shape[1]
+            sel = cand_ids[:M]
+            a = adj[lev]
+            a[i, :len(sel)] = sel
+            deg[lev][i] = len(sel)
+            for j in sel:
+                dj = int(deg[lev][j])
+                if dj < width:
+                    a[j, dj] = i
+                    deg[lev][j] = dj + 1
+                else:
+                    # degree cap: keep the width most-similar neighbors
+                    nb = np.append(a[j, :dj], np.int32(i))
+                    s = vecs[nb] @ vecs[j]
+                    keep = np.argsort(-s, kind="stable")[:width]
+                    a[j, :width] = nb[keep]
+                    deg[lev][j] = width
+            ep = cand_ids
+        if li > entry_l:
+            entry, entry_l = i, li
+    return levels, adj, entry
+
+
+def _graph_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, f"graph_{shard:05d}.npz")
+
+
+def hnsw_build(ds, out_dir: str, *, M: int = 16,
+               ef_construction: int = 128, num_shards: int | None = None,
+               target_shard: int = 4096, seed: int = 7) -> dict:
+    """Build the sharded index from Dataset[(vec_id, embedding)].
+
+    Shard count defaults to ~``target_shard`` vectors per shard (each
+    shard's build is one exchange-reduce task; more shards = more
+    parallelism and smaller graphs, slightly lower recall at shard
+    boundaries — the scatter-gather merge restores it)."""
+    n = ds.count()
+    if num_shards is None:
+        num_shards = max(1, min(64, int(np.ceil(n / max(target_shard, 1)))))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(_shard_of(ids, num_shards), pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for shard, g in df.groupby("shard"):
+            ids = g["vec_id"].to_numpy(np.int64)
+            order = np.argsort(ids, kind="stable")   # deterministic
+            ids = ids[order]
+            vecs = _norm_rows(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in g["embedding"].to_numpy()[order]]))
+            levels, adj, entry = _build_graph(
+                vecs, M=M, efc=ef_construction, seed=seed + int(shard))
+            payload = {"ids": ids, "vecs": vecs.astype(np.float32),
+                       "levels": levels.astype(np.int32),
+                       "entry": np.int64(entry)}
+            for lev, a in enumerate(adj):
+                payload[f"adj_{lev}"] = a
+            np.savez_compressed(_graph_path(out_dir, int(shard)),
+                                **payload)
+            rows.append({"shard": int(shard), "n": int(len(ids)),
+                         "max_level": int(len(adj) - 1)})
+        return pd.DataFrame(rows, columns=["shard", "n", "max_level"])
+
+    stats = grouped_map(tagged, ["shard"], build_bucket,
+                        num_buckets=num_shards).to_pandas()
+    # Ray drops columns on all-empty results — treat as "no shards"
+    shards = (sorted(int(s) for s in stats["shard"])
+              if "shard" in stats.columns else [])
+    dim = int(len(ds.take(1)[0]["embedding"])) if n else 0
+    meta = {"num_shards": int(num_shards), "dim": dim, "m": int(M),
+            "ef_construction": int(ef_construction), "n": int(n),
+            "metric": "cosine", "shards": shards}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _search_graph(vecs, adj_list, entry, q, k, ef):
+    if entry < 0 or not len(vecs):
+        return []
+    scratch = np.zeros(len(vecs), dtype=bool)
+    ep = [int(entry)]
+    for lev in range(len(adj_list) - 1, 0, -1):
+        best = _search_layer(vecs, adj_list[lev], q, ep, 1, scratch)
+        ep = [best[0][1]]
+    found = _search_layer(vecs, adj_list[0], q, ep, max(ef, k), scratch)
+    return found[:k]
+
+
+@ray.remote
+def _search_shard(path: str, q_norm: np.ndarray, q_ids: np.ndarray,
+                  k: int, ef: int, exclude_self: bool):
+    with np.load(path) as z:
+        ids = z["ids"]
+        vecs = z["vecs"].astype(np.float64)
+        entry = int(z["entry"])
+        adj = []
+        lev = 0
+        while f"adj_{lev}" in z.files:
+            adj.append(z[f"adj_{lev}"])
+            lev += 1
+    out_q, out_v, out_c = [], [], []
+    for qi in range(len(q_ids)):
+        # self-exclusion may cost one hit; over-fetch by 1 and trim
+        kk = k + 1 if exclude_self else k
+        for sim, node in _search_graph(vecs, adj, entry, q_norm[qi],
+                                       kk, ef):
+            vid = int(ids[node])
+            if exclude_self and vid == int(q_ids[qi]):
+                continue
+            out_q.append(int(q_ids[qi]))
+            out_v.append(vid)
+            out_c.append(float(sim))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "cosine": pa.array(out_c, pa.float64())})
+
+
+def hnsw_search(index_dir: str, query_vecs: np.ndarray,
+                query_ids: list[int] | None = None, k: int = 5, *,
+                ef_search: int = 64, exclude_self: bool = True,
+                round6: bool = True) -> pd.DataFrame:
+    """Scatter-gather top-k: one task per shard graph, driver merges
+    S×Q×k candidate rows (query-bounded). Returns a DataFrame of
+    (query_id, rank, vec_id, cosine)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+    q_ids = np.asarray(query_ids if query_ids is not None
+                       else range(len(q)), dtype=np.int64)
+    qref = ray.put(q)
+    futs = [_search_shard.remote(_graph_path(index_dir, s), qref,
+                                 q_ids, k, ef_search, exclude_self)
+            for s in meta.get("shards", [])]
+    parts = [t.to_pandas() for t in ray.get(futs)] if futs else []
+    cols = {"query_id": "int64", "rank": "int64", "vec_id": "int64",
+            "cosine": "float64"}
+    if not parts:
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    allc = pd.concat(parts, ignore_index=True)
+    out = []
+    for qid, g in allc.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)[list(cols)]
+    if round6:
+        res["cosine"] = res["cosine"].round(6)
+    for c in ("query_id", "rank", "vec_id"):
+        res[c] = res[c].astype("int64")
+    return res

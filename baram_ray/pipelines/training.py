@@ -94,6 +94,28 @@ def sim_knn_ivf_indexed(sf_dir: str):
                                  nprobe=4)
 
 
+def sim_knn_hnsw(sf_dir: str):
+    """Sharded-HNSW graph top-5 — the graph-index ANN class the
+    reference gets from OpenSearch (m=16, ef_construction=128,
+    ``src/embedding/mod.rs:309-321``), rebuilt natively: one graph per
+    vec_id shard built in parallel, scatter-gather search. Index built
+    once per sf_dir under /tmp and reused; rows-only driver check,
+    recall vs brute force + determinism asserted in tests."""
+    import hashlib as _hl
+    import os as _os
+
+    from baram_ray import hnsw as _hnsw
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tag = _hl.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/baram_ray_hnsw/emb_{tag}"
+    if not _os.path.exists(_os.path.join(idx, "meta.json")):
+        _hnsw.hnsw_build(ds, idx, num_shards=4)
+    _, q_vecs = similarity._collect_query_vecs(ds, KNN_QUERY_IDS)
+    return _hnsw.hnsw_search(idx, q_vecs, KNN_QUERY_IDS, k=5,
+                             ef_search=64)
+
+
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)

@@ -330,6 +330,28 @@ def run_ann_bench(n_vecs: int | None = None) -> dict:
         out["curve"][f"nprobe_{nprobe}"] = {
             "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
     out["value"] = out["curve"]["nprobe_4"]["recall_at_10"]
+
+    # sharded HNSW (graph-index class): one graph per vec_id shard
+    # built in parallel, scatter-gather search — build cost amortizes,
+    # searches are a few matvecs per shard
+    from baram_ray import hnsw as hnswmod
+    hdir = f"/tmp/baram_hnsw_{n_vecs}"
+    shutil.rmtree(hdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    hnswmod.hnsw_build(read(), hdir)
+    out["hnsw_build_sec"] = round(time.perf_counter() - t0, 3)
+    for ef in (16, 64):
+        t0 = time.perf_counter()
+        approx = hnswmod.hnsw_search(hdir, q_vecs, qids, k=10,
+                                     ef_search=ef)
+        sec = time.perf_counter() - t0
+        hits = total = 0
+        for q in qids:
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            hits += len(exact_sets[q] & a)
+            total += len(exact_sets[q])
+        out["curve"][f"hnsw_ef_{ef}"] = {
+            "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
     ray.shutdown()
     return out
 

@@ -1,0 +1,116 @@
+"""Sharded HNSW graph index: recall vs brute force, build determinism,
+graph-structure sanity, and search edge cases (reference ANN class:
+OpenSearch HNSW m=16 ef_construction=128, src/embedding/mod.rs:309-321)."""
+
+import numpy as np
+import pytest
+
+import ray
+
+from baram_ray import hnsw, similarity
+
+SF = "/root/testdata/sf0.001"
+QIDS = list(range(10))
+
+
+def _emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def index(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hnsw") / "idx")
+    meta = hnsw.hnsw_build(_emb(), out, num_shards=3)
+    return out, meta
+
+
+def _recall(res, exact, qids, k):
+    hits = total = 0
+    for q in qids:
+        a = set(res[res["query_id"] == q]["vec_id"])
+        b = set(exact[exact["query_id"] == q]["vec_id"])
+        hits += len(a & b)
+        total += len(b)
+    return hits / total
+
+
+def test_meta_covers_corpus(index):
+    _, meta = index
+    assert meta["n"] == 500 and meta["num_shards"] == 3
+    assert meta["m"] == 16 and meta["ef_construction"] == 128
+    assert sorted(meta["shards"]) == meta["shards"]
+
+
+def test_recall_vs_bruteforce(index, ray_session):
+    out, _ = index
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS)
+    res = hnsw.hnsw_search(out, qv, QIDS, k=10, ef_search=64)
+    exact = similarity.brute_force_topk(_emb(), QIDS, k=10).to_pandas()
+    assert _recall(res, exact, QIDS, 10) >= 0.95
+    # ranks are 1..k per query, cosine non-increasing within a query
+    for q in QIDS:
+        g = res[res["query_id"] == q]
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cosine"].to_numpy()) <= 1e-12).all()
+
+
+def test_build_deterministic(index, ray_session, tmp_path):
+    out, _ = index
+    out2 = str(tmp_path / "idx2")
+    hnsw.hnsw_build(_emb(), out2, num_shards=3)
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS)
+    a = hnsw.hnsw_search(out, qv, QIDS, k=10, ef_search=32)
+    b = hnsw.hnsw_search(out2, qv, QIDS, k=10, ef_search=32)
+    assert a.equals(b)
+
+
+def test_level_hierarchy_decays(index):
+    out, meta = index
+    z = np.load(hnsw._graph_path(out, meta["shards"][0]))
+    levels = z["levels"]
+    # geometric level draw: strictly fewer nodes at each higher level
+    counts = [int((levels >= lev).sum())
+              for lev in range(int(levels.max()) + 1)]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] == len(z["ids"])
+    # adjacency stays within shard bounds and respects -1 padding
+    a0 = z["adj_0"]
+    assert a0.shape[1] == 2 * meta["m"]
+    assert a0.max() < len(z["ids"]) and a0.min() >= -1
+
+
+def test_exclude_self(index, ray_session):
+    out, _ = index
+    _, qv = similarity._collect_query_vecs(_emb(), [0])
+    with_self = hnsw.hnsw_search(out, qv, [0], k=3, ef_search=64,
+                                 exclude_self=False)
+    assert int(with_self.iloc[0]["vec_id"]) == 0
+    assert with_self.iloc[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    without = hnsw.hnsw_search(out, qv, [0], k=3, ef_search=64)
+    assert 0 not in set(without["vec_id"])
+
+
+def test_higher_ef_no_worse(index, ray_session):
+    out, _ = index
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS)
+    exact = similarity.brute_force_topk(_emb(), QIDS, k=10).to_pandas()
+    r_small = _recall(hnsw.hnsw_search(out, qv, QIDS, k=10, ef_search=10),
+                      exact, QIDS, 10)
+    r_big = _recall(hnsw.hnsw_search(out, qv, QIDS, k=10, ef_search=128),
+                    exact, QIDS, 10)
+    assert r_big >= r_small
+    assert r_big >= 0.99
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    out = str(tmp_path / "empty")
+    meta = hnsw.hnsw_build(empty, out, num_shards=2)
+    assert meta["n"] == 0 and meta["shards"] == []
+    res = hnsw.hnsw_search(out, np.zeros((1, 4)), [0], k=5)
+    assert len(res) == 0 and list(res.columns) == [
+        "query_id", "rank", "vec_id", "cosine"]
