@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_forecast_holt": evp.forecast_holt,
         "events_user_gini": evp.user_gini,
         "events_distinct_kmv": evp.distinct_kmv,
+        "events_user_freq_cms": evp.user_freq_cms,
+        "events_daily_click_purchase": evp.daily_click_purchase,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)

@@ -29,10 +29,11 @@ def hash_join(left, right, on: list[str] | str, *, how: str = "inner",
               num_buckets: int = 32, suffix: str = "_r"):
     """Join two Datasets on ``on`` via one hash exchange.
 
-    ``how``: "inner" | "left" | "semi" | "anti" (anti = left rows with no
-    match — the checkpoint-prefilter shape, reference
-    ``src/commands/index.rs:161-175``). Non-key right columns that clash
-    with left names get ``suffix``.
+    ``how``: "inner" | "left" | "outer" | "semi" | "anti" (anti = left
+    rows with no match — the checkpoint-prefilter shape, reference
+    ``src/commands/index.rs:161-175``; outer = FULL OUTER, unmatched
+    rows of either side survive with NULLs). Non-key right columns that
+    clash with left names get ``suffix``.
     """
     on = [on] if isinstance(on, str) else list(on)
 

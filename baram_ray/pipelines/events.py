@@ -944,3 +944,92 @@ def running_daily_total(sf_dir: str):
 
     return _daily(sf_dir).groupby("event_type").map_groups(
         roll, batch_format="pandas")
+
+
+def daily_click_purchase(sf_dir: str):
+    """FULL OUTER join of two day-keyed aggregates (daily click counts
+    ⟗ daily purchase counts): days with only one side survive with a
+    zero for the other. Each side is a per-batch-combined day exchange
+    (bounded by days); the join is ONE cogroup exchange via
+    ``hash_join(how="outer")`` — §2.4's remaining join type. Hash-exact
+    oracle (COALESCE(0) on both sides keeps dtypes integral)."""
+    from baram_ray.joins import hash_join
+
+    ds = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def side(typ: str, out_col: str):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            sel = df.loc[df["event_type"] == typ]
+            g = pd.DataFrame({"day": sel["ts"].dt.floor("D")}) \
+                .groupby("day", as_index=False).size() \
+                .rename(columns={"size": out_col})
+            g[out_col] = g[out_col].astype("int64")
+            return g
+
+        return grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                           ["day"], {out_col: (out_col, "sum")},
+                           num_buckets=4)
+
+    j = hash_join(side("click", "n_clicks"),
+                  side("purchase", "n_purchases"),
+                  on="day", how="outer", num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["day"].astype("datetime64[us]"),
+            "n_clicks": df["n_clicks"].fillna(0).astype("int64"),
+            "n_purchases": df["n_purchases"].fillna(0).astype("int64"),
+        })
+
+    from baram_ray.pipelines.util import ensure_cols
+    out = ensure_cols(j.map_batches(finish, batch_format="pandas"),
+                      {"day": "datetime64[us]", "n_clicks": "int64",
+                       "n_purchases": "int64"})
+    return out.sort_values("day", kind="stable").reset_index(drop=True)
+
+
+def user_freq_cms(sf_dir: str, topn: int = 20):
+    """CountMin frequency estimation over user event counts — the
+    deterministic multiply-shift sketch is a pure function of the
+    input multiset, so the ESTIMATES are hash-exact against a DuckDB
+    oracle that rebuilds the identical d×w counter table in HUGEINT
+    arithmetic. One streaming pass emits (row, bucket) counter cells
+    (≤ d·w per batch) AND exact per-user counts through the same
+    exchange; the driver reduces a d·w matrix + user-bounded rows.
+    Output: top-``topn`` users by estimated count (est ≥ true always;
+    equality when the user's buckets are collision-free)."""
+    from baram_ray.sketches import CMS_W, cms_estimate, cms_partial
+
+    ds = read_table(sf_dir, "events", ["user_id"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        cms = cms_partial(uid)
+        i, b = np.nonzero(cms)
+        cells = pd.DataFrame({"row": i.astype(np.int64),
+                              "col": b.astype(np.int64),
+                              "cnt": cms[i, b]})
+        g = pd.DataFrame({"col": uid}).groupby("col", as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+        g.insert(0, "row", np.int64(-1))
+        g["cnt"] = g["cnt"].astype("int64")
+        return pd.concat([cells, g], ignore_index=True)
+
+    agg = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                      ["row", "col"], {"cnt": ("cnt", "sum")},
+                      num_buckets=4).to_pandas()   # ≤ d·w + |users|
+    users = agg[agg["row"] == -1]
+    cms = np.zeros((4, CMS_W), dtype=np.int64)
+    cells = agg[agg["row"] >= 0]
+    cms[cells["row"].to_numpy(np.int64),
+        cells["col"].to_numpy(np.int64)] = cells["cnt"].to_numpy(np.int64)
+    uid = users["col"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "user_id": uid,
+        "est_count": cms_estimate(cms, uid),
+        "true_count": users["cnt"].to_numpy(np.int64),
+    }).sort_values(["est_count", "user_id"], ascending=[False, True],
+                   kind="stable").head(topn).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1946,4 +1946,43 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
         ORDER BY numwait DESC, s_name, s_suppkey LIMIT 100
     """,
+    # FULL OUTER join of two day-keyed aggregates (zero-filled)
+    "events_daily_click_purchase": """
+        WITH c AS (SELECT date_trunc('day', ts) AS day,
+                          CAST(count(*) AS BIGINT) AS n_clicks
+                   FROM events WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT date_trunc('day', ts) AS day,
+                     CAST(count(*) AS BIGINT) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT coalesce(c.day, p.day) AS day,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.day = p.day
+    """,
+    # CountMin frequency sketch: rebuild the same d x w counter table
+    # with the engine's multiply-shift hashes in HUGEINT arithmetic;
+    # estimate = min over rows of the key's counter (deterministic ->
+    # hash-exact). Top-20 users by estimated count.
+    "events_user_freq_cms": """
+        WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+        seeds AS (SELECT * FROM (VALUES
+            (0, 11400714819323198485::HUGEINT),
+            (1, 14029467366897019727::HUGEINT),
+            (2, 1609587929392839161::HUGEINT),
+            (3, 2870177450012600261::HUGEINT)) t(i, a)),
+        h AS (SELECT user_id, c, i,
+                     CAST(((CAST(user_id AS HUGEINT) * a)
+                           % 18446744073709551616)
+                          // 18014398509481984 AS BIGINT) AS b
+              FROM k CROSS JOIN seeds),
+        cnt AS (SELECT i, b, CAST(sum(c) AS BIGINT) AS tot
+                FROM h GROUP BY 1, 2),
+        est AS (SELECT h.user_id, max(h.c) AS true_count,
+                       CAST(min(cnt.tot) AS BIGINT) AS est_count
+                FROM h JOIN cnt ON cnt.i = h.i AND cnt.b = h.b
+                GROUP BY 1)
+        SELECT user_id, est_count, true_count
+        FROM est ORDER BY est_count DESC, user_id LIMIT 20
+    """,
 }

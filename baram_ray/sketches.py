@@ -260,3 +260,48 @@ def kll_quantile(levels: dict, q: float) -> float:
     r = max(1, int(np.ceil(q * w)))
     i = int(np.searchsorted(cum, r))
     return float(vals[order[min(i, len(order) - 1)]])
+
+
+# --------------------- CountMin frequency sketch --------------------- #
+# Cormode & Muthukrishnan 2005: d hash rows × w counters; per-key
+# estimate = min over rows of its counter (one-sided: est ≥ true,
+# overestimate ≤ εN w.h.p. with ε = e/w). Deterministic multiply-shift
+# hashing (Dietzfelbinger et al. 1997) with FIXED odd multipliers, so
+# the counters — and the estimates — are a pure function of the input
+# multiset: a DuckDB oracle rebuilds the identical table in HUGEINT
+# arithmetic and the comparison is hash-exact (same trick as KMV).
+# Partials are (row, bucket, count) cells, ≤ d·w per batch; merge is
+# a grouped sum — the mergeable-sketch shape.
+
+CMS_W = 1024        # counters per row (power of two)
+CMS_SHIFT = 54      # 64 - log2(CMS_W)
+CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5)   # odd 64-bit
+
+
+def cms_buckets(keys: np.ndarray) -> np.ndarray:
+    """(d, n) bucket index per hash row — multiply-shift over uint64."""
+    k = np.asarray(keys, dtype=np.int64).astype(np.uint64)
+    return np.stack([((k * np.uint64(a)) >> np.uint64(CMS_SHIFT))
+                     .astype(np.int64) for a in CMS_SEEDS])
+
+
+def cms_partial(keys: np.ndarray) -> np.ndarray:
+    """(d, w) int64 counter matrix for one batch of keys."""
+    bkt = cms_buckets(keys)
+    return np.stack([np.bincount(bkt[i], minlength=CMS_W)
+                     for i in range(len(CMS_SEEDS))]).astype(np.int64)
+
+
+def cms_merge(parts: list[np.ndarray]) -> np.ndarray:
+    out = np.zeros((len(CMS_SEEDS), CMS_W), dtype=np.int64)
+    for p in parts:
+        out += p
+    return out
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Per-key estimated count: min over hash rows of the counter."""
+    bkt = cms_buckets(keys)
+    ests = np.stack([cms[i, bkt[i]] for i in range(len(CMS_SEEDS))])
+    return ests.min(axis=0).astype(np.int64)

@@ -315,14 +315,21 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
         return out
 
     lfrags, rfrags = frags_of(lblocks), frags_of(rblocks)
-    if not lfrags:
-        # LEFT side has zero blocks: the output is keyed off the left, so
-        # run bucket_fn once on empty-but-typed frames for its OUTPUT schema
+    if not lfrags and not rfrags:
+        # BOTH sides empty: one bucket_fn call on empty-but-typed frames
+        # fixes the OUTPUT schema
         import pyarrow as pa
         out = bucket_fn(_empty_typed_table(left).to_pandas(),
                         _empty_typed_table(right).to_pandas())
         return ray.data.from_arrow(
             pa.Table.from_pandas(out, preserve_index=False))
+    if not lfrags:
+        # symmetric to the empty-RIGHT path below: full-outer-shaped
+        # bucket_fns must still see every right row, so run the normal
+        # per-bucket reduce with an empty typed LEFT fragment (left-
+        # keyed bucket_fns produce their 0 rows either way)
+        empty_l = ray.put(_empty_typed_table(left))
+        lfrags = [[empty_l] * num_buckets]
     if not rfrags:
         # only the RIGHT side is empty: left-outer-shaped bucket_fns
         # (dup-span rebuild, range-join counts) must still see every left

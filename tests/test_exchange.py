@@ -193,7 +193,9 @@ def test_cogroup_empty_right_keeps_left_rows(ray_session):
     assert len(got) == 10
     assert (got["nr"] == 0).all()
     assert set(got["k"]) == set(range(10))
-    # empty LEFT still short-circuits (output keyed off the left)
+    # empty LEFT runs the reduces with an empty typed left fragment
+    # (symmetric to the empty-right path): a LEFT-keyed bucket_fn
+    # yields its 0 rows, a FULL-OUTER one keeps every right row
     right2 = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
                            "w": np.arange(5, dtype=np.float64)})
     ds2 = cogroup(ray.data.from_pandas(right.rename(columns={"w": "v"})),
@@ -202,3 +204,28 @@ def test_cogroup_empty_right_keeps_left_rows(ray_session):
     # (Ray's to_pandas() on an empty dataset drops columns; schema() keeps them)
     assert sorted(ds2.schema().names) == ["k", "nr", "v"]
     assert ds2.count() == 0
+
+
+def test_cogroup_empty_left_keeps_right_rows_for_outer(ray_session):
+    """FULL OUTER through the exchange: right rows survive an empty
+    left side (and vice versa — covered above)."""
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": pd.Series(dtype="int64"), "v": pd.Series(dtype="float64")}))
+    right = pd.DataFrame({"k": np.arange(5, dtype=np.int64),
+                          "w": np.arange(5, dtype=np.float64)})
+    got = hash_join(left, ray.data.from_pandas(right), "k",
+                    how="outer", num_buckets=4).to_pandas()
+    assert len(got) == 5
+    assert set(got["k"]) == set(range(5))
+    assert got["v"].isna().all()
+    # both sides populated: unmatched keys of each side survive
+    l2 = pd.DataFrame({"k": np.array([0, 1, 2], dtype=np.int64),
+                       "v": np.array([.1, .2, .3])})
+    r2 = pd.DataFrame({"k": np.array([2, 3], dtype=np.int64),
+                       "w": np.array([9.0, 8.0])})
+    both = hash_join(ray.data.from_pandas(l2), ray.data.from_pandas(r2),
+                     "k", how="outer", num_buckets=4).to_pandas()
+    assert set(both["k"]) == {0, 1, 2, 3}
+    assert len(both) == 4
+    assert both.loc[both["k"] == 3, "v"].isna().all()
+    assert both.loc[both["k"] == 0, "w"].isna().all()
