@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_model": trainp.doc_quality_model,
         "sim_semdedup": trainp.sim_semdedup,
         "doc_dsir_sample": trainp.doc_dsir_sample,
+        "doc_bpe_merges": trainp.doc_bpe_merges,
         # M3 format-dispatch parse chain
         "doc_parse_dispatch": trainp.doc_parse_dispatch,
         "doc_sample_hash": trainp.doc_sample_hash,

@@ -1,0 +1,195 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+tokenizer-LEARNING counterpart to the fixed vocab/encoder in
+``tokenizer.py`` (reference tokenizer state: SURVEY.md §2.3 A2).
+
+Shape, in two phases:
+
+1. **Word-frequency table** — the only corpus-sized pass: lowercase
+   whitespace pre-tokenization inside ``map_batches`` with per-batch
+   combining, then one word-keyed exchange. Everything after runs on
+   the (vocab-bounded) word table, exactly how production trainers
+   avoid re-scanning the corpus per merge.
+2. **Merge loop over ACTOR-SHARDED word state** — the word table
+   hash-shards across a pool of ``BpeShard`` actors; each round every
+   shard returns its (pair → weighted count) partials (bounded by its
+   live pair set), the driver sums the dicts, picks the argmax pair
+   (ties: higher count, then lexicographic — fully deterministic),
+   and broadcasts the winning pair back; shards apply the merge to
+   their words locally. N merges = N rounds of small messages; the
+   word state never moves after the initial shard. This is the
+   documented raw-actor case (SURVEY.md §7.2): a Dataset can't hold
+   mutable per-round state, so the shard actors do.
+
+Determinism: word order never matters (counts are keyed), ties break
+lexicographically, so any shard layout yields the identical merge
+list (tested: sharded == single-process reference implementation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+
+from baram_ray.util import grouped_agg
+
+END = "</w>"     # end-of-word marker (keeps merges word-internal)
+
+
+def word_counts(ds, col: str = "text", num_buckets: int = 8):
+    """Corpus pass: Dataset[(word, n)] — lowercase whitespace tokens,
+    per-batch combiner, one word-keyed exchange."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for t in df[col].astype(str):
+            toks.extend(t.lower().split())
+        if not toks:
+            return pd.DataFrame({"word": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({"word": u, "n": c.astype(np.int64)})
+
+    return grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                       ["word"], {"n": ("n", "sum")},
+                       num_buckets=num_buckets)
+
+
+def _pair_counts(words: dict[tuple, int]) -> dict[tuple, int]:
+    out: dict[tuple, int] = {}
+    for sym, n in words.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            out[p] = out.get(p, 0) + n
+    return out
+
+
+def _apply_merge(sym: tuple, a: str, b: str, ab: str) -> tuple:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+@ray.remote
+class BpeShard:
+    """One shard of the symbolized word-frequency table; holds
+    {symbol_tuple: count} and mutates it merge by merge."""
+
+    def __init__(self, words: list[str], counts: list[int]):
+        self.words: dict[tuple, int] = {}
+        for w, n in zip(words, counts):
+            sym = tuple(w) + (END,)
+            self.words[sym] = self.words.get(sym, 0) + int(n)
+
+    def pair_counts(self) -> dict:
+        return _pair_counts(self.words)
+
+    def apply(self, a: str, b: str) -> None:
+        ab = a + b
+        nxt: dict[tuple, int] = {}
+        for sym, n in self.words.items():
+            if a in sym:                       # cheap prefilter
+                sym = _apply_merge(sym, a, b, ab)
+            nxt[sym] = nxt.get(sym, 0) + n
+        self.words = nxt
+
+
+def bpe_train_local(word_freq: dict[str, int], n_merges: int,
+                    min_freq: int = 2) -> list[tuple[str, str, int]]:
+    """Single-process reference trainer — the in-repo oracle the
+    distributed path is tested against. Returns
+    [(left, right, count), ...] in merge order."""
+    words = {}
+    for w, n in word_freq.items():
+        sym = tuple(w) + (END,)
+        words[sym] = words.get(sym, 0) + int(n)
+    merges = []
+    for _ in range(n_merges):
+        pc = _pair_counts(words)
+        if not pc:
+            break
+        # deterministic: max count, ties lexicographically SMALLEST pair
+        top = max(pc.values())
+        if top < min_freq:
+            break
+        best = min(p for p, c in pc.items() if c == top)
+        a, b = best
+        ab = a + b
+        nxt = {}
+        for sym, n in words.items():
+            if a in sym:
+                sym = _apply_merge(sym, a, b, ab)
+            nxt[sym] = nxt.get(sym, 0) + n
+        words = nxt
+        merges.append((a, b, int(top)))
+    return merges
+
+
+def bpe_train(ds, col: str = "text", n_merges: int = 64,
+              min_freq: int = 2, num_shards: int = 4) -> pd.DataFrame:
+    """Distributed trainer: corpus → word counts → actor-sharded merge
+    loop. Returns DataFrame[(rank, left, right, freq)]."""
+    wc = word_counts(ds, col).to_pandas()      # vocab-bounded
+    shards = []
+    if len(wc):
+        h = pd.util.hash_array(wc["word"].to_numpy(object)) % num_shards
+        for s in range(num_shards):
+            part = wc[h == s]
+            if len(part):
+                shards.append(BpeShard.remote(
+                    part["word"].tolist(), part["n"].tolist()))
+    merges = []
+    for rank in range(n_merges):
+        parts = ray.get([s.pair_counts.remote() for s in shards])
+        total: dict[tuple, int] = {}
+        for p in parts:
+            for k, v in p.items():
+                total[k] = total.get(k, 0) + v
+        if not total:
+            break
+        top = max(total.values())
+        if top < min_freq:
+            break
+        a, b = min(p for p, c in total.items() if c == top)
+        ray.get([s.apply.remote(a, b) for s in shards])
+        merges.append({"rank": rank + 1, "left": a, "right": b,
+                       "freq": int(top)})
+    for s in shards:
+        ray.kill(s)
+    cols = {"rank": "int64", "left": "object", "right": "object",
+            "freq": "int64"}
+    if not merges:
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    out = pd.DataFrame(merges)
+    out["rank"] = out["rank"].astype("int64")
+    out["freq"] = out["freq"].astype("int64")
+    return out[list(cols)]
+
+
+def bpe_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Greedy encode with a learned merge list (application order =
+    merge order, the standard BPE inference rule)."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    out: list[str] = []
+    for w in text.lower().split():
+        sym = list(tuple(w) + (END,))
+        while len(sym) > 1:
+            pairs = [(ranks.get((sym[i], sym[i + 1]), None), i)
+                     for i in range(len(sym) - 1)]
+            cand = [(r, i) for r, i in pairs if r is not None]
+            if not cand:
+                break
+            r, i = min(cand)
+            sym[i:i + 2] = [sym[i] + sym[i + 1]]
+        out.extend(sym)
+    return out

@@ -137,6 +137,18 @@ def sim_centroid_assign(sf_dir: str):
     return similarity.assign_centroids(ds, n_centroids=8)
 
 
+def doc_bpe_merges(sf_dir: str, n_merges: int = 48):
+    """Distributed BPE tokenizer TRAINING over the documents corpus
+    (``baram_ray/bpe.py``): one corpus pass for word counts, then the
+    actor-sharded merge loop. Rows-only driver check (iterative global
+    argmax has no SQL form); sharded == single-process reference
+    identity asserted in tests."""
+    from baram_ray.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    return bpe_train(ds, n_merges=n_merges, min_freq=2, num_shards=4)
+
+
 # ----------------- M3: format-dispatch parse chain ------------------- #
 
 def doc_parse_dispatch(sf_dir: str):

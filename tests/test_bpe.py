@@ -1,0 +1,80 @@
+"""Distributed BPE training: sharded == single-process reference
+identity, shard-layout invariance, deterministic tie-breaks, and
+encode semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from baram_ray import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus():
+    return pd.DataFrame({"text": [
+        "the lower the newer lower low lowest",
+        "new newer newest low lower widest wide",
+        "the wide wider widest new low low low",
+        "unrelated words appear once only here",
+    ] * 3})
+
+
+def _local_ref(df, n_merges, min_freq=2):
+    wf = {}
+    for t in df["text"]:
+        for w in str(t).lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    return bpe.bpe_train_local(wf, n_merges, min_freq)
+
+
+def test_sharded_matches_local_reference(ray_session):
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = bpe.bpe_train(ds, n_merges=25, min_freq=2, num_shards=3)
+    ref = _local_ref(df, 25)
+    assert list(zip(got["left"], got["right"], got["freq"])) == ref
+    assert list(got["rank"]) == list(range(1, len(ref) + 1))
+
+
+def test_shard_layout_invariance(ray_session):
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(2)
+    a = bpe.bpe_train(ds, n_merges=15, num_shards=1)
+    b = bpe.bpe_train(ds, n_merges=15, num_shards=5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_on_real_documents(ray_session):
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["text"])
+    got = bpe.bpe_train(ds, n_merges=12, min_freq=2, num_shards=4)
+    df = ds.to_pandas()
+    ref = _local_ref(df, 12)
+    assert list(zip(got["left"], got["right"], got["freq"])) == ref
+    # merge frequencies never increase faster than corpus size allows
+    assert (got["freq"].to_numpy() > 0).all()
+
+
+def test_min_freq_stops_training(ray_session):
+    df = pd.DataFrame({"text": ["ab cd ef", "gh ij kl"]})
+    ds = ray.data.from_pandas(df)
+    got = bpe.bpe_train(ds, n_merges=10, min_freq=3, num_shards=2)
+    assert len(got) == 0
+    assert list(got.columns) == ["rank", "left", "right", "freq"]
+
+
+def test_encode_applies_merges_in_order():
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("w", "er</w>")]
+    # without any applicable merge the word stays character-split
+    assert bpe.bpe_encode("xyz", merges) == ["x", "y", "z", "</w>"]
+    got = bpe.bpe_encode("low lower", merges)
+    assert "".join(got).replace("</w>", " ").split() == ["low", "lower"]
+    assert got[0] == "low"          # 'low' merged via (l,o)+(lo,w)
+
+
+def test_encode_empty_and_case():
+    assert bpe.bpe_encode("", []) == []
+    assert bpe.bpe_encode("ABC", []) == bpe.bpe_encode("abc", [])
