@@ -195,6 +195,12 @@ def run_bench() -> dict:
         "events_inter_deltas": timed(evp.inter_event_deltas),
         "tpch_q7": timed(tpchp.q7_volume_shipping),
         "tpch_q22": timed(tpchp.q22_global_sales_opportunity),
+        # round-3 continuation additions
+        "tpch_q9": timed(tpchp.q9_product_type_profit),
+        "tpch_q21": timed(tpchp.q21_waiting_suppliers),
+        "sim_knn_hnsw": timed(trainp.sim_knn_hnsw),
+        "doc_bpe_merges": timed(trainp.doc_bpe_merges),
+        "events_user_freq_cms": timed(evp.user_freq_cms),
     }
 
     result = {
