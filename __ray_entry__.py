@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": docp.token_count_ws,
         "doc_token_count_bpe": docp.token_count_bpe,
         "doc_term_df_top": docp.term_df_top,
+        "doc_top_bigrams": docp.top_bigrams,
+        "events_value_hour_corr": evp.value_hour_corr,
         "doc_zipf_slope": docp.zipf_slope,
         "doc_ttr": docp.ttr,
         "doc_unk_stats": docp.unk_stats,

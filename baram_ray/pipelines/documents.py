@@ -376,3 +376,27 @@ def token_count_bpe(sf_dir: str):
                          "n_bpe_tokens": pa.array(ns, pa.int64())})
 
     return ds.map_batches(count, batch_format="pyarrow")
+
+
+def top_bigrams(sf_dir: str, k: int = 20):
+    """Top-k word bigrams by corpus count — the n-gram counting shape
+    (per-batch Counter combiner → ONE bigram-keyed exchange → the same
+    distributed sort+limit as ``term_df_top``; the bigram vocabulary
+    never lands on the driver). Tokenization = lower + whitespace
+    split, matching the SQL oracle's string_split_regex."""
+    from collections import Counter
+
+    ds = read_table(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            w = (t or "").lower().split()
+            c.update(w[i] + " " + w[i + 1] for i in range(len(w) - 1))
+        return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["bigram"], {"n": ("n", "sum")}, num_buckets=32)
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(k))

@@ -1033,3 +1033,52 @@ def user_freq_cms(sf_dir: str, topn: int = 20):
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def value_hour_corr(sf_dir: str):
+    """Pearson correlation of event value (exact cents) vs hour-of-day
+    per event_type — the COVAR/CORR aggregate from constant-size
+    streaming partials (n, Σx, Σy, Σxy, Σx², Σy² as exact integers per
+    batch; the exchange moves one row per (block, type)). The final r
+    is computed from the exact sums with the SAME operation order as
+    the SQL oracle (num / (sqrt(a)·sqrt(b))), so it is bit-identical
+    with no rounding. Python-int partial sums on the driver side of
+    the finish keep the formula exact where int64 would overflow at
+    extreme scale (the SQL side uses HUGEINT for the same reason)."""
+    ds = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.trunc(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        y = df["ts"].dt.hour.to_numpy().astype(np.int64)
+        g = pd.DataFrame({"event_type": df["event_type"], "x": x, "y": y,
+                          "xy": x * y, "xx": x * x, "yy": y * y})
+        out = g.groupby("event_type", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"), syy=("yy", "sum"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = grouped_agg(ds.map_batches(part, batch_format="pandas"),
+                      ["event_type"],
+                      {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                       "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+                       "sxx": ("sxx", "sum"), "syy": ("syy", "sum")},
+                      num_buckets=2).to_pandas()   # ≤ |event types|
+
+    import math
+
+    rows = []
+    for r in agg.itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        num = n * int(r.sxy) - sx * sy              # exact python ints
+        a = n * int(r.sxx) - sx * sx
+        b = n * int(r.syy) - sy * sy
+        corr = (float(num) / (math.sqrt(float(a)) * math.sqrt(float(b)))
+                if a > 0 and b > 0 else 0.0)
+        rows.append({"event_type": r.event_type, "n": n,
+                     "corr_r": corr})
+    out = pd.DataFrame(rows, columns=["event_type", "n", "corr_r"])
+    out["n"] = out["n"].astype("int64")
+    out["corr_r"] = out["corr_r"].astype("float64")
+    return out.sort_values("event_type", kind="stable") \
+              .reset_index(drop=True)

@@ -1985,4 +1985,39 @@ ORACLES: dict[str, str] = {
         SELECT user_id, est_count, true_count
         FROM est ORDER BY est_count DESC, user_id LIMIT 20
     """,
+    # top-20 word bigrams (lower + whitespace split; 1-based list
+    # indexing, range(1,len) = adjacent pairs)
+    "doc_top_bigrams": """
+        WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+')
+                          AS w
+                   FROM documents WHERE trim(text) <> ''),
+        b AS (SELECT w[CAST(i AS BIGINT)] || ' '
+                     || w[CAST(i AS BIGINT) + 1] AS bigram
+              FROM t, UNNEST(range(1, len(w))) AS r(i))
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20
+    """,
+    # Pearson corr of value-cents vs hour per type, from exact integer
+    # sums with the engine's exact op order (no rounding needed)
+    "events_value_hour_corr": """
+        WITH f AS (SELECT event_type,
+                          CAST(trunc(value * 100 + 0.5) AS BIGINT) AS x,
+                          CAST(extract(hour FROM ts) AS BIGINT) AS y
+                   FROM events),
+        s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS HUGEINT) AS sx,
+                     CAST(sum(y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              FROM f GROUP BY 1)
+        SELECT event_type, n,
+               CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                    ELSE 0.0 END AS corr_r
+        FROM s ORDER BY event_type
+    """,
 }
