@@ -228,9 +228,17 @@ def _search_graph(vecs, adj_list, entry, q, k, ef):
     return found[:k]
 
 
-@ray.remote
-def _search_shard(path: str, q_norm: np.ndarray, q_ids: np.ndarray,
-                  k: int, ef: int, exclude_self: bool):
+_GRAPH_CACHE: dict = {}
+
+
+def _load_graph(path: str):
+    """Per-worker-process graph cache: Ray reuses worker processes
+    across tasks, so repeated searches against the same shard skip the
+    npz decompress. Keyed by (path, mtime) — a rebuilt index misses."""
+    key = (path, os.path.getmtime(path))
+    hit = _GRAPH_CACHE.get(path)
+    if hit is not None and hit[0] == key[1]:
+        return hit[1]
     with np.load(path) as z:
         ids = z["ids"]
         vecs = z["vecs"].astype(np.float64)
@@ -240,6 +248,15 @@ def _search_shard(path: str, q_norm: np.ndarray, q_ids: np.ndarray,
         while f"adj_{lev}" in z.files:
             adj.append(z[f"adj_{lev}"])
             lev += 1
+    _GRAPH_CACHE.clear()          # bound: one graph per worker
+    _GRAPH_CACHE[path] = (key[1], (ids, vecs, entry, adj))
+    return ids, vecs, entry, adj
+
+
+@ray.remote
+def _search_shard(path: str, q_norm: np.ndarray, q_ids: np.ndarray,
+                  k: int, ef: int, exclude_self: bool):
+    ids, vecs, entry, adj = _load_graph(path)
     out_q, out_v, out_c = [], [], []
     for qi in range(len(q_ids)):
         # self-exclusion may cost one hit; over-fetch by 1 and trim

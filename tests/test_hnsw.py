@@ -114,3 +114,43 @@ def test_empty_corpus(ray_session, tmp_path):
     res = hnsw.hnsw_search(out, np.zeros((1, 4)), [0], k=5)
     assert len(res) == 0 and list(res.columns) == [
         "query_id", "rank", "vec_id", "cosine"]
+
+
+def test_random_corpora_properties(ray_session, tmp_path):
+    """Fuzz: on random corpora the search returns ≤k unique ids per
+    query, scores are the TRUE cosines of the returned pairs, and
+    ef ≥ n gives recall 1.0 on a connected graph."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.RandomState(0)
+    for trial, (n, d) in enumerate([(60, 8), (200, 16), (37, 4)]):
+        vecs = rng.randn(n, d).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32()))})
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = str(tmp_path / f"fz{trial}")
+        hnsw.hnsw_build(ds, out, num_shards=2, seed=trial)
+        qv = vecs[:3].astype(np.float64)
+        res = hnsw.hnsw_search(out, qv, [0, 1, 2], k=5, ef_search=n,
+                               round6=False)
+        # replicate the engine's precision path exactly: normalize in
+        # f64, store f32, score in f64
+        from baram_ray.similarity import _norm_rows
+        norm = _norm_rows(vecs.astype(np.float64)) \
+            .astype(np.float32).astype(np.float64)
+        qn = _norm_rows(qv)
+        for qi, q in enumerate([0, 1, 2]):
+            g = res[res["query_id"] == q]
+            assert len(g) <= 5 and g["vec_id"].is_unique
+            assert q not in set(g["vec_id"])
+            for _, row in g.iterrows():
+                true_cos = float(norm[int(row["vec_id"])] @ qn[qi])
+                assert row["cosine"] == pytest.approx(true_cos,
+                                                      abs=1e-12)
+            # exhaustive ef: top-1 must be the true nearest neighbor
+            sims = norm @ qn[qi]
+            sims[q] = -2.0
+            assert int(g.iloc[0]["vec_id"]) == int(np.argmax(sims))
