@@ -79,28 +79,73 @@ def _apply_merge(sym: tuple, a: str, b: str, ab: str) -> tuple:
     return tuple(out)
 
 
+def _pairs_of(sym: tuple) -> dict[tuple, int]:
+    d: dict[tuple, int] = {}
+    for i in range(len(sym) - 1):
+        p = (sym[i], sym[i + 1])
+        d[p] = d.get(p, 0) + 1
+    return d
+
+
 @ray.remote
 class BpeShard:
-    """One shard of the symbolized word-frequency table; holds
-    {symbol_tuple: count} and mutates it merge by merge."""
+    """One shard of the symbolized word-frequency table.
+
+    Maintains the pair-count table INCREMENTALLY (the production-BPE
+    trick): alongside {symbol_tuple: count} it keeps
+    {pair: weighted count} and an inverted index {pair: words that
+    contain it}, so ``apply`` touches only the words containing the
+    merged pair and adjusts the count diffs — O(affected words) per
+    merge instead of a full shard rescan. The naive full-recount lives
+    on as ``bpe_train_local``, the independent oracle the incremental
+    bookkeeping is tested against.
+
+    Message size: ``pair_counts`` returns the live pair table
+    (bounded by shard vocab × word length). A threshold-algorithm
+    top-C exchange would bound it further at extreme vocab; not
+    needed at current scales."""
 
     def __init__(self, words: list[str], counts: list[int]):
         self.words: dict[tuple, int] = {}
         for w, n in zip(words, counts):
             sym = tuple(w) + (END,)
             self.words[sym] = self.words.get(sym, 0) + int(n)
+        self.pc: dict[tuple, int] = {}
+        self.index: dict[tuple, set] = {}
+        for sym, n in self.words.items():
+            for p, c in _pairs_of(sym).items():
+                self.pc[p] = self.pc.get(p, 0) + c * n
+                self.index.setdefault(p, set()).add(sym)
 
     def pair_counts(self) -> dict:
-        return _pair_counts(self.words)
+        return self.pc
 
     def apply(self, a: str, b: str) -> None:
-        ab = a + b
-        nxt: dict[tuple, int] = {}
-        for sym, n in self.words.items():
-            if a in sym:                       # cheap prefilter
-                sym = _apply_merge(sym, a, b, ab)
-            nxt[sym] = nxt.get(sym, 0) + n
-        self.words = nxt
+        pair, ab = (a, b), a + b
+        for sym in list(self.index.get(pair, ())):
+            n = self.words.pop(sym, None)
+            if n is None:
+                continue
+            old_pairs = _pairs_of(sym)
+            new_sym = _apply_merge(sym, a, b, ab)
+            self.words[new_sym] = self.words.get(new_sym, 0) + n
+            new_pairs = _pairs_of(new_sym)
+            for p in set(old_pairs) | set(new_pairs):
+                delta = (new_pairs.get(p, 0) - old_pairs.get(p, 0)) * n
+                if delta:
+                    v = self.pc.get(p, 0) + delta
+                    if v > 0:
+                        self.pc[p] = v
+                    else:
+                        self.pc.pop(p, None)
+                if p in old_pairs:
+                    s = self.index.get(p)
+                    if s is not None:
+                        s.discard(sym)
+                        if not s:
+                            del self.index[p]
+                if p in new_pairs:
+                    self.index.setdefault(p, set()).add(new_sym)
 
 
 def bpe_train_local(word_freq: dict[str, int], n_merges: int,
