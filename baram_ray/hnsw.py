@@ -104,26 +104,32 @@ def _search_layer(vecs: np.ndarray, adj: np.ndarray, q: np.ndarray,
     return sorted(res, key=lambda t: (-t[0], t[1]))
 
 
-def _build_graph(vecs: np.ndarray, M: int = 16, efc: int = 128,
-                 seed: int = 7):
-    """Insert-at-a-time HNSW over normalized ``vecs``. Returns
-    (levels, [adj_level0, adj_level1, ...], entry_node)."""
-    n = len(vecs)
+def _draw_levels(n: int, M: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     mult = 1.0 / np.log(max(M, 2))
     draws = rng.uniform(low=1e-12, high=1.0, size=max(n, 1))
-    levels = np.minimum((-np.log(draws) * mult).astype(np.int64),
-                        _MAX_LEVEL)
-    if n == 0:
-        return levels[:0], [np.full((0, 2 * M), -1, np.int32)], -1
-    max_l = int(levels.max())
-    widths = [2 * M if lev == 0 else M for lev in range(max_l + 1)]
-    adj = [np.full((n, w), -1, np.int32) for w in widths]
-    deg = [np.zeros(n, np.int32) for _ in range(max_l + 1)]
-    entry, entry_l = 0, int(levels[0])
+    return np.minimum((-np.log(draws) * mult).astype(np.int64),
+                      _MAX_LEVEL)[:n]
+
+
+def _extend_graph(vecs: np.ndarray, levels: np.ndarray, adj: list,
+                  entry: int, M: int, efc: int, start: int):
+    """Continue HNSW insertion for nodes ``start``..n-1 into an
+    existing graph (levels drawn for all n; ``adj`` rows already
+    padded to n; higher levels appended lazily as drawn). Returns
+    (adj, entry)."""
+    n = len(vecs)
+    deg = [(a >= 0).sum(axis=1).astype(np.int32) for a in adj]
+    entry_l = int(levels[entry]) if entry >= 0 else -1
     scratch = np.zeros(n, dtype=bool)
-    for i in range(1, n):
+    for i in range(start, n):
         li = int(levels[i])
+        while li > len(adj) - 1:                 # new top level
+            adj.append(np.full((n, M), -1, np.int32))
+            deg.append(np.zeros(n, np.int32))
+        if entry < 0:
+            entry, entry_l = i, li
+            continue
         q = vecs[i]
         ep = [entry]
         for lev in range(entry_l, li, -1):
@@ -152,6 +158,19 @@ def _build_graph(vecs: np.ndarray, M: int = 16, efc: int = 128,
             ep = cand_ids
         if li > entry_l:
             entry, entry_l = i, li
+    return adj, entry
+
+
+def _build_graph(vecs: np.ndarray, M: int = 16, efc: int = 128,
+                 seed: int = 7):
+    """Insert-at-a-time HNSW over normalized ``vecs``. Returns
+    (levels, [adj_level0, adj_level1, ...], entry_node)."""
+    n = len(vecs)
+    levels = _draw_levels(n, M, seed)
+    if n == 0:
+        return levels, [np.full((0, 2 * M), -1, np.int32)], -1
+    adj = [np.full((n, 2 * M), -1, np.int32)]
+    adj, entry = _extend_graph(vecs, levels, adj, -1, M, efc, 0)
     return levels, adj, entry
 
 
@@ -212,6 +231,86 @@ def hnsw_build(ds, out_dir: str, *, M: int = 16,
             "ef_construction": int(ef_construction), "n": int(n),
             "metric": "cosine", "shards": shards}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def hnsw_add(index_dir: str, ds, *, seed: int = 104729) -> dict:
+    """Append new vectors to an existing sharded index (delta ingest —
+    the ANN-side counterpart of the incremental inverted-index build).
+
+    New rows hash to their shard with the SAME routing as
+    ``hnsw_build``; each touched shard loads its graph, pads the
+    adjacency for the new rows, and CONTINUES the standard insertion
+    loop over them (existing nodes keep their ids and links, gaining
+    reverse links from the new nodes under the same degree cap). A
+    shard with no prior graph builds fresh. Assumes appended vec_ids
+    are new (id-level upsert belongs to the caller); repeated
+    identical adds are deterministic via the fixed ``seed``."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    num_shards, M = int(meta["num_shards"]), int(meta["m"])
+    efc = int(meta["ef_construction"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "shard", pa.array(_shard_of(ids, num_shards), pa.int64()))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for shard, g in df.groupby("shard"):
+            new_ids = g["vec_id"].to_numpy(np.int64)
+            order = np.argsort(new_ids, kind="stable")
+            new_ids = new_ids[order]
+            new_vecs = _norm_rows(np.stack(
+                [np.asarray(v, dtype=np.float64)
+                 for v in g["embedding"].to_numpy()[order]]))
+            path = _graph_path(index_dir, int(shard))
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    ids = np.concatenate([z["ids"], new_ids])
+                    old_n = len(z["ids"])
+                    vecs = np.concatenate(
+                        [z["vecs"].astype(np.float64), new_vecs])
+                    old_levels = z["levels"].astype(np.int64)
+                    entry = int(z["entry"])
+                    adj = []
+                    lev = 0
+                    while f"adj_{lev}" in z.files:
+                        a = z[f"adj_{lev}"]
+                        pad = np.full((len(new_ids), a.shape[1]), -1,
+                                      np.int32)
+                        adj.append(np.concatenate([a, pad]))
+                        lev += 1
+            else:
+                ids, old_n, vecs = new_ids, 0, new_vecs
+                old_levels = np.zeros(0, dtype=np.int64)
+                entry, adj = -1, [np.full((len(new_ids), 2 * M), -1,
+                                          np.int32)]
+            new_levels = _draw_levels(len(new_ids), M,
+                                      seed + int(shard))
+            levels = np.concatenate([old_levels, new_levels])
+            adj, entry = _extend_graph(vecs, levels, adj, entry, M,
+                                       efc, old_n)
+            payload = {"ids": ids, "vecs": vecs.astype(np.float32),
+                       "levels": levels.astype(np.int32),
+                       "entry": np.int64(entry)}
+            for lev, a in enumerate(adj):
+                payload[f"adj_{lev}"] = a
+            np.savez_compressed(path, **payload)
+            rows.append({"shard": int(shard), "n": int(len(ids)),
+                         "max_level": int(len(adj) - 1)})
+        return pd.DataFrame(rows, columns=["shard", "n", "max_level"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    stats = grouped_map(tagged, ["shard"], add_bucket,
+                        num_buckets=num_shards).to_pandas()
+    touched = (set(int(s) for s in stats["shard"])
+               if "shard" in stats.columns else set())
+    meta["shards"] = sorted(set(meta.get("shards", [])) | touched)
+    meta["n"] = int(meta.get("n", 0)) + int(ds.count())
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
 

@@ -154,3 +154,44 @@ def test_random_corpora_properties(ray_session, tmp_path):
             sims = norm @ qn[qi]
             sims[q] = -2.0
             assert int(g.iloc[0]["vec_id"]) == int(np.argmax(sims))
+
+
+def test_incremental_add(ray_session, tmp_path):
+    """build(A) + add(B) serves A∪B with high recall; repeated
+    identical adds are deterministic; add into a fresh shard builds
+    a new graph."""
+    import pyarrow as pa
+
+    full = _emb().to_pandas()
+    a, b = full.iloc[:300], full.iloc[300:]
+
+    def as_ds(df):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy(np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in df["embedding"]],
+                pa.list_(pa.float32()))})).repartition(3)
+
+    for out, tag in [(str(tmp_path / "i1"), 1),
+                     (str(tmp_path / "i2"), 2)]:
+        hnsw.hnsw_build(as_ds(a), out, num_shards=3)
+        meta = hnsw.hnsw_add(out, as_ds(b))
+        assert meta["n"] == len(full)
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS)
+    r1 = hnsw.hnsw_search(str(tmp_path / "i1"), qv, QIDS, k=10,
+                          ef_search=64)
+    r2 = hnsw.hnsw_search(str(tmp_path / "i2"), qv, QIDS, k=10,
+                          ef_search=64)
+    assert r1.equals(r2)                        # deterministic add
+    exact = similarity.brute_force_topk(_emb(), QIDS, k=10).to_pandas()
+    assert _recall(r1, exact, QIDS, 10) >= 0.9
+    # results include ids from BOTH halves somewhere in the top-10s
+    got_ids = set(r1["vec_id"])
+    assert got_ids & set(a["vec_id"]) and got_ids & set(b["vec_id"])
+    # add into an index whose shards had no prior graph
+    out3 = str(tmp_path / "i3")
+    hnsw.hnsw_build(as_ds(a.iloc[:0]), out3, num_shards=2)
+    meta3 = hnsw.hnsw_add(out3, as_ds(b))
+    assert meta3["n"] == len(b) and len(meta3["shards"]) >= 1
+    r3 = hnsw.hnsw_search(out3, qv, QIDS, k=5, ef_search=64)
+    assert set(r3["vec_id"]) <= set(b["vec_id"])
