@@ -1082,3 +1082,65 @@ def value_hour_corr(sf_dir: str):
     out["corr_r"] = out["corr_r"].astype("float64")
     return out.sort_values("event_type", kind="stable") \
               .reset_index(drop=True)
+
+
+def running_value(sf_dir: str, num_buckets: int = 8):
+    """Global running total of event value (exact cents) in event_id
+    order — the DISTRIBUTED PREFIX SCAN: contiguous event_id ranges
+    form the buckets (range partitioning, not hash — a prefix needs
+    ordered buckets), phase 1 aggregates one partial sum per bucket
+    (driver holds B integers), phase 2 re-runs the buckets adding the
+    exclusive prefix of the earlier buckets' sums to an in-bucket
+    cumsum. Two exchanges total, O(buckets) driver state, output is
+    row-per-event. Hash-exact against the SQL window oracle
+    (sum OVER ORDER BY event_id) because every partial is an exact
+    integer."""
+    import pyarrow.parquet as _pq
+
+    from baram_ray.pipelines.util import ensure_cols
+
+    path = f"{sf_dir}/events.parquet"
+    pf = _pq.ParquetFile(path)
+    lo = min(pf.metadata.row_group(i).column(0).statistics.min
+             for i in range(pf.metadata.num_row_groups))
+    hi = max(pf.metadata.row_group(i).column(0).statistics.max
+             for i in range(pf.metadata.num_row_groups))
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": ((eid - lo) * num_buckets // span).clip(
+                0, num_buckets - 1),
+            "event_id": eid,
+            "c": np.trunc(df["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)})
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"]) \
+        .map_batches(with_bucket, batch_format="pandas")
+
+    # phase 1: one exact partial per bucket → exclusive prefix
+    parts = grouped_agg(ds, ["bucket"], {"s": ("c", "sum")},
+                        num_buckets=2).to_pandas()
+    prefix = np.zeros(num_buckets, dtype=np.int64)
+    for r in parts.itertuples():
+        prefix[int(r.bucket) + 1:] += int(r.s)
+
+    # phase 2: in-bucket ordered cumsum + the bucket's prefix base
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, g in df.groupby("bucket"):
+            g = g.sort_values("event_id", kind="stable")
+            out.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "cum_value_c": g["c"].cumsum().to_numpy(np.int64)
+                               + prefix[int(b)]}))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "cum_value_c": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    res = grouped_map(ds, ["bucket"], scan, num_buckets=num_buckets)
+    return ensure_cols(res, {"event_id": "int64",
+                             "cum_value_c": "int64"})

@@ -2020,4 +2020,16 @@ ORACLES: dict[str, str] = {
                     ELSE 0.0 END AS corr_r
         FROM s ORDER BY event_type
     """,
+    # global running value total (distributed prefix scan): exact
+    # cents cumsum in event_id order, row per event
+    "events_running_value": """
+        WITH f AS (SELECT event_id,
+                          CAST(trunc(value * 100 + 0.5) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_id,
+               CAST(sum(c) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_value_c
+        FROM f
+    """,
 }
