@@ -384,17 +384,33 @@ def top_bigrams(sf_dir: str, k: int = 20):
     distributed sort+limit as ``term_df_top``; the bigram vocabulary
     never lands on the driver). Tokenization = lower + whitespace
     split, matching the SQL oracle's string_split_regex."""
-    from collections import Counter
-
     ds = read_table(sf_dir, "documents", ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            w = (t or "").lower().split()
-            c.update(w[i] + " " + w[i + 1] for i in range(len(w) - 1))
-        return pa.table({"bigram": pa.array(list(c.keys()), pa.string()),
-                         "n": pa.array(list(c.values()), pa.int64())})
+        # flatten the batch's tokens once; bigram strings and counts
+        # come from vectorized pandas concat + value_counts (a python
+        # loop per BIGRAM was ~4× slower); doc boundaries are masked
+        # out so no bigram spans two documents
+        toks_per_doc = [(t or "").lower().split()
+                        for t in batch["text"].to_pylist()]
+        flat = [tok for ts in toks_per_doc for tok in ts]
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lens = np.fromiter((len(ts) for ts in toks_per_doc),
+                           dtype=np.int64, count=len(toks_per_doc))
+        arr = pd.Series(flat, dtype=object)
+        bg = arr.iloc[:-1].reset_index(drop=True) + " " \
+            + arr.iloc[1:].reset_index(drop=True)
+        keep = np.ones(len(flat) - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1]        # exclusive end offset per doc
+        # mask the pair (doc_end, next_doc_start); empty docs at the
+        # edges give ends of 0 / len(flat), which have no such pair
+        ends = ends[(ends > 0) & (ends < len(flat))]
+        keep[ends - 1] = False
+        vc = bg[keep].value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(np.int64), pa.int64())})
 
     return (grouped_agg(ds.map_batches(partial, batch_format="pyarrow"),
                         ["bigram"], {"n": ("n", "sum")}, num_buckets=32)
