@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stratified": trainp.doc_sample_stratified,
         "doc_split_counts": trainp.doc_split_counts,
         "doc_mix_weighted": trainp.doc_mix_weighted,
+        "doc_mix_adaptive": trainp.doc_mix_adaptive,
         "doc_pack_bins": trainp.doc_pack_bins,
         "doc_decontam": trainp.doc_decontam,
         "doc_shuffle_head": trainp.doc_shuffle_head,

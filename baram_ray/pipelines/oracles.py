@@ -2032,4 +2032,21 @@ ORACLES: dict[str, str] = {
                    AS cum_value_c
         FROM f
     """,
+    # adaptive mixture: per-source rate from exact char shares, keep
+    # by integer hash-vs-cut compare (same op order as the engine)
+    "doc_mix_adaptive": """
+        WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(chars) AS BIGINT) AS t,
+                       count(*) AS k FROM s),
+        c AS (SELECT source,
+                     CAST(floor(least(1.0, (CAST(chars AS DOUBLE) / t)
+                                           * k * 0.5)
+                                * 4294967296) AS BIGINT) AS cut
+              FROM s, tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN c ON c.source = d.source
+        WHERE ((d.doc_id % 4294967296) * 2654435761::HUGEINT)
+              % 4294967296 < cut
+    """,
 }

@@ -799,3 +799,56 @@ def doc_dsir_sample(sf_dir: str, k: int = 100):
 
     target = raw.map_batches(pick, batch_format="pyarrow")
     return dsir_sample(raw, target, k=k)
+
+
+def doc_mix_adaptive(sf_dir: str, boost: float = 0.5):
+    """ADAPTIVE training-mixture reweighting: per-source sampling rates
+    derived from the corpus itself (share of total characters), then
+    the deterministic Knuth-hash keep — the data-derived counterpart
+    of ``doc_mix_weighted``'s fixed weights (DoReMi-style domain
+    reweighting reduced to exact arithmetic). rate_s = min(1,
+    (chars_s / total) · n_sources · boost); the keep test compares the
+    32-bit key hash against floor(rate · 2^32) as INTEGERS, and every
+    float on the way derives from exact integer sums with the same
+    operation order as the SQL — hash-exact end to end. One tiny
+    per-source aggregate + one streaming filter pass."""
+    import numpy as np
+    import pandas as pd
+
+    import ray as _ray
+
+    from baram_ray.pipelines.util import broadcast, ensure_cols
+    from baram_ray.sampling import knuth_hash32
+    from baram_ray.util import grouped_agg
+
+    def chars_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).agg(
+            chars=("n_chars", "sum"))
+        g["chars"] = g["chars"].astype("int64")
+        return g
+
+    stats = grouped_agg(
+        read_table(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(chars_partial, batch_format="pandas"),
+        ["source"], {"chars": ("chars", "sum")},
+        num_buckets=2).to_pandas()          # ≤ |sources| rows
+    total = int(stats["chars"].sum())
+    k = len(stats)
+    cuts = {}
+    for r in stats.itertuples():
+        rate = min(1.0, (int(r.chars) / total) * k * boost) \
+            if total else 0.0
+        cuts[str(r.source)] = int(np.floor(rate * 4294967296.0))
+    cref = broadcast(cuts)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        cm = _ray.get(cref)
+        cut = df["source"].map(cm).fillna(0).to_numpy(np.int64)
+        h = knuth_hash32(df["doc_id"].to_numpy(np.int64)).astype(np.int64)
+        m = h < cut
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[m],
+                             "source": df["source"].to_numpy()[m]})
+
+    out = read_table(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(keep, batch_format="pandas")
+    return ensure_cols(out, {"doc_id": "int64", "source": "object"})
