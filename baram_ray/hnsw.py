@@ -373,6 +373,31 @@ def _search_shard(path: str, q_norm: np.ndarray, q_ids: np.ndarray,
                      "cosine": pa.array(out_c, pa.float64())})
 
 
+def _merge_topk(parts: list[pd.DataFrame], k: int,
+                round6: bool) -> pd.DataFrame:
+    """Merge per-shard candidate frames into ranked per-query top-k
+    (shared by the task path and the resident service)."""
+    cols = {"query_id": "int64", "rank": "int64", "vec_id": "int64",
+            "cosine": "float64"}
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    allc = pd.concat(parts, ignore_index=True)
+    out = []
+    for qid, g in allc.groupby("query_id"):
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)[list(cols)]
+    if round6:
+        res["cosine"] = res["cosine"].round(6)
+    for c in ("query_id", "rank", "vec_id"):
+        res[c] = res[c].astype("int64")
+    return res
+
+
 def hnsw_search(index_dir: str, query_vecs: np.ndarray,
                 query_ids: list[int] | None = None, k: int = 5, *,
                 ef_search: int = 64, exclude_self: bool = True,
@@ -390,21 +415,65 @@ def hnsw_search(index_dir: str, query_vecs: np.ndarray,
                                  q_ids, k, ef_search, exclude_self)
             for s in meta.get("shards", [])]
     parts = [t.to_pandas() for t in ray.get(futs)] if futs else []
-    cols = {"query_id": "int64", "rank": "int64", "vec_id": "int64",
-            "cosine": "float64"}
-    if not parts:
-        return pd.DataFrame({c: pd.Series(dtype=d)
-                             for c, d in cols.items()})
-    allc = pd.concat(parts, ignore_index=True)
-    out = []
-    for qid, g in allc.groupby("query_id"):
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True)[list(cols)]
-    if round6:
-        res["cosine"] = res["cosine"].round(6)
-    for c in ("query_id", "rank", "vec_id"):
-        res[c] = res[c].astype("int64")
-    return res
+    return _merge_topk(parts, k, round6)
+
+
+@ray.remote
+class HnswShardActor:
+    """Resident shard graph for the SERVING path (A7-parity with the
+    BM25 query actors, ``query/engine.py``): the graph loads once in
+    ``__init__`` and every search is a few matvecs — no per-call npz
+    decompress, no task-submission latency beyond the actor RPC."""
+
+    def __init__(self, path: str):
+        self.graph = _load_graph(path)
+
+    def search(self, q_norm: np.ndarray, q_ids: np.ndarray, k: int,
+               ef: int, exclude_self: bool):
+        ids, vecs, entry, adj = self.graph
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            kk = k + 1 if exclude_self else k
+            for sim, node in _search_graph(vecs, adj, entry,
+                                           q_norm[qi], kk, ef):
+                vid = int(ids[node])
+                if exclude_self and vid == int(q_ids[qi]):
+                    continue
+                out_q.append(int(q_ids[qi]))
+                out_v.append(vid)
+                out_c.append(float(sim))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+
+class HnswService:
+    """Scatter-gather ANN serving over one resident actor per shard.
+    Results are identical to the task-based ``hnsw_search`` (tested);
+    use the service when queries arrive continuously, the task path
+    for one-shot batch jobs. On a cluster the actors spread across
+    nodes and each holds only its shard's graph."""
+
+    def __init__(self, index_dir: str):
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.actors = [
+            HnswShardActor.remote(_graph_path(index_dir, s))
+            for s in self.meta.get("shards", [])]
+
+    def search(self, query_vecs: np.ndarray,
+               query_ids: list[int] | None = None, k: int = 5, *,
+               ef_search: int = 64, exclude_self: bool = True,
+               round6: bool = True) -> pd.DataFrame:
+        q = _norm_rows(np.asarray(query_vecs, dtype=np.float64))
+        q_ids = np.asarray(query_ids if query_ids is not None
+                           else range(len(q)), dtype=np.int64)
+        futs = [a.search.remote(q, q_ids, k, ef_search, exclude_self)
+                for a in self.actors]
+        parts = [t.to_pandas() for t in ray.get(futs)] if futs else []
+        return _merge_topk(parts, k, round6)
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

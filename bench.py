@@ -358,6 +358,22 @@ def run_ann_bench(n_vecs: int | None = None) -> dict:
             total += len(exact_sets[q])
         out["curve"][f"hnsw_ef_{ef}"] = {
             "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
+    # resident serving path: per-single-query latency through the
+    # actor pool (graphs stay loaded — the A7 serving shape)
+    svc = hnswmod.HnswService(hdir)
+    try:
+        svc.search(q_vecs[:1], qids[:1], k=10, ef_search=64)  # warm
+        lats = []
+        for i in range(100):
+            j = i % len(qids)
+            t0 = time.perf_counter()
+            svc.search(q_vecs[j:j + 1], [qids[j]], k=10, ef_search=64)
+            lats.append((time.perf_counter() - t0) * 1000.0)
+        lats.sort()
+        out["hnsw_serve_p50_ms"] = round(lats[len(lats) // 2], 2)
+        out["hnsw_serve_p95_ms"] = round(lats[int(len(lats) * 0.95)], 2)
+    finally:
+        svc.shutdown()
     ray.shutdown()
     return out
 

@@ -195,3 +195,20 @@ def test_incremental_add(ray_session, tmp_path):
     assert meta3["n"] == len(b) and len(meta3["shards"]) >= 1
     r3 = hnsw.hnsw_search(out3, qv, QIDS, k=5, ef_search=64)
     assert set(r3["vec_id"]) <= set(b["vec_id"])
+
+
+def test_service_matches_task_path(index, ray_session):
+    """Resident actor-pool service returns byte-identical results to
+    the task-based scatter-gather."""
+    out, _ = index
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS)
+    svc = hnsw.HnswService(out)
+    try:
+        a = svc.search(qv, QIDS, k=10, ef_search=48)
+        b = hnsw.hnsw_search(out, qv, QIDS, k=10, ef_search=48)
+        assert a.equals(b)
+        # repeated calls (warm actors) stay identical
+        assert svc.search(qv, QIDS, k=10, ef_search=48).equals(a)
+    finally:
+        svc.shutdown()
+    assert svc.actors == []
