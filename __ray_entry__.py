@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25_sharded": searchp.bm25_topk_sharded,
         "search_hybrid_topk": searchp.hybrid_topk,
         "search_hybrid_rrf": searchp.hybrid_rrf_topk,
+        "search_hybrid_hnsw": searchp.hybrid_topk_hnsw,
         "search_facets": searchp.search_facets,
         "search_facet_hist": searchp.search_facet_hist,
         "search_sorted_docs": searchp.search_sorted_docs,

@@ -854,3 +854,45 @@ def search_count(sf_dir: str, query_text: str = "data stream"):
     # the match-set size
     n = sum(c for _, _, c in eng.facets(query_text, ["lang"]))
     return pd.DataFrame({"n_hits": pd.array([n], dtype="int64")})
+
+
+def hybrid_topk_hnsw(sf_dir: str, query_text: str = "data stream query",
+                     k: int = 10, pool: int = 100):
+    """``hybrid_topk`` with the kNN side served from the sharded HNSW
+    INDEX instead of a brute-force scan — the production hybrid shape
+    (both sub-queries hit resident/persisted indexes; only two
+    pool-sized score lists meet on the driver). ef_search ≥ pool keeps
+    the graph side's top-``pool`` effectively exact, so the fused
+    ranking is expected to match ``hybrid_topk``'s (asserted in
+    tests). Rows-only driver check (BM25 core has no SQL form)."""
+    import hashlib as _hl
+
+    from baram_ray import hnsw as _hnsw
+    from baram_ray.similarity import _collect_query_vecs
+
+    idx = ensure_index(sf_dir)
+    bdf = _actor_search(idx, [{"query_id": 0, "text": query_text,
+                               "k": pool}])
+    bm25 = {int(d): float(s) for d, s in zip(bdf["doc_id"], bdf["score"])}
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    tag = _hl.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    gidx = f"/tmp/baram_ray_hnsw/emb_{tag}"
+    if not os.path.exists(os.path.join(gidx, "meta.json")):
+        _hnsw.hnsw_build(ds, gidx, num_shards=4)
+    _, qv = _collect_query_vecs(ds, [HYBRID_QUERY_VEC])
+    kdf = _hnsw.hnsw_search(gidx, qv, [HYBRID_QUERY_VEC], k=pool,
+                            ef_search=max(pool, 128), round6=False)
+    knn = {int(d): float(s) for d, s in zip(kdf["vec_id"], kdf["cosine"])}
+
+    nb, nk = _minmax(bm25), _minmax(knn)
+    merged = {d: HYBRID_W_BM25 * nb.get(d, 0.0)
+              + HYBRID_W_KNN * nk.get(d, 0.0)
+              for d in set(nb) | set(nk)}
+    rows = sorted(merged.items(), key=lambda x: (-x[1], x[0]))[:k]
+    return pd.DataFrame({
+        "rank": range(1, len(rows) + 1),
+        "doc_id": [d for d, _ in rows],
+        "score": [round(s, 6) for _, s in rows],
+    })

@@ -934,3 +934,14 @@ def test_dsir_enriches_target_distribution(ray_session):
     # weights deterministic and finite
     w = dsir_weights(raw, target, text_col="content").to_pandas()
     assert len(w) == len(t) and np.isfinite(w["weight"]).all()
+
+
+def test_hybrid_hnsw_matches_bruteforce_hybrid(ray_session):
+    """The HNSW-served hybrid ranks identically to the brute-force
+    hybrid at exhaustive ef (graph top-pool == exact top-pool on the
+    500-vector corpus)."""
+    from baram_ray.pipelines import search as searchp
+    a = searchp.hybrid_topk(SF, k=10)
+    b = searchp.hybrid_topk_hnsw(SF, k=10, pool=100)
+    assert list(b.columns) == ["rank", "doc_id", "score"]
+    pd.testing.assert_frame_equal(a, b)
