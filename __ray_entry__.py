@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": trainp.dedup_minhash,
         "dedup_simhash": trainp.dedup_simhash,
         "dedup_ngram_jaccard": trainp.dedup_ngram_jaccard,
+        "dedup_jaccard_clusters": trainp.dedup_jaccard_clusters,
         "dedup_fingerprint": trainp.dedup_fingerprint,
         # similarity search over embeddings (K2 native)
         "sim_knn_bruteforce": trainp.sim_knn_bruteforce,

@@ -2049,4 +2049,42 @@ ORACLES: dict[str, str] = {
         WHERE ((d.doc_id % 4294967296) * 2654435761::HUGEINT)
               % 4294967296 < cut
     """,
+    # connected components over the exact Jaccard duplicate graph:
+    # recursive reachability closure -> min label per component
+    # (singletons via LEFT JOIN keep their own id)
+    "dedup_jaccard_clusters": r"""
+        WITH RECURSIVE w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\s+')
+                              AS ws
+                   FROM documents WHERE trim(text) <> ''),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(ws) >= 2 THEN
+                    list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])
+                ELSE [ws[1]] END)) AS gram
+            FROM w
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        p AS (SELECT i.a, i.b
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.a
+              JOIN sz sb ON sb.doc_id = i.b
+              WHERE CAST(i.inter AS DOUBLE)
+                    / (sa.sz + sb.sz - i.inter) >= 0.5),
+        e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        reach(n, l) AS (
+            SELECT a AS n, a AS l FROM e
+            UNION
+            SELECT e.a AS n, r.l AS l
+            FROM e JOIN reach r ON r.n = e.b),
+        comp AS (SELECT n, CAST(min(l) AS BIGINT) AS cluster
+                 FROM reach GROUP BY 1)
+        SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+    """,
 }

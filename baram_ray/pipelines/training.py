@@ -852,3 +852,24 @@ def doc_mix_adaptive(sf_dir: str, boost: float = 0.5):
     out = read_table(sf_dir, "documents", ["doc_id", "source"]) \
         .map_batches(keep, batch_format="pandas")
     return ensure_cols(out, {"doc_id": "int64", "source": "object"})
+
+
+def dedup_jaccard_clusters(sf_dir: str):
+    """Connected components over the EXACT n-gram-Jaccard duplicate
+    graph: the (already SQL-oracled) PPJoin pair set feeds the
+    distributed min-label propagation (``cluster_from_pairs_ds``),
+    labelling every document with its component's minimum doc_id
+    (singletons label themselves). Because the pair set is exact, the
+    component labels are fully SQL-checkable via a RECURSIVE-CTE
+    reachability closure — a hash-exact oracle for an iterative graph
+    algorithm."""
+    from baram_ray.pipelines.util import ensure_cols
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "text", n=JACCARD_N,
+                                      threshold=JACCARD_T) \
+        .map_batches(lambda b: b.select(["a", "b"]),
+                     batch_format="pyarrow")
+    ids = read_table(sf_dir, "documents", ["doc_id"])
+    out = dedup.cluster_from_pairs_ds(pairs, ids)
+    return ensure_cols(out, {"doc_id": "int64", "cluster": "int64"})
