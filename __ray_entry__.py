@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_inter_deltas": evp.inter_event_deltas,
         "events_running_total": evp.running_daily_total,
         "events_running_value": evp.running_value,
+        "events_value_ntile": evp.value_ntile,
         # full-text core (non-SQL: checked rows-only here, rank-identity
         # vs the brute-force oracle in tests/test_index_e2e.py)
         "search_bm25_topk": searchp.bm25_topk,

@@ -1144,3 +1144,69 @@ def running_value(sf_dir: str, num_buckets: int = 8):
     res = grouped_map(ds, ["bucket"], scan, num_buckets=num_buckets)
     return ensure_cols(res, {"event_id": "int64",
                              "cum_value_c": "int64"})
+
+
+def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
+    """Global NTILE(``tiles``) of events by (value cents, event_id) —
+    DISTRIBUTED RANKING: value-range buckets (equal-width splits keep
+    every tie group in one bucket; a production run would sample
+    quantile splits for balance — correctness is split-independent),
+    phase 1 counts rows per bucket (driver holds B integers → exact
+    global offsets), phase 2 ranks locally and applies SQL's exact
+    NTILE rule (first n%tiles buckets get one extra row). Row-per-event
+    output, hash-exact against the window oracle."""
+    from baram_ray.pipelines.util import ensure_cols
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "c": np.trunc(df["value"].to_numpy() * 100.0
+                          + 0.5).astype(np.int64)})
+
+    ds = read_table(sf_dir, "events", ["event_id", "value"]) \
+        .map_batches(cents, batch_format="pandas")
+
+    # equal-width splits over the exact [min, max] cent range
+    from ray.data.aggregate import Max as _Max, Min as _Min
+    mm = ds.aggregate(_Min("c", alias_name="lo"),
+                      _Max("c", alias_name="hi"))
+    lo, hi = int(mm["lo"] or 0), int(mm["hi"] or 0)
+    splits = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = np.searchsorted(
+            splits, df["c"].to_numpy(np.int64), side="right")
+        return df
+
+    tagged = ds.map_batches(with_bucket, batch_format="pandas")
+    counts = grouped_agg(tagged, ["bucket"], {"n": (None, "count")},
+                         num_buckets=2).to_pandas()
+    offs = np.zeros(num_buckets, dtype=np.int64)
+    total = 0
+    for r in counts.sort_values("bucket").itertuples():
+        offs[int(r.bucket)] = total
+        total += int(r.n)
+    # SQL NTILE: first (total % tiles) tiles hold base+1 rows
+    base, extra = divmod(total, tiles) if total else (0, 0)
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for b, g in df.groupby("bucket"):
+            g = g.sort_values(["c", "event_id"], kind="stable")
+            rank = np.arange(len(g), dtype=np.int64) + offs[int(b)]
+            cut = extra * (base + 1)
+            nt = np.where(rank < cut,
+                          rank // max(base + 1, 1),
+                          extra + (rank - cut) // max(base, 1))
+            out.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "tile": nt.astype(np.int64) + 1}))
+        if not out:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "tile": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    res = grouped_map(tagged, ["bucket"], rank_bucket,
+                      num_buckets=num_buckets)
+    return ensure_cols(res, {"event_id": "int64", "tile": "int64"})

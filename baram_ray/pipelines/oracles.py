@@ -2087,4 +2087,14 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
     """,
+    # global NTILE(4) by (value cents, event_id) — distributed ranking
+    "events_value_ntile": """
+        WITH f AS (SELECT event_id,
+                          CAST(trunc(value * 100 + 0.5) AS BIGINT) AS c
+                   FROM events)
+        SELECT event_id,
+               CAST(ntile(4) OVER (ORDER BY c, event_id) AS BIGINT)
+                   AS tile
+        FROM f
+    """,
 }
