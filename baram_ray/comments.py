@@ -91,7 +91,14 @@ def build_comment_tree(comments: list[dict]) -> list[dict]:
     like Rust's sort_by)."""
     top: list[dict] = []
     replies_map: dict[str, list[dict]] = {}
+    seen_ids: set = set()
     for c in comments:
+        # paged feeds overlap: the same comment_no can arrive twice —
+        # first occurrence wins (fuzz-found; duplicates would appear
+        # as repeated tree nodes)
+        if c["id"] in seen_ids:
+            continue
+        seen_ids.add(c["id"])
         c = dict(c)
         c.setdefault("replies", [])
         if c.get("parent_id"):
