@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_kmv": evp.distinct_kmv,
         "events_user_freq_cms": evp.user_freq_cms,
         "events_daily_click_purchase": evp.daily_click_purchase,
+        "events_daily_pivot": evp.daily_pivot,
+        "events_user_seq": evp.user_event_seq,
         "events_hopping_counts": evp.hopping_counts,
         "events_comments_stats": evp.comments_stats,
         # TPC-H-ish (scan/filter/derive/groupby/broadcast-join/top-k)

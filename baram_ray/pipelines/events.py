@@ -1210,3 +1210,51 @@ def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
     res = grouped_map(tagged, ["bucket"], rank_bucket,
                       num_buckets=num_buckets)
     return ensure_cols(res, {"event_id": "int64", "tile": "int64"})
+
+
+def daily_pivot(sf_dir: str):
+    """PIVOT/crosstab: one row per day, one count column per event
+    type — the wide-format reshape of ``daily_counts``. The (day,
+    type) aggregate is day×type-bounded, so the reshape itself is a
+    driver-side unstack of a tiny frame; the corpus-sized work is the
+    same combiner→exchange as the long format. Hash-exact against the
+    FILTER-aggregation oracle (types are the five fixed values)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    base = _daily(sf_dir).to_pandas()      # days × types rows
+    cols = {"day": "datetime64[us]"}
+    cols.update({f"n_{t}": "int64" for t in types})
+    if not len(base):
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    wide = base.pivot_table(index="day", columns="event_type",
+                            values="n", aggfunc="sum",
+                            fill_value=0).reset_index()
+    out = pd.DataFrame({"day": wide["day"].astype("datetime64[us]")})
+    for t in types:
+        if t in wide.columns:
+            out[f"n_{t}"] = wide[t].astype("int64")
+        else:
+            out[f"n_{t}"] = np.zeros(len(wide), dtype=np.int64)
+    return out.sort_values("day", kind="stable").reset_index(drop=True)
+
+
+def user_event_seq(sf_dir: str, max_users: int | None = None):
+    """Grouped string aggregation (LISTAGG/string_agg): per user, the
+    comma-joined sequence of event types in (ts, event_id) order — the
+    session-trace collect shape. One user-keyed exchange; each group's
+    concat happens in-bucket (bounded by the user's event count).
+    Hash-exact against string_agg ORDER BY."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = d.groupby("user_id", sort=False)["event_type"] \
+             .agg(",".join).reset_index()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "seq": g["event_type"].astype(object)})
+
+    ds = read_table(sf_dir, "events", ["user_id", "ts", "event_id",
+                                       "event_type"])
+    out = grouped_map(ds, ["user_id"], bucket, num_buckets=8)
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(out, {"user_id": "int64", "seq": "object"})

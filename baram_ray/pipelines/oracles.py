@@ -2097,4 +2097,26 @@ ORACLES: dict[str, str] = {
                    AS tile
         FROM f
     """,
+    # PIVOT: one row per day, one count column per event type
+    "events_daily_pivot": """
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'click')
+                    AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup')
+                    AS BIGINT) AS n_signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """,
+    # grouped string aggregation: per-user ordered event-type trace
+    "events_user_seq": """
+        SELECT user_id,
+               string_agg(event_type, ','
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY 1
+    """,
 }
