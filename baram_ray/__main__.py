@@ -201,6 +201,47 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_ann_build(args) -> int:
+    """Build (or append to) the sharded HNSW ANN index from a parquet
+    embeddings table (columns: vec_id, embedding)."""
+    _ray_up(args.num_cpus)
+    import ray
+
+    from baram_ray import hnsw
+    ds = ray.data.read_parquet(args.input,
+                               columns=["vec_id", "embedding"])
+    if args.append:
+        meta = hnsw.hnsw_add(args.out, ds)
+    else:
+        meta = hnsw.hnsw_build(ds, args.out, M=args.m,
+                               ef_construction=args.ef_construction,
+                               num_shards=args.num_shards)
+    print(json.dumps(meta))
+    return 0
+
+
+def cmd_ann_search(args) -> int:
+    """Top-k over an HNSW index for query vec_ids drawn from the same
+    embeddings table (scatter-gather across shard graphs)."""
+    _ray_up(args.num_cpus)
+    import ray
+
+    from baram_ray import hnsw
+    from baram_ray.similarity import _collect_query_vecs
+    ds = ray.data.read_parquet(args.input,
+                               columns=["vec_id", "embedding"])
+    qids = [int(x) for x in args.query_ids.split(",")]
+    _, qv = _collect_query_vecs(ds, qids)
+    res = hnsw.hnsw_search(args.index, qv, qids, k=args.k,
+                           ef_search=args.ef)
+    for row in res.itertuples(index=False):
+        print(json.dumps({"query_id": int(row.query_id),
+                          "rank": int(row.rank),
+                          "vec_id": int(row.vec_id),
+                          "cosine": float(row.cosine)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     from baram_ray.i18n import init_from_env
     init_from_env()                     # BARAM_LANG (reference i18n)
@@ -298,6 +339,27 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--categories-per-slot", type=int, default=2)
     sc.add_argument("--json", action="store_true")
     sc.set_defaults(fn=cmd_schedule)
+
+    ab = sub.add_parser("ann-build", help="build/append the sharded "
+                        "HNSW ANN index over an embeddings parquet")
+    ab.add_argument("--input", required=True)
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--m", type=int, default=16)
+    ab.add_argument("--ef-construction", type=int, default=128)
+    ab.add_argument("--num-shards", type=int, default=None)
+    ab.add_argument("--append", action="store_true",
+                    help="add vectors to an existing index")
+    ab.set_defaults(fn=cmd_ann_build)
+
+    asrch = sub.add_parser("ann-search", help="HNSW top-k for query "
+                           "vec_ids from the embeddings table")
+    asrch.add_argument("--index", required=True)
+    asrch.add_argument("--input", required=True)
+    asrch.add_argument("--query-ids", required=True,
+                       metavar="ID[,ID...]")
+    asrch.add_argument("-k", type=int, default=10)
+    asrch.add_argument("--ef", type=int, default=64)
+    asrch.set_defaults(fn=cmd_ann_search)
 
     args = p.parse_args(argv)
     rc = args.fn(args)
