@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_semdedup": trainp.sim_semdedup,
         "doc_dsir_sample": trainp.doc_dsir_sample,
         "doc_bpe_merges": trainp.doc_bpe_merges,
+        "doc_bpe_token_count": trainp.doc_bpe_token_count,
         # M3 format-dispatch parse chain
         "doc_parse_dispatch": trainp.doc_parse_dispatch,
         "doc_sample_hash": trainp.doc_sample_hash,

@@ -238,3 +238,41 @@ def bpe_encode(text: str, merges: list[tuple[str, str]]) -> list[str]:
             sym[i:i + 2] = [sym[i] + sym[i + 1]]
         out.extend(sym)
     return out
+
+
+class BpeEncodeStage:
+    """Actor-pool stage applying a TRAINED merge list to documents
+    (map_batches callable-class shape: ranks table built once per
+    actor in ``__init__``, per-word memo cache across batches — word
+    frequency follows Zipf, so the cache hit rate approaches 1)."""
+
+    def __init__(self, merges: list[tuple[str, str]], col: str = "text"):
+        self.ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+        self.col = col
+        self._memo: dict[str, int] = {}
+
+    def _word_tokens(self, w: str) -> int:
+        hit = self._memo.get(w)
+        if hit is not None:
+            return hit
+        sym = list(tuple(w) + (END,))
+        while len(sym) > 1:
+            cand = [(r, i) for i in range(len(sym) - 1)
+                    if (r := self.ranks.get((sym[i], sym[i + 1])))
+                    is not None]
+            if not cand:
+                break
+            _, i = min(cand)
+            sym[i:i + 2] = [sym[i] + sym[i + 1]]
+        n = len(sym)
+        if len(self._memo) < 1_000_000:      # bound actor memory
+            self._memo[w] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = [sum(self._word_tokens(w)
+                      for w in str(t or "").lower().split())
+                  for t in df[self.col]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_bpe_tokens": np.asarray(counts, dtype=np.int64)})

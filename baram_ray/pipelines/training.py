@@ -873,3 +873,23 @@ def dedup_jaccard_clusters(sf_dir: str):
     ids = read_table(sf_dir, "documents", ["doc_id"])
     out = dedup.cluster_from_pairs_ds(pairs, ids)
     return ensure_cols(out, {"doc_id": "int64", "cluster": "int64"})
+
+
+def doc_bpe_token_count(sf_dir: str, n_merges: int = 48):
+    """APPLY the trained BPE tokenizer corpus-wide: train merges (the
+    same actor-sharded loop as ``doc_bpe_merges``), then count BPE
+    tokens per document through an actor-pool encode stage (ranks
+    table built once per actor, per-word memo — Zipfian reuse makes
+    the cache hit rate approach 1). Rows-only driver check; encode
+    semantics verified against the pure ``bpe_encode`` in tests."""
+    from baram_ray.bpe import BpeEncodeStage, bpe_train
+    from baram_ray.pipelines.util import ensure_cols
+
+    ds = read_table(sf_dir, "documents", ["text"])
+    merges_df = bpe_train(ds, n_merges=n_merges, min_freq=2,
+                          num_shards=4)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    out = docs.map_batches(BpeEncodeStage, fn_constructor_args=(merges,),
+                           batch_format="pandas", concurrency=2)
+    return ensure_cols(out, {"doc_id": "int64", "n_bpe_tokens": "int64"})

@@ -78,3 +78,26 @@ def test_encode_applies_merges_in_order():
 def test_encode_empty_and_case():
     assert bpe.bpe_encode("", []) == []
     assert bpe.bpe_encode("ABC", []) == bpe.bpe_encode("abc", [])
+
+
+def test_encode_stage_matches_pure_encode(ray_session):
+    """BpeEncodeStage token counts == len(bpe_encode(text)) per doc."""
+    df = _corpus()
+    df["doc_id"] = np.arange(len(df), dtype=np.int64)
+    ds = ray.data.from_pandas(df).repartition(2)
+    merges_df = bpe.bpe_train(ds, n_merges=20, num_shards=2)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    got = ds.map_batches(bpe.BpeEncodeStage,
+                         fn_constructor_args=(merges,),
+                         batch_format="pandas",
+                         concurrency=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = [len(bpe.bpe_encode(t, merges)) for t in df["text"]]
+    assert got["n_bpe_tokens"].tolist() == want
+
+
+def test_encode_stage_memo_bounded():
+    st = bpe.BpeEncodeStage([("l", "o")])
+    import pandas as pd
+    st(pd.DataFrame({"doc_id": [1], "text": ["lo lo lo xyz"]}))
+    assert st._memo == {"lo": 2, "xyz": 4}
