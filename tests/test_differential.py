@@ -105,3 +105,88 @@ def test_differential_documents(seed, ray_session, tmp_path):
                 f"SELECT * FROM '{d}/documents.parquet'")
     for name in DOC_QUERIES:
         _compare(name, str(d), con)
+
+
+TPCH_QUERIES = ["tpch_q1", "tpch_q2", "tpch_q11", "tpch_q13",
+                "tpch_q16", "tpch_q21", "tpch_q22",
+                "tpch_orders_by_status", "tpch_revenue_by_nation",
+                "tpch_cube_status_priority"]
+
+TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem"]
+
+
+def _rand_tpch(rng: np.random.RandomState) -> dict:
+    n_cust, n_ord, n_li = (int(rng.randint(20, 80)),
+                           int(rng.randint(50, 250)),
+                           int(rng.randint(150, 700)))
+    region = pd.DataFrame({
+        "r_regionkey": np.arange(3, dtype=np.int64),
+        "r_name": [f"R{c}" for c in "ABC"]})
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(6, dtype=np.int64),
+        "n_name": [f"N{i}" for i in range(6)],
+        "n_regionkey": rng.randint(0, 3, 6).astype(np.int64)})
+    customer = pd.DataFrame({
+        "c_custkey": (np.arange(n_cust, dtype=np.int64) * 7 + 1),
+        "c_name": [f"c{i}" for i in range(n_cust)],
+        "c_nationkey": rng.randint(0, 6, n_cust).astype(np.int64),
+        "c_acctbal": np.round(rng.randn(n_cust) * 3000, 2),
+        "c_mktsegment": rng.choice(["BUILDING", "AUTO"], n_cust)})
+    supplier = pd.DataFrame({
+        "s_suppkey": np.arange(10, dtype=np.int64) * 3 + 2,
+        "s_name": [f"s{i:02d}" for i in range(10)],
+        "s_nationkey": rng.randint(0, 6, 10).astype(np.int64),
+        "s_acctbal": np.round(rng.randn(10) * 2000, 2)})
+    n_part = int(rng.randint(15, 60))
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64) * 2 + 1,
+        "p_name": [f"{rng.choice(['small', 'red', 'big'])} "
+                   f"{rng.choice(['bolt', 'gear'])}"
+                   for _ in range(n_part)],
+        "p_brand": rng.choice(["B1", "B2", "B3"], n_part),
+        "p_type": rng.choice(["ECONOMY", "LARGE"], n_part),
+        "p_size": rng.randint(1, 51, n_part).astype(np.int64),
+        "p_retailprice": np.round(rng.rand(n_part) * 1000 + 900, 2)})
+    day = np.timedelta64(86400, "s")
+    o_dates = (np.datetime64("1995-01-01")
+               + rng.randint(0, 2400, n_ord) * day)
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64) * 4 + 3,
+        "o_custkey": rng.choice(customer["c_custkey"], n_ord),
+        "o_orderstatus": rng.choice(["F", "O", "P"], n_ord),
+        "o_totalprice": np.round(rng.rand(n_ord) * 300000, 2),
+        "o_orderdate": pd.to_datetime(o_dates),
+        "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"], n_ord)})
+    l_dates = (np.datetime64("1995-01-01")
+               + rng.randint(0, 2500, n_li) * day)
+    lineitem = pd.DataFrame({
+        "l_orderkey": rng.choice(orders["o_orderkey"], n_li),
+        "l_partkey": rng.choice(part["p_partkey"], n_li),
+        "l_suppkey": rng.choice(supplier["s_suppkey"], n_li),
+        "l_linenumber": rng.randint(1, 8, n_li).astype(np.int64),
+        "l_quantity": rng.randint(1, 51, n_li).astype(np.float64),
+        "l_extendedprice": np.round(rng.rand(n_li) * 90000 + 900, 2),
+        "l_discount": np.round(rng.randint(0, 11, n_li) / 100.0, 2),
+        "l_tax": np.round(rng.randint(0, 9, n_li) / 100.0, 2),
+        "l_returnflag": rng.choice(["A", "N", "R"], n_li),
+        "l_linestatus": rng.choice(["F", "O"], n_li),
+        "l_shipdate": pd.to_datetime(l_dates)})
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem}
+
+
+@pytest.mark.parametrize("seed", [3, 31])
+def test_differential_tpch(seed, ray_session, tmp_path):
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"sf_tpch_{seed}"
+    os.makedirs(d)
+    tables = _rand_tpch(rng)
+    con = duckdb.connect()
+    for name, df in tables.items():
+        df.to_parquet(d / f"{name}.parquet", index=False)
+        con.execute(f"CREATE VIEW {name} AS "
+                    f"SELECT * FROM '{d}/{name}.parquet'")
+    for name in TPCH_QUERIES:
+        _compare(name, str(d), con)
