@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_topk": evp.user_topk,
         "events_sessions": evp.sessionize,
         "events_session_stats": evp.session_stats,
+        "events_session_error_overlap": evp.session_error_overlap,
         "events_funnel": evp.funnel,
         "events_retention": evp.retention,
         "events_user_lifetime": evp.user_lifetime,

@@ -1258,3 +1258,105 @@ def user_event_seq(sf_dir: str, max_users: int | None = None):
     out = grouped_map(ds, ["user_id"], bucket, num_buckets=8)
     from baram_ray.pipelines.util import ensure_cols
     return ensure_cols(out, {"user_id": "int64", "seq": "object"})
+
+
+def session_error_overlap(sf_dir: str, pad_minutes: int = 30,
+                          bin_hours: int = 1, num_buckets: int = 8):
+    """INTERVAL-OVERLAP join: for every session, the number of error
+    windows (error ts ± ``pad_minutes``) it overlaps — the binned
+    interval-join shape Ray Data lacks natively. Both interval sides
+    replicate to the fixed time bins they span (replication factor =
+    span/bin + 1); overlapping pairs are found in-bin and counted ONLY
+    in the bin containing the overlap start (max(session_start, lo)),
+    so a pair spanning several bins counts once; each session also
+    emits one zero partial in its start bin, keeping zero-overlap
+    sessions in the result (left-outer semantics). One bin-keyed
+    exchange + one session-keyed aggregate. Hash-exact against the
+    LEFT JOIN range-predicate oracle."""
+    from baram_ray.pipelines.util import ensure_cols
+
+    sess = sessionize(sf_dir)          # (user_id, start, end, n_events)
+    binw = np.int64(bin_hours * 3_600_000_000)          # µs
+    pad = np.int64(pad_minutes * 60_000_000)
+
+    def sess_bins(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        s = df["session_start"].to_numpy("datetime64[us]").astype(np.int64)
+        e = df["session_end"].to_numpy("datetime64[us]").astype(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        for i in range(len(df)):
+            b0, b1 = s[i] // binw, e[i] // binw
+            for b in range(int(b0), int(b1) + 1):
+                out.append((int(b), int(u[i]), int(s[i]), int(e[i]),
+                            b == b0))
+        return pd.DataFrame(out, columns=["bin", "user_id", "s", "e",
+                                          "is_first"]) \
+            if out else pd.DataFrame({
+                "bin": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "e": pd.Series(dtype="int64"),
+                "is_first": pd.Series(dtype="bool")})
+
+    def err_bins(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[df["event_type"] == "error"]
+        t = d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        lo, hi = t - pad, t + pad
+        out = []
+        for i in range(len(d)):
+            for b in range(int(lo[i] // binw), int(hi[i] // binw) + 1):
+                out.append((int(b), int(lo[i]), int(hi[i])))
+        return pd.DataFrame(out, columns=["bin", "lo", "hi"]) \
+            if out else pd.DataFrame({
+                "bin": pd.Series(dtype="int64"),
+                "lo": pd.Series(dtype="int64"),
+                "hi": pd.Series(dtype="int64")})
+
+    left = sess.map_batches(sess_bins, batch_format="pandas")
+    right = read_table(sf_dir, "events", ["event_type", "ts"]) \
+        .map_batches(err_bins, batch_format="pandas")
+
+    from baram_ray.util import cogroup
+
+    def bucket(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if len(ldf):
+            lo = rdf["lo"].to_numpy(np.int64)
+            hi = rdf["hi"].to_numpy(np.int64)
+            rbin = rdf["bin"].to_numpy(np.int64) if len(rdf) else lo
+            for r in ldf.itertuples(index=False):
+                if len(rdf):
+                    # a hash bucket holds several bins: pair each
+                    # session replica only with THIS bin's window
+                    # replicas, else multi-bin windows count twice
+                    m = (rbin == r.bin) & (r.s <= hi) & (r.e >= lo)
+                    # count only pairs whose overlap START is in this bin
+                    ostart = np.maximum(np.int64(r.s), lo[m])
+                    n = int((ostart // binw == r.bin).sum())
+                else:
+                    n = 0
+                if n or r.is_first:
+                    rows.append((r.user_id, r.s, r.e, n))
+        return pd.DataFrame(rows, columns=["user_id", "s", "e", "n"]) \
+            if rows else pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "s": pd.Series(dtype="int64"),
+                "e": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")})
+
+    part = cogroup(left, right, ["bin"], bucket, num_buckets=num_buckets)
+    agg = grouped_agg(part, ["user_id", "s", "e"], {"n": ("n", "sum")},
+                      num_buckets=4)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "session_start": df["s"].astype("datetime64[us]"),
+            "session_end": df["e"].astype("datetime64[us]"),
+            "n_error_windows": df["n"].astype("int64")})
+
+    return ensure_cols(agg.map_batches(finish, batch_format="pandas"),
+                       {"user_id": "int64",
+                        "session_start": "datetime64[us]",
+                        "session_end": "datetime64[us]",
+                        "n_error_windows": "int64"})

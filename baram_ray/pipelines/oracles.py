@@ -2119,4 +2119,33 @@ ORACLES: dict[str, str] = {
                           ORDER BY ts, event_id) AS seq
         FROM events GROUP BY 1
     """,
+    # interval-overlap join: per session, error windows (ts ± 30 min)
+    # it overlaps; LEFT JOIN keeps zero-overlap sessions
+    "events_session_error_overlap": """
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s0 AS (SELECT user_id, ts,
+                      sum(brk) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o),
+        s AS (SELECT user_id, min(ts) AS session_start,
+                     max(ts) AS session_end
+              FROM s0 GROUP BY user_id, sid),
+        e AS (SELECT ts - INTERVAL 30 MINUTE AS lo,
+                     ts + INTERVAL 30 MINUTE AS hi
+              FROM events WHERE event_type = 'error')
+        SELECT s.user_id, s.session_start, s.session_end,
+               CAST(count(e.lo) AS BIGINT) AS n_error_windows
+        FROM s LEFT JOIN e
+          ON s.session_start <= e.hi AND s.session_end >= e.lo
+        GROUP BY 1, 2, 3
+    """,
 }

@@ -20,7 +20,7 @@ SQL = contract.oracle_sql()
 EVENT_QUERIES = ["events_running_value", "events_value_ntile",
                  "events_user_seq", "events_value_hour_corr",
                  "events_daily_pivot", "events_daily_click_purchase",
-                 "events_user_freq_cms"]
+                 "events_user_freq_cms", "events_session_error_overlap"]
 DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dedup_jaccard_clusters"]
 
