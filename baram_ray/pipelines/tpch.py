@@ -1470,9 +1470,15 @@ def q20_part_promotion(sf_dir: str, prefix: str = "small",
                              for c, d in cols.items()})
     keys = np.unique(dom["s_suppkey"].to_numpy(np.int64))
     keys = [int(k) for k in keys if int(k) in sname]
+    if not keys:
+        # dominant suppliers exist but none in the region: keep the
+        # declared dtypes (an empty python-list column decays to
+        # float64 — differential-fuzz find)
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
     out = pd.DataFrame({
         "s_suppkey": pd.array(keys, dtype="int64"),
-        "s_name": [sname[k] for k in keys]})
+        "s_name": pd.array([sname[k] for k in keys], dtype=object)})
     return out.sort_values(["s_name", "s_suppkey"], kind="stable") \
               .reset_index(drop=True)
 

@@ -107,10 +107,15 @@ def test_differential_documents(seed, ray_session, tmp_path):
         _compare(name, str(d), con)
 
 
-TPCH_QUERIES = ["tpch_q1", "tpch_q2", "tpch_q11", "tpch_q13",
-                "tpch_q16", "tpch_q21", "tpch_q22",
+TPCH_QUERIES = ["tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
+                "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+                "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+                "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+                "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
                 "tpch_orders_by_status", "tpch_revenue_by_nation",
-                "tpch_cube_status_priority"]
+                "tpch_top_parts", "tpch_supplier_by_nation",
+                "tpch_orders_top", "tpch_part_brand_stats",
+                "tpch_revenue_rollup", "tpch_cube_status_priority"]
 
 TPCH_TABLES = ["region", "nation", "customer", "supplier", "part",
                "orders", "lineitem"]
