@@ -527,6 +527,14 @@ def source_failure_runs(ds, min_len: int = 1, *,
     from baram_ray.util import grouped_map
     out = grouped_map(ds, [source_col], bucket,
                       num_buckets=num_buckets).to_pandas()
+    if "source" not in out.columns:
+        # all buckets empty: Ray drops columns on an all-empty
+        # to_pandas — restore the declared schema (fuzz-found: a
+        # corpus with no qualifying run crashed the sort below)
+        return pd.DataFrame({
+            "source": pd.Series(dtype="int64"),
+            "run_start_s": pd.Series(dtype="int64"),
+            "run_len": pd.Series(dtype="int64")})
     return (out.sort_values(["source", "run_start_s"])
                .reset_index(drop=True))
 

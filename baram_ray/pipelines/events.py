@@ -530,17 +530,23 @@ def retention(sf_dir: str):
 
 def value_stats(sf_dir: str):
     """Per-type moments via MERGEABLE partials (the combiner shape a
-    100-TB aggregate needs): each batch emits (n, Σv, Σv²) per type,
-    the tiny groupby sums them, and mean / var_pop / stddev_pop derive
-    from the exact sums — matching the SQL definitions. round-6
-    absorbs double-sum order."""
+    100-TB aggregate needs): each batch emits (n, Σx, Σx²) per type
+    over MILLI-QUANTIZED values (x = trunc(v·1000 + 0.5) — exact
+    integers, so the sums are order-independent), the tiny groupby
+    sums them, and mean / var_pop derive from the exact sums with the
+    SAME operation order as the SQL — bit-exact with NO rounding.
+    (The earlier float-Σv version rounded to 6, which differential
+    fuzzing caught straddling a rounding boundary when the two
+    engines' summation orders differed by one ulp.)"""
     ds = read_table(sf_dir, "events", ["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(np.float64)
-        g = df.assign(v=v, v2=v * v).groupby("event_type",
+        x = np.trunc(df["value"].to_numpy(np.float64) * 1000.0
+                     + 0.5).astype(np.int64)
+        g = df.assign(x=x, x2=x * x).groupby("event_type",
                                              as_index=False) \
-              .agg(n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+              .agg(n=("x", "size"), s=("x", "sum"), s2=("x2", "sum"))
+        g["n"] = g["n"].astype("int64")
         return g
 
     parts = ds.map_batches(partial, batch_format="pandas")
@@ -552,13 +558,12 @@ def value_stats(sf_dir: str):
         n = df["n"].to_numpy(np.float64)
         s = df["s"].to_numpy(np.float64)
         s2 = df["s2"].to_numpy(np.float64)
-        mean = s / n
-        var = s2 / n - mean * mean
+        mean_x = s / n
         return pd.DataFrame({
             "event_type": df["event_type"],
             "n": df["n"].astype("int64"),
-            "mean": np.round(mean, 6),
-            "var_pop": np.round(var, 6),
+            "mean": mean_x / 1000.0,
+            "var_pop": (s2 / n - mean_x * mean_x) / 1000000.0,
         })
 
     return tot.map_batches(finish, batch_format="pandas")

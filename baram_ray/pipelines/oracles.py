@@ -1443,12 +1443,19 @@ ORACLES: dict[str, str] = {
     # the engine's mergeable partials produce (NOT var_pop(), whose
     # two-pass form differs in fp); round-6 absorbs sum order
     "events_value_stats": """
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               round(sum(value) / count(*), 6) AS mean,
-               round(sum(value * value) / count(*)
-                     - (sum(value) / count(*))
-                       * (sum(value) / count(*)), 6) AS var_pop
-        FROM events GROUP BY event_type
+        WITH f AS (SELECT event_type,
+                          CAST(trunc(value * 1000 + 0.5) AS BIGINT) AS x
+                   FROM events),
+        s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS s,
+                     CAST(sum(CAST(x AS HUGEINT) * x) AS BIGINT) AS s2
+              FROM f GROUP BY 1)
+        SELECT event_type, n,
+               (CAST(s AS DOUBLE) / n) / 1000.0 AS mean,
+               (CAST(s2 AS DOUBLE) / n
+                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+               / 1000000.0 AS var_pop
+        FROM s
     """,
     # weekly cohort retention: epoch-aligned 7-day buckets
     "events_retention": """

@@ -20,7 +20,22 @@ SQL = contract.oracle_sql()
 EVENT_QUERIES = ["events_running_value", "events_value_ntile",
                  "events_user_seq", "events_value_hour_corr",
                  "events_daily_pivot", "events_daily_click_purchase",
-                 "events_user_freq_cms", "events_session_error_overlap"]
+                 "events_user_freq_cms", "events_session_error_overlap",
+                 # broader analytics family on the same random table
+                 "events_type_agg", "events_daily_counts",
+                 "events_sma7", "events_spikes", "events_pct_change",
+                 "events_sessions", "events_session_stats",
+                 "events_asof_click", "events_range_clicks",
+                 "events_value_median", "events_value_stats",
+                 "events_alerts", "events_source_failures",
+                 "events_value_outliers_mad", "events_user_gini",
+                 "events_user_topk", "events_topn_per_user",
+                 "events_inter_deltas", "events_running_total",
+                 "events_hopping_counts", "events_dau_wau",
+                 "events_heatmap", "events_transitions",
+                 "events_user_lifetime", "events_funnel",
+                 "events_retention", "events_distinct_kmv",
+                 "events_velocity", "events_minmax"]
 DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dedup_jaccard_clusters"]
 
@@ -29,7 +44,8 @@ def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
     ids = rng.permutation(np.arange(n, dtype=np.int64) * 3 + 7)
     ts = (pd.Timestamp("2000-01-01").value // 1000
           + rng.randint(0, 90 * 86400 * 10**6, size=n))
-    types = rng.choice(["click", "purchase", "error"], size=n)
+    types = rng.choice(["click", "purchase", "error", "view",
+                        "signup"], size=n)
     return pd.DataFrame({
         "event_id": ids,
         "ts": pd.to_datetime(np.sort(ts) if rng.rand() < 0.5 else ts,
