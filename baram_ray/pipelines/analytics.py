@@ -279,11 +279,23 @@ NER_PATTERNS: dict[str, tuple[str, float]] = {
 _NER_COMPILED = {k: (re.compile(p), c) for k, (p, c) in NER_PATTERNS.items()}
 
 
+NER_SCHEMA = {"doc_id": "int64", "entity_type": "object",
+              "entity": "object", "n_mentions": "int64",
+              "confidence": "float64", "verified": "bool"}
+
+
 def text_ner(sf_dir: str):
     """(doc_id, entity_type, entity, n_mentions, confidence, verified) —
     verified re-checks the extracted string appears in the source text
     (the hallucination verifier M11, trivially true for regex extraction
-    but the stage contract mirrors src/ontology/extractor.rs:258-603)."""
+    but the stage contract mirrors src/ontology/extractor.rs:258-603).
+    Schema survives an entity-free corpus (differential-fuzz find:
+    Ray drops columns on an all-empty to_pandas)."""
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(_ner_ds(sf_dir), NER_SCHEMA)
+
+
+def _ner_ds(sf_dir: str):
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def extract(batch: pa.Table) -> pa.Table:
@@ -379,7 +391,7 @@ def text_entity_link(sf_dir: str):
     (canonical, entity_type): n_docs, n_mentions. The gazetteer covers
     every NER pattern, so the exact path is SQL-checkable; the fuzzy
     fallback is unit-tested."""
-    ents = text_ner(sf_dir)
+    ents = _ner_ds(sf_dir)
     linked = link_entities(ents)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -390,10 +402,15 @@ def text_entity_link(sf_dir: str):
         return g
 
     from ray.data.aggregate import Sum
-    return (linked.map_batches(partial, batch_format="pandas")
-                  .groupby(["canonical", "entity_type"])
-                  .aggregate(Sum("n_docs", alias_name="n_docs"),
-                             Sum("n_mentions", alias_name="n_mentions")))
+
+    from baram_ray.pipelines.util import ensure_cols
+    out = (linked.map_batches(partial, batch_format="pandas")
+                 .groupby(["canonical", "entity_type"])
+                 .aggregate(Sum("n_docs", alias_name="n_docs"),
+                            Sum("n_mentions", alias_name="n_mentions")))
+    return ensure_cols(out, {"canonical": "object",
+                             "entity_type": "object",
+                             "n_docs": "int64", "n_mentions": "int64"})
 
 
 # ------------------------------------------------------------------ #
@@ -495,7 +512,7 @@ def entity_related(sf_dir: str, min_count: int = 2):
     from baram_ray.pipelines.util import ensure_cols
     from baram_ray.util import attach_by_key, grouped_agg, grouped_map
 
-    ner = text_ner(sf_dir).map_batches(
+    ner = _ner_ds(sf_dir).map_batches(
         lambda b: b.select(["doc_id", "entity"]), batch_format="pyarrow")
 
     # distinct (doc_id, entity): tool/op vocabularies are disjoint so
@@ -511,17 +528,25 @@ def entity_related(sf_dir: str, min_count: int = 2):
                     b_out.append(ents[j])
         return pd.DataFrame({"entity_a": a_out, "entity_b": b_out})
 
+    # N = number of documents holding at least one entity: tiny
+    # aggregate, computed FIRST — an entity-free corpus short-circuits
+    # to the typed empty result (fuzz find: the downstream cogroups
+    # lose their schema on all-empty inputs)
+    n_total = int(grouped_agg(
+        ner, ["doc_id"], {"one": (None, "count")},
+        num_buckets=16).count())
+    if n_total == 0:
+        return pd.DataFrame({"entity_a": pd.Series(dtype="object"),
+                             "entity_b": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+
     pairs = grouped_map(ner, ["doc_id"], pairs_in_doc, num_buckets=16)
     pair_counts = grouped_agg(pairs, ["entity_a", "entity_b"],
                               {"n_docs": (None, "count")}, num_buckets=16)
 
     ent_counts = grouped_agg(ner, ["entity"], {"c": (None, "count")},
                              num_buckets=16)
-
-    # N = number of documents holding at least one entity: tiny aggregate
-    n_total = int(grouped_agg(
-        ner, ["doc_id"], {"one": (None, "count")},
-        num_buckets=16).count())
 
     withc = attach_by_key(pair_counts, ent_counts, side="entity_a",
                           renames={"c": "c_a"}, key="entity",
@@ -559,7 +584,7 @@ def entity_top(sf_dir: str, k: int = 5):
     per type is a tiny sort."""
     from baram_ray.util import grouped_agg
 
-    ner = text_ner(sf_dir)
+    ner = _ner_ds(sf_dir)
     agg = grouped_agg(ner, ["entity_type", "entity"],
                       {"total_mentions": ("n_mentions", "sum"),
                        "n_docs": (None, "count")},
@@ -571,8 +596,14 @@ def entity_top(sf_dir: str, k: int = 5):
         return df.groupby("entity_type", sort=False).head(k) \
                  .reset_index(drop=True)
 
-    out = topk(agg.to_pandas())
-    return out[["entity_type", "entity", "total_mentions", "n_docs"]]
+    cols = {"entity_type": "object", "entity": "object",
+            "total_mentions": "int64", "n_docs": "int64"}
+    got = agg.to_pandas()
+    if "entity_type" not in got.columns:      # entity-free corpus
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
+    out = topk(got)
+    return out[list(cols)]
 
 
 def entity_pagerank(sf_dir: str, iters: int = 3, d: float = 0.85):
@@ -596,6 +627,9 @@ def entity_pagerank(sf_dir: str, iters: int = 3, d: float = 0.85):
     import ray as _ray
 
     rel = entity_related(sf_dir)          # pandas (pair-count-sized)
+    if not len(rel):                      # entity-free corpus
+        return pd.DataFrame({"entity": pd.Series(dtype="object"),
+                             "pr": pd.Series(dtype="float64")})
     rel = _ray.data.from_pandas(rel[["entity_a", "entity_b"]])
 
     def both(df: pd.DataFrame) -> pd.DataFrame:

@@ -24,25 +24,38 @@ def _relations_ds(sf_dir: str):
     return ds.map_batches(ontology.relations_stage, batch_format="pyarrow")
 
 
+REL_SCHEMA = {"doc_id": "int64", "subject": "object",
+              "predicate": "object", "object": "object",
+              "n": "int64", "confidence": "float64",
+              "verified": "bool"}
+
+
 def text_relations(sf_dir: str):
     """M10: regex relation extraction between NER entities —
     (doc_id, subject, predicate, object, n, confidence, verified).
-    SQL oracle via the same regexes in DuckDB."""
-    return _relations_ds(sf_dir)
+    SQL oracle via the same regexes in DuckDB. Schema survives a
+    relation-free corpus (fuzz find)."""
+    from baram_ray.pipelines.util import ensure_cols
+    return ensure_cols(_relations_ds(sf_dir), REL_SCHEMA)
 
 
 def triple_stats(sf_dir: str):
     """G3: per-predicate triple-store statistics (reference TripleStats,
     extractor.rs:1389-1403): triple instances, distinct docs/subjects/
     objects."""
+    from baram_ray.pipelines.util import ensure_cols
     rel = _relations_ds(sf_dir)
-    return grouped_agg(
+    out = grouped_agg(
         rel, ["predicate"],
         {"n_triples": ("n", "sum"),
          "n_docs": ("doc_id", "nunique"),
          "n_subjects": ("subject", "nunique"),
          "n_objects": ("object", "nunique")},
         num_buckets=4)
+    return ensure_cols(out, {"predicate": "object",
+                             "n_triples": "int64", "n_docs": "int64",
+                             "n_subjects": "int64",
+                             "n_objects": "int64"})
 
 
 def rdf_export_nt(sf_dir: str):

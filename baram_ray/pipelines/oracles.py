@@ -122,8 +122,9 @@ ORACLES: dict[str, str] = {
     # df vocabulary (df desc, term asc tie-break); exact IEEE ratio
     "doc_unk_stats": r"""
         WITH toks AS (SELECT doc_id,
-                             unnest(string_split(lower(text), ' ')) AS term
-                      FROM documents),
+                             unnest(string_split_regex(
+                                 lower(trim(text)), '\s+')) AS term
+                      FROM documents WHERE trim(text) <> ''),
         df AS (SELECT term, count(DISTINCT doc_id) AS df
                FROM toks GROUP BY term),
         vocab AS (SELECT term FROM df ORDER BY df DESC, term LIMIT 200),
@@ -706,8 +707,12 @@ ORACLES: dict[str, str] = {
     # dispatcher must pick 'plain' and pass content through unmangled
     # (html/markdown/json branches + fallback order are unit-tested)
     "doc_parse_dispatch": """
-        SELECT doc_id, 'plain' AS format_used, true AS parse_ok,
-               n_chars AS n_chars_out
+        SELECT doc_id,
+               CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN 'unknown' ELSE 'plain' END AS format_used,
+               (text IS NOT NULL AND trim(text) <> '') AS parse_ok,
+               CASE WHEN text IS NULL OR trim(text) = ''
+                    THEN 0 ELSE n_chars END AS n_chars_out
         FROM documents
     """,
     # M16 embedding text prep: '{title} {content}' concat + 512-token

@@ -331,7 +331,8 @@ def doc_mix_weighted(sf_dir: str):
     of (source, doc_id). SQL-expressible → hash-exact oracle."""
     from baram_ray.sampling import weighted_mix
     ds = read_table(sf_dir, "documents", ["doc_id", "source"])
-    return weighted_mix(ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25})
+    out = weighted_mix(ds, {"src0": 1.0, "src1": 0.5, "src2": 0.25})
+    return ensure_cols(out, {"doc_id": "int64", "source": "object"})
 
 
 def doc_decontam(sf_dir: str, n: int = 8):
@@ -353,9 +354,12 @@ def doc_decontam(sf_dir: str, n: int = 8):
     bench = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(pick, batch_format="pyarrow")
              .to_pandas())
-    grams = decontam.benchmark_grams(bench["text"].tolist(), n=n,
-                                     start=3, count=1)
-    return decontam.decontaminate(ds, grams, n=n)
+    # a corpus with no benchmark-eligible ids yields an empty frame
+    # WITHOUT columns (Ray to_pandas quirk) — probe set is then empty
+    texts = bench["text"].tolist() if "text" in bench.columns else []
+    grams = decontam.benchmark_grams(texts, n=n, start=3, count=1)
+    return ensure_cols(decontam.decontaminate(ds, grams, n=n),
+                       {"doc_id": "int64"})
 
 
 def doc_repetition(sf_dir: str):

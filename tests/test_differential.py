@@ -37,7 +37,23 @@ EVENT_QUERIES = ["events_running_value", "events_value_ntile",
                  "events_retention", "events_distinct_kmv",
                  "events_velocity", "events_minmax"]
 DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
-               "dedup_jaccard_clusters"]
+               "dedup_jaccard_clusters",
+               # full documents/text family (empty-path bugs in the
+               # entity/relations/decontam pipelines were found here)
+               "doc_lang_counts", "doc_source_counts", "doc_stats",
+               "doc_dedup_exact", "doc_top_longest", "doc_token_count",
+               "doc_token_count_bpe", "doc_term_df_top", "doc_ttr",
+               "doc_zipf_slope", "doc_unk_stats", "doc_cooccur_pmi",
+               "doc_chunks", "doc_tfidf_top", "doc_lm_score",
+               "doc_repetition", "doc_heavy_terms", "doc_sample_hash",
+               "doc_sample_stratified", "doc_split_counts",
+               "doc_mix_weighted", "doc_decontam", "doc_dup_spans",
+               "doc_dup_spans_removed", "doc_parse_dispatch",
+               "doc_embed_prep", "doc_shuffle_head",
+               "dedup_ngram_jaccard", "text_ner", "text_relations",
+               "text_entity_link", "text_pii", "text_quality",
+               "text_langid", "text_sanitize", "triple_stats",
+               "entity_related", "entity_top", "entity_pagerank"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
