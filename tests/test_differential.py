@@ -227,3 +227,42 @@ def test_differential_tpch(seed, ray_session, tmp_path):
                     f"SELECT * FROM '{d}/{name}.parquet'")
     for name in TPCH_QUERIES:
         _compare(name, str(d), con)
+
+
+EMB_QUERIES = ["sim_knn_bruteforce", "sim_range_search",
+               "sim_neardup_pairs", "sim_centroid_assign",
+               "cluster_label_stats"]
+
+
+def _rand_embeddings(rng: np.random.RandomState, n: int,
+                     dim: int = 16) -> pd.DataFrame:
+    vecs = rng.randn(n, dim).astype(np.float32)
+    # plant a few exact/near duplicates so near-dup pairs are non-empty
+    for i in range(0, n - 1, 9):
+        vecs[i + 1] = vecs[i] + 0.01 * rng.randn(dim).astype(np.float32)
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+        "label": rng.randint(0, 4, n).astype(np.int32),
+    })
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_differential_embeddings(seed, ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"sf_emb_{seed}"
+    os.makedirs(d)
+    df = _rand_embeddings(rng, int(rng.randint(30, 150)))
+    t = pa.table({
+        "vec_id": pa.array(df["vec_id"].to_numpy()),
+        "embedding": pa.array(df["embedding"].tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array(df["label"].to_numpy(), pa.int32())})
+    pq.write_table(t, d / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{d}/embeddings.parquet'")
+    for name in EMB_QUERIES:
+        _compare(name, str(d), con)
