@@ -626,8 +626,10 @@ def search_facets(sf_dir: str, query_text: str = "data stream",
     eng = ShardedEngine(idx, n_groups=2)
     rows = eng.facets(query_text, list(facet_fields))
     return pd.DataFrame({
-        "facet": [f for f, _, _ in rows],
-        "value": [str(v) for _, v, _ in rows],
+        # explicit object dtype: empty python lists decay to float64
+        # (differential-fuzz find on a zero-hit query)
+        "facet": pd.array([f for f, _, _ in rows], dtype=object),
+        "value": pd.array([str(v) for _, v, _ in rows], dtype=object),
         "n": pd.array([c for _, _, c in rows], dtype="int64"),
     })
 
@@ -712,10 +714,12 @@ def search_percolate(sf_dir: str):
     for every stored query whose terms ALL appear in the doc. Pure
     streaming map — no shuffle, queries broadcast in the closure.
     Hash-exact DuckDB oracle."""
-    from baram_ray.pipelines.util import read_table
+    from baram_ray.pipelines.util import ensure_cols, read_table
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(PercolateStage(PERCOLATE_QUERIES),
-                          batch_format="pyarrow")
+    out = ds.map_batches(PercolateStage(PERCOLATE_QUERIES),
+                         batch_format="pyarrow")
+    # schema survives a corpus where no stored query matches
+    return ensure_cols(out, {"doc_id": "int64", "query_id": "int64"})
 
 
 SUGGEST_INPUTS = ["dta", "streem", "winow", "qury", "tabel", "jion"]

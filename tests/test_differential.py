@@ -53,7 +53,17 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dedup_ngram_jaccard", "text_ner", "text_relations",
                "text_entity_link", "text_pii", "text_quality",
                "text_langid", "text_sanitize", "triple_stats",
-               "entity_related", "entity_top", "entity_pagerank"]
+               "entity_related", "entity_top", "entity_pagerank",
+               # search surface over an index built from the random
+               # corpus (exercises the zero-hit paths of the whole
+               # query stack: two dtype leaks were found here)
+               "phrase_match_docs", "phrase_slop_match_docs",
+               "bool_match_docs", "prefix_match_docs",
+               "wildcard_match_docs", "fuzzy_match_docs",
+               "delete_by_query_docs", "search_term_range",
+               "search_count", "search_facets", "search_facet_hist",
+               "search_sorted_docs", "search_suggest",
+               "search_percolate"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
