@@ -43,7 +43,7 @@ def test_no_duplicate_content_among_survivors(survivors, ray_session):
 
 def test_no_contaminated_survivors(survivors, ray_session):
     from baram_ray.pipelines.training import doc_decontam
-    contaminated = set(doc_decontam(SF).to_pandas()["doc_id"])
+    contaminated = set(doc_decontam(SF)["doc_id"])  # pandas result
     # contaminated docs whose sanitized text differs may legitimately
     # survive; on this clean corpus sanitize is identity, so none may
     assert not (set(survivors["doc_id"]) & contaminated)
