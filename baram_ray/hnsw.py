@@ -420,46 +420,62 @@ def hnsw_search(index_dir: str, query_vecs: np.ndarray,
 
 @ray.remote
 class HnswShardActor:
-    """Resident shard graph for the SERVING path (A7-parity with the
-    BM25 query actors, ``query/engine.py``): the graph loads once in
+    """Resident shard graphs for the SERVING path (A7-parity with the
+    BM25 query actors, ``query/engine.py``): the graphs load once in
     ``__init__`` and every search is a few matvecs — no per-call npz
-    decompress, no task-submission latency beyond the actor RPC."""
+    decompress, no task-submission latency beyond the actor RPC. One
+    actor may host SEVERAL shard graphs (the real-cluster layout where
+    a node owns many shards): fewer RPC round-trips per query."""
 
-    def __init__(self, path: str):
-        self.graph = _load_graph(path)
+    def __init__(self, paths: list[str]):
+        self.graphs = [_load_graph(p) for p in paths]
 
     def search(self, q_norm: np.ndarray, q_ids: np.ndarray, k: int,
                ef: int, exclude_self: bool):
-        ids, vecs, entry, adj = self.graph
         out_q, out_v, out_c = [], [], []
-        for qi in range(len(q_ids)):
-            kk = k + 1 if exclude_self else k
-            for sim, node in _search_graph(vecs, adj, entry,
-                                           q_norm[qi], kk, ef):
-                vid = int(ids[node])
-                if exclude_self and vid == int(q_ids[qi]):
-                    continue
-                out_q.append(int(q_ids[qi]))
-                out_v.append(vid)
-                out_c.append(float(sim))
+        for ids, vecs, entry, adj in self.graphs:
+            for qi in range(len(q_ids)):
+                kk = k + 1 if exclude_self else k
+                for sim, node in _search_graph(vecs, adj, entry,
+                                               q_norm[qi], kk, ef):
+                    vid = int(ids[node])
+                    if exclude_self and vid == int(q_ids[qi]):
+                        continue
+                    out_q.append(int(q_ids[qi]))
+                    out_v.append(vid)
+                    out_c.append(float(sim))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "cosine": pa.array(out_c, pa.float64())})
 
 
 class HnswService:
-    """Scatter-gather ANN serving over one resident actor per shard.
+    """Scatter-gather ANN serving over resident shard-graph actors.
     Results are identical to the task-based ``hnsw_search`` (tested);
     use the service when queries arrive continuously, the task path
-    for one-shot batch jobs. On a cluster the actors spread across
-    nodes and each holds only its shard's graph."""
+    for one-shot batch jobs. ``num_actors`` bounds the fan-out: shards
+    round-robin across the pool (default: one actor per ~4 shards,
+    capped by CPU count) — per-query latency is RPC-bound, so fewer,
+    fatter actors beat one-actor-per-shard on a single node, while a
+    real cluster raises ``num_actors`` to spread graphs across
+    nodes."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, num_actors: int | None = None):
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        self.actors = [
-            HnswShardActor.remote(_graph_path(index_dir, s))
-            for s in self.meta.get("shards", [])]
+        shards = self.meta.get("shards", [])
+        if num_actors is None:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                cpus = 8
+            num_actors = max(1, min(len(shards), cpus,
+                                    (len(shards) + 3) // 4))
+        groups: list[list[str]] = [[] for _ in range(num_actors)] \
+            if shards else []
+        for i, s in enumerate(shards):
+            groups[i % num_actors].append(_graph_path(index_dir, s))
+        self.actors = [HnswShardActor.remote(g) for g in groups if g]
 
     def search(self, query_vecs: np.ndarray,
                query_ids: list[int] | None = None, k: int = 5, *,
