@@ -475,7 +475,8 @@ class HnswService:
             if shards else []
         for i, s in enumerate(shards):
             groups[i % num_actors].append(_graph_path(index_dir, s))
-        self.actors = [HnswShardActor.remote(g) for g in groups if g]
+        self._groups = [g for g in groups if g]
+        self.actors = [HnswShardActor.remote(g) for g in self._groups]
 
     def search(self, query_vecs: np.ndarray,
                query_ids: list[int] | None = None, k: int = 5, *,
@@ -486,7 +487,17 @@ class HnswService:
                            else range(len(q)), dtype=np.int64)
         futs = [a.search.remote(q, q_ids, k, ef_search, exclude_self)
                 for a in self.actors]
-        parts = [t.to_pandas() for t in ray.get(futs)] if futs else []
+        parts = []
+        for i, f in enumerate(futs):
+            try:
+                parts.append(ray.get(f).to_pandas())
+            except ray.exceptions.RayActorError:
+                # failover: respawn the dead actor from its graph
+                # paths (loads from disk) and retry this group once —
+                # the T2 heartbeat/failover analogue for serving
+                self.actors[i] = HnswShardActor.remote(self._groups[i])
+                parts.append(ray.get(self.actors[i].search.remote(
+                    q, q_ids, k, ef_search, exclude_self)).to_pandas())
         return _merge_topk(parts, k, round6)
 
     def shutdown(self):

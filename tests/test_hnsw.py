@@ -212,3 +212,21 @@ def test_service_matches_task_path(index, ray_session):
     finally:
         svc.shutdown()
     assert svc.actors == []
+
+
+def test_service_failover_after_actor_death(index, ray_session):
+    """Killing a serving actor mid-flight: the next search respawns it
+    from its graph paths and returns identical results."""
+    out, _ = index
+    _, qv = similarity._collect_query_vecs(_emb(), QIDS[:3])
+    svc = hnsw.HnswService(out)
+    try:
+        before = svc.search(qv, QIDS[:3], k=5, ef_search=48)
+        ray.kill(svc.actors[0])           # simulate node loss
+        after = svc.search(qv, QIDS[:3], k=5, ef_search=48)
+        assert after.equals(before)
+        # respawned actor keeps serving
+        again = svc.search(qv, QIDS[:3], k=5, ef_search=48)
+        assert again.equals(before)
+    finally:
+        svc.shutdown()
