@@ -1153,14 +1153,17 @@ def running_value(sf_dir: str, num_buckets: int = 8):
 
 def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
     """Global NTILE(``tiles``) of events by (value cents, event_id) —
-    DISTRIBUTED RANKING: value-range buckets (equal-width splits keep
-    every tie group in one bucket; a production run would sample
-    quantile splits for balance — correctness is split-independent),
-    phase 1 counts rows per bucket (driver holds B integers → exact
-    global offsets), phase 2 ranks locally and applies SQL's exact
-    NTILE rule (first n%tiles buckets get one extra row). Row-per-event
-    output, hash-exact against the window oracle."""
+    DISTRIBUTED RANKING: value-range buckets from deterministic
+    hash-sampled quantile splits (ties stay within one bucket because
+    splits are drawn from the value domain itself and assignment is
+    side='right'; correctness is split-independent — only balance
+    depends on them), phase 1 counts rows per bucket (driver holds B
+    integers → exact global offsets), phase 2 ranks locally and
+    applies SQL's exact NTILE rule (first n%tiles buckets get one
+    extra row). Row-per-event output, hash-exact against the window
+    oracle."""
     from baram_ray.pipelines.util import ensure_cols
+    from baram_ray.sampling import knuth_hash32
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1171,12 +1174,26 @@ def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
     ds = read_table(sf_dir, "events", ["event_id", "value"]) \
         .map_batches(cents, batch_format="pandas")
 
-    # equal-width splits over the exact [min, max] cent range
-    from ray.data.aggregate import Max as _Max, Min as _Min
-    mm = ds.aggregate(_Min("c", alias_name="lo"),
-                      _Max("c", alias_name="hi"))
-    lo, hi = int(mm["lo"] or 0), int(mm["hi"] or 0)
-    splits = np.linspace(lo, hi, num_buckets + 1)[1:-1]
+    # split points = quantiles of a deterministic key-hash sample with
+    # a FIXED expected size (rate = target/n from parquet metadata, so
+    # the driver-side sample stays ~4k rows at any corpus size;
+    # reshard-stable; a skewed distribution gets balanced buckets
+    # where equal-width splits would collapse)
+    n_rows = read_table(sf_dir, "events", ["event_id"]).count()
+    rate = min(1.0, 4096.0 / max(n_rows, 1))
+    cut = np.uint64(int(rate * 4294967296.0))
+
+    def pick_sample(df: pd.DataFrame) -> pd.DataFrame:
+        h = knuth_hash32(df["event_id"].to_numpy(np.int64))
+        return df.loc[h < cut, ["c"]]
+
+    sample = np.sort(ds.map_batches(pick_sample, batch_format="pandas")
+                     .to_pandas()["c"].to_numpy(np.int64))
+    if len(sample):
+        qs = np.linspace(0, len(sample) - 1, num_buckets + 1)[1:-1]
+        splits = sample[qs.astype(np.int64)].astype(np.float64)
+    else:
+        splits = np.zeros(0, dtype=np.float64)
 
     def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
