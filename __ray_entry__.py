@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sanitize": trainp.text_sanitize,
         # multimodal plumbing (stubbed decode, real Ray shape)
         "multimodal_decode": trainp.multimodal_decode,
+        "multimodal_native": trainp.multimodal_native,
         "multimodal_frames": trainp.multimodal_frames,
         "multimodal_resize": trainp.multimodal_resize,
         # analytics (G6 velocity, G7 minmax, G9 PMI, G10 cluster stats)

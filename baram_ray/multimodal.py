@@ -1,12 +1,16 @@
 """Multimodal columns: opaque ``binary`` payloads + typed metadata.
 
-Media libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-*decode kernels* are stubbed: ``DecodeStage(real_decode=True)`` raises
-``NotImplementedError`` at the exact call site a real decoder would slot
-into, and the default deterministic fake derives "decoded" properties from
-the payload bytes. Everything around the stub IS real and tested: the
-Arrow ``binary`` schema, small-batch sizing for large payloads, actor-pool
-construction, and the output layout.
+Uncompressed formats decode NATIVELY (``baram_ray.codecs``: PPM
+images, WAV PCM audio, and the PPMV multi-frame container — pure
+numpy/stdlib): ``DecodeStage``/``ResizeStage``/``FeatureStage``/
+``FrameSampleStage`` sniff the payload magic and run real pixel/
+sample kernels end-to-end. Compressed codecs (JPEG/PNG/MP4) still
+need PIL/ffmpeg, which this container lacks: for those,
+``real_decode=True`` raises ``NotImplementedError`` at the exact call
+site a library decoder slots into, and the deterministic fake derives
+properties from the payload bytes. Everything around that remaining
+stub IS real and tested: the Arrow ``binary`` schema, small-batch
+sizing for large payloads, actor-pool construction, output layout.
 
 Scale notes: payload rows are wide → ``batch_size`` small (64 default) so
 batch × concurrency fits worker heap; feature outputs are narrow tables
@@ -31,8 +35,13 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (payload = seeded bytes)."""
+def synth_media_table(n: int, seed: int = 42,
+                      real_payloads: bool = False) -> pa.Table:
+    """Deterministic media corpus. ``real_payloads=True`` emits REAL
+    PPM/WAV/PPMV bytes (natively decodable end-to-end); the default
+    keeps the seeded opaque bytes the compressed-codec stubs use."""
+    if real_payloads:
+        return _synth_real_media(n, seed)
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
@@ -48,6 +57,40 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["height"].append(int(rng.randint(16, 4096)) if kind == "image" else 0)
         rows["duration_ms"].append(int(rng.randint(500, 600_000))
                                    if kind != "image" else 0)
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _synth_real_media(n: int, seed: int) -> pa.Table:
+    from baram_ray import codecs
+    rng = np.random.RandomState(seed)
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            h, w = int(rng.randint(8, 48)), int(rng.randint(8, 48))
+            payload = codecs.encode_ppm(
+                rng.randint(0, 256, (h, w, 3)).astype(np.uint8))
+            width, height, dur = w, h, 0
+        elif kind == "audio":
+            rate = 8000
+            ns = int(rng.randint(400, 4000))
+            payload = codecs.encode_wav(
+                (rng.randn(ns) * 3000).astype(np.int16), rate)
+            width = height = 0
+            dur = int(ns * 1000 / rate)
+        else:
+            nf = int(rng.randint(2, 6))
+            frame_ms = 1000
+            frames = [rng.randint(0, 256, (12, 16, 3)).astype(np.uint8)
+                      for _ in range(nf)]
+            payload = codecs.encode_ppmv(frames, frame_ms)
+            width, height, dur = 16, 12, nf * frame_ms
+        rows["item_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
@@ -72,10 +115,33 @@ class DecodeStage:
     def _decode_one(self, kind: str, payload: bytes) -> dict:
         if self._decode_fn is not None:
             return self._decode_fn(kind, payload)
+        from baram_ray import codecs
+        fmt = codecs.sniff_kind(payload)
+        if fmt == "ppm":                        # REAL pixel decode
+            img = codecs.decode_ppm(payload)
+            return {"ok": True, "decoded_width": img.shape[1],
+                    "decoded_height": img.shape[0], "n_frames": 1,
+                    "payload_sha256":
+                        hashlib.sha256(payload).hexdigest()}
+        if fmt == "wav":                        # REAL sample decode
+            samples, rate = codecs.decode_wav(payload)
+            return {"ok": True, "decoded_width": 0,
+                    "decoded_height": 0,
+                    "n_frames": max(1, len(samples) * 1000
+                                    // max(rate, 1) // 1000 or 1),
+                    "payload_sha256":
+                        hashlib.sha256(payload).hexdigest()}
+        if fmt == "ppmv":                       # REAL frame decode
+            frames, _ = codecs.decode_ppmv(payload)
+            h, w = (frames[0].shape[:2] if frames else (0, 0))
+            return {"ok": True, "decoded_width": w,
+                    "decoded_height": h, "n_frames": len(frames),
+                    "payload_sha256":
+                        hashlib.sha256(payload).hexdigest()}
         if self.real_decode:
             raise NotImplementedError(
-                "media codecs not available in this container; "
-                "pass decode_fn=<your decoder> to DecodeStage")
+                "compressed codec (JPEG/PNG/MP4) needs an external "
+                "library; pass decode_fn=<your decoder> to DecodeStage")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         return {
             "ok": True,
@@ -127,9 +193,29 @@ class FeatureStage:
                 "feature": pa.array(feats, pa.list_(pa.float32())),
             })
         if self.real_model:
-            raise NotImplementedError(
-                "no model runtime in this container; pass "
-                "feature_fn=<your batched extractor> to FeatureStage")
+            from baram_ray import codecs
+            feats = []
+            for p in payloads:
+                fmt = codecs.sniff_kind(p)
+                if fmt == "ppm":                # REAL image features
+                    v = codecs.rgb_hist_features(codecs.decode_ppm(p))
+                elif fmt == "wav":              # REAL audio features
+                    v = codecs.audio_features(*codecs.decode_wav(p))
+                elif fmt == "ppmv":             # mean of frame features
+                    frames, _ = codecs.decode_ppmv(p)
+                    v = np.mean([codecs.rgb_hist_features(f)
+                                 for f in frames], axis=0)                         .astype(np.float32)
+                else:
+                    raise NotImplementedError(
+                        "compressed codec needs an external library; "
+                        "pass feature_fn=<your batched extractor>")
+                out = np.zeros(self.dim, dtype=np.float32)
+                out[:min(self.dim, len(v))] = v[:self.dim]
+                feats.append(out.tolist())
+            return pa.table({
+                "item_id": batch["item_id"],
+                "feature": pa.array(feats, pa.list_(pa.float32())),
+            })
         feats = []
         for p in payloads:
             seed = int.from_bytes(
@@ -143,12 +229,37 @@ class FeatureStage:
 
 
 class FrameSampleStage:
-    """video → sampled frame rows (1 row in, N rows out; flat-map shape)."""
+    """video → sampled frame rows (1 row in, N rows out; flat-map
+    shape). ``decode_frames=True`` extracts REAL frames from PPMV
+    payloads (each output row carries the frame's PPM bytes)."""
 
-    def __init__(self, every_ms: int = 10_000):
+    def __init__(self, every_ms: int = 10_000,
+                 decode_frames: bool = False):
         self.every_ms = every_ms
+        self.decode_frames = decode_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode_frames:
+            from baram_ray import codecs
+            ids, fis, tss, frames_out = [], [], [], []
+            for i, kind, p in zip(batch["item_id"].to_pylist(),
+                                  batch["kind"].to_pylist(),
+                                  batch["payload"].to_pylist()):
+                if kind != "video" or codecs.sniff_kind(p) != "ppmv":
+                    continue
+                frames, frame_ms = codecs.decode_ppmv(p)
+                step = max(1, self.every_ms // max(frame_ms, 1))
+                for fi in range(0, len(frames), step):
+                    ids.append(i)
+                    fis.append(fi)
+                    tss.append(fi * frame_ms)
+                    frames_out.append(codecs.encode_ppm(frames[fi]))
+            return pa.table({
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fis, pa.int32()),
+                "ts_ms": pa.array(tss, pa.int32()),
+                "frame_payload": pa.array(frames_out, pa.binary()),
+            })
         item_ids, frame_idx, ts_ms = [], [], []
         for i, kind, dur in zip(batch["item_id"].to_pylist(),
                                 batch["kind"].to_pylist(),
@@ -182,9 +293,29 @@ class ResizeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_resize:
-            raise NotImplementedError(
-                "media codecs not available in this container; "
-                "slot PIL thumbnail here")
+            # REAL pixel resize for natively-decodable payloads
+            # (expects (item_id, payload) rows); compressed codecs
+            # still need PIL — that path raises
+            from baram_ray import codecs
+            ids, ws, hs, payloads = [], [], [], []
+            for i, p in zip(batch["item_id"].to_pylist(),
+                            batch["payload"].to_pylist()):
+                if codecs.sniff_kind(p) != "ppm":
+                    raise NotImplementedError(
+                        "compressed codec needs PIL; only PPM resizes "
+                        "natively")
+                img = codecs.resize_nearest(codecs.decode_ppm(p),
+                                            self.target)
+                ids.append(i)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                payloads.append(codecs.encode_ppm(img))
+            return pa.table({
+                "item_id": pa.array(ids, pa.int64()),
+                "out_width": pa.array(ws, pa.int32()),
+                "out_height": pa.array(hs, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            })
         import numpy as np
         w = batch["decoded_width"].to_numpy().astype(np.float64)
         h = batch["decoded_height"].to_numpy().astype(np.float64)

@@ -266,6 +266,36 @@ def text_sanitize(sf_dir: str):
 
 # ----------------------------- multimodal ---------------------------- #
 
+def multimodal_native(sf_dir: str):
+    """NATIVE end-to-end multimodal pipeline — real payloads
+    (PPM/WAV/PPMV, ``baram_ray.codecs``), real decode + real feature
+    kernels through the actor pool; no stub in this path. Rows-only
+    driver check; pixel/sample roundtrips and dimension identities
+    asserted in tests/test_codecs_native.py."""
+    import pandas as pd
+
+    from baram_ray.multimodal import (DecodeStage, FeatureStage,
+                                      synth_media_table)
+    tbl = synth_media_table(120, seed=42, real_payloads=True)
+    ds = ray.data.from_arrow(tbl)
+    dec = ds.map_batches(DecodeStage,
+                         fn_constructor_kwargs={"real_decode": True},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=2).to_pandas()
+    feats = ds.map_batches(FeatureStage,
+                           fn_constructor_kwargs={"dim": 48,
+                                                  "real_model": True},
+                           batch_format="pyarrow", batch_size=32,
+                           concurrency=2).to_pandas()
+    import numpy as np
+    feats["feat_l1"] = [round(float(np.abs(np.asarray(v)).sum()), 6)
+                        for v in feats["feature"]]
+    out = dec.merge(feats[["item_id", "feat_l1"]], on="item_id")
+    return out[["item_id", "kind", "ok", "decoded_width",
+                "decoded_height", "n_frames", "feat_l1"]] \
+        .sort_values("item_id").reset_index(drop=True)
+
+
 def multimodal_decode(sf_dir: str):
     """Binary-column plumbing: synth payload table → decode-stub actor
     pool → narrow feature rows (rows-only; schema is the check)."""
