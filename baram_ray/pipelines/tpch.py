@@ -1199,6 +1199,13 @@ def q8_market_share(sf_dir: str, ptype: str = "ECONOMY",
     nat = read_small(sf_dir, "nation",
                      ["n_nationkey", "n_name", "n_regionkey"])
     rn = nat[nat["n_regionkey"] == rkey]
+    cols = {"o_year": "int64", "nation_u4": "int64",
+            "total_u4": "int64", "mkt_share": "float64"}
+    if not len(rn):
+        # the first region holds no nations (fuzz find): no customers
+        # qualify, the SQL returns zero groups
+        return pd.DataFrame({c: pd.Series(dtype=d)
+                             for c, d in cols.items()})
     target = rn["n_name"].min()
     tkey = int(rn.loc[rn["n_name"] == target, "n_nationkey"].iloc[0])
     cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])

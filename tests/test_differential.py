@@ -121,7 +121,14 @@ def _compare(name, sf_dir, con):
                                   check_dtype=True, check_exact=True)
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+def _extra_seeds(base: list[int]) -> list[int]:
+    """Opt-in deeper fuzzing: BARAM_FUZZ_SEEDS=N appends N extra
+    deterministic seeds per family (CI stays fast by default)."""
+    n = int(os.environ.get("BARAM_FUZZ_SEEDS", "0"))
+    return base + [1009 + 13 * i for i in range(n)]
+
+
+@pytest.mark.parametrize("seed", _extra_seeds([11, 23, 47]))
 def test_differential_events(seed, ray_session, tmp_path):
     rng = np.random.RandomState(seed)
     d = tmp_path / f"sf_ev_{seed}"
@@ -135,7 +142,7 @@ def test_differential_events(seed, ray_session, tmp_path):
         _compare(name, str(d), con)
 
 
-@pytest.mark.parametrize("seed", [5, 19])
+@pytest.mark.parametrize("seed", _extra_seeds([5, 19]))
 def test_differential_documents(seed, ray_session, tmp_path):
     rng = np.random.RandomState(seed)
     d = tmp_path / f"sf_doc_{seed}"
@@ -224,7 +231,7 @@ def _rand_tpch(rng: np.random.RandomState) -> dict:
             "lineitem": lineitem}
 
 
-@pytest.mark.parametrize("seed", [3, 31])
+@pytest.mark.parametrize("seed", _extra_seeds([3, 31]))
 def test_differential_tpch(seed, ray_session, tmp_path):
     rng = np.random.RandomState(seed)
     d = tmp_path / f"sf_tpch_{seed}"
@@ -257,7 +264,7 @@ def _rand_embeddings(rng: np.random.RandomState, n: int,
     })
 
 
-@pytest.mark.parametrize("seed", [7, 29])
+@pytest.mark.parametrize("seed", _extra_seeds([7, 29]))
 def test_differential_embeddings(seed, ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
