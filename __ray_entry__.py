@@ -43,7 +43,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    from baram_ray.pipelines.schemas import with_declared_schema
+    q = {
         # documents table (G1/G2 aggregations, D2 dedup, K4 sort, M7 tokens)
         "doc_lang_counts": docp.lang_counts,
         "doc_source_counts": docp.source_counts,
@@ -245,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_anti_cust_no_orders": anap.join_anti_cust_no_orders,
         "events_range_clicks": evp.range_count_clicks,
     }
+    # empty-input schema restoration (see pipelines/schemas.py): a
+    # query over a 0-row table must still return its declared columns
+    return {k: with_declared_schema(k, fn) for k, fn in q.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -599,6 +599,10 @@ def evaluate_alerts(ds, conditions: list, *, key_col: str = "event_type",
     agg = grouped_agg(ds.map_batches(partials, batch_format="pandas"),
                       ["c", "w"], {"x": ("x", "sum"), "n": ("n", "sum")},
                       num_buckets=num_buckets).to_pandas()
+    if "c" not in agg.columns:          # 0-row events table → the
+        agg = pd.DataFrame({            # exchange lost the schema
+            "c": pd.Series(dtype="int64"), "w": pd.Series(dtype="int64"),
+            "x": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
 
     frames = []
     for ci, cond in enumerate(conditions):

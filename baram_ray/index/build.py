@@ -491,11 +491,13 @@ class RankMap:
             if ids_sh is None:
                 ids_sh = self._cache[int(sh)] = _ray.get(self.refs[sh])
             m = shard == sh
+            if len(ids_sh) == 0:     # empty shard (e.g. purge on an
+                ranks[m] = self.bases[sh]   # empty index): nothing is
+                continue                    # a member; rank = shard base
             p = np.searchsorted(ids_sh, doc_ids[m])
             inside = p < len(ids_sh)
-            pc = p.clip(max=max(0, len(ids_sh) - 1))
-            member[m] = inside & (len(ids_sh) > 0) \
-                & (ids_sh[pc] == doc_ids[m])
+            pc = p.clip(max=len(ids_sh) - 1)
+            member[m] = inside & (ids_sh[pc] == doc_ids[m])
             ranks[m] = self.bases[sh] + pc
         return ranks, member
 

@@ -54,7 +54,9 @@ def hash_join(left, right, on: list[str] | str, *, how: str = "inner",
 
 def asof_join(left, right, *, on: str, by: list[str] | str,
               direction: str = "backward", num_buckets: int = 32,
-              suffix: str = "_r"):
+              suffix: str = "_r",
+              left_empty: dict[str, str] | None = None,
+              right_empty: dict[str, str] | None = None):
     """As-of join — each left row gets the nearest right row along
     ``on`` (backward: greatest ``right.on <= left.on``) within its
     ``by`` group; unmatched left rows keep NULLs (left-join semantics,
@@ -86,4 +88,5 @@ def asof_join(left, right, *, on: str, by: list[str] | str,
                              direction=direction,
                              allow_exact_matches=True)
 
-    return cogroup(left, right, by, merge, num_buckets=num_buckets)
+    return cogroup(left, right, by, merge, num_buckets=num_buckets,
+                   left_empty=left_empty, right_empty=right_empty)

@@ -117,27 +117,35 @@ class DecodeStage:
             return self._decode_fn(kind, payload)
         from baram_ray import codecs
         fmt = codecs.sniff_kind(payload)
-        if fmt == "ppm":                        # REAL pixel decode
-            img = codecs.decode_ppm(payload)
-            return {"ok": True, "decoded_width": img.shape[1],
-                    "decoded_height": img.shape[0], "n_frames": 1,
-                    "payload_sha256":
-                        hashlib.sha256(payload).hexdigest()}
-        if fmt == "wav":                        # REAL sample decode
-            samples, rate = codecs.decode_wav(payload)
-            return {"ok": True, "decoded_width": 0,
-                    "decoded_height": 0,
-                    "n_frames": max(1, len(samples) * 1000
-                                    // max(rate, 1) // 1000 or 1),
-                    "payload_sha256":
-                        hashlib.sha256(payload).hexdigest()}
-        if fmt == "ppmv":                       # REAL frame decode
-            frames, _ = codecs.decode_ppmv(payload)
-            h, w = (frames[0].shape[:2] if frames else (0, 0))
-            return {"ok": True, "decoded_width": w,
-                    "decoded_height": h, "n_frames": len(frames),
-                    "payload_sha256":
-                        hashlib.sha256(payload).hexdigest()}
+        # Native-decode branch: a payload whose first bytes merely
+        # LOOK like P6/RIFF/PPMV may still be malformed; when
+        # real_decode is False a decode failure must fall through to
+        # the deterministic fake, not propagate.
+        try:
+            if fmt == "ppm":                    # REAL pixel decode
+                img = codecs.decode_ppm(payload)
+                return {"ok": True, "decoded_width": img.shape[1],
+                        "decoded_height": img.shape[0], "n_frames": 1,
+                        "payload_sha256":
+                            hashlib.sha256(payload).hexdigest()}
+            if fmt == "wav":                    # REAL sample decode
+                samples, rate = codecs.decode_wav(payload)
+                return {"ok": True, "decoded_width": 0,
+                        "decoded_height": 0,
+                        "n_frames": max(1, len(samples) * 1000
+                                        // max(rate, 1) // 1000 or 1),
+                        "payload_sha256":
+                            hashlib.sha256(payload).hexdigest()}
+            if fmt == "ppmv":                   # REAL frame decode
+                frames, _ = codecs.decode_ppmv(payload)
+                h, w = (frames[0].shape[:2] if frames else (0, 0))
+                return {"ok": True, "decoded_width": w,
+                        "decoded_height": h, "n_frames": len(frames),
+                        "payload_sha256":
+                            hashlib.sha256(payload).hexdigest()}
+        except Exception:
+            if self.real_decode:
+                raise
         if self.real_decode:
             raise NotImplementedError(
                 "compressed codec (JPEG/PNG/MP4) needs an external "

@@ -37,10 +37,13 @@ def type_agg(sf_dir: str):
         g["n"] = g["n"].astype("int64")
         return g
 
-    return (ds.map_batches(partial, batch_format="pandas")
-              .groupby("event_type")
-              .aggregate(Sum("n", alias_name="n"),
-                         Sum("total_value_u6", alias_name="total_value_u6")))
+    from baram_ray.pipelines.util import ensure_cols
+    res = (ds.map_batches(partial, batch_format="pandas")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("total_value_u6", alias_name="total_value_u6")))
+    return ensure_cols(res, {"event_type": "object", "n": "int64",
+                             "total_value_u6": "int64"})
 
 
 def _daily(sf_dir: str):
@@ -204,8 +207,14 @@ def asof_purchase_click(sf_dir: str):
                          "click_ts": t["ts"]})
 
     clicks = ds.map_batches(clicks_f, batch_format="pyarrow")
-    return asof_join(purchases, clicks, on="ts", by="user_id",
-                     num_buckets=8)
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id", num_buckets=8,
+        # typed-empty stand-ins for a 0-row events table (schema-less
+        # sides would otherwise KeyError inside merge_asof on "ts")
+        left_empty={"event_id": "int64", "ts": "datetime64[us]",
+                    "user_id": "int64"},
+        right_empty={"user_id": "int64", "ts": "datetime64[us]",
+                     "click_ts": "datetime64[us]"})
 
 
 def value_median(sf_dir: str):
@@ -350,8 +359,12 @@ def range_count_clicks(sf_dir: str, window_minutes: int = 60):
                                  "n_clicks_1h": pd.Series(dtype="int64")})
         return pd.concat(out, ignore_index=True)
 
-    return cogroup(purchases, clicks, ["user_id"], count_in_window,
-                   num_buckets=8)
+    return cogroup(
+        purchases, clicks, ["user_id"], count_in_window, num_buckets=8,
+        left_empty={"event_id": "int64", "ts": "datetime64[us]",
+                    "user_id": "int64"},
+        right_empty={"user_id": "int64",
+                     "click_ts": "datetime64[us]"})
 
 
 def comments_stats(sf_dir: str):
@@ -478,13 +491,19 @@ def funnel(sf_dir: str,
 
     parts = grouped_map(ev, ["user_id"], bucket_counts, num_buckets=8)
     out = grouped_agg(parts, ["stage", "stage_idx"],
-                      {"users": ("users", "sum")}, num_buckets=1)
-
-    def cast(df: pd.DataFrame) -> pd.DataFrame:
-        df["users"] = df["users"].astype("int64")
-        return df[["stage", "stage_idx", "users"]]
-
-    return out.map_batches(cast, batch_format="pandas")
+                      {"users": ("users", "sum")},
+                      num_buckets=1).to_pandas()
+    if "stage" not in out.columns:
+        # 0-row events table: the oracle's chained min-after joins
+        # still emit one row PER STAGE with users=0 — match that, not
+        # a schema-less empty
+        return pd.DataFrame({"stage": list(stages),
+                             "stage_idx": np.arange(len(stages),
+                                                    dtype=np.int64),
+                             "users": np.zeros(len(stages),
+                                               dtype=np.int64)})
+    out["users"] = out["users"].astype("int64")
+    return out[["stage", "stage_idx", "users"]]
 
 
 def retention(sf_dir: str):
@@ -841,6 +860,12 @@ def user_gini(sf_dir: str):
     ds = read_table(sf_dir, "events", ["user_id"])
     counts = grouped_agg(ds, ["user_id"], {"n": (None, "count")},
                          num_buckets=8).to_pandas()
+    if "n" not in counts.columns or not len(counts):
+        # 0-row events table: SQL aggregate over zero users yields one
+        # row (n_users=0, gini=NULL) — the closed form below would 0/0
+        return pd.DataFrame({
+            "n_users": pd.array([0], dtype="int64"),
+            "gini": pd.array([np.nan], dtype="float64")})
     counts = counts.sort_values(["n", "user_id"], kind="stable")
     x = counts["n"].to_numpy(np.float64)
     n = float(len(x))
@@ -1023,6 +1048,10 @@ def user_freq_cms(sf_dir: str, topn: int = 20):
     agg = grouped_agg(ds.map_batches(part, batch_format="pandas"),
                       ["row", "col"], {"cnt": ("cnt", "sum")},
                       num_buckets=4).to_pandas()   # ≤ d·w + |users|
+    if "row" not in agg.columns:        # schema-less when input empty
+        agg = pd.DataFrame({"row": pd.Series(dtype="int64"),
+                            "col": pd.Series(dtype="int64"),
+                            "cnt": pd.Series(dtype="int64")})
     users = agg[agg["row"] == -1]
     cms = np.zeros((4, CMS_W), dtype=np.int64)
     cells = agg[agg["row"] >= 0]
@@ -1106,10 +1135,14 @@ def running_value(sf_dir: str, num_buckets: int = 8):
 
     path = f"{sf_dir}/events.parquet"
     pf = _pq.ParquetFile(path)
-    lo = min(pf.metadata.row_group(i).column(0).statistics.min
-             for i in range(pf.metadata.num_row_groups))
-    hi = max(pf.metadata.row_group(i).column(0).statistics.max
-             for i in range(pf.metadata.num_row_groups))
+    stats = [pf.metadata.row_group(i).column(0).statistics
+             for i in range(pf.metadata.num_row_groups)]
+    stats = [s for s in stats if s is not None and s.min is not None]
+    if not stats:                       # 0-row table: stats are absent
+        lo, hi = 0, 0
+    else:
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats)
     span = max(int(hi) - int(lo) + 1, 1)
 
     def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -1187,8 +1220,10 @@ def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
         h = knuth_hash32(df["event_id"].to_numpy(np.int64))
         return df.loc[h < cut, ["c"]]
 
-    sample = np.sort(ds.map_batches(pick_sample, batch_format="pandas")
-                     .to_pandas()["c"].to_numpy(np.int64))
+    samp = ds.map_batches(pick_sample, batch_format="pandas").to_pandas()
+    # 0-row table → schema-less to_pandas() drops columns entirely
+    sample = (np.sort(samp["c"].to_numpy(np.int64))
+              if "c" in samp.columns else np.zeros(0, dtype=np.int64))
     if len(sample):
         qs = np.linspace(0, len(sample) - 1, num_buckets + 1)[1:-1]
         splits = sample[qs.astype(np.int64)].astype(np.float64)
@@ -1206,9 +1241,10 @@ def value_ntile(sf_dir: str, tiles: int = 4, num_buckets: int = 8):
                          num_buckets=2).to_pandas()
     offs = np.zeros(num_buckets, dtype=np.int64)
     total = 0
-    for r in counts.sort_values("bucket").itertuples():
-        offs[int(r.bucket)] = total
-        total += int(r.n)
+    if "bucket" in counts.columns:      # schema-less when input empty
+        for r in counts.sort_values("bucket").itertuples():
+            offs[int(r.bucket)] = total
+            total += int(r.n)
     # SQL NTILE: first (total % tiles) tiles hold base+1 rows
     base, extra = divmod(total, tiles) if total else (0, 0)
 

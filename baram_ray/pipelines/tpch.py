@@ -938,9 +938,15 @@ def q19_discounted_revenue(sf_dir: str):
 
     part = read_small(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     brands = sorted(part["p_brand"].unique())
-    combos = [(brands[0], 1, 10, 1, 20),
-              (brands[min(1, len(brands) - 1)], 5, 25, 10, 40),
-              (brands[min(2, len(brands) - 1)], 15, 50, 20, 50)]
+    # Combos whose brand index exceeds the distinct-brand count are
+    # dropped (NOT remapped to brand[0]) — the oracle's
+    # `(SELECT p_brand FROM b WHERE i = k)` yields NULL there and
+    # matches nothing, so a degenerate corpus must do the same.
+    combos = [(brands[i], slo, shi, qlo, qhi)
+              for i, slo, shi, qlo, qhi in
+              [(0, 1, 10, 1, 20), (1, 5, 25, 10, 40),
+               (2, 15, 50, 20, 50)]
+              if i < len(brands)]
     pm = {"brand": {int(k): str(b) for k, b in zip(part["p_partkey"],
                                                    part["p_brand"])},
           "size": {int(k): int(s) for k, s in zip(part["p_partkey"],

@@ -282,11 +282,20 @@ def _reduce_cogroup(bucket_fn, l_refs: list, r_refs: list):
 
 
 def cogroup(left, right, keys: list[str], bucket_fn, *,
-            num_buckets: int = 32):
+            num_buckets: int = 32,
+            left_empty: dict[str, str] | None = None,
+            right_empty: dict[str, str] | None = None):
     """Co-partition two Datasets by hash of ``keys`` and apply
     ``bucket_fn(left_df, right_df)`` per bucket — the join/cogroup
     exchange (same two-stage shuffle as ``grouped_map``; both sides'
-    fragments for a bucket land in one reduce task)."""
+    fragments for a bucket land in one reduce task).
+
+    ``left_empty`` / ``right_empty``: optional column→pandas-dtype
+    declarations used to build the typed-empty stand-in when a side is
+    SCHEMA-LESS (every upstream block 0-row → Ray skipped the UDFs).
+    Without them the stand-in carries only the key columns, which
+    breaks bucket_fns that read a side's VALUE columns (merge_asof on
+    ``on``, window counts on a ts column) when that side is empty."""
     import ray
     import ray.data
 
@@ -298,6 +307,22 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
                     continue
                 out.append(block_ref)
         return out
+
+    def with_keys(tbl, declared: dict[str, str] | None):
+        # a fully-empty side can be SCHEMA-LESS (every block 0-row →
+        # Ray skipped the UDFs); bucket_fns merge on ``keys``, so the
+        # typed-empty stand-in must at least carry the key columns —
+        # and, when the caller declared the side's schema, ALL of it
+        import pandas as pd
+        import pyarrow as pa
+        if declared is not None and tbl.num_columns == 0:
+            df = pd.DataFrame({c: pd.Series(dtype=d)
+                               for c, d in declared.items()})
+            return pa.Table.from_pandas(df, preserve_index=False)
+        for k in keys:
+            if k not in tbl.column_names:
+                tbl = tbl.append_column(k, pa.array([], pa.null()))
+        return tbl
 
     lblocks, rblocks = blocks_of(left), blocks_of(right)
     # same small-input bucket clamp as grouped_map (sized by the larger side)
@@ -319,8 +344,9 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
         # BOTH sides empty: one bucket_fn call on empty-but-typed frames
         # fixes the OUTPUT schema
         import pyarrow as pa
-        out = bucket_fn(_empty_typed_table(left).to_pandas(),
-                        _empty_typed_table(right).to_pandas())
+        out = bucket_fn(
+            with_keys(_empty_typed_table(left), left_empty).to_pandas(),
+            with_keys(_empty_typed_table(right), right_empty).to_pandas())
         return ray.data.from_arrow(
             pa.Table.from_pandas(out, preserve_index=False))
     if not lfrags:
@@ -328,14 +354,14 @@ def cogroup(left, right, keys: list[str], bucket_fn, *,
         # bucket_fns must still see every right row, so run the normal
         # per-bucket reduce with an empty typed LEFT fragment (left-
         # keyed bucket_fns produce their 0 rows either way)
-        empty_l = ray.put(_empty_typed_table(left))
+        empty_l = ray.put(with_keys(_empty_typed_table(left), left_empty))
         lfrags = [[empty_l] * num_buckets]
     if not rfrags:
         # only the RIGHT side is empty: left-outer-shaped bucket_fns
         # (dup-span rebuild, range-join counts) must still see every left
         # row — run the normal per-bucket reduce with an empty typed
         # right fragment instead of short-circuiting to (empty, empty)
-        empty_r = ray.put(_empty_typed_table(right))
+        empty_r = ray.put(with_keys(_empty_typed_table(right), right_empty))
         rfrags = [[empty_r] * num_buckets]
     fn_ref = ray.put(bucket_fn)
     frags_by_bucket = {b: ([fr[b] for fr in lfrags],

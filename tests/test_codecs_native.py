@@ -107,3 +107,19 @@ def test_compressed_codecs_still_raise(ray_session):
                                         pa.binary())})
     with pytest.raises(NotImplementedError):
         fs(bad)
+
+
+def test_malformed_magic_falls_back_to_fake(ray_session):
+    """A payload that merely STARTS with P6/RIFF magic but is malformed
+    must fall through to the deterministic fake when real_decode=False
+    (round-4 ADVICE fix) — and still raise when real_decode=True."""
+    bad_ppm = b"P6 not actually a pixmap"
+    bad_wav = b"RIFF....WAVEgarbage"
+    st = multimodal.DecodeStage(real_decode=False)
+    for payload in (bad_ppm, bad_wav):
+        out = st._decode_one("image", payload)
+        assert out["ok"] is True          # fake path: deterministic props
+        assert out["decoded_width"] >= 16
+    st_real = multimodal.DecodeStage(real_decode=True)
+    with pytest.raises(Exception):
+        st_real._decode_one("image", bad_ppm)

@@ -283,3 +283,47 @@ def test_differential_embeddings(seed, ray_session, tmp_path):
                 f"SELECT * FROM '{d}/embeddings.parquet'")
     for name in EMB_QUERIES:
         _compare(name, str(d), con)
+
+
+@pytest.mark.parametrize("brands", [["B1"], ["B1", "B2"]])
+def test_tpch_q19_degenerate_brands(brands, ray_session, tmp_path):
+    """<3 distinct brands: combos whose brand index exceeds the count
+    must match NOTHING (oracle's scalar subquery yields NULL), not be
+    remapped to brand[0] (round-4 ADVICE fix)."""
+    rng = np.random.RandomState(101)
+    d = tmp_path / f"sf_q19_{len(brands)}"
+    os.makedirs(d)
+    tables = _rand_tpch(rng)
+    tables["part"]["p_brand"] = np.resize(brands,
+                                          len(tables["part"]))
+    con = duckdb.connect()
+    for name, df in tables.items():
+        df.to_parquet(d / f"{name}.parquet", index=False)
+        con.execute(f"CREATE VIEW {name} AS "
+                    f"SELECT * FROM '{d}/{name}.parquet'")
+    _compare("tpch_q19", str(d), con)
+
+
+def test_events_fully_empty_table(ray_session, tmp_path):
+    """A 0-row events table: Ray emits schema-less empty datasets from
+    skipped UDFs; every oracled events query must still return its
+    typed empty (or typed aggregate) without crashing — the
+    daily_click_purchase cogroup KeyError was the round-4 ADVICE bug."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    d = tmp_path / "sf_ev_empty"
+    os.makedirs(d)
+    # explicit schema: an empty pandas OBJECT column would otherwise be
+    # written as Arrow `null` type and poison both engine and oracle
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("ts", pa.timestamp("us")),
+                        ("user_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("value", pa.float64()),
+                        ("props", pa.string())])
+    pq.write_table(schema.empty_table(), d / "events.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS "
+                f"SELECT * FROM '{d}/events.parquet'")
+    for name in EVENT_QUERIES:
+        _compare(name, str(d), con)

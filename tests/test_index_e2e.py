@@ -468,3 +468,22 @@ def test_sharded_reader_prunes_docs_partitions(ray_session, corpus_path,
     for q in QUERY_SET[:8]:
         assert e1.search(q["text"], k=q["k"]) == e2.search(q["text"],
                                                            k=q["k"])
+
+def test_rank_map_empty_index_membership(ray_session, tmp_path):
+    """rank_and_member on an EMPTY index (purge on an empty docs table)
+    must return member=False for every probe instead of IndexError on
+    the empty shard id array (round-4 ADVICE fix)."""
+    import pyarrow as pa
+
+    from baram_ray.index.build import build_rank_map
+
+    empty_dir = tmp_path / "empty_docs"
+    empty_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64())}),
+                   empty_dir / "part0.parquet")
+    rmap, stats = build_rank_map([str(empty_dir)])
+    assert stats["n"] == 0
+    probe = np.array([1, 99, 12345], dtype=np.int64)
+    ranks, member = rmap.rank_and_member(probe)
+    assert member.tolist() == [False, False, False]
+    assert (ranks == 0).all()
