@@ -822,8 +822,10 @@ def forecast_holt(sf_dir: str, alpha: float = 0.5, beta: float = 0.3,
     extended to prediction. Each type's series (zero-filled over its
     own [first, last] day range) smooths sequentially inside its
     exchange bucket; output is the ``horizon`` daily forecasts per
-    type. Inherently recursive → no SQL oracle (rows-only); pytest
-    recomputes the recursion independently."""
+    type. The recursion unrolls exactly in SQL via a RECURSIVE CTE
+    (same op order, constants folded identically) → hash-exact DuckDB
+    oracle; pytest additionally recomputes the recursion
+    independently."""
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         rows = []

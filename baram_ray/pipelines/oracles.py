@@ -605,6 +605,57 @@ ORACLES: dict[str, str] = {
                CAST(max(p_size) AS BIGINT) AS max_size
         FROM part GROUP BY p_brand
     """,
+    # Holt double-exponential smoothing unrolled EXACTLY via a
+    # recursive CTE: the anchor is (level=y0, trend=y1-y0), each step
+    # applies the engine's update in the SAME operation order
+    # (alpha=0.5, beta=0.3 written as literals; (1.0 - 0.5) and
+    # (1.0 - 0.3) fold to the same doubles Python computes); the level
+    # expression is repeated inside the trend term — identical IEEE
+    # ops, so bit-identical to referencing it once. Series are
+    # zero-filled per type over [lo, hi] epoch days, types with a
+    # single day are skipped (len(series) < 2), forecasts are
+    # level + h*trend for h = 1..7, round-6 at the very end only.
+    "events_forecast_holt": r"""
+        WITH RECURSIVE
+        d AS (SELECT event_type,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS day,
+                     CAST(count(*) AS DOUBLE) AS y
+              FROM events GROUP BY 1, 2),
+        rng AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+                FROM d GROUP BY 1 HAVING max(day) > min(day)),
+        series AS (SELECT r.event_type, t.day - r.lo AS i,
+                          COALESCE(d.y, CAST(0.0 AS DOUBLE)) AS y
+                   FROM rng r
+                   CROSS JOIN UNNEST(generate_series(r.lo, r.hi))
+                        AS t(day)
+                   LEFT JOIN d ON d.event_type = r.event_type
+                              AND d.day = t.day),
+        rec AS (
+          SELECT s0.event_type, CAST(1 AS BIGINT) AS i,
+                 s0.y AS level, s1.y - s0.y AS trend
+          FROM series s0
+          JOIN series s1 ON s1.event_type = s0.event_type AND s1.i = 1
+          WHERE s0.i = 0
+          UNION ALL
+          SELECT r.event_type, r.i + 1,
+                 0.5 * s.y + (1.0 - 0.5) * (r.level + r.trend) AS level,
+                 0.3 * ((0.5 * s.y + (1.0 - 0.5) * (r.level + r.trend))
+                        - r.level) + (1.0 - 0.3) * r.trend AS trend
+          FROM rec r JOIN series s ON s.event_type = r.event_type
+                                  AND s.i = r.i),
+        fin AS (SELECT event_type, level, trend,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY i DESC) AS rn
+                FROM rec),
+        hz AS (SELECT UNNEST(generate_series(1, 7)) AS h)
+        SELECT f.event_type, CAST(r.hi + hz.h AS BIGINT) AS day,
+               round(f.level + CAST(hz.h AS DOUBLE) * f.trend, 6)
+                   AS forecast
+        FROM fin f JOIN rng r ON r.event_type = f.event_type
+        CROSS JOIN hz
+        WHERE f.rn = 1
+    """,
     "events_velocity": """
         WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
                           count(*) AS n

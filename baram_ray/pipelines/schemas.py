@@ -72,6 +72,8 @@ EMPTY_SCHEMAS: dict[str, dict[str, str]] = {
     "events_distinct_kmv": {"event_type": "object",
                             "est_distinct": "float64"},
     "events_velocity": {"event_type": "object", "velocity": "float64"},
+    "events_forecast_holt": {"event_type": "object", "day": "int64",
+                             "forecast": "float64"},
     "events_minmax": {"event_type": "object", "day": TS, "n": "int64",
                       "norm": "float64"},
 }

@@ -35,7 +35,8 @@ EVENT_QUERIES = ["events_running_value", "events_value_ntile",
                  "events_heatmap", "events_transitions",
                  "events_user_lifetime", "events_funnel",
                  "events_retention", "events_distinct_kmv",
-                 "events_velocity", "events_minmax"]
+                 "events_velocity", "events_minmax",
+                 "events_forecast_holt"]
 DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dedup_jaccard_clusters",
                # full documents/text family (empty-path bugs in the
