@@ -415,8 +415,11 @@ def _block_sorted_ids(files: list[str]):
 
 def _shard_sorted_ids(lo, hi, *blocks):
     """Stage 2 (one task per id shard): slice every block's sorted ids
-    to [lo, hi), merge-sort them → the shard's sorted id array (stays
-    in plasma) + tiny stats (count, min/max, within-shard dup ids)."""
+    to [lo, hi), merge-sort them → the shard's sorted id array AND its
+    within-shard dup-id array (both stay in plasma as separate returns)
+    + tiny stats (count, min/max, dup count). Dup ids are returned as
+    an object, NOT inside stats — the driver must never concatenate
+    the corpus-fraction-sized dup set."""
     parts = []
     for b in blocks:
         a = b[(np.searchsorted(b, lo, side="left") if lo is not None else 0):
@@ -428,9 +431,9 @@ def _shard_sorted_ids(lo, hi, *blocks):
            else np.empty(0, dtype=np.int64))
     dups = (np.unique(ids[:-1][np.diff(ids) == 0]) if len(ids)
             else np.empty(0, dtype=np.int64))
-    return ids, {"n": int(len(ids)), "dups": dups,
-                 "min": int(ids[0]) if len(ids) else None,
-                 "max": int(ids[-1]) if len(ids) else None}
+    return ids, dups, {"n": int(len(ids)), "n_dups": int(len(dups)),
+                       "min": int(ids[0]) if len(ids) else None,
+                       "max": int(ids[-1]) if len(ids) else None}
 
 
 class RankMap:
@@ -502,6 +505,86 @@ class RankMap:
         return ranks, member
 
 
+class ShardedIdSet:
+    """Sorted int64 id SET sharded by the rank-map id ranges — the
+    semi-join side of the duplicate-id upsert. Pickles boundaries,
+    per-shard counts and plasma refs only (same two-level design as
+    :class:`RankMap`); a membership probe fetches just the shards its
+    batch overlaps (zero-copy plasma reads, memoized per instance), so
+    nothing set-sized is ever broadcast from or concatenated on the
+    driver — the round-3 flagship build's last O(corpus-fraction)
+    broadcast (``ray.put(dup_sorted)``) is gone."""
+
+    def __init__(self, bounds: np.ndarray, refs: list,
+                 counts: np.ndarray):
+        self.bounds = np.asarray(bounds, dtype=np.int64)
+        self.refs = list(refs)
+        self.counts = np.asarray(counts, dtype=np.int64)
+        self.total = int(self.counts.sum())
+        self._cache: dict = {}
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_cache"] = {}          # never ship fetched arrays
+        return d
+
+    def __len__(self) -> int:
+        return self.total
+
+    def member(self, ids: np.ndarray) -> np.ndarray:
+        import ray as _ray
+        ids = np.asarray(ids, dtype=np.int64)
+        out = np.zeros(len(ids), dtype=bool)
+        if not len(ids) or self.total == 0:
+            return out
+        shard = (np.searchsorted(self.bounds, ids, side="right")
+                 if len(self.refs) > 1
+                 else np.zeros(len(ids), dtype=np.int64))
+        for sh in np.unique(shard):
+            if self.counts[sh] == 0:
+                continue
+            arr = self._cache.get(int(sh))
+            if arr is None:
+                arr = self._cache[int(sh)] = _ray.get(self.refs[sh])
+            m = shard == sh
+            p = np.searchsorted(arr, ids[m]).clip(max=len(arr) - 1)
+            out[m] = arr[p] == ids[m]
+        return out
+
+    def head(self, k: int) -> np.ndarray:
+        """First ``k`` ids (diagnostics/error messages only)."""
+        import ray as _ray
+        got, n = [], 0
+        for sh in range(len(self.refs)):
+            if n >= k:
+                break
+            if self.counts[sh]:
+                a = _ray.get(self.refs[sh])[: k - n]
+                got.append(a)
+                n += len(a)
+        return (np.concatenate(got) if got
+                else np.empty(0, dtype=np.int64))
+
+    def tolist(self) -> list:
+        """Materialize the whole set (tests/diagnostics only — NOT for
+        production paths; the set can be corpus-fraction-sized)."""
+        import ray as _ray
+        parts = [_ray.get(r) for r, c in zip(self.refs, self.counts)
+                 if c]
+        return np.concatenate(parts).tolist() if parts else []
+
+    @staticmethod
+    def from_array(arr: np.ndarray) -> "ShardedIdSet":
+        """Single-shard set from a small driver-side array (the
+        per-partition incremental path, where the partition is
+        block-sized by construction)."""
+        import ray as _ray
+        arr = np.sort(np.asarray(arr, dtype=np.int64))
+        return ShardedIdSet(np.empty(0, dtype=np.int64),
+                            [_ray.put(arr)],
+                            np.array([len(arr)], dtype=np.int64))
+
+
 def build_rank_map(paths, *, ids_per_shard: int | None = None,
                    num_id_shards: int | None = None
                    ) -> tuple[RankMap, dict]:
@@ -514,12 +597,13 @@ def build_rank_map(paths, *, ids_per_shard: int | None = None,
         ids_per_shard = int(os.environ.get("BARAM_IDS_PER_RANK_SHARD",
                                            DEFAULT_IDS_PER_RANK_SHARD))
     files = _parquet_files(paths if isinstance(paths, list) else [paths])
-    empty_stats = {"n": 0, "min": None, "max": None,
-                   "dups": np.empty(0, dtype=np.int64)}
     if not files:
         ref = _ray.put(np.empty(0, dtype=np.int64))
+        empty_set = ShardedIdSet(np.empty(0, np.int64), [ref],
+                                 np.zeros(1, dtype=np.int64))
         return RankMap(np.empty(0, np.int64), np.zeros(1, np.int64),
-                       [ref], 0), empty_stats
+                       [ref], 0), {"n": 0, "min": None, "max": None,
+                                   "dups": empty_set}
     blk = _ray.remote(num_returns=2)(_block_sorted_ids)
     pairs = [blk.remote([f]) for f in files]
     id_refs = [p[0] for p in pairs]
@@ -534,19 +618,24 @@ def build_rank_map(paths, *, ids_per_shard: int | None = None,
         n_shards = len(bounds) + 1
     else:
         bounds = np.empty(0, dtype=np.int64)
-    shard = _ray.remote(num_returns=2)(_shard_sorted_ids)
-    srefs, sstat_refs = [], []
+    shard = _ray.remote(num_returns=3)(_shard_sorted_ids)
+    srefs, dup_refs, sstat_refs = [], [], []
     for s in range(n_shards):
         lo = None if s == 0 else int(bounds[s - 1])
         hi = None if s == n_shards - 1 else int(bounds[s])
-        a, b = shard.remote(lo, hi, *id_refs)
+        a, d, b = shard.remote(lo, hi, *id_refs)
         srefs.append(a)
+        dup_refs.append(d)
         sstat_refs.append(b)
     sstats = _ray.get(sstat_refs)
     counts = np.array([s["n"] for s in sstats], dtype=np.int64)
     bases = np.zeros(n_shards, dtype=np.int64)
     np.cumsum(counts[:-1], out=bases[1:])
-    dups = np.unique(np.concatenate([s["dups"] for s in sstats]))
+    # dup ids stay sharded in plasma (equal ids share a shard, so
+    # per-shard dup detection is complete); the driver holds only
+    # refs + counts, never the concatenated set
+    dup_counts = np.array([s["n_dups"] for s in sstats], dtype=np.int64)
+    dups = ShardedIdSet(bounds, dup_refs, dup_counts)
     mins = [s["min"] for s in sstats if s["min"] is not None]
     maxs = [s["max"] for s in sstats if s["max"] is not None]
     return (RankMap(bounds, bases, srefs, total),
@@ -575,38 +664,41 @@ def _member(ids: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
     return sorted_set[pos] == ids
 
 
-def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
+def _dedup_first_wins(fwd_dir: str,
+                      dup_ids: "np.ndarray | ShardedIdSet") -> None:
     """Rewrite the forward index keeping ONE row per doc_id — the row
     with the lexicographically smallest sha256 (deterministic and
     partition-order-independent; the batch analogue of the reference's
     id-upsert where a re-crawled (repo, path, commit) replaces its
     previous version).
 
-    Nothing O(conflicts) on the driver: the only broadcast is the
-    (known) duplicated-id set. Rows with a non-duplicated id stream
-    straight to the rewrite; the CONFLICT rows — all columns — go
-    through one bucketed exchange keyed on doc_id, where each group
-    keeps its (sha256-min) first row. Twin rows (same id AND same sha,
-    byte-identical re-crawls) need no special path: the per-group pick
-    keeps exactly one row whatever the multiplicity.
+    Nothing O(conflicts) on the driver OR in a broadcast: the
+    conflict-id membership test is a semi-join against the sharded
+    dup-id set (:class:`ShardedIdSet` — map tasks fetch only the dup
+    shards their batch overlaps, ≤ one rank-map shard each). Rows with
+    a non-duplicated id stream straight to the rewrite; the CONFLICT
+    rows — all columns — go through one bucketed exchange keyed on
+    doc_id, where each group keeps its (sha256-min) first row. Twin
+    rows (same id AND same sha, byte-identical re-crawls) need no
+    special path: the per-group pick keeps exactly one row whatever
+    the multiplicity.
     """
-    import ray as _ray
     import shutil as _sh
 
     import pyarrow.compute as pc
 
-    dup_sorted = np.sort(dup_ids)
-    dup_ref = _ray.put(dup_sorted)
+    dup_set = (dup_ids if isinstance(dup_ids, ShardedIdSet)
+               else ShardedIdSet.from_array(dup_ids))
     files = _parquet_files([fwd_dir])
     nb = auto_num_blocks(fwd_dir)
 
     def non_conflict(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~_member(ids, _ray.get(dup_ref))))
+        return t.filter(pa.array(~dup_set.member(ids)))
 
     def conflict(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(_member(ids, _ray.get(dup_ref))))
+        return t.filter(pa.array(dup_set.member(ids)))
 
     def pick_min_sha(t: pa.Table) -> pa.Table:
         # Arrow-native (rows carry term-list columns — a pandas round-
@@ -625,7 +717,7 @@ def _dedup_first_wins(fwd_dir: str, dup_ids: np.ndarray) -> None:
     conflicts = ray.data.read_parquet(files, override_num_blocks=nb) \
         .map_batches(conflict, batch_format="pyarrow")
     one_each = grouped_map(conflicts, ["doc_id"], pick_min_sha,
-                           num_buckets=int(max(2, len(dup_sorted) // 50_000)),
+                           num_buckets=int(max(2, len(dup_set) // 50_000)),
                            batch_format="pyarrow")
     out = clean.union(one_each)
 
@@ -936,7 +1028,8 @@ def _encode_segments(fwd_paths, seg_dir: str, cfg, rank_map: RankMap,
     ``seg_dir`` (append — caller clears the dir for full rebuilds)."""
     if len(id_stats["dups"]):
         raise ValueError(
-            f"duplicate doc_id(s) (e.g. {id_stats['dups'][:5].tolist()})")
+            f"duplicate doc_id(s) (e.g. "
+            f"{id_stats['dups'].head(5).tolist()})")
     post_cols = ["doc_id"] + [
         c for f in cfg.fields
         for c in ((f"{f}__terms", f"{f}__tfs", f"{f}__pos")

@@ -102,9 +102,18 @@ def clean_corpus(sf_dir: str, *,
                           batch_format="pyarrow"))
 
     # --- 2. one-pass per-row signals ------------------------------- #
-    # decontam probe set: tiny by definition → driver read + broadcast
+    # decontam probe set: a REAL deployment reads a bounded benchmark
+    # fixture; this synthesized stand-in (every 50th doc) must be
+    # bounded too — an id cutoff caps the driver pull at PROBE_MAX
+    # docs no matter the corpus size (deterministic and reshard-stable,
+    # unlike .limit() whose row choice depends on block order). At
+    # 100 TB the old unbounded pull was corpus/50 on the driver.
+    PROBE_MAX = 4096
+
     def pick(b: pa.Table) -> pa.Table:
-        return b.filter(pa.array(b["doc_id"].to_numpy() % 50 == 0))
+        ids = b["doc_id"].to_numpy()
+        return b.filter(pa.array((ids % 50 == 0)
+                                 & (ids < 50 * PROBE_MAX)))
 
     bench = (read_table(sf_dir, "documents", ["doc_id", "text"])
              .map_batches(pick, batch_format="pyarrow").to_pandas())

@@ -487,3 +487,34 @@ def test_rank_map_empty_index_membership(ray_session, tmp_path):
     ranks, member = rmap.rank_and_member(probe)
     assert member.tolist() == [False, False, False]
     assert (ranks == 0).all()
+
+
+def test_sharded_id_set_matches_numpy(ray_session):
+    """ShardedIdSet.member == numpy isin across shard boundaries, for
+    sets built both from build_rank_map's sharded dup detection and
+    from a driver array (the incremental per-partition path)."""
+    from baram_ray.index.build import ShardedIdSet, build_rank_map
+    import ray as _ray
+
+    rng = np.random.RandomState(7)
+    dups = np.unique(rng.randint(0, 10_000, size=500).astype(np.int64))
+    probe = rng.randint(-100, 11_000, size=3_000).astype(np.int64)
+
+    s1 = ShardedIdSet.from_array(dups)
+    assert len(s1) == len(dups)
+    np.testing.assert_array_equal(s1.member(probe), np.isin(probe, dups))
+    assert s1.head(5).tolist() == sorted(dups.tolist())[:5]
+
+    # multi-shard set with an empty shard in the middle
+    bounds = np.array([2_000, 6_000, 6_001], dtype=np.int64)
+    shards = [dups[dups < 2_000], dups[(dups >= 2_000) & (dups < 6_000)],
+              np.empty(0, dtype=np.int64), dups[dups >= 6_001]]
+    s2 = ShardedIdSet(bounds, [_ray.put(a) for a in shards],
+                      np.array([len(a) for a in shards], dtype=np.int64))
+    keep = dups[dups != 6_000]      # 6_000 falls in the empty shard
+    np.testing.assert_array_equal(s2.member(probe), np.isin(probe, keep))
+
+    # round-trip through pickle (what map tasks receive) keeps working
+    import pickle
+    s3 = pickle.loads(pickle.dumps(s2))
+    np.testing.assert_array_equal(s3.member(probe), np.isin(probe, keep))
