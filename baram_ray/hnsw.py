@@ -9,11 +9,18 @@ native rebuild of that index class on Ray:
   graph per shard is built inside the shard-keyed exchange (all
   shards build in parallel, each task holds only its shard's
   vectors — the multi-node layout where every node owns a graph over
-  its slice). Insertion is the standard HNSW loop (geometric level
-  draw with mult = 1/ln(M), greedy descent above the node's level,
-  ef_construction best-first search + top-M linking + degree-capped
-  reverse-link pruning at every level at or below it), with the
-  neighbor-expansion cosine computed as one numpy matvec per pop.
+  its slice). Levels draw geometrically (mult = 1/ln(M)) as in
+  standard HNSW; *candidate* search during construction is chunked
+  EXACT search — inserts process in chunks, one BLAS matmul scores a
+  whole chunk against the frozen prefix graph (plus the intra-chunk
+  Gram), so each node links to its exact top-M nearest instead of an
+  ef_construction approximation. Linking (top-M forward links +
+  degree-capped reverse-link pruning at every level ≤ the node's)
+  is unchanged. This replaces the former per-insert best-first
+  graph search (~2 ms/vector of Python-heap overhead) with ~0.2
+  ms/vector at the default shard size; beyond ``_BRUTE_MAX`` nodes
+  per shard the O(n²d) exact scoring crosses over and insertion
+  falls back to the per-insert graph search automatically.
 - **Search** (``hnsw_search``): scatter-gather — one task per shard
   runs the layered best-first descent on its graph, the driver merges
   the S×Q×k candidate rows (query-bounded, never corpus-sized).
@@ -24,12 +31,15 @@ Determinism: level draws and all tie-breaks derive from a fixed seed
 and vec_id order, so two builds over the same corpus produce
 identical graphs and identical search results (tested).
 
-Scale note: python-loop insertion costs ~1-3 ms/vector — a shard
-builds ~50k vectors/min. That is the honest cost of a graph index
-without a native kernel; shards amortize it linearly across the
-cluster, and searches (the hot path) are a few matvecs each. The
-graph file per shard is O(n_shard × (2M + d)) — bounded by the
-shard, never the corpus.
+Scale note: chunked-exact insertion costs ~0.2-0.4 ms/vector up to
+~64k vectors per shard (the BLAS term is n²d per shard — at 64k × 256d
+that is ~2 GB-flops, a few seconds); past ``_BRUTE_MAX`` the build
+falls back to per-insert graph search (~2 ms/vector) whose cost stays
+linear. Size shards below the crossover (``target_shard`` default 4096,
+raise ``num_shards`` for bigger corpora) — shards amortize linearly
+across the cluster, and searches (the hot path) are a few matvecs
+each. The graph file per shard is O(n_shard × (2M + d)) — bounded by
+the shard, never the corpus.
 """
 
 from __future__ import annotations
@@ -112,14 +122,108 @@ def _draw_levels(n: int, M: int, seed: int) -> np.ndarray:
                       _MAX_LEVEL)[:n]
 
 
+_BRUTE_MAX = 65536   # exact-candidate crossover (see module docstring)
+_CHUNK_BYTES = 32 << 20   # score-matrix budget per chunk
+
+
+def _link_at_level(vecs, a: np.ndarray, deg_lev: np.ndarray, i: int,
+                   sel) -> None:
+    """Forward-link node ``i`` to ``sel`` on one level's adjacency and
+    add the reverse links under the degree cap (overflowing rows keep
+    their width most-similar neighbors) — shared by both insertion
+    strategies."""
+    width = a.shape[1]
+    a[i, :len(sel)] = sel
+    deg_lev[i] = len(sel)
+    for j in sel:
+        dj = int(deg_lev[j])
+        if dj < width:
+            a[j, dj] = i
+            deg_lev[j] = dj + 1
+        else:
+            # degree cap: keep the width most-similar neighbors
+            nb = np.append(a[j, :dj], np.int32(i))
+            s = vecs[nb] @ vecs[j]
+            keep = np.argsort(-s, kind="stable")[:width]
+            a[j, :width] = nb[keep]
+            deg_lev[j] = width
+
+
+def _link(vecs, adj, deg, i: int, li: int, cand: np.ndarray,
+          cand_lv: np.ndarray, M: int) -> None:
+    """Link node ``i`` to its top-M candidates at every level ≤ li
+    (candidates pre-sorted by (-sim, id); per-level top-M falls out of
+    the level filter because the candidate list is exact)."""
+    for lev in range(min(li, len(adj) - 1), -1, -1):
+        at_lev = cand[cand_lv >= lev] if lev else cand
+        sel = at_lev[:M]
+        if not len(sel):
+            continue
+        _link_at_level(vecs, adj[lev], deg[lev], i, sel)
+
+
 def _extend_graph(vecs: np.ndarray, levels: np.ndarray, adj: list,
                   entry: int, M: int, efc: int, start: int):
     """Continue HNSW insertion for nodes ``start``..n-1 into an
     existing graph (levels drawn for all n; ``adj`` rows already
     padded to n; higher levels appended lazily as drawn). Returns
-    (adj, entry)."""
+    (adj, entry).
+
+    Candidate search is chunked EXACT scoring while the graph holds
+    ≤ ``_BRUTE_MAX`` nodes: one BLAS matmul scores the whole chunk
+    against the frozen prefix, the intra-chunk Gram covers chunk
+    members inserted earlier, and each node links to its exact
+    top-M (deterministic (-sim, id) tie-break — tie-safe even on
+    duplicate vectors). Past the crossover the remaining nodes insert
+    via the classic per-node best-first graph search
+    (:func:`_extend_graph_search`), whose cost stays linear in n."""
     n = len(vecs)
     deg = [(a >= 0).sum(axis=1).astype(np.int32) for a in adj]
+    entry_l = int(levels[entry]) if entry >= 0 else -1
+    c0 = start
+    while c0 < n:
+        if c0 > _BRUTE_MAX:
+            return _extend_graph_search(vecs, levels, adj, deg, entry,
+                                        M, efc, c0)
+        # chunk sized so the (c0 × chunk) score matrix stays bounded
+        chunk = int(np.clip(_CHUNK_BYTES // max(c0 * 8, 1), 64, 256))
+        c1 = min(c0 + chunk, n)
+        Q = vecs[c0:c1]
+        sims_main = vecs[:c0] @ Q.T if c0 else None      # (c0, C)
+        gram = Q @ Q.T                                   # intra-chunk
+        for i in range(c0, c1):
+            li = int(levels[i])
+            while li > len(adj) - 1:                     # new top level
+                adj.append(np.full((n, M), -1, np.int32))
+                deg.append(np.zeros(n, np.int32))
+            if entry < 0:
+                entry, entry_l = i, li
+                continue
+            ci = i - c0
+            s_all = (np.concatenate([sims_main[:, ci], gram[:ci, ci]])
+                     if c0 else gram[:ci, ci])
+            m = len(s_all)
+            if m > efc:       # tie-safe exact top-efc: value cut, then
+                kth = -np.partition(-s_all, efc - 1)[efc - 1]
+                idx = np.flatnonzero(s_all >= kth)       # all ties kept
+            else:
+                idx = np.arange(m)
+            order = np.lexsort((idx, -s_all[idx]))[:efc]
+            cand = idx[order].astype(np.int64)
+            _link(vecs, adj, deg, i, li, cand, levels[cand], M)
+            if li > entry_l:
+                entry, entry_l = i, li
+        c0 = c1
+    return adj, entry
+
+
+def _extend_graph_search(vecs: np.ndarray, levels: np.ndarray,
+                         adj: list, deg: list, entry: int, M: int,
+                         efc: int, start: int):
+    """Per-node best-first insertion (classic HNSW loop) — the
+    giant-shard fallback past the exact-scoring crossover. ~2 ms/vector
+    of Python-heap overhead, linear in n."""
+    n = len(vecs)
     entry_l = int(levels[entry]) if entry >= 0 else -1
     scratch = np.zeros(n, dtype=bool)
     for i in range(start, n):
@@ -138,23 +242,7 @@ def _extend_graph(vecs: np.ndarray, levels: np.ndarray, adj: list,
         for lev in range(min(li, entry_l), -1, -1):
             found = _search_layer(vecs, adj[lev], q, ep, efc, scratch)
             cand_ids = [x for _, x in found]
-            width = adj[lev].shape[1]
-            sel = cand_ids[:M]
-            a = adj[lev]
-            a[i, :len(sel)] = sel
-            deg[lev][i] = len(sel)
-            for j in sel:
-                dj = int(deg[lev][j])
-                if dj < width:
-                    a[j, dj] = i
-                    deg[lev][j] = dj + 1
-                else:
-                    # degree cap: keep the width most-similar neighbors
-                    nb = np.append(a[j, :dj], np.int32(i))
-                    s = vecs[nb] @ vecs[j]
-                    keep = np.argsort(-s, kind="stable")[:width]
-                    a[j, :width] = nb[keep]
-                    deg[lev][j] = width
+            _link_at_level(vecs, adj[lev], deg[lev], i, cand_ids[:M])
             ep = cand_ids
         if li > entry_l:
             entry, entry_l = i, li
@@ -199,15 +287,19 @@ def hnsw_build(ds, out_dir: str, *, M: int = 16,
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
-    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def build_bucket(t: pa.Table) -> pa.Table:
+        # Arrow in → zero-copy matrix out: the bucket carries the
+        # embedding lists as one flat float buffer; a pandas round-trip
+        # here would materialize n_shard Python lists per bucket
         rows = []
-        for shard, g in df.groupby("shard"):
-            ids = g["vec_id"].to_numpy(np.int64)
+        shards_arr = t["shard"].to_numpy(zero_copy_only=False)
+        for shard in np.unique(shards_arr):
+            g = t.filter(pa.array(shards_arr == shard))
+            ids = g["vec_id"].to_numpy(zero_copy_only=False) \
+                             .astype(np.int64)
             order = np.argsort(ids, kind="stable")   # deterministic
             ids = ids[order]
-            vecs = _norm_rows(np.stack(
-                [np.asarray(v, dtype=np.float64)
-                 for v in g["embedding"].to_numpy()[order]]))
+            vecs = _norm_rows(_matrix(g)[order])
             levels, adj, entry = _build_graph(
                 vecs, M=M, efc=ef_construction, seed=seed + int(shard))
             payload = {"ids": ids, "vecs": vecs.astype(np.float32),
@@ -215,14 +307,19 @@ def hnsw_build(ds, out_dir: str, *, M: int = 16,
                        "entry": np.int64(entry)}
             for lev, a in enumerate(adj):
                 payload[f"adj_{lev}"] = a
-            np.savez_compressed(_graph_path(out_dir, int(shard)),
-                                **payload)
+            # uncompressed npz: zlib costs ~0.3 s/shard at build AND a
+            # decompress on every cold load; graph files are MBs
+            np.savez(_graph_path(out_dir, int(shard)), **payload)
             rows.append({"shard": int(shard), "n": int(len(ids)),
                          "max_level": int(len(adj) - 1)})
-        return pd.DataFrame(rows, columns=["shard", "n", "max_level"])
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("shard", pa.int64()),
+                                    ("n", pa.int64()),
+                                    ("max_level", pa.int64())]))
 
     stats = grouped_map(tagged, ["shard"], build_bucket,
-                        num_buckets=num_shards).to_pandas()
+                        num_buckets=num_shards,
+                        batch_format="pyarrow").to_pandas()
     # Ray drops columns on all-empty results — treat as "no shards"
     shards = (sorted(int(s) for s in stats["shard"])
               if "shard" in stats.columns else [])
@@ -257,15 +354,16 @@ def hnsw_add(index_dir: str, ds, *, seed: int = 104729) -> dict:
         return batch.append_column(
             "shard", pa.array(_shard_of(ids, num_shards), pa.int64()))
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(t: pa.Table) -> pa.Table:
         rows = []
-        for shard, g in df.groupby("shard"):
-            new_ids = g["vec_id"].to_numpy(np.int64)
+        shards_arr = t["shard"].to_numpy(zero_copy_only=False)
+        for shard in np.unique(shards_arr):
+            g = t.filter(pa.array(shards_arr == shard))
+            new_ids = g["vec_id"].to_numpy(zero_copy_only=False) \
+                                 .astype(np.int64)
             order = np.argsort(new_ids, kind="stable")
             new_ids = new_ids[order]
-            new_vecs = _norm_rows(np.stack(
-                [np.asarray(v, dtype=np.float64)
-                 for v in g["embedding"].to_numpy()[order]]))
+            new_vecs = _norm_rows(_matrix(g)[order])
             path = _graph_path(index_dir, int(shard))
             if os.path.exists(path):
                 with np.load(path) as z:
@@ -298,14 +396,18 @@ def hnsw_add(index_dir: str, ds, *, seed: int = 104729) -> dict:
                        "entry": np.int64(entry)}
             for lev, a in enumerate(adj):
                 payload[f"adj_{lev}"] = a
-            np.savez_compressed(path, **payload)
+            np.savez(path, **payload)
             rows.append({"shard": int(shard), "n": int(len(ids)),
                          "max_level": int(len(adj) - 1)})
-        return pd.DataFrame(rows, columns=["shard", "n", "max_level"])
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("shard", pa.int64()),
+                                    ("n", pa.int64()),
+                                    ("max_level", pa.int64())]))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")
     stats = grouped_map(tagged, ["shard"], add_bucket,
-                        num_buckets=num_shards).to_pandas()
+                        num_buckets=num_shards,
+                        batch_format="pyarrow").to_pandas()
     touched = (set(int(s) for s in stats["shard"])
                if "shard" in stats.columns else set())
     meta["shards"] = sorted(set(meta.get("shards", [])) | touched)
