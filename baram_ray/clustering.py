@@ -11,17 +11,25 @@ standard two-level variant:
 
 1. per-block greedy clustering (map_batches, rows in block order) →
    local clusters (centroid sums + member lists);
-2. a driver merge of LOCAL CLUSTER SUMMARIES only (clusters ≪ docs —
-   this is the small side) with the same greedy rule over weighted
-   centroids;
+2. a HIERARCHICAL merge of LOCAL CLUSTER SUMMARIES: summaries
+   tree-reduce through Ray tasks (fan-in ``_MERGE_FANIN`` per level),
+   every level applying the same greedy rule over weighted centroids
+   with the no-same-source-block constraint carried as a BLOCK SET per
+   merged cluster (two summaries that trace back to the same input
+   block never share a cluster, no matter which level they meet at).
+   The driver holds only object refs; the final mapping + centroid
+   matrix are assembled and ``ray.put`` INSIDE the last task — nothing
+   O(local clusters) ever lands on the driver;
 3. a distributed second pass assigns every member its global cluster and
    computes similarity-to-final-centroid → EventCluster stats
    (article_count, majority category, id range, avg_similarity —
    ``build_event_cluster``, engine.rs:338-427).
 
 With a single block the result is EXACTLY the reference's sequential
-algorithm (tested); with many blocks the partitioning changes which
-seeds open clusters first — documented, the threshold semantics hold.
+algorithm (tested — one level-0 task sees only same-block summaries, so
+the constraint forbids every merge and local labels pass through); with
+many blocks the partitioning changes which seeds open clusters first —
+documented, the threshold semantics hold.
 """
 
 from __future__ import annotations
@@ -75,6 +83,106 @@ def greedy_cluster(vecs: np.ndarray, threshold: float) -> np.ndarray:
     return labels
 
 
+_MERGE_FANIN = 16    # tree-merge fan-in per level (levels = log_F(blocks))
+
+
+def _greedy_merge(items: list[dict], threshold: float) -> list[dict]:
+    """Greedy weighted-centroid merge over summary items, each
+    ``{"key": (block, cid), "sum": vec, "count": n, "blocks": set,
+    "members": [(block, cid), ...]}``. The no-same-source-block rule is
+    enforced through the block SETS (composes across tree levels); items
+    process in (block, cid) order of their representative — same
+    vectorized masked-argmax as the reference's sequential pass."""
+    items = sorted(items, key=lambda it: it["key"])
+    n_sum = len(items)
+    if not n_sum:
+        return []
+    dim = len(items[0]["sum"])
+    out: list[dict] = []
+    block_owner: dict[int, set] = {}      # source block -> {out idx}
+    M = np.empty((n_sum, dim))            # centroid means (prefix used)
+    Mnorm = np.empty(n_sum)
+    g = 0
+    for it in items:
+        mean = it["sum"] / it["count"]
+        mn = np.linalg.norm(mean) or 1.0
+        best, best_sim = -1, -np.inf
+        banned: set = set()
+        for b in it["blocks"]:
+            banned |= block_owner.get(b, set())
+        if g:
+            sims = (M[:g] @ mean) / (Mnorm[:g] * mn)
+            if banned:                     # mask same-source-block
+                sims[list(banned)] = -np.inf
+            best = int(np.argmax(sims))
+            best_sim = float(sims[best])
+        if best_sim >= threshold:
+            tgt = out[best]
+            tgt["sum"] = tgt["sum"] + it["sum"]
+            tgt["count"] += it["count"]
+            tgt["blocks"] |= it["blocks"]
+            tgt["members"].extend(it["members"])
+            tgt["key"] = min(tgt["key"], it["key"])
+            for b in it["blocks"]:
+                block_owner.setdefault(b, set()).add(best)
+            M[best] = tgt["sum"] / tgt["count"]
+            Mnorm[best] = np.linalg.norm(M[best]) or 1.0
+        else:
+            out.append({"key": it["key"], "sum": it["sum"],
+                        "count": it["count"],
+                        "blocks": set(it["blocks"]),
+                        "members": list(it["members"])})
+            for b in it["blocks"]:
+                block_owner.setdefault(b, set()).add(g)
+            M[g] = mean
+            Mnorm[g] = mn
+            g += 1
+    return out
+
+
+@ray.remote
+def _extract_merge(threshold: float, *blocks):
+    """Level-0 merge task: pull the summary rows out of a group of
+    stage-1 blocks (Arrow tables in plasma) and greedy-merge them."""
+    import pyarrow.compute as pc
+    items = []
+    for t in blocks:
+        sub = t.filter(pc.is_valid(t["summary_count"]))
+        if not sub.num_rows:
+            continue
+        for blk, cid, cen, cnt in zip(sub["block"].to_pylist(),
+                                      sub["local_cid"].to_pylist(),
+                                      sub["summary_centroid"].to_pylist(),
+                                      sub["summary_count"].to_pylist()):
+            items.append({"key": (int(blk), int(cid)),
+                          "sum": np.asarray(cen, dtype=np.float64),
+                          "count": int(cnt), "blocks": {int(blk)},
+                          "members": [(int(blk), int(cid))]})
+    return _greedy_merge(items, threshold)
+
+
+@ray.remote
+def _merge_lists(threshold: float, *lists):
+    """Level-k>0 merge task: fan-in previously merged summary lists."""
+    items = [it for lst in lists for it in lst]
+    return _greedy_merge(items, threshold)
+
+
+@ray.remote
+def _assemble_final(items: list[dict]):
+    """Assign global ids in representative order and ``ray.put`` the
+    (block, local_cid) → global mapping and the centroid matrix FROM
+    THIS TASK — the driver receives two tiny refs, never the
+    O(local clusters) mapping itself."""
+    import ray as _ray
+    items = sorted(items, key=lambda it: it["key"])
+    mapping = {m: gi for gi, it in enumerate(items)
+               for m in it["members"]}
+    centroids = (np.stack([it["sum"] / it["count"] for it in items])
+                 if items else np.empty((0, 1)))
+    return _ray.put(mapping), _ray.put(centroids)
+
+
 def cluster_events(ds, threshold: float = 0.55, *, id_col: str = "vec_id",
                    category_col: str = "label",
                    return_members: bool = False):
@@ -122,63 +230,28 @@ def cluster_events(ds, threshold: float = 0.55, *, id_col: str = "vec_id",
 
     staged = ds.map_batches(local, batch_format="pyarrow").materialize()
 
-    # ---- stage 2: merge local summaries on the driver (small side) ----
-    summaries = []                          # (block, local_cid, sum, count)
-    for b in staged.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for blk, cid, cen, cnt in zip(b["block"].to_pylist(),
-                                      b["local_cid"].to_pylist(),
-                                      b["summary_centroid"].to_pylist(),
-                                      b["summary_count"].to_pylist()):
-            if cen is not None:
-                summaries.append((blk, cid, np.asarray(cen), cnt))
-    summaries.sort(key=lambda s: (s[0], s[1]))   # deterministic order
-
-    # merge rule: a summary may only join a global cluster with NO content
-    # from its own block — within one block the sequential pass already
-    # decided those clusters are distinct (so a single-block run
-    # reproduces the reference algorithm exactly; tested)
-    # vectorized greedy merge: centroid means kept as a matrix, one
-    # masked argmax per summary (a per-centroid Python loop here is
-    # O(clusters²·d) in pure Python — seconds even at demo scale)
-    merged_sum: list[np.ndarray] = []
-    merged_cnt: list[int] = []
-    block_members: dict[int, set] = {}               # block -> {cluster idx}
-    mapping: dict[tuple[int, int], int] = {}         # (block, local) -> global
-    n_sum = len(summaries)
-    dim = len(summaries[0][2]) if n_sum else 0
-    M = np.empty((n_sum, dim))                       # centroid means (prefix)
-    Mnorm = np.empty(n_sum)
-    g = 0
-    for blk, cid, vec_sum, cnt in summaries:
-        mean = vec_sum / cnt
-        mn = np.linalg.norm(mean) or 1.0
-        best, best_sim = -1, -np.inf
-        in_blk = block_members.setdefault(blk, set())
-        if g:
-            sims = (M[:g] @ mean) / (Mnorm[:g] * mn)
-            if in_blk:                               # mask same-block
-                sims[list(in_blk)] = -np.inf
-            best = int(np.argmax(sims))
-            best_sim = float(sims[best])
-        if best_sim >= threshold:
-            merged_sum[best] = merged_sum[best] + vec_sum
-            merged_cnt[best] += cnt
-            in_blk.add(best)
-            mapping[(blk, cid)] = best
-            M[best] = merged_sum[best] / merged_cnt[best]
-            Mnorm[best] = np.linalg.norm(M[best]) or 1.0
-        else:
-            merged_sum.append(vec_sum)
-            merged_cnt.append(cnt)
-            in_blk.add(g)
-            mapping[(blk, cid)] = g
-            M[g] = mean
-            Mnorm[g] = mn
-            g += 1
-    centroids = np.stack([s / c for s, c in zip(merged_sum, merged_cnt)]) \
-        if merged_sum else np.empty((0, 1))
-    map_ref = ray.put(mapping)              # small: one entry per LOCAL
-    cen_ref = ray.put(centroids)            # cluster, not per member
+    # ---- stage 2: hierarchical tree merge of local summaries ----------
+    # level 0: one task per group of staged blocks extracts that group's
+    # summary rows and greedy-merges them; levels k>0 merge the merged
+    # lists fan-in at a time with the SAME rule — the no-same-block
+    # constraint rides along as a block SET per cluster, so wherever two
+    # same-block summaries meet in the tree, the merge is forbidden.
+    # The driver only ever holds object refs (O(tree width), not
+    # O(local clusters)).
+    sum_refs = [block_ref for bundle in staged.iter_internal_ref_bundles()
+                for block_ref, meta in bundle.blocks if meta.num_rows]
+    level = [_extract_merge.remote(threshold,
+                                   *sum_refs[i:i + _MERGE_FANIN])
+             for i in range(0, len(sum_refs), _MERGE_FANIN)]
+    while len(level) > 1:
+        level = [_merge_lists.remote(threshold,
+                                     *level[i:i + _MERGE_FANIN])
+                 for i in range(0, len(level), _MERGE_FANIN)]
+    if level:
+        map_ref, cen_ref = ray.get(_assemble_final.remote(level[0]))
+    else:                                  # empty input
+        map_ref = ray.put({})
+        cen_ref = ray.put(np.empty((0, 1)))
 
     # ---- stage 3 (distributed): member → global cid + similarity -----
     def finalize(batch: pa.Table) -> pa.Table:

@@ -86,10 +86,14 @@ def cluster_events(sf_dir: str):
     greedy threshold clustering, engine.rs:287-428): EventCluster rows.
     Rows-only driver check; single-block equivalence to the reference's
     sequential algorithm is pytest-verified."""
+    from baram_ray.util import auto_num_blocks
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # size-based block count (NOT a fixed constant): per-block greedy
+    # work and the tree-merge width must grow with the data, not stay
+    # corpus/4 per task at 100× scale
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding", "label"],
-        override_num_blocks=4)
+        path, columns=["vec_id", "embedding", "label"],
+        override_num_blocks=auto_num_blocks(path))
     out = clustering.cluster_events(ds, threshold=CLUSTER_THRESHOLD)
     # S9: persist each cluster as a JSON document
     clustering.write_cluster_json(

@@ -322,3 +322,45 @@ def test_cluster_summaries_pipeline(ray_session):
     # deterministic across runs
     out2 = cluster_summaries(sf)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_cluster_events_tree_merge_invariants(ray_session, monkeypatch):
+    """Multi-level hierarchical merge (fan-in forced to 2 so ≥3 tree
+    levels run): every vector assigned exactly once, deterministic,
+    and the no-same-source-block rule holds at EVERY level — two
+    members that sat in different local clusters of the same input
+    block never share a final cluster."""
+    monkeypatch.setattr(clustering, "_MERGE_FANIN", 2)
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 16)
+    n = 160
+    vecs = np.stack([base[i % 6] + 0.05 * rng.randn(16)
+                     for i in range(n)])
+    frames = [pd.DataFrame({
+        "vec_id": np.arange(b * 20, b * 20 + 20, dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs[b * 20:b * 20 + 20]],
+        "label": [f"c{i % 3}" for i in range(20)],
+    }) for b in range(8)]
+    ds = ray.data.from_pandas(frames)
+    out, members = clustering.cluster_events(ds, threshold=0.8,
+                                             return_members=True)
+    mem = members.to_pandas()
+    assert len(mem) == n and mem["member_id"].is_unique
+    assert out["article_count"].sum() == n
+    # recompute each member's LOCAL cluster per input block; the rule:
+    # same block + different local cluster => different final cluster
+    final = dict(zip(mem["member_id"], mem["cluster"]))
+    for b in range(8):
+        block_vecs = vecs[b * 20:(b + 1) * 20]
+        local = clustering.greedy_cluster(block_vecs, 0.8)
+        ids = np.arange(b * 20, b * 20 + 20)
+        for i in range(20):
+            for j in range(i + 1, 20):
+                if local[i] != local[j]:
+                    assert final[ids[i]] != final[ids[j]], \
+                        f"block {b}: locals {local[i]}/{local[j]} merged"
+    # determinism
+    out2, members2 = clustering.cluster_events(ds, threshold=0.8,
+                                               return_members=True)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out2.reset_index(drop=True))
