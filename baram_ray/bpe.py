@@ -100,10 +100,12 @@ class BpeShard:
     on as ``bpe_train_local``, the independent oracle the incremental
     bookkeeping is tested against.
 
-    Message size: ``pair_counts`` returns the live pair table
-    (bounded by shard vocab × word length). A threshold-algorithm
-    top-C exchange would bound it further at extreme vocab; not
-    needed at current scales."""
+    Message size: the merge loop uses the THRESHOLD-ALGORITHM top-C
+    exchange (``top_pairs`` / ``counts_of``) — per round each shard
+    ships only its C best pairs plus exact counts for the driver's
+    candidate set, so messages are O(shards × C) regardless of vocab;
+    the full live pair table (``pair_counts``) remains for tests and
+    diagnostics only."""
 
     def __init__(self, words: list[str], counts: list[int]):
         self.words: dict[tuple, int] = {}
@@ -119,6 +121,25 @@ class BpeShard:
 
     def pair_counts(self) -> dict:
         return self.pc
+
+    def top_pairs(self, c: int) -> tuple[list, int]:
+        """Top-``c`` live pairs by (count desc, pair asc) plus this
+        shard's THRESHOLD — the count of its c-th pair (0 when the
+        shard reported everything). Any pair the shard did NOT report
+        contributes at most the threshold to a global total; the
+        driver sums thresholds into the certainty bound."""
+        import heapq
+        if len(self.pc) <= c:
+            items = sorted(self.pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            return items, 0
+        items = heapq.nsmallest(c, self.pc.items(),
+                                key=lambda kv: (-kv[1], kv[0]))
+        return items, int(items[-1][1])
+
+    def counts_of(self, pairs: list) -> list[int]:
+        """Exact local counts for the driver's candidate set (0 when a
+        pair is not live on this shard)."""
+        return [int(self.pc.get(tuple(p), 0)) for p in pairs]
 
     def apply(self, a: str, b: str) -> None:
         pair, ab = (a, b), a + b
@@ -179,10 +200,40 @@ def bpe_train_local(word_freq: dict[str, int], n_merges: int,
     return merges
 
 
+def _best_pair_threshold(shards: list, top_c: int):
+    """One merge round via the threshold algorithm (Fagin's TA over
+    summed partials): shards report top-C pairs + their C-th count as
+    a threshold; the driver fetches EXACT totals for the candidate
+    union and accepts the winner only when its total strictly beats
+    the sum of thresholds (an unreported pair can never exceed that
+    bound — strict, so a lexicographically-smaller unseen tie can't
+    lurk below it). Doubles C until certain. Returns
+    (pair, count) or None when no pairs remain."""
+    c = top_c
+    while True:
+        tops = ray.get([s.top_pairs.remote(c) for s in shards])
+        cand = sorted({tuple(p) for items, _ in tops
+                       for p, _ in items})
+        if not cand:
+            return None
+        thresholds = [thr for _, thr in tops]
+        bound = sum(thresholds)
+        exact = ray.get([s.counts_of.remote(cand) for s in shards])
+        totals = np.asarray(exact, dtype=np.int64).sum(axis=0)
+        top = int(totals.max())
+        best = min(p for p, t in zip(cand, totals) if t == top)
+        if top > bound or all(t == 0 for t in thresholds):
+            return best, top
+        c *= 2          # uncertain: widen the per-shard report
+
+
 def bpe_train(ds, col: str = "text", n_merges: int = 64,
-              min_freq: int = 2, num_shards: int = 4) -> pd.DataFrame:
+              min_freq: int = 2, num_shards: int = 4,
+              top_c: int = 64) -> pd.DataFrame:
     """Distributed trainer: corpus → word counts → actor-sharded merge
-    loop. Returns DataFrame[(rank, left, right, freq)]."""
+    loop with the top-C threshold exchange (per-round messages are
+    O(shards × C), never shard-pair-table-sized). Returns
+    DataFrame[(rank, left, right, freq)]."""
     wc = word_counts(ds, col).to_pandas()      # vocab-bounded
     shards = []
     if len(wc):
@@ -194,17 +245,12 @@ def bpe_train(ds, col: str = "text", n_merges: int = 64,
                     part["word"].tolist(), part["n"].tolist()))
     merges = []
     for rank in range(n_merges):
-        parts = ray.get([s.pair_counts.remote() for s in shards])
-        total: dict[tuple, int] = {}
-        for p in parts:
-            for k, v in p.items():
-                total[k] = total.get(k, 0) + v
-        if not total:
+        found = _best_pair_threshold(shards, top_c) if shards else None
+        if found is None:
             break
-        top = max(total.values())
+        (a, b), top = found
         if top < min_freq:
             break
-        a, b = min(p for p, c in total.items() if c == top)
         ray.get([s.apply.remote(a, b) for s in shards])
         merges.append({"rank": rank + 1, "left": a, "right": b,
                        "freq": int(top)})

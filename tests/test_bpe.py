@@ -101,3 +101,32 @@ def test_encode_stage_memo_bounded():
     import pandas as pd
     st(pd.DataFrame({"doc_id": [1], "text": ["lo lo lo xyz"]}))
     assert st._memo == {"lo": 2, "xyz": 4}
+
+
+def test_threshold_exchange_tiny_c_still_exact(ray_session):
+    """top_c=1 forces the threshold algorithm through its widening
+    path every round (a shard's 1-pair report rarely certifies the
+    global max) — the merge list must still be bit-identical to the
+    single-process reference."""
+    df = _corpus()
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = bpe.bpe_train(ds, n_merges=25, min_freq=2, num_shards=3,
+                        top_c=1)
+    ref = _local_ref(df, 25)
+    assert list(zip(got["left"], got["right"], got["freq"])) == ref
+
+
+def test_top_pairs_threshold_semantics(ray_session):
+    """Shard-side contract: top-C ordering is (count desc, pair asc);
+    threshold is the C-th count, 0 when everything was reported."""
+    sh = bpe.BpeShard.remote(["abab", "ab"], [3, 5])
+    items, thr = ray.get(sh.top_pairs.remote(2))
+    full = ray.get(sh.pair_counts.remote())
+    want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert items == want and thr == items[-1][1]
+    items_all, thr_all = ray.get(sh.top_pairs.remote(len(full) + 5))
+    assert thr_all == 0 and len(items_all) == len(full)
+    pairs = [p for p, _ in want] + [("zz", "qq")]
+    counts = ray.get(sh.counts_of.remote(pairs))
+    assert counts[:2] == [c for _, c in want] and counts[2] == 0
+    ray.kill(sh)
