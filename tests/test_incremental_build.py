@@ -272,3 +272,76 @@ def test_delta_crash_before_manifest_is_idempotent(ray_session, corpus,
         assert inc_hits[q] == clean_hits[q], q
     pd.testing.assert_frame_equal(_termdict(inc_dir),
                                   _termdict(clean_dir))
+
+
+def test_continuous_ingest_compaction_cycles(ray_session, tmp_path):
+    """Steady-state deployment shape: N cycles of micro-batch append
+    interleaved with delete_by_query, periodic compaction and tombstone
+    purge. Invariants per cycle: the match set equals a from-scratch
+    build over the live rows; after a purge cycle ranks AND scores are
+    scratch-identical; compaction keeps the segment file count bounded
+    instead of growing with the number of delta generations."""
+    from baram_ray.index.compact import compact_segments
+    from baram_ray.index.deletes import delete_by_query, purge_deletes
+
+    d = tmp_path / "ingest"
+    d.mkdir()
+    idx = str(tmp_path / "idx")
+    parts: list[str] = []
+    live = pd.DataFrame()
+    files_after_first_compact = None
+
+    def scratch_hits(live_df, exact):
+        sdir = tmp_path / f"scratch_{len(parts)}"
+        sdir.mkdir(exist_ok=True)
+        p = str(sdir / "live.parquet")
+        pq.write_table(pa.Table.from_pandas(live_df,
+                                            preserve_index=False), p)
+        sidx = str(sdir / "idx")
+        shutil.rmtree(sidx, ignore_errors=True)
+        build_index_incremental([p], sidx, CFG)
+        eng, engS = QueryEngine(idx), QueryEngine(sidx)
+        for q in QUERIES:
+            hp, hs = eng.search(q, k=1000), engS.search(q, k=1000)
+            if exact:             # post-purge: live-only stats
+                assert [x for x, _ in hp] == [x for x, _ in hs], q
+                np.testing.assert_allclose([s for _, s in hp],
+                                           [s for _, s in hs],
+                                           rtol=0, atol=1e-9)
+            else:                 # tombstones masked, stats pre-purge
+                assert {x for x, _ in hp} == {x for x, _ in hs}, q
+
+    for cycle in range(5):
+        lo = 1000 * cycle
+        p = str(d / f"batch{cycle}.parquet")
+        _write_part(p, lo, lo + 60, seed=50 + cycle)
+        parts.append(p)
+        batch = pq.read_table(p).to_pandas()
+        live = pd.concat([live, batch], ignore_index=True)
+        r = build_index_incremental(parts, idx, CFG)
+        if cycle > 0:
+            assert "segments:delta" in r.resumed_stages
+        if cycle in (1, 3):       # interleaved deletes
+            n = delete_by_query(idx, "lang", "ko")
+            assert n == int((live["lang"] == "ko").sum())
+            live = live[live["lang"] != "ko"].reset_index(drop=True)
+            scratch_hits(live, exact=False)
+        if cycle in (2, 4):       # periodic compaction + purge
+            purge_deletes(idx)
+            stats = compact_segments(idx)
+            assert stats["files_after"] <= stats["files_before"]
+            if files_after_first_compact is None:
+                files_after_first_compact = stats["files_after"]
+            else:                 # bounded, not growing per generation
+                assert stats["files_after"] \
+                    <= 2 * files_after_first_compact
+            scratch_hits(live, exact=True)
+    # post-purge: n_docs is live-only (scores use live stats) while
+    # tombstones REMAIN by design — the docs table keeps its rows so
+    # ranks stay stable (purge_deletes docstring); no live id may be
+    # masked by a stale tombstone
+    from baram_ray.index.deletes import tombstoned_ids
+    eng = QueryEngine(idx)
+    assert eng.r.n_docs == len(live)
+    assert not (set(tombstoned_ids(idx).tolist())
+                & set(live["doc_id"].tolist()))
