@@ -1162,6 +1162,20 @@ class QueryActor:
         self.min_score = min_score
         self.mode = mode                      # "bm25" | "phrase"
 
+    def serve(self, kind: str, text: str, k: int = 10) -> list:
+        """Single-request entry for RESIDENT serving
+        (``ray.remote(QueryActor)`` actors in a pool): dispatch by
+        request kind — the closed-loop load benchmark's surface
+        (``bench.py --serve``). Returns (doc_id, score) pairs."""
+        if kind == "phrase":
+            return self.engine.search_phrase(text, k=k)
+        if kind == "bool":
+            toks = text.split()
+            return self.engine.search_bool(must=toks[:1],
+                                           should=toks[1:3], k=k)
+        return self.engine.search(text, k=k,
+                                  algorithm=self.algorithm)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         qids, ranks, docs, scores = [], [], [], []
         ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))

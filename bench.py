@@ -221,6 +221,134 @@ def run_bench() -> dict:
     return result
 
 
+def run_serve_bench() -> dict:
+    """Query serving under sustained concurrency (round-3 verdict #7):
+    a pool of resident ``ray.remote(QueryActor)`` actors takes a mixed
+    closed-loop workload from 32 CLIENT TASKS (own processes — driver
+    threads would GIL-serialize and measure the client, not the
+    server) — 50% BM25, 20% phrase, 10% bool, 20% hybrid (BM25 through
+    the pool + ANN through the ``HnswService`` actors, merged 0.3/0.7
+    min-max in the client, the full end-to-end cost). Reports per-kind
+    and overall p50/p95/p99 ms plus requests/sec at two pool sizes —
+    the actor-pool sizing evidence for BASELINE.md."""
+    _quiet_thp()
+    import numpy as np
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = _sf_dir()
+    clients = int(os.environ.get("GRAFT_SERVE_CLIENTS", "32"))
+    per_client = int(os.environ.get("GRAFT_SERVE_REQS", "25"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from baram_ray import hnsw
+    from baram_ray.pipelines.search import DOC_QUERIES, ensure_index
+    from baram_ray.query.engine import QueryActor
+
+    idx = ensure_index(sf_dir, positions=True)
+    ann_dir = f"/tmp/baram_serve_hnsw_{os.path.basename(sf_dir)}"
+    if not os.path.exists(os.path.join(ann_dir, "meta.json")):
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        emb = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"])
+        hnsw.hnsw_build(emb, ann_dir)
+    svc = hnsw.HnswService(ann_dir)
+    emb_t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    q_vec = np.asarray(emb_t["embedding"][0].as_py(), dtype=np.float64)
+
+    texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]]
+    kinds = (["bm25"] * 5 + ["phrase"] * 2 + ["bool"] + ["hybrid"] * 2)
+
+    @ray.remote(num_cpus=0.25)
+    def client(cid: int, actors, ann_actors, per: int, qv):
+        # closed loop in its own process; returns (kind, ms) samples.
+        # hybrid = BM25 via the pool + ANN via the serving actors +
+        # 0.3/0.7 min-max merge here (pipelines.search hybrid rule).
+        rng = np.random.RandomState(cid)
+        qn = qv / (np.linalg.norm(qv) or 1.0)
+        qids = np.zeros(1, dtype=np.int64)
+        samples = []
+        for r in range(per):
+            kind = kinds[(cid + r) % len(kinds)]
+            text = texts[rng.randint(len(texts))]
+            a = actors[(cid + r) % len(actors)]
+            t0 = time.perf_counter()
+            if kind == "hybrid":
+                bm_ref = a.serve.remote("bm25", text, 10)
+                # ANN is a full scatter-gather across the serving pool
+                # (each actor hosts a slice of the shard graphs)
+                ann_refs = [sv.search.remote(qn[None, :], qids, 10,
+                                             64, False)
+                            for sv in ann_actors]
+                import pandas as _pd
+                ann = _pd.concat([t.to_pandas()
+                                  for t in ray.get(ann_refs)],
+                                 ignore_index=True)
+                ann = ann.sort_values("cosine", ascending=False).head(10)
+                bm = ray.get(bm_ref)
+                bs = {d: s for d, s in bm}
+                an = dict(zip(ann["vec_id"], ann["cosine"]))
+
+                def mm(d):
+                    lo, hi = ((min(d.values()), max(d.values()))
+                              if d else (0, 1))
+                    span = (hi - lo) or 1.0
+                    return {k: (v - lo) / span for k, v in d.items()}
+                bs, an = mm(bs), mm(an)
+                merged = {d: 0.3 * bs.get(d, 0) + 0.7 * an.get(d, 0)
+                          for d in set(bs) | set(an)}
+                _ = sorted(merged.items(), key=lambda kv: -kv[1])[:10]
+            else:
+                ray.get(a.serve.remote(kind, text, 10))
+            if r >= 5:      # discard warmup (cold postings LRU, cold
+                samples.append((kind,          # worker connections)
+                                (time.perf_counter() - t0) * 1000))
+        return samples
+
+    Remote = ray.remote(num_cpus=1)(QueryActor)
+    out: dict = {"metric": "serve_load_p95_ms", "unit": "ms",
+                 "sf": sf_dir, "num_cpus": num_cpus,
+                 "clients": clients, "pools": {}}
+    for pool_size in (4, 8):
+        actors = [Remote.remote(idx) for _ in range(pool_size)]
+        ray.get([a.serve.remote("bm25", texts[0], 10) for a in actors])
+        t0 = time.perf_counter()
+        got = ray.get([client.remote(c, actors, svc.actors,
+                                     per_client, q_vec)
+                       for c in range(clients)])
+        wall = time.perf_counter() - t0
+        lat: dict[str, list] = {k: [] for k in set(kinds)}
+        for samples in got:
+            for kind, ms in samples:
+                lat[kind].append(ms)
+        alll = sorted(x for v in lat.values() for x in v)
+
+        def pct(xs, p):
+            return round(xs[max(0, int(p * len(xs)) - 1)], 2) if xs else None
+        out["pools"][str(pool_size)] = {
+            "rps": round(len(alll) / wall, 1),
+            "p50_ms": pct(alll, 0.50), "p95_ms": pct(alll, 0.95),
+            "p99_ms": pct(alll, 0.99),
+            "by_kind": {k: {"n": len(v),
+                            "p50_ms": pct(sorted(v), 0.5),
+                            "p95_ms": pct(sorted(v), 0.95)}
+                        for k, v in lat.items()},
+        }
+        for a in actors:
+            ray.kill(a)
+    out["value"] = out["pools"]["8"]["p95_ms"]
+    svc.shutdown()
+    ray.shutdown()
+    return out
+
+
 def run_code_bench(n_docs: int | None = None) -> dict:
     """North-rule headline: inverted-index build over the synthetic
     source-code corpus (input_hint schema: repo/path/commit/lang/content).
@@ -502,6 +630,8 @@ if __name__ == "__main__":
         print(json.dumps(run_calibrate()))
     elif "--ann" in sys.argv:
         print(json.dumps(run_ann_bench()))
+    elif "--serve" in sys.argv:
+        print(json.dumps(run_serve_bench()))
     elif "--code" in sys.argv:
         print(json.dumps(run_code_bench()))
     else:

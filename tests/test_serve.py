@@ -128,3 +128,30 @@ def test_embed_endpoints(server):
     # malformed
     status, _ = _post(server, "/embed", {"nope": 1})
     assert status == 400
+
+
+def test_bm25_p95_under_10ms_at_sf01(ray_session):
+    """Serving-latency regression gate (round-3 verdict #7): resident
+    single-stream BM25 top-10 at sf0.1 keeps p95 under 10 ms — an
+    order of magnitude of headroom over the steady-state 0.6-1 ms so
+    the shared host's 3-5x noise windows can't flake it; best of two
+    measurement windows guards the rest."""
+    import time
+
+    from baram_ray.pipelines.search import DOC_QUERIES, ensure_index
+    from baram_ray.query.engine import QueryEngine
+
+    eng = QueryEngine(ensure_index("/root/testdata/sf0.1"))
+    texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]]
+    for t in texts:                      # warm postings/doc caches
+        eng.search(t, k=10)
+    best_p95 = float("inf")
+    for _ in range(2):
+        lat = []
+        for t in texts * 8:
+            t0 = time.perf_counter()
+            eng.search(t, k=10)
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat.sort()
+        best_p95 = min(best_p95, lat[int(0.95 * len(lat)) - 1])
+    assert best_p95 < 10.0, f"p95 {best_p95:.2f} ms"
