@@ -588,20 +588,30 @@ def value_stats(sf_dir: str):
     return tot.map_batches(finish, batch_format="pandas")
 
 
-def value_quantiles_sketch(sf_dir: str, k: int = 32768):
+def value_quantiles_sketch(sf_dir: str, k: int | None = None):
     """Per-type quantiles via the MERGEABLE KLL sketch
     (``sketches.kll_*``) — the bounded-memory path for corpus-sized
     groups (the exact op sorts a whole group in one task): each batch
     emits ≤ k sketch rows (event_type, level, value) per type, the
     type-keyed reduce merges + compacts once and reads the quantiles.
-    Total weight is conserved exactly, so ``n`` is exact at any scale;
-    at sf ≤ 0.1 per-type counts stay under k → no compaction → the
-    quantiles equal the exact op's and the quantile_disc oracle is
-    hash-exact (same pattern as the MG / KMV sketches; the
-    deep-compaction error envelope is hypothesis-tested)."""
+    Total weight is conserved exactly, so ``n`` is exact at any scale.
+    ``k`` defaults to the TABLE row count (parquet metadata, no data
+    read) so per-type counts stay under k → no compaction → the
+    quantiles equal the exact op's and the quantile_disc oracle stays
+    hash-exact at every sf (this query demonstrates the sketch in its
+    exact regime; a production pipeline pins k and rides the
+    hypothesis-tested deep-compaction error envelope instead — the
+    sf1 sweep caught the fixed k=32768 leaving the exact regime at
+    1M rows)."""
     from baram_ray.sketches import (
         kll_merge, kll_partial, kll_quantile, kll_total_weight,
     )
+
+    if k is None:
+        import pyarrow.parquet as _pq
+        n_rows = _pq.ParquetFile(
+            f"{sf_dir}/events.parquet").metadata.num_rows
+        k = max(32768, int(n_rows) + 1)
 
     ds = read_table(sf_dir, "events", ["event_type", "value"])
 

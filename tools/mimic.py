@@ -50,10 +50,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 Q = contract.queries()
 SQL = contract.oracle_sql()
 # optional filter: `python tools/mimic.py [sf_dir] [substr ...]` runs
-# only queries whose name contains any given substring
+# only queries whose name contains any given substring;
+# MIMIC_EXCLUDE=s1,s2 skips matching names (big-sf sweeps split the
+# spill-heavy pair joins into their own fresh session — accumulated
+# object-store spill from 180 earlier queries otherwise eats the disk
+# headroom the pair join needs)
 ONLY = sys.argv[2:]
+EXCLUDE = [s for s in os.environ.get("MIMIC_EXCLUDE", "").split(",") if s]
 fails, ok, rows_only = [], 0, 0
 for name in sorted(Q):
+    if any(s in name for s in EXCLUDE):
+        continue
     if ONLY and not any(s in name for s in ONLY):
         continue
     t0 = time.time()
@@ -77,6 +84,12 @@ for name in sorted(Q):
             status = "rows-only"
         print(f"{name}: {status} ({len(res)} rows, "
               f"{time.time() - t0:.1f}s)", flush=True)
+        del res
+        if name in SQL:
+            del exp
+        import gc
+        gc.collect()    # drop dataset refs now so plasma can reclaim
+        # the query's spilled objects before the next one runs
     except Exception as e:  # noqa: BLE001 — report and continue
         fails.append(name)
         print(f"{name}: FAIL {type(e).__name__}: {str(e)[:300]}",

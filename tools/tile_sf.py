@@ -6,15 +6,19 @@ stay globally unique and foreign keys stay consistent within a copy
 (l_orderkey ↔ o_orderkey, o_custkey ↔ c_custkey, ...). Dimension
 tables (nation, region) are NOT tiled.
 
-Document TEXT in copies ≥ 1 is word-PERMUTED per (copy, doc) with a
-fixed seed: verbatim tiling gives every doc 9 exact twins, which
-multiplies near-dup cluster sizes ~10× and candidate-pair counts
-~100× — an unrealistic density that turns the minhash/jaccard
-exchanges into spill storms. Permutation keeps the vocabulary, length
-and within-copy near-dup structure (the planted sf0.1 clusters tile
-into each copy) while cross-copy shingle overlap drops below the
-near-dup thresholds — sf0.1-like density at 10× the rows, which is
-the point of the sweep.
+Document TEXT in copy k ≥ 1 remaps every word w → "w" + "x<letter k>"
+(a pure-LETTER tag: a digit tag would decompound in the engine's
+identifier tokenizer — "data1" → ["data", "1"] — while the SQL
+oracles split on whitespace, breaking parity for every fixed-term
+match query; a letter-suffixed word stays one token on both sides): verbatim tiling gives every doc 9 exact twins AND keeps the
+corpus vocabulary fixed while docs grow 10×, so per-gram document
+frequency grows 10× and candidate-pair joins grow ~100× — a spill
+storm that no real 10× corpus exhibits (real corpora grow vocabulary
+with size). The bijection preserves word equality, order and counts
+WITHIN a copy, so each copy replicates sf0.1's exact-dup and planted
+near-dup structure verbatim while copies share no vocabulary —
+sf0.1-like per-key density at exactly 10× the rows, which is the point
+of the sweep.
 
 Usage: python tools/tile_sf.py [src_sf_dir] [dst_dir] [copies]
 """
@@ -65,7 +69,6 @@ def tile(src: str, dst: str, copies: int) -> None:
                 os.path.join(dst, f"{name}.parquet")) \
             if not os.path.exists(os.path.join(dst, f"{name}.parquet")) \
             else None
-    import numpy as np
     for name, cols in OFFSETS.items():
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         parts = []
@@ -78,13 +81,9 @@ def tile(src: str, dst: str, copies: int) -> None:
                         u.column_names.index(c), c,
                         pc.add(t[c], pa.scalar(off, t[c].type)))
             if name == "documents" and k > 0:
-                texts = u["text"].to_pylist()
-                new = []
-                for di, txt in enumerate(texts):
-                    words = str(txt).split()
-                    rng = np.random.RandomState(100_000 * k + di)
-                    rng.shuffle(words)
-                    new.append(" ".join(words))
+                tag = "x" + "abcdefghij"[k]
+                new = [" ".join(w + tag for w in str(txt).split())
+                       for txt in u["text"].to_pylist()]
                 u = u.set_column(u.column_names.index("text"), "text",
                                  pa.array(new, pa.string()))
                 u = u.set_column(
