@@ -620,15 +620,55 @@ def ngram_jaccard_pairs(ds, text_col: str, *, n: int = 2,
         sz = grp["gh"].transform("size").to_numpy()
         rank = grp.cumcount().to_numpy()
         plen = sz - np.ceil(threshold * sz).astype(np.int64) + 1
-        return b.loc[rank < plen, ["doc_id", "gh"]].reset_index(drop=True)
+        keep = rank < plen
+        out = b.loc[keep, ["doc_id", "gh"]].copy()
+        # rank within the GLOBAL (df, gh) gram order + doc gram count —
+        # the positional-filter inputs (PPJoin, Xiao et al. §4.2)
+        out["rank"] = rank[keep]
+        out["sz"] = sz[keep]
+        return out.reset_index(drop=True)
 
     prefix_rows = grouped_map(gdf, ["doc_id"], prefix_fn,
                               num_buckets=num_buckets)
 
-    pair_rows = grouped_map(
-        prefix_rows, ["gh"],
-        lambda b: _pairs_in_buckets(b, ["gh"], cap=None),
-        num_buckets=num_buckets)
+    def ppjoin_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        """Per prefix-gram pair generation WITH the positional filter:
+        for docs A, B sharing a prefix gram at ranks i, j (same global
+        gram order both sides), |A∩B| ≤ min(i, j) + min(|A|−i, |B|−j)
+        — before-parts share at most min(i, j) grams, after-parts at
+        most the shorter remainder. J ≥ t needs |A∩B| ≥
+        t(|A|+|B|)/(1+t), and the bound dominates the TRUE intersection
+        at every occurrence, so every true pair survives (complete);
+        the quadratic stop-prefix-gram pair volume does not (the sf1
+        sweep found the unfiltered version spilling >70 GB)."""
+        out_a, out_b = [], []
+        for _, g in b.groupby("gh", sort=False):
+            if len(g) < 2:
+                continue
+            o = np.argsort(g["doc_id"].to_numpy(), kind="stable")
+            d = g["doc_id"].to_numpy(np.int64)[o]
+            r = g["rank"].to_numpy(np.int64)[o]
+            s = g["sz"].to_numpy(np.int64)[o]
+            for i in range(len(d) - 1):
+                bd, br, bs = d[i + 1:], r[i + 1:], s[i + 1:]
+                ub = np.minimum(r[i], br) \
+                    + np.minimum(s[i] - r[i], bs - br)
+                # integer-safe: I(1+t) ≥ t(sa+sb), loosened by an eps
+                # so float rounding can only keep extra candidates
+                m = ub * (1.0 + threshold) \
+                    >= threshold * (s[i] + bs) - 1e-9
+                if m.any():
+                    out_a.append(np.full(int(m.sum()), d[i],
+                                         dtype=np.int64))
+                    out_b.append(bd[m])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
+
+    pair_rows = grouped_map(prefix_rows, ["gh"], ppjoin_pairs,
+                            num_buckets=num_buckets)
     cand = grouped_agg(pair_rows, ["a", "b"], {"n_shared": (None, "count")},
                        num_buckets=num_buckets)
 
