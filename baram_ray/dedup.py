@@ -39,6 +39,10 @@ import pyarrow as pa
 from baram_ray.util import attach_by_key, cogroup, grouped_agg, grouped_map
 
 MAX_BUCKET = 256          # cap pair fan-out per LSH/band bucket
+#: exact-jaccard verify strategy switch: take the per-gram co-count
+#: path while Σ df·(df−1)/2 stays under this many pair emissions
+#: (16 B/row ⇒ ~8 GB of exchange volume at the default)
+COCOUNT_MAX_PAIRS = 5e8
 _MERSENNE = (1 << 61) - 1
 _M61 = np.uint64(_MERSENNE)
 
@@ -608,6 +612,54 @@ def ngram_jaccard_pairs(ds, text_col: str, *, n: int = 2,
     # global gram rarity, joined back onto the (doc, gram) rows
     df = grouped_agg(gd, ["gh"], {"df": (None, "count")},
                      num_buckets=num_buckets)
+
+    # ---- adaptive verify strategy ----------------------------------
+    # Σ df·(df−1)/2 = the total pair-occurrence volume of a FULL
+    # per-gram co-count. On small-gram-universe corpora (synthetic
+    # word-list tables, short-code fields) nearly every doc pair is a
+    # legitimate candidate, so the prefix-filter path's per-pair LIST
+    # attachment spills candidates × gram-list bytes (the sf1 sweep
+    # measured >70 GB); the co-count path computes the same exact
+    # |A∩B| as a (a, b)-keyed COUNT over per-gram pair emissions —
+    # 16 bytes a row, no lists. On zipf/real vocabularies a single
+    # stop gram makes Σ df² explode and the prefix+positional path
+    # wins. The df table is gram-bounded, so the decision is one tiny
+    # distributed sum. Both paths are exact → oracle-identical.
+    def pair_volume(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["df"].to_numpy(np.float64)
+        return pd.DataFrame({"v": [float((d * (d - 1.0)).sum() / 2.0)]})
+
+    vol = df.map_batches(pair_volume, batch_format="pandas").to_pandas()
+    total_pair_occurrences = float(vol["v"].sum()) if "v" in vol else 0.0
+    if total_pair_occurrences <= COCOUNT_MAX_PAIRS:
+        sizes = glists.map_batches(
+            lambda b: b.select(["doc_id", "sz"]), batch_format="pyarrow")
+        occ = grouped_map(
+            gd, ["gh"],
+            lambda b: _pairs_in_buckets(b, ["gh"], cap=None),
+            num_buckets=num_buckets)
+        inter = grouped_agg(occ, ["a", "b"],
+                            {"n_shared": (None, "count")},
+                            num_buckets=num_buckets)
+        j1 = attach_by_key(inter, sizes, "a", {"sz": "sz_a"},
+                           num_buckets=num_buckets)
+        j2 = attach_by_key(j1, sizes, "b", {"sz": "sz_b"},
+                           num_buckets=num_buckets)
+
+        def finish(b: pd.DataFrame) -> pd.DataFrame:
+            inter_n = b["n_shared"].to_numpy(np.int64)
+            union = (b["sz_a"].to_numpy(np.int64)
+                     + b["sz_b"].to_numpy(np.int64) - inter_n)
+            ok = union > 0
+            j = np.zeros(len(b))
+            j[ok] = inter_n[ok] / union[ok]
+            keep = ok & (j >= threshold)
+            return pd.DataFrame({
+                "a": b["a"].to_numpy(np.int64)[keep],
+                "b": b["b"].to_numpy(np.int64)[keep],
+                "jaccard": np.round(j[keep], 6)})
+
+        return j2.map_batches(finish, batch_format="pandas")
 
     def df_join(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         return l.merge(r, on="gh", how="inner")
