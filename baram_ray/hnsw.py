@@ -13,14 +13,18 @@ native rebuild of that index class on Ray:
   standard HNSW; *candidate* search during construction is chunked
   EXACT search — inserts process in chunks, one BLAS matmul scores a
   whole chunk against the frozen prefix graph (plus the intra-chunk
-  Gram), so each node links to its exact top-M nearest instead of an
-  ef_construction approximation. Linking (top-M forward links +
-  degree-capped reverse-link pruning at every level ≤ the node's)
-  is unchanged. This replaces the former per-insert best-first
-  graph search (~2 ms/vector of Python-heap overhead) with ~0.2
+  Gram), so each node picks its links from its exact top-efc nearest
+  instead of an ef_construction approximation. Link selection applies
+  the neighbor-diversity heuristic (Malkov & Yashunin Alg. 4, see
+  :func:`_select_diverse`) — REQUIRED on clustered corpora, where
+  plain nearest-M linking splits level 0 into per-cluster components
+  — then degree-capped reverse-link pruning at every level ≤ the
+  node's. This replaces the former per-insert best-first
+  graph search (~2 ms/vector of Python-heap overhead) with ~0.3-0.8
   ms/vector at the default shard size; beyond ``_BRUTE_MAX`` nodes
   per shard the O(n²d) exact scoring crosses over and insertion
-  falls back to the per-insert graph search automatically.
+  falls back to the per-insert graph search automatically (same
+  diversity heuristic in its link selection).
 - **Search** (``hnsw_search``): scatter-gather — one task per shard
   runs the layered best-first descent on its graph, the driver merges
   the S×Q×k candidate rows (query-bounded, never corpus-sized).
@@ -31,7 +35,7 @@ Determinism: level draws and all tie-breaks derive from a fixed seed
 and vec_id order, so two builds over the same corpus produce
 identical graphs and identical search results (tested).
 
-Scale note: chunked-exact insertion costs ~0.2-0.4 ms/vector up to
+Scale note: chunked-exact insertion costs ~0.3-0.8 ms/vector up to
 ~64k vectors per shard (the BLAS term is n²d per shard — at 64k × 256d
 that is ~2 GB-flops, a few seconds); past ``_BRUTE_MAX`` the build
 falls back to per-insert graph search (~2 ms/vector) whose cost stays
@@ -126,6 +130,46 @@ _BRUTE_MAX = 65536   # exact-candidate crossover (see module docstring)
 _CHUNK_BYTES = 32 << 20   # score-matrix budget per chunk
 
 
+def _select_diverse(sims_q: np.ndarray, gram: np.ndarray,
+                    M: int) -> np.ndarray:
+    """Neighbor-diversity heuristic (Malkov & Yashunin Alg. 4,
+    keep-pruned-connections variant) over candidates pre-sorted by
+    descending similarity to the query: keep candidate ``c`` iff it is
+    closer to the query than to every already-kept neighbor, then fill
+    any remaining slots with the pruned candidates in order.
+
+    Plain nearest-M linking disconnects the graph on CLUSTERED
+    corpora — every node links inside its own cluster and level-0
+    splits into per-cluster components (measured: recall@10 collapses
+    to 0.08-0.50 at 4k-32k vectors per shard on a 250-per-cluster
+    corpus; with this heuristic the same graphs are one component at
+    recall 0.98-1.0). Real embedding corpora are clustered, so this is
+    the production linking rule, not an option.
+
+    Vectorized via a running max: ``best[c]`` tracks max sim(c, kept);
+    each selection is one length-|cand| ``np.maximum`` update, the
+    per-candidate test is O(1). Deterministic given candidate order."""
+    m = len(sims_q)
+    if m <= M:
+        return np.arange(m, dtype=np.int64)
+    best = np.full(m, -np.inf)
+    sel = np.empty(M, dtype=np.int64)
+    kept = 0
+    pruned = []
+    for ci in range(m):
+        if sims_q[ci] > best[ci]:
+            sel[kept] = ci
+            kept += 1
+            if kept == M:
+                return sel
+            np.maximum(best, gram[ci], out=best)
+        else:
+            pruned.append(ci)
+    fill = min(M - kept, len(pruned))
+    sel[kept:kept + fill] = pruned[:fill]
+    return sel[:kept + fill]
+
+
 def _link_at_level(vecs, a: np.ndarray, deg_lev: np.ndarray, i: int,
                    sel) -> None:
     """Forward-link node ``i`` to ``sel`` on one level's adjacency and
@@ -150,13 +194,24 @@ def _link_at_level(vecs, a: np.ndarray, deg_lev: np.ndarray, i: int,
 
 
 def _link(vecs, adj, deg, i: int, li: int, cand: np.ndarray,
-          cand_lv: np.ndarray, M: int) -> None:
-    """Link node ``i`` to its top-M candidates at every level ≤ li
-    (candidates pre-sorted by (-sim, id); per-level top-M falls out of
-    the level filter because the candidate list is exact)."""
+          cand_lv: np.ndarray, sims_q: np.ndarray, M: int) -> None:
+    """Link node ``i`` to up to M diverse candidates at every level
+    ≤ li (candidates pre-sorted by (-sim, id), ``sims_q`` their sims to
+    node ``i``; selection is the Alg.-4 heuristic over the candidate
+    Gram — computed once per node, sliced per level)."""
+    csel = vecs[cand]
+    gram = csel @ csel.T
     for lev in range(min(li, len(adj) - 1), -1, -1):
-        at_lev = cand[cand_lv >= lev] if lev else cand
-        sel = at_lev[:M]
+        if lev:
+            keep = cand_lv >= lev
+            if not keep.any():
+                continue
+            idx = np.flatnonzero(keep)
+            sub = _select_diverse(sims_q[idx], gram[np.ix_(idx, idx)], M)
+            sel = cand[idx[sub]]
+        else:
+            sub = _select_diverse(sims_q, gram, M)
+            sel = cand[sub]
         if not len(sel):
             continue
         _link_at_level(vecs, adj[lev], deg[lev], i, sel)
@@ -172,10 +227,11 @@ def _extend_graph(vecs: np.ndarray, levels: np.ndarray, adj: list,
     Candidate search is chunked EXACT scoring while the graph holds
     ≤ ``_BRUTE_MAX`` nodes: one BLAS matmul scores the whole chunk
     against the frozen prefix, the intra-chunk Gram covers chunk
-    members inserted earlier, and each node links to its exact
-    top-M (deterministic (-sim, id) tie-break — tie-safe even on
-    duplicate vectors). Past the crossover the remaining nodes insert
-    via the classic per-node best-first graph search
+    members inserted earlier, and each node links to a diverse top-M
+    of its exact top-efc (deterministic (-sim, id) tie-break —
+    tie-safe even on duplicate vectors; diversity per
+    :func:`_select_diverse`). Past the crossover the remaining nodes
+    insert via the classic per-node best-first graph search
     (:func:`_extend_graph_search`), whose cost stays linear in n."""
     n = len(vecs)
     deg = [(a >= 0).sum(axis=1).astype(np.int32) for a in adj]
@@ -210,7 +266,8 @@ def _extend_graph(vecs: np.ndarray, levels: np.ndarray, adj: list,
                 idx = np.arange(m)
             order = np.lexsort((idx, -s_all[idx]))[:efc]
             cand = idx[order].astype(np.int64)
-            _link(vecs, adj, deg, i, li, cand, levels[cand], M)
+            _link(vecs, adj, deg, i, li, cand, levels[cand],
+                  s_all[cand], M)
             if li > entry_l:
                 entry, entry_l = i, li
         c0 = c1
@@ -241,9 +298,12 @@ def _extend_graph_search(vecs: np.ndarray, levels: np.ndarray,
             ep = [best[0][1]]
         for lev in range(min(li, entry_l), -1, -1):
             found = _search_layer(vecs, adj[lev], q, ep, efc, scratch)
-            cand_ids = [x for _, x in found]
-            _link_at_level(vecs, adj[lev], deg[lev], i, cand_ids[:M])
-            ep = cand_ids
+            cand_ids = np.asarray([x for _, x in found], dtype=np.int64)
+            sims_q = np.asarray([s for s, _ in found])
+            csel = vecs[cand_ids]
+            sub = _select_diverse(sims_q, csel @ csel.T, M)
+            _link_at_level(vecs, adj[lev], deg[lev], i, cand_ids[sub])
+            ep = cand_ids.tolist()
         if li > entry_l:
             entry, entry_l = i, li
     return adj, entry

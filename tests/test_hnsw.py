@@ -156,6 +156,75 @@ def test_random_corpora_properties(ray_session, tmp_path):
             assert int(g.iloc[0]["vec_id"]) == int(np.argmax(sims))
 
 
+def _clustered(n, d=64, per_cluster=250, seed=3):
+    """Clustered corpus (the realistic embedding regime): plain
+    nearest-M linking splits level 0 into per-cluster components."""
+    from baram_ray.similarity import _norm_rows
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(max(n // per_cluster, 8), d)
+    vecs = _norm_rows(cents[rng.randint(0, len(cents), n)]
+                      + 0.3 * rng.randn(n, d))
+    qv = _norm_rows(vecs[rng.randint(0, n, 30)]
+                    + 0.01 * rng.randn(30, d))
+    return vecs, qv
+
+
+def _forward_components(adj0):
+    """Component count of the level-0 graph under forward links (the
+    edges the search can actually follow)."""
+    n = len(adj0)
+    seen = np.zeros(n, dtype=bool)
+    comps = 0
+    for s in range(n):
+        if seen[s]:
+            continue
+        comps += 1
+        stack = [s]
+        seen[s] = True
+        while stack:
+            for v in adj0[stack.pop()]:
+                if v >= 0 and not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+    return comps
+
+
+def _graph_recall(vecs, qv, adj, entry, k=10, ef=64):
+    sims_all = vecs @ qv.T
+    hits = 0
+    for qi in range(len(qv)):
+        exact = set(np.argsort(-sims_all[:, qi])[:k].tolist())
+        found = hnsw._search_graph(vecs, adj, entry, qv[qi], k, ef)
+        hits += len(exact & set(i for _, i in found))
+    return hits / (len(qv) * k)
+
+
+def test_clustered_corpus_stays_navigable():
+    """Regression: without the Alg.-4 diversity heuristic, a single
+    4096-vector shard over a 250-per-cluster corpus split into ~17
+    components and recall@10 fell to 0.50; with it the graph must be
+    one forward-connected component at recall ≥ 0.9."""
+    vecs, qv = _clustered(4096)
+    levels, adj, entry = hnsw._build_graph(vecs, M=16, efc=128, seed=7)
+    assert _forward_components(adj[0]) == 1
+    assert _graph_recall(vecs, qv, adj, entry) >= 0.9
+
+
+def test_clustered_corpus_fallback_path_navigable():
+    """Same regression for the giant-shard fallback inserter
+    (_extend_graph_search — the path past _BRUTE_MAX), driven directly
+    on a small clustered corpus."""
+    vecs, qv = _clustered(2048)
+    n = len(vecs)
+    levels = hnsw._draw_levels(n, 16, 7)
+    adj = [np.full((n, 32), -1, np.int32)]
+    deg = [np.zeros(n, np.int32)]
+    adj, entry = hnsw._extend_graph_search(vecs, levels, adj, deg,
+                                           -1, 16, 128, 0)
+    assert _forward_components(adj[0]) == 1
+    assert _graph_recall(vecs, qv, adj, entry) >= 0.9
+
+
 def test_incremental_add(ray_session, tmp_path):
     """build(A) + add(B) serves A∪B with high recall; repeated
     identical adds are deterministic; add into a fresh shard builds
