@@ -14,10 +14,14 @@ Scale shapes (ray_guide "Aggregation at scale"):
   per-doc shingle-hash lists (``attach_by_key``, one cogroup per side —
   NO driver-side corpus map) → distributed min-label propagation for
   cluster assignment (``cluster_from_pairs_ds``).
-  Bucket fan-out is bounded: a bucket of b docs emits b·(b−1)/2 pairs, so
-  buckets are capped (``MAX_BUCKET``) and oversize buckets are truncated
-  to the cap with a logged count — at 100 TB an uncapped hot bucket is a
-  job-killer.
+  Bucket fan-out is bounded: a bucket of b docs emits b·(b−1)/2 pairs,
+  so the CLIQUE is capped (``MAX_BUCKET``) and every doc beyond the cap
+  is anchor-linked into the capped core (``_anchor_links`` — O(b) extra
+  pairs, logged). At 100 TB an uncapped hot bucket is a job-killer, but
+  plain truncation silently dropped dup STORMS (thousands of
+  near-identical boilerplate docs — the same sorted prefix survives in
+  every band, so docs past the cap got no pair at all); anchors keep
+  the storm one connected component at linear cost.
 - simhash: 64-bit fingerprint per doc; near-dups = equal 16-bit bands.
   Fingerprints ride the band rows, so hamming verification happens inside
   the pair-gen reduce (vectorized XOR+popcount) — no broadcast fp map.
@@ -67,30 +71,65 @@ def _mulmod61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return r % _M61
 
 
+_OVERFLOW_ANCHORS = 2     # anchor links per overflow doc in oversize buckets
+
+
+def _anchor_links(core: np.ndarray, over: np.ndarray):
+    """Bounded links for a bucket's overflow docs: each doc beyond the
+    clique cap pairs with ``_OVERFLOW_ANCHORS`` in-cap docs, spread
+    deterministically across the core. O(|over|) pairs instead of the
+    O(|over|²) full clique — and, critically, NOT zero.
+
+    Why: a dup storm (thousands of near-identical docs — boilerplate
+    pages, mirrored files) lands in the SAME bucket in every band with
+    the SAME sorted id order, so plain truncation kept the same first
+    ``cap`` docs everywhere and every doc past the cap got NO candidate
+    pair at all — at web scale that silently dropped ~all of exactly
+    the clusters dedup exists for. Anchor links give every overflow doc
+    a verified path into the storm's connected component while the pair
+    volume stays linear. Anchors still pass the exact downstream
+    verification, so precision is unchanged (the emitted pair set is a
+    strict superset of the truncated one)."""
+    m = len(over)
+    idx = (np.arange(m, dtype=np.int64)[:, None] * _OVERFLOW_ANCHORS
+           + np.arange(_OVERFLOW_ANCHORS, dtype=np.int64)) % len(core)
+    # core ids sort below overflow ids (sorted-unique split), so a < b
+    return core[idx].ravel(), np.repeat(over, _OVERFLOW_ANCHORS)
+
+
 def _pairs_in_buckets(bucket: pd.DataFrame, keys: list[str],
                       extra_ones: str | None = None,
                       cap: int | None = MAX_BUCKET) -> pd.DataFrame:
     """All candidate pairs within each ``keys`` group of one hash bucket
-    (vectorized pandas groupby; per-group fan-out capped at ``cap`` —
-    pass ``cap=None`` only for exact operators whose oracle has no cap).
-    Truncated buckets are counted and logged so recall loss from the cap
-    is observable at scale (the documented contract)."""
+    (vectorized pandas groupby; per-group CLIQUE fan-out capped at
+    ``cap`` — pass ``cap=None`` only for exact operators whose oracle
+    has no cap). Docs beyond the cap each get ``_OVERFLOW_ANCHORS``
+    anchor pairs into the capped core (see :func:`_anchor_links`), so
+    oversize buckets cost O(cap² + |bucket|) pairs but keep every doc
+    reachable. Truncations are counted and logged so the clique→anchor
+    degradation is observable at scale (the documented contract)."""
     out_a, out_b = [], []
     n_truncated = 0
     for _, g in bucket.groupby(keys, sort=False):
         docs = np.unique(g["doc_id"].to_numpy())
+        over = None
         if cap is not None and len(docs) > cap:
             n_truncated += 1
+            over = docs[cap:]
             docs = docs[:cap]
-        if len(docs) < 2:
-            continue
-        ai, bi = np.triu_indices(len(docs), k=1)
-        out_a.append(docs[ai]); out_b.append(docs[bi])
+        if len(docs) >= 2:
+            ai, bi = np.triu_indices(len(docs), k=1)
+            out_a.append(docs[ai]); out_b.append(docs[bi])
+        if over is not None:
+            a, b = _anchor_links(docs, over)
+            out_a.append(a); out_b.append(b)
     if n_truncated:
         import logging
         logging.getLogger("baram_ray.dedup").warning(
-            "%d oversize bucket(s) truncated to cap=%d — candidate pairs "
-            "(and near-dup recall) lost in this reduce task", n_truncated, cap)
+            "%d oversize bucket(s): clique capped at %d, overflow docs "
+            "anchor-linked (%d links each) — pair volume bounded, some "
+            "overflow-overflow near-dup pairs resolve only transitively",
+            n_truncated, cap, _OVERFLOW_ANCHORS)
     a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
     b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
     cols = {"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")}
@@ -500,21 +539,38 @@ def _pairs_with_vals(bucket: pd.DataFrame, keys: list[str], val_col: str,
     n_truncated = 0
     for _, g in bucket.groupby(keys, sort=False):
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        over_g = None
         if cap is not None and len(g) > cap:
             n_truncated += 1
+            over_g = g.iloc[cap:]
             g = g.head(cap)
-        if len(g) < 2:
-            continue
         docs = g["doc_id"].to_numpy()
         vals = g[val_col].to_numpy()
-        ai, bi = np.triu_indices(len(docs), k=1)
-        frames.append(pd.DataFrame({
-            "a": docs[ai], "b": docs[bi],
-            f"{val_col}_a": vals[ai], f"{val_col}_b": vals[bi]}))
+        if len(g) >= 2:
+            ai, bi = np.triu_indices(len(docs), k=1)
+            frames.append(pd.DataFrame({
+                "a": docs[ai], "b": docs[bi],
+                f"{val_col}_a": vals[ai], f"{val_col}_b": vals[bi]}))
+        if over_g is not None and len(docs):
+            # anchor links for overflow docs (see _anchor_links) — the
+            # values ride along so in-reduce verification still works
+            m = len(over_g)
+            idx = (np.arange(m, dtype=np.int64)[:, None]
+                   * _OVERFLOW_ANCHORS
+                   + np.arange(_OVERFLOW_ANCHORS, dtype=np.int64)) \
+                % len(docs)
+            frames.append(pd.DataFrame({
+                "a": docs[idx.ravel()],
+                "b": np.repeat(over_g["doc_id"].to_numpy(),
+                               _OVERFLOW_ANCHORS),
+                f"{val_col}_a": vals[idx.ravel()],
+                f"{val_col}_b": np.repeat(over_g[val_col].to_numpy(),
+                                          _OVERFLOW_ANCHORS)}))
     if n_truncated:
         import logging
         logging.getLogger("baram_ray.dedup").warning(
-            "%d oversize bucket(s) truncated to cap=%d", n_truncated, cap)
+            "%d oversize bucket(s): clique capped at %d, overflow "
+            "anchor-linked", n_truncated, cap)
     if not frames:
         return pd.DataFrame({
             "a": pd.Series([], dtype="int64"),

@@ -127,6 +127,53 @@ def test_simhash_pairs_complete(ray_session, code_docs):
     assert got_set == exp
 
 
+def test_dup_storm_stays_one_component(ray_session):
+    """Regression: a dup storm (docs ≫ MAX_BUCKET near-identical copies
+    — boilerplate pages) lands in the same LSH bucket in every band
+    with the same sorted-id prefix, so plain truncation gave every doc
+    past the cap ZERO candidate pairs. Anchor links must keep the whole
+    storm one connected component, at linear pair volume."""
+    n_storm = 3 * dedup.MAX_BUCKET + 77          # 845 docs, cap 256
+    base = " ".join(f"w{i % 97}x{i % 31}" for i in range(80))
+    docs = [{"doc_id": i, "text": f"{base} tail{i}"}
+            for i in range(n_storm)]
+    docs += [{"doc_id": n_storm + i,
+              "text": " ".join(f"z{i}q{j}" for j in range(40))}
+             for i in range(5)]                  # distinct non-dups
+    ds = ray.data.from_items(docs).repartition(8)
+    pairs = dedup.minhash_dedup(ds, "text", threshold=0.8).to_pandas()
+    all_ids = [d["doc_id"] for d in docs]
+    clusters = dedup.cluster_from_pairs(pairs, all_ids)
+    m = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    # every storm doc — including all of docs[MAX_BUCKET:] — joins the
+    # min-id component; the distinct docs stay singletons
+    assert all(m[i] == 0 for i in range(n_storm))
+    assert all(m[n_storm + i] == n_storm + i for i in range(5))
+    # per-bucket pair volume stays linear beyond the clique cap: one
+    # 600-doc bucket emits exactly clique(cap) + ANCHORS·overflow pairs
+    bucket = pd.DataFrame({"k": 0, "doc_id": np.arange(600)})
+    p = dedup._pairs_in_buckets(bucket, ["k"])
+    cap = dedup.MAX_BUCKET
+    assert len(p) == cap * (cap - 1) // 2 \
+        + dedup._OVERFLOW_ANCHORS * (600 - cap)
+    # every overflow doc is present, always paired with an in-cap anchor
+    over = p[p["b"] >= cap]
+    assert set(over["b"]) == set(range(cap, 600))
+    assert (over["a"] < cap).all()
+
+
+def test_dup_storm_simhash_connected(ray_session):
+    """Same regression for the simhash band path (_pairs_with_vals):
+    identical fingerprints ≫ cap must all connect through anchors."""
+    n_storm = dedup.MAX_BUCKET + 100
+    text = " ".join(f"tok{i % 53}" for i in range(60))
+    docs = [{"doc_id": i, "text": text} for i in range(n_storm)]
+    ds = ray.data.from_items(docs).repartition(4)
+    got = dedup.simhash_pairs(ds, "text", max_hamming=3).to_pandas()
+    clusters = dedup.cluster_from_pairs(got, list(range(n_storm)))
+    assert (clusters["cluster"] == 0).all()
+
+
 def test_cluster_from_pairs_transitive():
     pairs = pd.DataFrame({"a": [1, 2, 10], "b": [2, 3, 11]})
     out = dedup.cluster_from_pairs(pairs, [1, 2, 3, 10, 11, 99])
