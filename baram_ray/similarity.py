@@ -51,6 +51,35 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+_D2_CHUNK_BYTES = 32 << 20    # broadcasting-temp budget per centroid chunk
+
+
+def _nearest_centroids(v: np.ndarray, cen: np.ndarray):
+    """(best_idx, best_d2) of each row's nearest centroid by squared L2.
+
+    Value-identical to ``((v[:,None,:]-cen[None,:,:])**2).sum(2)`` +
+    argmin (same per-element arithmetic, first-min tie-break preserved
+    via strict ``<`` across chunks) but the batch×k×d broadcasting
+    temporary is bounded: centroids process in chunks sized to
+    ``_D2_CHUNK_BYTES``. The one-shot form is batch·k·d·8 bytes — at a
+    SemDeDup-scale k (tens of thousands of clusters) that is tens of
+    GB per batch; chunking caps it regardless of k."""
+    n, d = v.shape
+    k = len(cen)
+    step = max(1, int(_D2_CHUNK_BYTES // max(n * d * 8, 1)))
+    best = np.zeros(n, dtype=np.int64)
+    best_d2 = np.full(n, np.inf)
+    for c0 in range(0, k, step):
+        c = cen[c0:c0 + step]
+        d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argmin(d2, axis=1)
+        val = d2[np.arange(n), idx]
+        upd = val < best_d2          # strict: earlier chunk wins ties,
+        best[upd] = idx[upd] + c0    # matching one-shot argmin order
+        best_d2[upd] = val[upd]
+    return best, best_d2
+
+
 def _collect_query_vecs(ds, query_ids: list[int]):
     """(sorted q_ids, vectors) — the filter runs DISTRIBUTED via
     map_batches; only the ≤|Q| selected rows ever reach the driver."""
@@ -576,8 +605,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, *, spherical: bool = False,
             v = _matrix(batch)
             if sph:
                 v = _norm_rows(v)
-            d2 = ((v[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            best = np.argmin(d2, axis=1)
+            best, _ = _nearest_centroids(v, c)
             sums = np.zeros_like(c)
             np.add.at(sums, best, v)
             counts = np.bincount(best, minlength=len(c)).astype(np.int64)
@@ -610,13 +638,11 @@ def kmeans_assign(ds, k: int = 8, iters: int = 5):
 
     def assign(batch: pa.Table) -> pa.Table:
         v = _matrix(batch)
-        d2 = ((v[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-        best = np.argmin(d2, axis=1)
+        best, best_d2 = _nearest_centroids(v, cen)
         return pa.table({
             "vec_id": batch["vec_id"],
             "cluster": pa.array(best.astype(np.int64), pa.int64()),
-            "dist": pa.array(
-                np.round(d2[np.arange(len(best)), best], 6), pa.float64()),
+            "dist": pa.array(np.round(best_d2, 6), pa.float64()),
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -676,9 +702,9 @@ def semdedup(ds, threshold: float = 0.9, *, k: int = 8, iters: int = 5):
 
     def assign(batch: pa.Table) -> pa.Table:
         v = _matrix(batch)
-        d2 = ((v[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        best, _ = _nearest_centroids(v, cen)
         return batch.append_column(
-            "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int64)))
+            "cluster", pa.array(best.astype(np.int64)))
 
     labeled = ds.map_batches(assign, batch_format="pyarrow")
 
@@ -689,21 +715,51 @@ def semdedup(ds, threshold: float = 0.9, *, k: int = 8, iters: int = 5):
             ids = g["vec_id"].to_numpy(np.int64)
             vecs = _norm_rows(np.stack([np.asarray(e, dtype=np.float64)
                                         for e in g["embedding"]]))
-            kept_rows: list[int] = []
-            dup_of = np.full(len(ids), -1, dtype=np.int64)
-            kept = np.zeros(len(ids), dtype=bool)
-            for i in range(len(ids)):
-                if kept_rows:
-                    sims = vecs[kept_rows] @ vecs[i]
-                    j = int(np.argmax(sims))
-                    if sims[j] >= threshold:
-                        dup_of[i] = ids[kept_rows[j]]
-                        continue
-                kept[i] = True
-                kept_rows.append(i)
+            n = len(ids)
+            dup_of = np.full(n, -1, dtype=np.int64)
+            kept = np.zeros(n, dtype=bool)
+            # chunked greedy leader scan (same trick as the HNSW
+            # chunked-exact inserter): one BLAS matmul scores a whole
+            # chunk against the frozen kept prefix, the intra-chunk
+            # Gram covers leaders kept earlier in the chunk — replaces
+            # the former per-row ``vecs[kept_rows] @ vecs[i]`` whose
+            # fancy-index copy made the scan O(n·kept·d) memory
+            # traffic. Leader choice (argmax sim, first-on-tie ⇒
+            # lowest kept id) is preserved: frozen beats intra on ties
+            # via the strict ``>``.
+            kept_idx: list[int] = []
+            c0 = 0
+            while c0 < n:
+                c1 = min(c0 + 512, n)
+                C = vecs[c0:c1]
+                if kept_idx:
+                    K = vecs[kept_idx]
+                    sims_main = K @ C.T              # (kept, chunk)
+                    fmax = sims_main.max(axis=0)
+                    farg = sims_main.argmax(axis=0)
+                gram = C @ C.T
+                intra: list[int] = []
+                for ci in range(c1 - c0):
+                    best_sim, leader = -np.inf, -1
+                    if kept_idx:
+                        best_sim = fmax[ci]
+                        leader = ids[kept_idx[farg[ci]]]
+                    if intra:
+                        s = gram[intra, ci]
+                        jj = int(np.argmax(s))
+                        if s[jj] > best_sim:
+                            best_sim = float(s[jj])
+                            leader = ids[c0 + intra[jj]]
+                    if best_sim >= threshold:
+                        dup_of[c0 + ci] = leader
+                    else:
+                        kept[c0 + ci] = True
+                        intra.append(ci)
+                kept_idx.extend(c0 + i for i in intra)
+                c0 = c1
             out.append(pd.DataFrame({
                 "vec_id": ids,
-                "cluster": np.full(len(ids), cl, dtype=np.int64),
+                "cluster": np.full(n, cl, dtype=np.int64),
                 "kept": kept,
                 "dup_of": dup_of,
             }))

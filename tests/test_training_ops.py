@@ -913,6 +913,46 @@ def test_ivf_partitioned_index_prunes_and_recalls(ray_session, tmp_path):
     assert n == 20_000
 
 
+def test_semdedup_chunked_matches_naive(ray_session):
+    """The chunked greedy leader scan must be value-identical to the
+    per-row reference loop (same kept set AND same dup_of leaders),
+    across chunk boundaries (n per cluster > the 512 chunk)."""
+    from baram_ray.corpus import vectors_parquet
+    from baram_ray.similarity import _norm_rows
+
+    path = vectors_parquet(1500, dim=12, n_clusters=2, seed=9, sigma=0.3)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    t = 0.92
+    got = similarity.semdedup(ds, threshold=t, k=2, iters=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    # naive per-row reference over the SAME cluster assignment
+    import pyarrow.parquet as pq_
+    tbl = pq_.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    tbl = tbl.set_index("vec_id")
+    exp_kept, exp_dup = {}, {}
+    for cl, g in got.groupby("cluster"):
+        ids = np.sort(g["vec_id"].to_numpy(np.int64))
+        vecs = _norm_rows(np.stack(
+            [np.asarray(tbl.loc[i, "embedding"], dtype=np.float64)
+             for i in ids]))
+        kept_rows = []
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = vecs[kept_rows] @ vecs[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= t:
+                    exp_kept[ids[i]] = False
+                    exp_dup[ids[i]] = int(ids[kept_rows[j]])
+                    continue
+            exp_kept[ids[i]] = True
+            exp_dup[ids[i]] = -1
+            kept_rows.append(i)
+    assert bool((got["kept"] == got["vec_id"].map(exp_kept)).all())
+    assert bool((got["dup_of"] == got["vec_id"].map(exp_dup)).all())
+    assert 0 < got["kept"].sum() < len(got)   # both branches exercised
+
+
 def test_semdedup_invariants(ray_session):
     """SemDeDup: within a cluster no two KEPT vectors have cosine ≥ t;
     every dropped vector's dup_of is a kept lower-id vector in the same
