@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_knn_ivf": trainp.sim_knn_ivf,
         "sim_knn_ivf_indexed": trainp.sim_knn_ivf_indexed,
         "sim_knn_hnsw": trainp.sim_knn_hnsw,
+        "sim_knn_pq": trainp.sim_knn_pq,
         "sim_neardup_pairs": trainp.sim_neardup_pairs,
         "sim_neardup_lsh": trainp.sim_neardup_lsh,
         "sim_centroid_assign": trainp.sim_centroid_assign,

@@ -116,6 +116,37 @@ def sim_knn_hnsw(sf_dir: str):
                              ef_search=64)
 
 
+def sim_knn_pq(sf_dir: str):
+    """Product-quantized top-5 — the beyond-RAM ANN class (the
+    reference's faiss config family, ``src/embedding/mod.rs:309-321``):
+    m=16 uint8 codes per vector (16× compression at dim 64), ADC
+    lookup-table scan of the codes parquet, exact refine of the top
+    k×8 candidates against the original embeddings. Index built once
+    per sf_dir under /tmp and reused; rows-only driver check, recall vs
+    brute force + determinism asserted in tests."""
+    import hashlib as _hl
+    import os as _os
+
+    from baram_ray import pq as _pq
+
+    ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    tag = _hl.sha1(_os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    idx = f"/tmp/baram_ray_pq/emb_{tag}"
+    meta_p = _os.path.join(idx, "meta.json")
+    stale = True
+    if _os.path.exists(meta_p):
+        import json as _json
+        with open(meta_p) as f:
+            stale = "n_coarse" not in _json.load(f)
+    if stale:
+        import shutil as _sh
+        _sh.rmtree(idx, ignore_errors=True)
+        _pq.pq_build(ds, idx, m=16, train_sample=4096)
+    _, q_vecs = similarity._collect_query_vecs(ds, KNN_QUERY_IDS)
+    return _pq.pq_search(idx, q_vecs, KNN_QUERY_IDS, k=5,
+                         refine=8, ds=ds)
+
+
 def sim_neardup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = similarity.embedding_neardup_pairs(ds, threshold=NEARDUP_COS_T)

@@ -486,6 +486,30 @@ def run_ann_bench(n_vecs: int | None = None) -> dict:
             total += len(exact_sets[q])
         out["curve"][f"hnsw_ef_{ef}"] = {
             "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
+    # product quantization (beyond-RAM compression class): residual
+    # IVF-PQ-style codes, ADC scan + exact refine — recall AND the
+    # compressed-footprint numbers
+    from baram_ray import pq as pqmod
+    pdir = f"/tmp/baram_pq_{n_vecs}"
+    shutil.rmtree(pdir, ignore_errors=True)
+    t0 = time.perf_counter()
+    pmeta = pqmod.pq_build(read(), pdir, m=16, n_coarse=256)
+    out["pq_build_sec"] = round(time.perf_counter() - t0, 3)
+    out["pq_bytes_per_vec"] = pmeta["bytes_per_vec"]
+    out["pq_compression_x"] = pmeta["compression_x"]
+    for refine in (4, 8):
+        t0 = time.perf_counter()
+        approx = pqmod.pq_search(pdir, q_vecs, qids, k=10,
+                                 refine=refine, ds=read()).to_pandas()
+        sec = time.perf_counter() - t0
+        hits = total = 0
+        for q in qids:
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            hits += len(exact_sets[q] & a)
+            total += len(exact_sets[q])
+        out["curve"][f"pq_refine_{refine}"] = {
+            "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
+
     # resident serving path: per-single-query latency through the
     # actor pool (graphs stay loaded — the A7 serving shape)
     svc = hnswmod.HnswService(hdir)
