@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": searchp.search_facets,
         "search_facet_hist": searchp.search_facet_hist,
         "search_sorted_docs": searchp.search_sorted_docs,
+        "search_collapse_docs": searchp.search_collapse_docs,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

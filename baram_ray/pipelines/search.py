@@ -667,6 +667,27 @@ def search_sorted_docs(sf_dir: str, query_text: str = "data stream",
     })
 
 
+def search_collapse_docs(sf_dir: str, k: int = 10):
+    """Field-collapsed BM25 top-k (OpenSearch ``collapse``): at most
+    one hit per ``source`` value, each group represented by its best
+    (score desc, doc_id asc) hit — the diversity knob for result pages
+    dominated by one source. Runs through the QueryActor pool in
+    collapse mode (resident index per actor). Rows-only driver check
+    (scores are BM25); exactness vs a brute grouped rerank and
+    sharded==single identity are asserted in tests."""
+    idx = ensure_index(sf_dir)
+    qs = [q for q in DOC_QUERIES]
+    df = _actor_search(idx, qs, mode="collapse", collapse_field="source")
+    if "group" not in df.columns:   # 0-row table: typed empty
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           "rank": pd.Series(dtype="int64"),
+                           "doc_id": pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64"),
+                           "group": pd.Series(dtype="object")})
+    df["score"] = df["score"].round(6)
+    return df[["query_id", "rank", "doc_id", "score", "group"]]
+
+
 PERCOLATE_QUERIES = [
     # stored conjunctive term queries (the percolator registry): the
     # reference's keyword-alert conditions in their scalable streaming

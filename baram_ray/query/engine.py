@@ -489,6 +489,49 @@ class QueryEngine:
             out = [(d, s) for d, s in out if s >= min_score]
         return out
 
+    def search_collapse(self, query: str, collapse_field: str,
+                        k: int = 10, *,
+                        boosts: dict[str, float] | None = None,
+                        filters: dict | None = None,
+                        algorithm: str = "auto"
+                        ) -> list[tuple[int, float, object]]:
+        """OpenSearch-style field collapsing: top-k hits with at most
+        ONE hit per value of a kept metadata column — each group is
+        represented by its best (score desc, doc_id asc) hit. The
+        reference's diversity knob for result pages dominated by one
+        source (OpenSearch ``collapse``; its backend feature set,
+        ``src/embedding/mod.rs:240-245``).
+
+        EXACT, not best-effort: the inner top-k' grows geometrically
+        until k distinct groups are collected or the candidate list is
+        exhausted. Because hits arrive globally sorted and collapse
+        keeps first-per-group, a prefix that yields k groups is the
+        true collapsed top-k (later hits score no higher than the
+        accepted ones). Returns (doc_id, score, group_value) rows."""
+        r = self.r
+        if collapse_field not in r.doc_meta:
+            from baram_ray.errors import UnknownFilterColumn
+            raise UnknownFilterColumn(collapse_field)
+        if k <= 0:
+            return []
+        kk = max(k, 10)
+        while True:
+            hits = self.search(query, k=kk, boosts=boosts,
+                               filters=filters, algorithm=algorithm)
+            out: list[tuple[int, float, object]] = []
+            seen: set = set()
+            for d, s in hits:
+                key = r.doc_meta[collapse_field][r.doc_index[d]]
+                if key in seen:
+                    continue
+                seen.add(key)
+                out.append((d, s, key))
+                if len(out) == k:
+                    return out
+            if len(hits) < kk:          # candidates exhausted: every
+                return out              # group already surfaced
+            kk *= 4
+
     def search_prefix(self, prefix: str, k: int = 10,
                       max_expansions: int = 50,
                       boosts: dict[str, float] | None = None,
@@ -1123,6 +1166,29 @@ class ShardedEngine:
                 totals[b] = totals.get(b, 0) + c
         return sorted(totals.items())
 
+    def search_collapse(self, query: str, collapse_field: str,
+                        k: int = 10, **kw
+                        ) -> list[tuple[int, float, object]]:
+        """Collapse scatter-gather: each shard returns ITS collapsed
+        top-k; the union provably contains every globally-top-k group's
+        best hit (a group in the global top-k ranks above all but <k
+        groups inside the shard holding its best hit), so re-collapsing
+        the merged, re-sorted union is exact."""
+        hits: list[tuple[int, float, object]] = []
+        for eng in self.engines:
+            hits.extend(eng.search_collapse(query, collapse_field,
+                                            k=k, **kw))
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        out, seen = [], set()
+        for d, s, key in hits:
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((d, s, key))
+            if len(out) == k:
+                break
+        return out
+
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
                       filters: dict | None = None) -> list:
@@ -1154,13 +1220,14 @@ class QueryActor:
                  algorithm: str = "auto", filters: dict | None = None,
                  min_score: float | None = None,
                  shard_range: tuple[int, int] | None = None,
-                 mode: str = "bm25"):
+                 mode: str = "bm25", collapse_field: str | None = None):
         self.engine = QueryEngine(index_dir, shard_range=shard_range)
         self.boosts = boosts
         self.algorithm = algorithm
         self.filters = filters
         self.min_score = min_score
-        self.mode = mode                      # "bm25" | "phrase"
+        self.mode = mode                      # "bm25" | "phrase" | ...
+        self.collapse_field = collapse_field  # for mode="collapse"
 
     def serve(self, kind: str, text: str, k: int = 10) -> list:
         """Single-request entry for RESIDENT serving
@@ -1178,6 +1245,7 @@ class QueryActor:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         qids, ranks, docs, scores = [], [], [], []
+        groups: list = []                     # collapse mode only
         ks = batch["k"] if "k" in batch.columns else pd.Series([10] * len(batch))
         def clauses(col, i):
             v = batch[col].iloc[i] if col in batch.columns else ""
@@ -1213,6 +1281,13 @@ class QueryActor:
                     filters=self.filters, min_score=self.min_score,
                     slop=(int(batch["slop"].iloc[i])
                           if "slop" in batch.columns else 0))
+            elif self.mode == "collapse":
+                rows3 = self.engine.search_collapse(
+                    str(text), self.collapse_field, k=int(k),
+                    boosts=self.boosts, filters=self.filters,
+                    algorithm=self.algorithm)
+                hits = [(d, s) for d, s, _ in rows3]
+                groups.extend(key for _, _, key in rows3)
             else:
                 hits = self.engine.search(str(text), k=int(k), boosts=self.boosts,
                                           algorithm=self.algorithm,
@@ -1220,9 +1295,12 @@ class QueryActor:
                                           min_score=self.min_score)
             for rank, (d, s) in enumerate(hits, 1):
                 qids.append(qid); ranks.append(rank); docs.append(d); scores.append(s)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "query_id": np.asarray(qids, dtype=np.int64),
             "rank": np.asarray(ranks, dtype=np.int64),
             "doc_id": np.asarray(docs, dtype=np.int64),
             "score": np.asarray(scores, dtype=np.float64),
         })
+        if self.mode == "collapse":
+            out["group"] = pd.Series(groups, dtype="object").astype(str)
+        return out

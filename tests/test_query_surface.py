@@ -399,3 +399,91 @@ def test_suggest_exact_neighbour(engine, ray_session):
     assert s is not None and s[0] == "data" and s[2] == 1
     # nothing within 2 edits sharing the first char -> None
     assert engine.suggest("zzzzzzzzzz") is None
+
+
+# ------------------------------------------------------------------ #
+# field collapsing (OpenSearch collapse)
+# ------------------------------------------------------------------ #
+
+def _brute_collapse(engine, query, field, k, filters=None):
+    """Oracle: exhaustive ranking, first hit per group value."""
+    all_hits = engine.search(query, k=10**9, filters=filters)
+    out, seen = [], set()
+    for d, s in all_hits:
+        key = engine.r.doc_meta[field][engine.r.doc_index[d]]
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((d, s, key))
+        if len(out) == k:
+            break
+    return out
+
+
+def test_collapse_matches_brute(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    eng = QueryEngine(ensure_index(SF))
+    for q in ("data stream", "hash join merge sort", "table"):
+        for k in (3, 10, 500):
+            got = eng.search_collapse(q, "source", k=k)
+            assert got == _brute_collapse(eng, q, "source", k)
+            # one hit per group, scores non-increasing
+            keys = [key for _, _, key in got]
+            assert len(keys) == len(set(keys))
+            scores = [s for _, s, _ in got]
+            assert scores == sorted(scores, reverse=True)
+
+
+def test_collapse_with_filters_and_edges(ray_session):
+    from baram_ray.errors import UnknownFilterColumn
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    eng = QueryEngine(ensure_index(SF))
+    flt = {"lang": "en"}
+    got = eng.search_collapse("data stream", "source", k=10, filters=flt)
+    assert got == _brute_collapse(eng, "data stream", "source", 10,
+                                  filters=flt)
+    assert eng.search_collapse("data", "source", k=0) == []
+    assert eng.search_collapse("qqqxplughz", "source", k=5) == []
+    with pytest.raises(UnknownFilterColumn):
+        eng.search_collapse("data", "no_such_col", k=5)
+
+
+def test_collapse_sharded_identity(ray_session, tmp_path):
+    """Sharded collapse == single-reader collapse on a forced
+    multi-shard index (groups span shards)."""
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    from tests.test_incremental_build import _write_part
+
+    src = str(tmp_path / "docs.parquet")
+    _write_part(src, 0, 400, seed=23)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("text",), id_cols=(), keep=("lang",),
+                      num_shards=4)
+    build_index(src, idx, cfg, resume=False)
+    single = QueryEngine(idx)
+    for n_groups in (2, 4):
+        sharded = ShardedEngine(idx, n_groups=n_groups)
+        for q in ("data stream", "join sort merge", "row window"):
+            for k in (2, 5, 50):
+                assert sharded.search_collapse(q, "lang", k=k) == \
+                    single.search_collapse(q, "lang", k=k)
+
+
+def test_collapse_pipeline_entry(ray_session):
+    from baram_ray.pipelines.search import (DOC_QUERIES, ensure_index,
+                                            search_collapse_docs)
+    from baram_ray.query.engine import QueryEngine
+    df = search_collapse_docs(SF)
+    assert list(df.columns) == ["query_id", "rank", "doc_id", "score",
+                                "group"]
+    eng = QueryEngine(ensure_index(SF))
+    for q in DOC_QUERIES:
+        sub = df[df["query_id"] == q["query_id"]]
+        exp = _brute_collapse(eng, q["text"], "source", int(q["k"]))
+        assert list(sub["doc_id"]) == [d for d, _, _ in exp]
+        assert list(sub["group"]) == [str(key) for _, _, key in exp]
+        # per-group uniqueness inside each query's page
+        assert sub["group"].is_unique
