@@ -137,7 +137,7 @@ def sim_knn_pq(sf_dir: str):
     if _os.path.exists(meta_p):
         import json as _json
         with open(meta_p) as f:
-            stale = "n_coarse" not in _json.load(f)
+            stale = "partition" not in _json.load(f)
     if stale:
         import shutil as _sh
         _sh.rmtree(idx, ignore_errors=True)

@@ -332,7 +332,12 @@ def ivf_build(ds, out_dir: str, *, n_cells: int = 64, train_iters: int = 5,
                     .append_column("cellp", pa.array(cell, pa.int64()))
 
     _os.makedirs(out_dir, exist_ok=True)
+    # cluster rows by cell before the hive write — unsorted, the write
+    # fans out to blocks×cells tiny files (15k at 100k vecs / 256
+    # cells) and probed reads pay per-file overhead; sorted, file
+    # count is O(cells + blocks)
     ds.map_batches(assign, batch_format="pyarrow") \
+      .sort("cellp") \
       .write_parquet(_os.path.join(out_dir, "cells"),
                      partition_cols=["cellp"])
     np.save(_os.path.join(out_dir, "centroids.npy"), cen)

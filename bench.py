@@ -497,17 +497,19 @@ def run_ann_bench(n_vecs: int | None = None) -> dict:
     out["pq_build_sec"] = round(time.perf_counter() - t0, 3)
     out["pq_bytes_per_vec"] = pmeta["bytes_per_vec"]
     out["pq_compression_x"] = pmeta["compression_x"]
-    for refine in (4, 8):
+    for label, kw in (("pq_refine_4", {"refine": 4}),
+                      ("pq_refine_8", {"refine": 8}),
+                      ("pq_r8_nprobe_16", {"refine": 8, "nprobe": 16})):
         t0 = time.perf_counter()
         approx = pqmod.pq_search(pdir, q_vecs, qids, k=10,
-                                 refine=refine, ds=read()).to_pandas()
+                                 ds=read(), **kw).to_pandas()
         sec = time.perf_counter() - t0
         hits = total = 0
         for q in qids:
             a = set(approx[approx["query_id"] == q]["vec_id"])
             hits += len(exact_sets[q] & a)
             total += len(exact_sets[q])
-        out["curve"][f"pq_refine_{refine}"] = {
+        out["curve"][label] = {
             "recall_at_10": round(hits / total, 4), "sec": round(sec, 3)}
 
     # resident serving path: per-single-query latency through the

@@ -123,6 +123,51 @@ def test_clustered_corpus_recall(ray_session, tmp_path):
     assert _recall(res, exact, qids) >= 0.9
 
 
+def test_pruned_read_recall_and_fraction(ray_session, tmp_path):
+    """nprobe reads a strict subset of the cell-partitioned code files
+    and still recalls the true neighbors (residual cells are tight on
+    clustered data)."""
+    from baram_ray.pq import _code_files
+
+    ds = _clustered_ds(n=4000, n_clusters=16)
+    out = str(tmp_path / "pqp")
+    pq.pq_build(ds, out, m=16, n_coarse=64, train_sample=2048)
+    all_files = _code_files(out)
+    qids = list(range(0, 40, 4))
+    _, qv = similarity._collect_query_vecs(ds, qids)
+    res = pq.pq_search(out, qv, qids, k=5, refine=8, ds=ds,
+                       nprobe=8).to_pandas()
+    exact = similarity.brute_force_topk(ds, qids, k=5).to_pandas()
+    assert _recall(res, exact, qids) >= 0.9
+    # the probe set must actually prune: ≤ ~(|Q|·nprobe)/n_coarse of
+    # the cells, strictly fewer files than a full scan
+    q = np.stack([similarity._norm_rows(qv)[i] for i in range(len(qids))])
+    import numpy as _np
+    arch = _np.load(f"{out}/codebooks.npz")
+    coarse = arch["coarse"]
+    d2 = (coarse * coarse).sum(axis=1) - 2.0 * (q @ coarse.T)
+    cells = {int(c) for row in _np.argpartition(d2, 7, axis=1)[:, :8]
+             for c in row}
+    probed = _code_files(out, cells)
+    assert len(probed) < len(all_files)
+    assert set(probed) <= set(all_files)
+
+
+def test_nprobe_all_cells_equals_full_scan(ray_session, tmp_path):
+    ds = _clustered_ds(n=1000)
+    out = str(tmp_path / "pqf")
+    pq.pq_build(ds, out, m=8, n_coarse=16, train_sample=1024)
+    qids = [5, 100, 777]
+    _, qv = similarity._collect_query_vecs(ds, qids)
+    a = pq.pq_search(out, qv, qids, k=5, refine=4, ds=ds,
+                     nprobe=16).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = pq.pq_search(out, qv, qids, k=5, refine=4, ds=ds,
+                     nprobe=None).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_build_determinism(ray_session, tmp_path):
     ds = _clustered_ds(n=800)
     a, b = str(tmp_path / "a"), str(tmp_path / "b")
