@@ -202,38 +202,57 @@ def cmd_serve(args) -> int:
 
 
 def cmd_ann_build(args) -> int:
-    """Build (or append to) the sharded HNSW ANN index from a parquet
-    embeddings table (columns: vec_id, embedding)."""
+    """Build (or append to) an ANN index from a parquet embeddings
+    table (columns: vec_id, embedding). --kind hnsw = sharded graphs
+    (serving latency); --kind pq = residual product-quantized codes
+    (beyond-RAM batch scans)."""
     _ray_up(args.num_cpus)
     import ray
 
-    from baram_ray import hnsw
     ds = ray.data.read_parquet(args.input,
                                columns=["vec_id", "embedding"])
-    if args.append:
-        meta = hnsw.hnsw_add(args.out, ds)
+    if args.kind == "pq":
+        if args.append:
+            raise SystemExit("--append is HNSW-only; rebuild a PQ "
+                             "index (one streaming encode pass)")
+        from baram_ray import pq
+        meta = pq.pq_build(ds, args.out, m=args.pq_m,
+                           n_coarse=args.n_coarse)
     else:
-        meta = hnsw.hnsw_build(ds, args.out, M=args.m,
-                               ef_construction=args.ef_construction,
-                               num_shards=args.num_shards)
+        from baram_ray import hnsw
+        if args.append:
+            meta = hnsw.hnsw_add(args.out, ds)
+        else:
+            meta = hnsw.hnsw_build(ds, args.out, M=args.m,
+                                   ef_construction=args.ef_construction,
+                                   num_shards=args.num_shards)
     print(json.dumps(meta))
     return 0
 
 
 def cmd_ann_search(args) -> int:
-    """Top-k over an HNSW index for query vec_ids drawn from the same
-    embeddings table (scatter-gather across shard graphs)."""
+    """Top-k over an ANN index for query vec_ids drawn from the same
+    embeddings table (index kind auto-detected from meta.json)."""
     _ray_up(args.num_cpus)
     import ray
 
-    from baram_ray import hnsw
     from baram_ray.similarity import _collect_query_vecs
     ds = ray.data.read_parquet(args.input,
                                columns=["vec_id", "embedding"])
     qids = [int(x) for x in args.query_ids.split(",")]
     _, qv = _collect_query_vecs(ds, qids)
-    res = hnsw.hnsw_search(args.index, qv, qids, k=args.k,
-                           ef_search=args.ef)
+    with open(os.path.join(args.index, "meta.json")) as f:
+        kind = "pq" if "bytes_per_vec" in json.load(f) else "hnsw"
+    if kind == "pq":
+        from baram_ray import pq
+        res = pq.pq_search(args.index, qv, qids, k=args.k,
+                           refine=args.refine, ds=ds,
+                           nprobe=args.nprobe).to_pandas() \
+            .sort_values(["query_id", "rank"])
+    else:
+        from baram_ray import hnsw
+        res = hnsw.hnsw_search(args.index, qv, qids, k=args.k,
+                               ef_search=args.ef)
     for row in res.itertuples(index=False):
         print(json.dumps({"query_id": int(row.query_id),
                           "rank": int(row.rank),
@@ -340,25 +359,36 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--json", action="store_true")
     sc.set_defaults(fn=cmd_schedule)
 
-    ab = sub.add_parser("ann-build", help="build/append the sharded "
-                        "HNSW ANN index over an embeddings parquet")
+    ab = sub.add_parser("ann-build", help="build/append an ANN index "
+                        "(hnsw graphs or pq codes) over an embeddings "
+                        "parquet")
     ab.add_argument("--input", required=True)
     ab.add_argument("--out", required=True)
+    ab.add_argument("--kind", choices=("hnsw", "pq"), default="hnsw")
     ab.add_argument("--m", type=int, default=16)
     ab.add_argument("--ef-construction", type=int, default=128)
     ab.add_argument("--num-shards", type=int, default=None)
+    ab.add_argument("--pq-m", type=int, default=16,
+                    help="PQ subspaces (bytes/vector)")
+    ab.add_argument("--n-coarse", type=int, default=64,
+                    help="PQ coarse cells (0 = plain PQ)")
     ab.add_argument("--append", action="store_true",
                     help="add vectors to an existing index")
     ab.set_defaults(fn=cmd_ann_build)
 
-    asrch = sub.add_parser("ann-search", help="HNSW top-k for query "
-                           "vec_ids from the embeddings table")
+    asrch = sub.add_parser("ann-search", help="ANN top-k for query "
+                           "vec_ids from the embeddings table "
+                           "(kind auto-detected)")
     asrch.add_argument("--index", required=True)
     asrch.add_argument("--input", required=True)
     asrch.add_argument("--query-ids", required=True,
                        metavar="ID[,ID...]")
     asrch.add_argument("-k", type=int, default=10)
     asrch.add_argument("--ef", type=int, default=64)
+    asrch.add_argument("--refine", type=int, default=8,
+                       help="PQ exact-rerank multiple")
+    asrch.add_argument("--nprobe", type=int, default=None,
+                       help="PQ probed cells (default: scan all)")
     asrch.set_defaults(fn=cmd_ann_search)
 
     args = p.parse_args(argv)

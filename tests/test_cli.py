@@ -45,3 +45,18 @@ def test_cli_ann_build_and_search(tmp_path):
     assert len(hits) == 6
     assert {h["query_id"] for h in hits} == {0, 1}
     assert all(h["vec_id"] != h["query_id"] for h in hits)
+
+
+def test_cli_ann_pq_build_and_search(tmp_path):
+    idx = str(tmp_path / "pq")
+    meta = _run("ann-build", "--kind", "pq",
+                "--input", f"{SF}/embeddings.parquet",
+                "--out", idx, "--pq-m", "16", "--n-coarse", "32")
+    assert meta[0]["n"] == 500 and meta[0]["bytes_per_vec"] == 18
+    hits = _run("ann-search", "--index", idx,      # kind auto-detected
+                "--input", f"{SF}/embeddings.parquet",
+                "--query-ids", "0,1", "-k", "3", "--nprobe", "8")
+    assert len(hits) == 6
+    assert {h["query_id"] for h in hits} == {0, 1}
+    assert all(h["vec_id"] != h["query_id"] for h in hits)
+    assert all(h["rank"] in (1, 2, 3) for h in hits)
