@@ -55,7 +55,8 @@ import ray
 from baram_ray.similarity import (_collect_query_vecs, _final_topk,
                                   _matrix, _norm_rows)
 
-__all__ = ["pq_train", "pq_build", "pq_search", "pq_encode_batch"]
+__all__ = ["pq_train", "pq_build", "pq_add", "pq_search",
+           "pq_encode_batch"]
 
 
 def _check_dims(dim: int, m: int) -> int:
@@ -184,6 +185,32 @@ def pq_build(ds, out_dir: str, *, m: int = 8, nbits: int = 8,
     else:
         coarse = np.zeros((0, dim))
         books = _train_books(v, m, nbits, train_iters, rng)
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = ds.count()
+    _encode_pass(ds, books, coarse, num_shards, out_dir)
+    np.savez(os.path.join(out_dir, "codebooks.npz"), books=books,
+             coarse=coarse)
+    meta = {"n": int(n), "dim": int(dim), "m": int(m),
+            "nbits": int(nbits), "n_coarse": int(n_coarse),
+            "partition": "cell" if n_coarse > 0 else "hash",
+            "num_shards": int(num_shards), "metric": "cosine",
+            "bytes_per_vec": int(m) + (2 if n_coarse > 0 else 0),
+            "compression_x": round(dim * 4 /
+                                   (m + (2 if n_coarse > 0 else 0)), 1)}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _encode_pass(ds, books: np.ndarray, coarse: np.ndarray,
+                 num_shards: int, out_dir: str) -> None:
+    """ONE streaming encode pass → cell-partitioned codes parquet.
+    Rows are clustered by the partition key before the hive write: an
+    unsorted write fans out to blocks×cells tiny files (13k files at
+    100k vecs / 256 cells — measured 9× slower scans from per-file
+    overhead); sorted, file count is O(cells + blocks)."""
+    m = books.shape[0]
     books_ref = ray.put(books)
     coarse_ref = ray.put(coarse)
 
@@ -218,27 +245,30 @@ def pq_build(ds, out_dir: str, *, m: int = 8, nbits: int = 8,
             "cellp": pa.array(part, pa.int64()),
         })
 
-    os.makedirs(out_dir, exist_ok=True)
-    n = ds.count()
-    # cluster rows by partition key before the hive write: an unsorted
-    # write fans out to blocks×cells tiny files (13k files at 100k
-    # vecs / 256 cells — measured 9× slower scans from per-file
-    # overhead); sorted, each cell spans ~contiguous blocks so file
-    # count is O(cells + blocks)
     ds.map_batches(encode, batch_format="pyarrow") \
       .sort("cellp") \
       .write_parquet(os.path.join(out_dir, "codes"),
                      partition_cols=["cellp"])
-    np.savez(os.path.join(out_dir, "codebooks.npz"), books=books,
-             coarse=coarse)
-    meta = {"n": int(n), "dim": int(dim), "m": int(m),
-            "nbits": int(nbits), "n_coarse": int(n_coarse),
-            "partition": "cell" if n_coarse > 0 else "hash",
-            "num_shards": int(num_shards), "metric": "cosine",
-            "bytes_per_vec": int(m) + (2 if n_coarse > 0 else 0),
-            "compression_x": round(dim * 4 /
-                                   (m + (2 if n_coarse > 0 else 0)), 1)}
-    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+
+
+def pq_add(index_dir: str, ds) -> dict:
+    """Append vectors to an existing ``pq_build`` index with the SAME
+    trained codebooks (one encode pass; the hive write only ADDS files
+    — existing codes are untouched, so the ingest story matches
+    ``hnsw_add``). Codebooks are not retrained: residual quantization
+    error on drifted data grows gracefully and a periodic rebuild is
+    the compaction step, same as the reference's segment merges."""
+    arch = np.load(os.path.join(index_dir, "codebooks.npz"))
+    books = arch["books"]
+    coarse = arch["coarse"] if "coarse" in arch.files else \
+        np.zeros((0, books.shape[0] * books.shape[2]))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_new = ds.count()
+    _encode_pass(ds, books, coarse, int(meta.get("num_shards", 8)),
+                 index_dir)
+    meta["n"] = int(meta["n"]) + int(n_new)
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
 

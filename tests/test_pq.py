@@ -186,6 +186,41 @@ def test_build_determinism(ray_session, tmp_path):
     pd.testing.assert_frame_equal(ra, rb)
 
 
+def test_pq_add_appends_with_same_codebooks(ray_session, tmp_path):
+    """pq_add encodes new vectors with the EXISTING codebooks, only
+    adds files, and the union is searchable at full recall."""
+    rng = np.random.RandomState(7)
+    cen = rng.randn(12, 64)
+    cen /= np.linalg.norm(cen, axis=1, keepdims=True)
+
+    def make(n, id0, seed):
+        r = np.random.RandomState(seed)
+        lab = r.randint(0, 12, size=n)
+        v = cen[lab] + 0.08 * r.randn(n, 64)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(id0, id0 + n, dtype=np.int64)),
+            "embedding": pa.array([row.astype(np.float32).tolist()
+                                   for row in v],
+                                  pa.list_(pa.float32()))}))
+
+    base, extra = make(1500, 0, 1), make(400, 10_000, 2)
+    out = str(tmp_path / "pqa")
+    pq.pq_build(base, out, m=16, n_coarse=32, train_sample=1024)
+    books_before = np.load(os.path.join(out, "codebooks.npz"))["books"]
+    meta = pq.pq_add(out, extra)
+    assert meta["n"] == 1900
+    books_after = np.load(os.path.join(out, "codebooks.npz"))["books"]
+    assert np.array_equal(books_before, books_after)
+    union = base.union(extra)
+    qids = [3, 500, 10_005, 10_399]          # old AND new vectors
+    _, qv = similarity._collect_query_vecs(union, qids)
+    res = pq.pq_search(out, qv, qids, k=5, refine=8, ds=union).to_pandas()
+    exact = similarity.brute_force_topk(union, qids, k=5).to_pandas()
+    assert _recall(res, exact, qids) >= 0.9
+    # appended ids are actually retrievable as results
+    assert (res["vec_id"] >= 10_000).any()
+
+
 def test_k_exceeds_corpus(ray_session, tmp_path):
     ds = _clustered_ds(n=12)
     out = str(tmp_path / "tiny")
