@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facet_hist": searchp.search_facet_hist,
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
+        "search_qs_docs": searchp.search_qs_docs,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

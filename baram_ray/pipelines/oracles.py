@@ -196,6 +196,20 @@ ORACLES: dict[str, str] = {
                        OR list_contains(ws, 'sort') THEN 1 ELSE 0 END)) >= 2
           AND NOT list_contains(ws, 'vector')
     """,
+    # query-string retrieval ('+data -vector stream lang:en'): the
+    # match set is must + must_not + metadata filter; the should
+    # clause ('stream') only scores (engine msm default = 0 when a
+    # must clause exists — OpenSearch's rule)
+    "search_qs_docs": r"""
+        WITH w AS (SELECT doc_id, lang,
+                          string_split_regex(lower(text), '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id FROM w
+        WHERE list_contains(ws, 'data')
+          AND NOT list_contains(ws, 'vector')
+          AND lang = 'en'
+        ORDER BY doc_id
+    """,
     # fuzzy retrieval: any whitespace word within 1 Damerau-Levenshtein
     # edit of 'tabel' (DuckDB's damerau_levenshtein matches the engine's
     # transposition-as-one-edit metric)

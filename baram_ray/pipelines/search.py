@@ -388,6 +388,21 @@ def bool_match_docs(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+def search_qs_docs(sf_dir: str):
+    """Query-STRING retrieval through the parser (the reference REST
+    ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the
+    boolean engine with a metadata filter; the full match set (must +
+    must_not + filter — ``stream`` is a should clause and only scores)
+    is SQL-expressible → hash-exact DuckDB oracle. Parse→route
+    identity vs the explicit API is pytest-checked per shape."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    hits = eng.search_qs("+data -vector stream lang:en", k=10**9)
+    ids = sorted(int(d) for d, _ in hits)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 PREFIX_QUERIES = [
     {"query_id": 0, "text": "s", "k": 10},     # scan/slow/small/sort/...
     {"query_id": 1, "text": "qu", "k": 10},

@@ -489,6 +489,15 @@ class QueryEngine:
             out = [(d, s) for d, s in out if s >= min_score]
         return out
 
+    def search_qs(self, q: str, k: int = 10, **kw):
+        """Query-STRING search (the reference REST API's ``q=``
+        surface, extended with simple_query_string conveniences):
+        parse ``q`` and route to the one exact engine op it denotes —
+        see ``baram_ray.query.qparse``. Parsed execution is
+        bit-identical to the explicit API call (tested)."""
+        from baram_ray.query.qparse import execute
+        return execute(self, q, k=k, **kw)
+
     def search_collapse(self, query: str, collapse_field: str,
                         k: int = 10, *,
                         boosts: dict[str, float] | None = None,
@@ -1234,6 +1243,8 @@ class QueryActor:
         (``ray.remote(QueryActor)`` actors in a pool): dispatch by
         request kind — the closed-loop load benchmark's surface
         (``bench.py --serve``). Returns (doc_id, score) pairs."""
+        if kind == "qs":
+            return self.engine.search_qs(text, k=k)
         if kind == "phrase":
             return self.engine.search_phrase(text, k=k)
         if kind == "bool":
