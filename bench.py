@@ -226,7 +226,8 @@ def run_serve_bench() -> dict:
     a pool of resident ``ray.remote(QueryActor)`` actors takes a mixed
     closed-loop workload from 32 CLIENT TASKS (own processes — driver
     threads would GIL-serialize and measure the client, not the
-    server) — 50% BM25, 20% phrase, 10% bool, 20% hybrid (BM25 through
+    server) — 40% BM25, 20% phrase, 10% bool, 10% query-string,
+    20% hybrid (BM25 through
     the pool + ANN through the ``HnswService`` actors, merged 0.3/0.7
     min-max in the client, the full end-to-end cost). Reports per-kind
     and overall p50/p95/p99 ms plus requests/sec at two pool sizes —
@@ -264,7 +265,8 @@ def run_serve_bench() -> dict:
     q_vec = np.asarray(emb_t["embedding"][0].as_py(), dtype=np.float64)
 
     texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]]
-    kinds = (["bm25"] * 5 + ["phrase"] * 2 + ["bool"] + ["hybrid"] * 2)
+    kinds = (["bm25"] * 4 + ["phrase"] * 2 + ["bool"] + ["qs"]
+             + ["hybrid"] * 2)
 
     @ray.remote(num_cpus=0.25)
     def client(cid: int, actors, ann_actors, per: int, qv):
@@ -306,7 +308,9 @@ def run_serve_bench() -> dict:
                           for d in set(bs) | set(an)}
                 _ = sorted(merged.items(), key=lambda kv: -kv[1])[:10]
             else:
-                ray.get(a.serve.remote(kind, text, 10))
+                # "qs" exercises the string parser route (+must term)
+                ray.get(a.serve.remote(
+                    kind, "+" + text if kind == "qs" else text, 10))
             if r >= 5:      # discard warmup (cold postings LRU, cold
                 samples.append((kind,          # worker connections)
                                 (time.perf_counter() - t0) * 1000))
