@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,
+        "search_collapse_latest": searchp.search_collapse_latest,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

@@ -196,6 +196,25 @@ ORACLES: dict[str, str] = {
                        OR list_contains(ws, 'sort') THEN 1 ELSE 0 END)) >= 2
           AND NOT list_contains(ws, 'vector')
     """,
+    # collapse + metadata sort: longest matching doc per source
+    # (n_chars DESC, doc_id ASC ties), top-10 sources by that key —
+    # matches the engine's conjunctive match set + vectorized collapse
+    "search_collapse_latest": r"""
+        WITH w AS (SELECT doc_id, source, n_chars,
+                          string_split_regex(lower(text), '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id, source, n_chars FROM w
+              WHERE list_contains(ws, 'data')
+                AND list_contains(ws, 'stream')),
+        r AS (SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM m)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, source
+        FROM r WHERE rn = 1
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
     # query-string retrieval ('+data -vector stream lang:en'): the
     # match set is must + must_not + metadata filter; the should
     # clause ('stream') only scores (engine msm default = 0 when a

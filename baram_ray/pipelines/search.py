@@ -388,6 +388,28 @@ def bool_match_docs(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+def search_collapse_latest(sf_dir: str, query_text: str = "data stream",
+                           k: int = 10):
+    """Collapse + metadata sort (OpenSearch ``collapse`` with
+    ``sort``): the LONGEST matching document per source (n_chars desc,
+    doc_id-asc ties), top-k sources by that key — "the best document
+    per source" without _score, which makes the whole result
+    SQL-expressible → hash-exact DuckDB oracle. Sharded scatter-gather
+    re-collapse is identity-tested."""
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    rows = eng.search_collapse_sorted(query_text, "source", "n_chars",
+                                      k=k, ascending=False)
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _, _ in rows], dtype="int64"),
+        "n_chars": pd.array([int(v) for _, v, _ in rows],
+                            dtype="int64"),
+        "source": pd.array([str(g) for _, _, g in rows],
+                           dtype=object),
+    })
+
+
 def search_qs_docs(sf_dir: str):
     """Query-STRING retrieval through the parser (the reference REST
     ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the

@@ -449,6 +449,45 @@ class QueryEngine:
                             kind="stable").head(k)
         return [(int(d), v) for d, v in zip(df["d"], df["v"])]
 
+    def search_collapse_sorted(self, query: str, collapse_field: str,
+                               sort_by: str, k: int = 10,
+                               ascending: bool = False,
+                               filters: dict | None = None
+                               ) -> list[tuple[int, object, object]]:
+        """Collapse with a metadata SORT instead of _score (OpenSearch
+        ``collapse`` + ``sort``): over the conjunctive match set, each
+        ``collapse_field`` group is represented by its extreme
+        ``sort_by`` row (doc_id-asc ties) and groups rank by that
+        (value, doc_id) key — "the best/latest document per source".
+        Exact and vectorized over the match set (no growth loop: the
+        sort key is resident metadata). Returns (doc_id, sort_value,
+        group_value) rows."""
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        for col in (collapse_field, sort_by):
+            if col not in r.doc_meta:
+                from baram_ray.errors import UnknownFilterColumn
+                raise UnknownFilterColumn(col)
+        ok = (r.live.copy() if r.live is not None
+              else np.ones(len(r.doc_ids), dtype=bool))
+        for t in dict.fromkeys(tokenize(query or "")):
+            _, m = self._clause_eval(t, None)
+            ok &= m
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0 or k <= 0:
+            return []
+        df = pd.DataFrame({"g": r.doc_meta[collapse_field][rows],
+                           "v": r.doc_meta[sort_by][rows],
+                           "d": r.doc_ids[rows]})
+        df = df.sort_values(["v", "d"], ascending=[ascending, True],
+                            kind="stable")
+        df = df.drop_duplicates("g", keep="first").head(k)
+        return [(int(d), v, g) for d, v, g in zip(df["d"], df["v"],
+                                                  df["g"])]
+
     def _score_expansions(self, exps, k: int,
                           filters: dict | None,
                           min_score: float | None
@@ -1194,6 +1233,30 @@ class ShardedEngine:
                 continue
             seen.add(key)
             out.append((d, s, key))
+            if len(out) == k:
+                break
+        return out
+
+    def search_collapse_sorted(self, query: str, collapse_field: str,
+                               sort_by: str, k: int = 10,
+                               ascending: bool = False,
+                               filters: dict | None = None
+                               ) -> list[tuple[int, object, object]]:
+        """Sorted-collapse scatter-gather: same re-collapse argument as
+        ``search_collapse``, with (sort_value, doc_id) as the key."""
+        hits: list[tuple[int, object, object]] = []
+        for eng in self.engines:
+            hits.extend(eng.search_collapse_sorted(
+                query, collapse_field, sort_by, k=k,
+                ascending=ascending, filters=filters))
+        hits.sort(key=lambda t: ((t[1], t[0]) if ascending
+                                 else (_RevKey(t[1]), t[0])))
+        out, seen = [], set()
+        for d, v, g in hits:
+            if g in seen:
+                continue
+            seen.add(g)
+            out.append((d, v, g))
             if len(out) == k:
                 break
         return out

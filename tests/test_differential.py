@@ -64,7 +64,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "delete_by_query_docs", "search_term_range",
                "search_count", "search_facets", "search_facet_hist",
                "search_sorted_docs", "search_suggest",
-               "search_percolate", "search_qs_docs"]
+               "search_percolate", "search_qs_docs",
+               "search_collapse_latest"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

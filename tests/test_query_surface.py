@@ -487,3 +487,63 @@ def test_collapse_pipeline_entry(ray_session):
         assert list(sub["group"]) == [str(key) for _, _, key in exp]
         # per-group uniqueness inside each query's page
         assert sub["group"].is_unique
+
+
+def test_collapse_sorted_matches_brute(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    eng = QueryEngine(ensure_index(SF))
+    r = eng.r
+    for q, asc in (("data stream", False), ("table", True)):
+        got = eng.search_collapse_sorted(q, "source", "n_chars", k=8,
+                                         ascending=asc)
+        # brute: full sorted match set, first per group
+        full = eng.search_sorted(q, "n_chars", k=10**9, ascending=asc)
+        out, seen = [], set()
+        for d, v in full:
+            g = r.doc_meta["source"][r.doc_index[d]]
+            if g in seen:
+                continue
+            seen.add(g)
+            out.append((d, v, g))
+            if len(out) == 8:
+                break
+        assert got == out
+        assert len({g for _, _, g in got}) == len(got)
+
+
+def test_collapse_sorted_sharded_identity(ray_session, tmp_path):
+    from baram_ray.index.build import IndexConfig, build_index
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    from tests.test_incremental_build import _write_part
+
+    src = str(tmp_path / "docs.parquet")
+    _write_part(src, 0, 400, seed=31)
+    idx = str(tmp_path / "idx")
+    cfg = IndexConfig(fields=("text",), id_cols=(),
+                      keep=("lang", "n_chars"), num_shards=4)
+    build_index(src, idx, cfg, resume=False)
+    single = QueryEngine(idx)
+    for n_groups in (2, 4):
+        sh = ShardedEngine(idx, n_groups=n_groups)
+        for q in ("data stream", "join sort"):
+            for asc in (False, True):
+                assert sh.search_collapse_sorted(
+                    q, "lang", "n_chars", k=3, ascending=asc) == \
+                    single.search_collapse_sorted(
+                        q, "lang", "n_chars", k=3, ascending=asc)
+
+
+def test_collapse_sorted_edges(ray_session):
+    from baram_ray.errors import UnknownFilterColumn
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    eng = QueryEngine(ensure_index(SF))
+    assert eng.search_collapse_sorted("qqqxplughz", "source",
+                                      "n_chars") == []
+    assert eng.search_collapse_sorted("data", "source", "n_chars",
+                                      k=0) == []
+    with pytest.raises(UnknownFilterColumn):
+        eng.search_collapse_sorted("data", "nope", "n_chars")
+    with pytest.raises(UnknownFilterColumn):
+        eng.search_collapse_sorted("data", "source", "nope")
