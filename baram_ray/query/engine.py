@@ -1214,6 +1214,39 @@ class ShardedEngine:
                 totals[b] = totals.get(b, 0) + c
         return sorted(totals.items())
 
+    def search_qs(self, q: str, k: int = 10, **kw):
+        """Query-string routing on the sharded engine: parses like the
+        single reader, then scatter-gathers through the shard-safe ops
+        (search / search_bool / search_phrase). Prefix, wildcard and
+        fuzzy expansion are term-dict-local per shard (expansion caps
+        could pick different terms per shard), so those shapes raise
+        ``UnsupportedQuery`` here rather than return subtly different
+        rankings — use a single reader or the explicit per-shard API."""
+        from baram_ray.query.qparse import UnsupportedQuery, parse
+        plan = parse(q)
+        if plan.prefix or plan.wildcard or plan.fuzzy:
+            raise UnsupportedQuery(
+                "prefix/wildcard/fuzzy expansion is per-shard-local — "
+                "query a single reader for these shapes")
+        filters = {**(kw.pop("filters", None) or {}), **plan.filters}
+        filters = filters or None
+        if plan.phrase is not None:
+            if plan.must or plan.should or plan.must_not:
+                raise UnsupportedQuery("phrase mixed with terms")
+            return self.search_phrase(plan.phrase, k=k, slop=plan.slop,
+                                      filters=filters, **kw)
+        if plan.must or plan.must_not:
+            return self.search_bool(must=plan.must or None,
+                                    should=plan.should or None,
+                                    must_not=plan.must_not or None,
+                                    k=k, filters=filters, **kw)
+        if plan.should:
+            return self.search(" ".join(plan.should), k=k,
+                               filters=filters, **kw)
+        if filters:
+            raise UnsupportedQuery("filters-only string has no ranking")
+        return []
+
     def search_collapse(self, query: str, collapse_field: str,
                         k: int = 10, **kw
                         ) -> list[tuple[int, float, object]]:

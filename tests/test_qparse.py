@@ -133,3 +133,17 @@ def test_serve_kind_qs(ray_session):
     a = QueryActor(ensure_index(SF, positions=True))
     assert a.serve("qs", "+data stream", k=5) == \
         a.engine.search_bool(must=["data"], should=["stream"], k=5)
+
+
+def test_sharded_qs_matches_single(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine, ShardedEngine
+    idx = ensure_index(SF, positions=True)
+    single, sh = QueryEngine(idx), ShardedEngine(idx, n_groups=2)
+    for q in ("data stream", "+data -window stream",
+              '"data stream"~1', "data lang:en"):
+        assert sh.search_qs(q, k=10) == single.search_qs(q, k=10)
+    with pytest.raises(UnsupportedQuery):
+        sh.search_qs("dat*", k=5)
+    with pytest.raises(UnsupportedQuery):
+        sh.search_qs("tabel~1", k=5)
