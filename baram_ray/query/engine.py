@@ -32,6 +32,21 @@ import pandas as pd
 
 from baram_ray.index.segment import IndexReader, PostingList
 
+# clause-spec kinds accepted by search_compound / match_compound_docs
+CLAUSE_KINDS = ("match", "phrase", "prefix", "wildcard", "fuzzy")
+
+
+def clause_kind(spec) -> str:
+    """Kind of a compound clause spec: a bare string is a match clause;
+    a dict must carry exactly one kind key from ``CLAUSE_KINDS``."""
+    if isinstance(spec, str):
+        return "match"
+    kinds = [k for k in CLAUSE_KINDS if k in spec]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"clause spec needs exactly one of {CLAUSE_KINDS}: {spec!r}")
+    return kinds[0]
+
 
 class _RevKey:
     """Inverts comparison order for arbitrary comparable sort values
@@ -330,6 +345,177 @@ class QueryEngine:
                                 k=len(self.r.doc_ids), filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
+    # ------------------------------------------------------------------ #
+    # Compound boolean queries — bool occurrence logic over TYPED
+    # sub-queries, the full OpenSearch bool surface the reference's
+    # backend accepts around its query_string/multi_match path
+    # (src/embedding/mod.rs:470-539): any mix of match / phrase /
+    # prefix / wildcard / fuzzy clauses in must / should / must_not.
+    # A clause spec is a dict with exactly one kind key (a bare string
+    # is shorthand for a match clause):
+    #   {"match": "analyzed text"}
+    #   {"phrase": "a b", "slop": 0, "fields": [...]}
+    #   {"prefix": "pre", "max_expansions": 50}
+    #   {"wildcard": "w?ld*", "max_expansions": 50}
+    #   {"fuzzy": "term", "max_edits": None, "prefix_length": 0,
+    #    "max_expansions": 50}
+    # Each clause scores exactly like its standalone search_* op (same
+    # expansion order and arithmetic — a single-clause compound is
+    # score-identical to the dedicated call, tested), so the combined
+    # score is Σ BM25 of the matching must+should clauses.
+    # ------------------------------------------------------------------ #
+    def _phrase_arrays(self, query: str, slop: int = 0,
+                       fields: list[str] | None = None,
+                       boosts: dict[str, float] | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+        """(score array, matched mask) over local rows for one phrase
+        clause — same per-row arithmetic and accumulation order as
+        ``search_phrase`` (score-identical, tested)."""
+        r = self.r
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        matched = np.zeros(len(r.doc_ids), dtype=bool)
+        for f, w, idf_sum, freqs in self._phrase_freqs(query, fields,
+                                                       boosts, slop):
+            avg = r.avgdl[f] or 1.0
+            dl = r.dl[f]
+            for rank, fr in freqs.items():
+                row = rank - r.rank_base
+                acc[row] += w * idf_sum * fr / (
+                    fr + self.k1 * (1.0 - self.b
+                                    + (self.b * dl[row]) / avg))
+                matched[row] = True
+        return acc, matched
+
+    def _spec_arrays(self, spec, boosts: dict[str, float] | None
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        """(score array, matched mask) for one typed clause spec."""
+        kind = clause_kind(spec)
+        if isinstance(spec, str):
+            spec = {"match": spec}
+        if kind == "match":
+            return self._clause_eval(spec["match"], boosts)
+        if kind == "phrase":
+            return self._phrase_arrays(spec["phrase"],
+                                       slop=int(spec.get("slop", 0)),
+                                       fields=spec.get("fields"),
+                                       boosts=boosts)
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        b = boosts or {}
+        mx = int(spec.get("max_expansions", 50))
+        zero = (np.zeros(len(r.doc_ids), dtype=np.float64),
+                np.zeros(len(r.doc_ids), dtype=bool))
+        if kind == "prefix":
+            toks = tokenize(spec["prefix"])
+            if not toks:
+                return zero
+            pre = toks[0]
+            exps = ((f, t, float(b.get(f, 1.0)))
+                    for f in r.fields
+                    for t in r.terms_with_prefix(f, pre, mx))
+            return self._exp_arrays(exps)
+        if kind == "wildcard":
+            pat = spec["wildcard"].strip().lower()
+            if not pat:
+                return zero
+            exps = ((f, t, float(b.get(f, 1.0)))
+                    for f in r.fields
+                    for t in r.terms_wildcard(f, pat, mx))
+            return self._exp_arrays(exps)
+        # fuzzy — same expansion order and 1 − d/len boost as
+        # search_fuzzy
+        from baram_ray.index.segment import _dl_distance
+        terms = sorted(set(tokenize(spec["fuzzy"])))
+        if not terms:
+            return zero
+        max_edits = spec.get("max_edits")
+        plen = int(spec.get("prefix_length", 0))
+
+        def exps():
+            for f in r.fields:
+                w = float(b.get(f, 1.0))
+                for qt in terms:
+                    me = max_edits
+                    if me is None:
+                        me = 0 if len(qt) < 3 else (1 if len(qt) <= 5
+                                                    else 2)
+                    for e in r.terms_fuzzy(f, qt, me, plen, mx):
+                        d = _dl_distance(qt, e, me)
+                        fw = 1.0 if d == 0 else max(0.0,
+                                                    1.0 - d / len(qt))
+                        yield f, e, w * fw
+
+        return self._exp_arrays(exps())
+
+    def search_compound(self, must: list | None = None,
+                        should: list | None = None,
+                        must_not: list | None = None,
+                        minimum_should_match: int | None = None,
+                        k: int = 10,
+                        boosts: dict[str, float] | None = None,
+                        filters: dict | None = None,
+                        min_score: float | None = None
+                        ) -> list[tuple[int, float]]:
+        """Compound boolean top-k over typed clause specs: every
+        ``must`` clause matches, no ``must_not`` clause matches, and
+        ≥ ``minimum_should_match`` of the ``should`` clauses match
+        (default 1 when there are no must clauses, else 0 —
+        OpenSearch's rule, same as ``search_bool``). Score = Σ of each
+        matching must+should clause's standalone BM25 score; must_not
+        never scores. Sorted (score desc, doc_id asc)."""
+        must, should, must_not = must or [], should or [], must_not or []
+        r = self.r
+        if minimum_should_match is None:
+            minimum_should_match = 1 if (should and not must) else 0
+        if not must and not should:
+            return []
+        acc = np.zeros(len(r.doc_ids), dtype=np.float64)
+        ok = np.ones(len(r.doc_ids), dtype=bool)
+        any_scored = np.zeros(len(r.doc_ids), dtype=bool)
+        for c in must:
+            s, m = self._spec_arrays(c, boosts)
+            acc += s
+            ok &= m
+            any_scored |= m
+        if should:
+            n_should = np.zeros(len(r.doc_ids), dtype=np.int64)
+            for c in should:
+                s, m = self._spec_arrays(c, boosts)
+                acc += s
+                n_should += m
+                any_scored |= m
+            ok &= n_should >= minimum_should_match
+        for c in must_not:
+            _, m = self._spec_arrays(c, boosts)
+            ok &= ~m
+        ok &= any_scored        # a hit must match ≥1 scoring clause
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        cand = np.nonzero(ok)[0]
+        if len(cand) == 0 or k <= 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        top = cand[order[:k]]
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in top]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_compound_docs(self, must: list | None = None,
+                            should: list | None = None,
+                            must_not: list | None = None,
+                            minimum_should_match: int | None = None,
+                            filters: dict | None = None) -> np.ndarray:
+        """Compound boolean RETRIEVAL (no scoring): sorted doc_ids
+        satisfying the typed-clause bool predicate — the SQL-checkable
+        core of ``search_compound``."""
+        hits = self.search_compound(must, should, must_not,
+                                    minimum_should_match,
+                                    k=len(self.r.doc_ids),
+                                    filters=filters)
+        return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
     def suggest(self, term: str, field: str | None = None,
                 max_edits: int = 2, prefix_length: int = 1
                 ) -> tuple[str, int, int] | None:
@@ -488,14 +674,12 @@ class QueryEngine:
         return [(int(d), v, g) for d, v, g in zip(df["d"], df["v"],
                                                   df["g"])]
 
-    def _score_expansions(self, exps, k: int,
-                          filters: dict | None,
-                          min_score: float | None
-                          ) -> list[tuple[int, float]]:
-        """Bool-should scoring of expanded ``(field, term, weight)``
-        term queries — the shared kernel behind prefix / fuzzy /
-        wildcard queries: per-expansion BM25 × weight summed per doc,
-        sorted (score desc, doc_id asc), top-k then min_score."""
+    def _exp_arrays(self, exps) -> tuple[np.ndarray, np.ndarray]:
+        """(score array, matched mask) over local rows for a bool-should
+        of expanded ``(field, term, weight)`` term queries — the shared
+        scoring kernel behind prefix / fuzzy / wildcard queries (and
+        their compound-clause forms): per-expansion BM25 × weight summed
+        per doc."""
         r = self.r
         n = r.n_docs
         acc = np.zeros(len(r.doc_ids), dtype=np.float64)
@@ -516,6 +700,16 @@ class QueryEngine:
                 tff + self.k1 * ((1.0 - self.b) + (self.b * dl) / avg))
             np.add.at(acc, rows, s)
             matched[rows] = True
+        return acc, matched
+
+    def _score_expansions(self, exps, k: int,
+                          filters: dict | None,
+                          min_score: float | None
+                          ) -> list[tuple[int, float]]:
+        """Top-k of ``_exp_arrays``: sorted (score desc, doc_id asc),
+        filters then min_score applied."""
+        r = self.r
+        acc, matched = self._exp_arrays(exps)
         mask = r.filter_mask(filters)
         if mask is not None:
             matched &= mask
@@ -1188,6 +1382,25 @@ class ShardedEngine:
         own doc range, so the union equals the global complement."""
         return self._scatter("search_bool", k, (), kw)
 
+    def search_compound(self, k: int = 10, **kw) -> list:
+        """Compound-bool scatter-gather for the shard-safe clause kinds
+        (match + phrase: scoring is shard-local with global idf, and
+        each shard's must_not complement is its own doc range). Prefix,
+        wildcard and fuzzy clauses expand against a per-shard term dict
+        with a per-shard cap — different shards could pick different
+        expansions — so those kinds raise ``UnsupportedQuery`` here
+        rather than return subtly different rankings (same boundary as
+        ``search_qs``)."""
+        from baram_ray.query.qparse import UnsupportedQuery
+        for grp in ("must", "should", "must_not"):
+            for c in (kw.get(grp) or []):
+                if clause_kind(c) not in ("match", "phrase"):
+                    raise UnsupportedQuery(
+                        f"{clause_kind(c)} clause expansion is "
+                        "per-shard-local — query a single reader for "
+                        "this shape")
+        return self._scatter("search_compound", k, (), kw)
+
     def facets(self, query: str, facet_fields: list[str],
                filters: dict | None = None
                ) -> list[tuple[str, object, int]]:
@@ -1217,24 +1430,38 @@ class ShardedEngine:
     def search_qs(self, q: str, k: int = 10, **kw):
         """Query-string routing on the sharded engine: parses like the
         single reader, then scatter-gathers through the shard-safe ops
-        (search / search_bool / search_phrase). Prefix, wildcard and
-        fuzzy expansion are term-dict-local per shard (expansion caps
-        could pick different terms per shard), so those shapes raise
-        ``UnsupportedQuery`` here rather than return subtly different
-        rankings — use a single reader or the explicit per-shard API."""
-        from baram_ray.query.qparse import UnsupportedQuery, parse
+        (search / search_bool / search_phrase / search_compound —
+        phrases mix freely with terms via the compound path). Prefix,
+        wildcard and fuzzy expansion are term-dict-local per shard
+        (expansion caps could pick different terms per shard), so those
+        shapes raise ``UnsupportedQuery`` here rather than return
+        subtly different rankings — use a single reader or the explicit
+        per-shard API."""
+        from baram_ray.query.qparse import (
+            UnsupportedQuery, _compound_clauses, parse,
+        )
         plan = parse(q)
-        if plan.prefix or plan.wildcard or plan.fuzzy:
+        if any(clause_kind(s) not in ("match", "phrase")
+               for _, s in plan.specials):
             raise UnsupportedQuery(
                 "prefix/wildcard/fuzzy expansion is per-shard-local — "
                 "query a single reader for these shapes")
         filters = {**(kw.pop("filters", None) or {}), **plan.filters}
         filters = filters or None
-        if plan.phrase is not None:
-            if plan.must or plan.should or plan.must_not:
-                raise UnsupportedQuery("phrase mixed with terms")
-            return self.search_phrase(plan.phrase, k=k, slop=plan.slop,
-                                      filters=filters, **kw)
+        has_terms = bool(plan.must or plan.should or plan.must_not)
+        if plan.specials:
+            if len(plan.specials) == 1 and not has_terms:
+                pol, spec = plan.specials[0]
+                if pol == "must_not":
+                    return []
+                return self.search_phrase(
+                    spec["phrase"], k=k, slop=int(spec.get("slop", 0)),
+                    filters=filters, **kw)
+            g = _compound_clauses(plan)
+            return self.search_compound(must=g["must"] or None,
+                                        should=g["should"] or None,
+                                        must_not=g["must_not"] or None,
+                                        k=k, filters=filters, **kw)
         if plan.must or plan.must_not:
             return self.search_bool(must=plan.must or None,
                                     should=plan.should or None,

@@ -40,6 +40,7 @@ class OracleIndex:
         self.fields = fields
         self.k1, self.b = k1, b
         self.doc_ids = [int(d["doc_id"]) for d in docs]
+        self._docs = docs                 # phrase clauses re-scan text
         self.meta = {c: [d.get(c) for d in docs] for c in (meta_cols or [])}
         self.tf: dict[str, list[Counter]] = {}
         self.dl: dict[str, list[int]] = {}
@@ -116,6 +117,66 @@ class OracleIndex:
         if shoulds:
             cands = {d for d in cands
                      if sum(d in s for s in shoulds) >= minimum_should_match}
+        for m in nots:
+            cands -= set(m)
+        cands = {d for d in cands if any(d in m for m in musts + shoulds)}
+        scores = {d: sum(m.get(d, 0.0) for m in musts + shoulds)
+                  for d in cands}
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
+    def search_compound(self, must=None, should=None, must_not=None,
+                        minimum_should_match=None, k: int = 10,
+                        boosts=None) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_compound: each
+        typed clause's doc→score map comes from this oracle's OWN
+        standalone op at k=n_docs; bool combination is identical to
+        ``search_bool``."""
+        must, should, must_not = must or [], should or [], must_not or []
+        if minimum_should_match is None:
+            minimum_should_match = 1 if (should and not must) else 0
+        if not must and not should:
+            return []
+
+        def clause(spec) -> dict[int, float]:
+            if isinstance(spec, str):
+                spec = {"match": spec}
+            if "match" in spec:
+                return dict(self.search(spec["match"], k=self.n_docs,
+                                        boosts=boosts))
+            if "phrase" in spec:
+                return dict(self.search_phrase(
+                    self._docs, spec["phrase"], k=self.n_docs,
+                    boosts=boosts, slop=int(spec.get("slop", 0))))
+            if "prefix" in spec:
+                return dict(self.search_prefix(
+                    spec["prefix"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "wildcard" in spec:
+                return dict(self.search_wildcard(
+                    spec["wildcard"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "fuzzy" in spec:
+                return dict(self.search_fuzzy(
+                    spec["fuzzy"], k=self.n_docs,
+                    max_edits=spec.get("max_edits"),
+                    prefix_length=int(spec.get("prefix_length", 0)),
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            raise ValueError(f"unknown clause spec {spec!r}")
+
+        musts = [clause(c) for c in must]
+        shoulds = [clause(c) for c in should]
+        nots = [clause(c) for c in must_not]
+        cands = set(self.doc_ids)
+        for m in musts:
+            cands &= set(m)
+        if shoulds:
+            cands = {d for d in cands
+                     if sum(d in s for s in shoulds)
+                     >= minimum_should_match}
         for m in nots:
             cands -= set(m)
         cands = {d for d in cands if any(d in m for m in musts + shoulds)}

@@ -62,15 +62,29 @@ def test_parse_filters_scalar_and_range():
     assert parse("n_chars:100..").filters["n_chars"] == {"gte": 100}
 
 
-def test_parse_unsupported_shapes():
-    with pytest.raises(UnsupportedQuery):
-        parse('"a b" "c d"')
-    with pytest.raises(UnsupportedQuery):
-        parse('NOT "a b"')
-    with pytest.raises(UnsupportedQuery):
-        parse("ab* cd*")
-    with pytest.raises(UnsupportedQuery):
-        parse("ab~ cd~")
+def test_parse_mixed_shapes_become_specials():
+    # round-3 raised UnsupportedQuery on these; they now parse into
+    # typed specials and route to search_compound
+    p = parse('"a b" "c d"')
+    assert p.specials == [("should", {"phrase": "a b", "slop": 0}),
+                          ("should", {"phrase": "c d", "slop": 0})]
+    assert p.phrase is None          # legacy accessor: ambiguous → None
+    p = parse('NOT "a b"')
+    assert p.specials == [("must_not", {"phrase": "a b", "slop": 0})]
+    p = parse('+"a b"~2 -xy* term')
+    assert ("must", {"phrase": "a b", "slop": 2}) in p.specials
+    assert ("must_not", {"prefix": "xy"}) in p.specials
+    assert p.should == ["term"]
+    p = parse("ab* cd*")
+    assert p.specials == [("should", {"prefix": "ab"}),
+                          ("should", {"prefix": "cd"})]
+    p = parse("ab~ cd~2")
+    assert p.specials == [("should", {"fuzzy": "ab", "max_edits": 1}),
+                          ("should", {"fuzzy": "cd", "max_edits": 2})]
+    # AND promotes a preceding special, like a preceding term
+    p = parse('"a b" AND c')
+    assert p.specials == [("must", {"phrase": "a b", "slop": 0})]
+    assert p.must == ["c"]
 
 
 def test_parse_empty():
@@ -118,13 +132,33 @@ def test_execute_filters_merge(engine):
                                     "n_chars": {"gte": 100}})
 
 
+def test_execute_mixed_routes_to_compound(engine):
+    e = engine
+    # phrase + loose term (round-3 raised; now compound)
+    assert execute(e, '"data stream" window', k=5) == e.search_compound(
+        should=[{"phrase": "data stream", "slop": 0}, "window"], k=5)
+    # negated phrase with positive terms
+    assert execute(e, 'data NOT "table scan"', k=5) == e.search_compound(
+        should=["data"],
+        must_not=[{"phrase": "table scan", "slop": 0}], k=5)
+    # two expansions + a must term + a filter
+    assert execute(e, "+data dat* s?an lang:en", k=5) == \
+        e.search_compound(must=["data"],
+                          should=[{"prefix": "dat"},
+                                  {"wildcard": "s?an"}],
+                          k=5, filters={"lang": "en"})
+    # fuzzy mixed with a phrase
+    assert execute(e, '"data stream" tabel~1', k=5) == e.search_compound(
+        should=[{"phrase": "data stream", "slop": 0},
+                {"fuzzy": "tabel", "max_edits": 1}], k=5)
+
+
 def test_execute_boundaries(engine):
-    with pytest.raises(UnsupportedQuery):
-        execute(engine, '"data stream" window', k=5)
     with pytest.raises(UnsupportedQuery):
         execute(engine, "lang:en", k=5)        # filters-only
     assert engine.search_qs("", k=5) == []
     assert engine.search_qs("NOT data", k=5) == []   # no positive clause
+    assert engine.search_qs('NOT "data stream"', k=5) == []
 
 
 def test_serve_kind_qs(ray_session):
@@ -141,9 +175,13 @@ def test_sharded_qs_matches_single(ray_session):
     idx = ensure_index(SF, positions=True)
     single, sh = QueryEngine(idx), ShardedEngine(idx, n_groups=2)
     for q in ("data stream", "+data -window stream",
-              '"data stream"~1', "data lang:en"):
+              '"data stream"~1', "data lang:en",
+              '"data stream" window',          # mixed → compound
+              '+data NOT "table scan" stream'):
         assert sh.search_qs(q, k=10) == single.search_qs(q, k=10)
     with pytest.raises(UnsupportedQuery):
         sh.search_qs("dat*", k=5)
     with pytest.raises(UnsupportedQuery):
         sh.search_qs("tabel~1", k=5)
+    with pytest.raises(UnsupportedQuery):
+        sh.search_qs('"data stream" dat*', k=5)   # mixed w/ expansion
