@@ -1,0 +1,299 @@
+"""JSON query DSL — the OpenSearch-style request body the reference
+POSTs to its backend (``src/embedding/mod.rs:470-539`` builds exactly
+this shape: a ``bool`` with ``should`` match clauses,
+``minimum_should_match``, ``filter`` term/range clauses, ``min_score``
+and ``size``), re-expressed as a router onto this engine's exact ops.
+
+Supported body::
+
+    {"query": <node>, "size": 10, "min_score": 0.5,
+     "sort": [{"col": {"order": "desc"}}] | "col",
+     "collapse": {"field": "col"},
+     "search_after": [score, doc_id]}          # plain match only
+
+Query nodes::
+
+    {"match": "text"} | {"match": {"query": "text"}}
+    {"match_phrase": "a b"} | {"match_phrase": {"query": "a b",
+                                                "slop": 1}}
+    {"prefix": "pre"} | {"prefix": {"value": "pre",
+                                    "max_expansions": 50}}
+    {"wildcard": "w?ld*"} | {"wildcard": {"value": ...,
+                                          "max_expansions": 50}}
+    {"fuzzy": "term"} | {"fuzzy": {"value": ..., "fuzziness": 1|"AUTO",
+                                   "prefix_length": 0,
+                                   "max_expansions": 50}}
+    {"query_string": {"query": "+a -b \"c d\""}}   # qparse surface
+    {"term": {"col": value}}                       # filter context
+    {"range": {"col": {"gte": ..., "lt": ...}}}    # filter context
+    {"bool": {"must": [...], "should": [...], "must_not": [...],
+              "filter": [...], "minimum_should_match": n}}
+
+Routing keeps the bit-identity discipline of ``qparse``: a body that
+denotes ONE dedicated op executes exactly as the explicit API call; a
+mixed-kind ``bool`` routes to ``search_compound`` (whose per-clause
+scoring is score-identical to the dedicated ops — tested). ``term`` /
+``range`` inside ``must``/``filter`` become metadata filters (the
+reference puts them in ``filter``; OpenSearch's must-context scoring
+for them is a constant 0/1 that never reorders BM25 sums). Shapes the
+engine genuinely does not express (field-subset match, scoring ``term``
+in should, match_all) raise ``ValueError`` with the explicit-API
+spelling — an honest boundary, not silently-wrong scoring.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+_LEAF_KINDS = ("match", "match_phrase", "prefix", "wildcard", "fuzzy",
+               "query_string", "term", "range", "bool")
+
+
+def _node_kind(node: dict) -> str:
+    if not isinstance(node, dict):
+        raise ValueError(f"query node must be a dict, got {node!r}")
+    kinds = [k for k in _LEAF_KINDS if k in node]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"query node needs exactly one of {_LEAF_KINDS}: "
+            f"{sorted(node)}")
+    return kinds[0]
+
+
+def _text_arg(v, key: str = "query") -> dict:
+    """Normalize a leaf body: a bare string means {key: string}."""
+    if isinstance(v, str):
+        return {key: v}
+    if isinstance(v, dict):
+        if key not in v:
+            raise ValueError(f"leaf body needs '{key}': {v!r}")
+        return v
+    raise ValueError(f"bad leaf body {v!r}")
+
+
+def _leaf_spec(kind: str, v) -> dict:
+    """Leaf node → search_compound clause spec."""
+    if kind == "match":
+        return {"match": _text_arg(v)["query"]}
+    if kind == "match_phrase":
+        d = _text_arg(v)
+        spec = {"phrase": d["query"], "slop": int(d.get("slop", 0))}
+        if d.get("fields"):
+            spec["fields"] = list(d["fields"])
+        return spec
+    if kind == "prefix":
+        d = _text_arg(v, "value")
+        return {"prefix": d["value"],
+                "max_expansions": int(d.get("max_expansions", 50))}
+    if kind == "wildcard":
+        d = _text_arg(v, "value")
+        return {"wildcard": d["value"],
+                "max_expansions": int(d.get("max_expansions", 50))}
+    if kind == "fuzzy":
+        d = _text_arg(v, "value")
+        fz = d.get("fuzziness", "AUTO")
+        return {"fuzzy": d["value"],
+                "max_edits": None if (isinstance(fz, str)
+                                      and fz.upper() == "AUTO")
+                else int(fz),
+                "prefix_length": int(d.get("prefix_length", 0)),
+                "max_expansions": int(d.get("max_expansions", 50))}
+    raise ValueError(f"{kind} is not a scoring clause here — "
+                     "term/range belong in bool.filter")
+
+
+def _filter_entry(kind: str, v) -> tuple[str, Any]:
+    """term/range node → (column, engine filter value)."""
+    if not isinstance(v, dict) or len(v) != 1:
+        raise ValueError(f"{kind} needs exactly one column: {v!r}")
+    col, val = next(iter(v.items()))
+    if kind == "term":
+        if isinstance(val, dict):          # {"value": x} long form
+            val = val.get("value")
+        return col, val
+    bad = set(val) - {"gte", "lte", "gt", "lt"}
+    if not isinstance(val, dict) or bad:
+        raise ValueError(f"range supports gte/lte/gt/lt: {val!r}")
+    return col, dict(val)
+
+
+class DslPlan:
+    """Flattened body: typed scoring clauses by polarity + filters."""
+
+    def __init__(self):
+        self.must: list[dict] = []
+        self.should: list[dict] = []
+        self.must_not: list[dict] = []
+        self.filters: dict = {}
+        self.minimum_should_match: int | None = None
+
+    @property
+    def specs(self) -> list[dict]:
+        return self.must + self.should + self.must_not
+
+
+def parse_query(node: dict) -> DslPlan:
+    """Query node → DslPlan (pure; no engine access)."""
+    plan = DslPlan()
+    kind = _node_kind(node)
+    if kind == "bool":
+        b = node["bool"]
+        if b.get("minimum_should_match") is not None:
+            plan.minimum_should_match = int(b["minimum_should_match"])
+
+        def each(group):
+            v = b.get(group) or []
+            return v if isinstance(v, list) else [v]
+
+        for c in each("filter"):
+            ck = _node_kind(c)
+            if ck not in ("term", "range"):
+                raise ValueError(
+                    f"filter context supports term/range, got {ck}")
+            col, val = _filter_entry(ck, c[ck])
+            plan.filters[col] = val
+        for group, sink in (("must", plan.must),
+                            ("should", plan.should),
+                            ("must_not", plan.must_not)):
+            for c in each(group):
+                ck = _node_kind(c)
+                if ck in ("term", "range"):
+                    if group != "must":
+                        raise ValueError(
+                            f"{ck} in {group} has no BM25 score on "
+                            "this engine — put it in bool.filter "
+                            "(must) or use the explicit filters API")
+                    col, val = _filter_entry(ck, c[ck])
+                    plan.filters[col] = val
+                    continue
+                if ck in ("bool", "query_string"):
+                    raise ValueError(
+                        f"nested {ck} inside bool is not supported — "
+                        "flatten the clauses or call the explicit API")
+                sink.append(_leaf_spec(ck, c[ck]))
+        return plan
+    if kind in ("term", "range"):
+        raise ValueError(
+            f"top-level {kind} has no ranking — wrap it in bool.filter "
+            "with a scoring clause, or use facets()/search_sorted()")
+    if kind == "query_string":
+        raise ValueError("query_string is routed by execute_dsl")
+    plan.should.append(_leaf_spec(kind, node[kind]))
+    return plan
+
+
+def execute_dsl(engine, body: dict, max_k: int | None = None):
+    """Execute an OpenSearch-style body on ``engine`` (a QueryEngine or
+    ShardedEngine). Returns the routed op's native result rows."""
+    if not isinstance(body, dict) or "query" not in body:
+        raise ValueError("body needs a 'query' node")
+    k = int(body.get("size", 10))
+    if max_k is not None:
+        k = min(k, max_k)
+    min_score = body.get("min_score")
+    node = body["query"]
+
+    if _node_kind(node) == "query_string":
+        qs = _text_arg(node["query_string"])["query"]
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after")):
+            raise ValueError("query_string composes with size/min_score "
+                             "only — use an explicit query node for "
+                             "sort/collapse/search_after")
+        return engine.search_qs(qs, k=k, min_score=min_score)
+
+    plan = parse_query(node)
+    filters = plan.filters or None
+
+    # ---- sort / collapse / search_after need a plain match text ---- #
+    sort = body.get("sort")
+    collapse = body.get("collapse")
+    after = body.get("search_after")
+    if sort is not None or collapse is not None or after is not None:
+        if (len(plan.should) == 1 and not plan.must
+                and not plan.must_not
+                and "match" in plan.should[0]):
+            text = plan.should[0]["match"]
+        else:
+            raise ValueError(
+                "sort/collapse/search_after need exactly one match "
+                "clause — the engine's sorted/collapsed/after paths "
+                "are match-query ops")
+        if sort is not None:
+            col, ascending = _sort_key(sort)
+            if collapse is not None:
+                return engine.search_collapse_sorted(
+                    text, collapse["field"], col, k=k,
+                    ascending=ascending, filters=filters)
+            return engine.search_sorted(text, col, k=k,
+                                        ascending=ascending,
+                                        filters=filters)
+        if collapse is not None:
+            return engine.search_collapse(text, collapse["field"], k=k,
+                                          filters=filters)
+        return engine.search(text, k=k, filters=filters,
+                             min_score=min_score,
+                             after=(float(after[0]), int(after[1])))
+
+    # ---- single dedicated op (bit-identical to the explicit call) -- #
+    if (len(plan.specs) == 1 and plan.should and
+            plan.minimum_should_match is None):
+        spec = plan.should[0]
+        if "match" in spec:
+            return engine.search(spec["match"], k=k, filters=filters,
+                                 min_score=min_score)
+        if "phrase" in spec:
+            return engine.search_phrase(
+                spec["phrase"], k=k, slop=spec.get("slop", 0),
+                fields=spec.get("fields"), filters=filters,
+                min_score=min_score)
+        if "prefix" in spec:
+            return engine.search_prefix(
+                spec["prefix"], k=k,
+                max_expansions=spec["max_expansions"],
+                filters=filters, min_score=min_score)
+        if "wildcard" in spec:
+            return engine.search_wildcard(
+                spec["wildcard"], k=k,
+                max_expansions=spec["max_expansions"],
+                filters=filters, min_score=min_score)
+        return engine.search_fuzzy(
+            spec["fuzzy"], k=k, max_edits=spec["max_edits"],
+            prefix_length=spec["prefix_length"],
+            max_expansions=spec["max_expansions"],
+            filters=filters, min_score=min_score)
+
+    if not plan.specs:
+        raise ValueError("filter-only query has no ranking — use "
+                         "facets() or search_sorted()")
+
+    # ---- general bool: match-only → search_bool, else compound ----- #
+    if all("match" in s for s in plan.specs):
+        return engine.search_bool(
+            must=[s["match"] for s in plan.must] or None,
+            should=[s["match"] for s in plan.should] or None,
+            must_not=[s["match"] for s in plan.must_not] or None,
+            minimum_should_match=plan.minimum_should_match,
+            k=k, filters=filters, min_score=min_score)
+    return engine.search_compound(
+        must=plan.must or None, should=plan.should or None,
+        must_not=plan.must_not or None,
+        minimum_should_match=plan.minimum_should_match,
+        k=k, filters=filters, min_score=min_score)
+
+
+def _sort_key(sort) -> tuple[str, bool]:
+    """OpenSearch sort spec → (column, ascending). Accepts "col",
+    [{"col": {"order": "desc"}}], [{"col": "desc"}]."""
+    if isinstance(sort, list):
+        if len(sort) != 1:
+            raise ValueError("exactly one sort key is supported")
+        sort = sort[0]
+    if isinstance(sort, str):
+        return sort, True
+    if isinstance(sort, dict) and len(sort) == 1:
+        col, v = next(iter(sort.items()))
+        order = v.get("order", "asc") if isinstance(v, dict) else str(v)
+        if order not in ("asc", "desc"):
+            raise ValueError(f"bad sort order {order!r}")
+        return col, order == "asc"
+    raise ValueError(f"bad sort spec {sort!r}")

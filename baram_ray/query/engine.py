@@ -1401,6 +1401,21 @@ class ShardedEngine:
                         "this shape")
         return self._scatter("search_compound", k, (), kw)
 
+    def _expansion_unsupported(self, *a, **kw):
+        """Prefix/wildcard/fuzzy expand against a per-shard term dict
+        with a per-shard cap — different shards could pick different
+        expansions, so the scatter-gather would not be rank-identical
+        to a single reader. Honest refusal instead (same boundary as
+        ``search_qs`` / ``search_compound``)."""
+        from baram_ray.query.qparse import UnsupportedQuery
+        raise UnsupportedQuery(
+            "prefix/wildcard/fuzzy expansion is per-shard-local — "
+            "query a single reader for these shapes")
+
+    search_prefix = _expansion_unsupported
+    search_wildcard = _expansion_unsupported
+    search_fuzzy = _expansion_unsupported
+
     def facets(self, query: str, facet_fields: list[str],
                filters: dict | None = None
                ) -> list[tuple[str, object, int]]:
@@ -1568,6 +1583,10 @@ class QueryActor:
         (``bench.py --serve``). Returns (doc_id, score) pairs."""
         if kind == "qs":
             return self.engine.search_qs(text, k=k)
+        if kind == "dsl":
+            import json as _json
+            from baram_ray.query.dsl import execute_dsl
+            return execute_dsl(self.engine, _json.loads(text), max_k=k)
         if kind == "phrase":
             return self.engine.search_phrase(text, k=k)
         if kind == "bool":

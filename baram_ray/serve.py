@@ -25,6 +25,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 MAX_K = 100                      # src/commands/serve.rs:426
 
 
+def _jsonable(v):
+    """numpy/pandas scalar → plain JSON value."""
+    if hasattr(v, "item"):
+        v = v.item()
+    return v if isinstance(v, (int, float, str, bool,
+                               type(None))) else str(v)
+
+
 def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                   clusters_dir: str | None = None) -> ThreadingHTTPServer:
     """Build (but do not start) the API server; ``port=0`` picks an
@@ -94,15 +102,32 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                             for i, (d, s) in enumerate(hits)]})
 
         def do_POST(self):
-            # embedding-server endpoints (src/commands/serve.rs:123-126;
-            # batch cap <=100 texts :231-235) over the deterministic stub
-            # encoder (no model weights in this container)
+            # POST /api/search: OpenSearch-style JSON query body (the
+            # shape the reference's backend accepts,
+            # src/embedding/mod.rs:470-539) routed through query/dsl.py;
+            # plus embedding-server endpoints (src/commands/serve.rs:
+            # 123-126; batch cap <=100 texts :231-235) over the
+            # deterministic stub encoder (no model weights in container)
             u = urllib.parse.urlparse(self.path)
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})
+            if u.path == "/api/search":
+                from baram_ray.query.dsl import execute_dsl
+                try:
+                    hits = execute_dsl(engine, payload, max_k=MAX_K)
+                except (ValueError, KeyError) as e:
+                    return self._json(400, {"error": str(e)})
+                val_key = ("sort_value" if "sort" in payload
+                           else "score")
+                return self._json(200, {"results": [
+                    {"rank": i + 1, "doc_id": int(t[0]),
+                     val_key: _jsonable(t[1]),
+                     **({"group": _jsonable(t[2])} if len(t) > 2
+                        else {})}
+                    for i, t in enumerate(hits)]})
             from baram_ray.stages.embed import EmbedStage
             enc = EmbedStage()
             if u.path == "/embed":

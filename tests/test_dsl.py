@@ -1,0 +1,235 @@
+"""JSON query DSL (query/dsl.py): routing identity vs the explicit
+engine API for every leaf kind, bool composition (filters, msm, mixed
+kinds → compound), sort/collapse/search_after routing, honest
+ValueError boundaries, and the POST /api/search REST surface.
+Reference body shape: src/embedding/mod.rs:470-539."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+from baram_ray.query.dsl import execute_dsl, parse_query
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryEngine
+    return QueryEngine(ensure_index(SF, positions=True))
+
+
+# ------------------------------------------------------------------ #
+# leaf routing identity
+# ------------------------------------------------------------------ #
+
+def test_leaf_kinds_match_explicit_calls(engine):
+    e = engine
+    assert execute_dsl(e, {"query": {"match": "data stream"},
+                           "size": 7}) == e.search("data stream", k=7)
+    assert execute_dsl(e, {"query": {"match": {"query": "data"}},
+                           "min_score": 0.2}) == \
+        e.search("data", k=10, min_score=0.2)
+    assert execute_dsl(e, {"query": {"match_phrase": "data stream"}}) \
+        == e.search_phrase("data stream", k=10)
+    assert execute_dsl(e, {"query": {"match_phrase":
+                                     {"query": "data stream",
+                                      "slop": 2}}}) == \
+        e.search_phrase("data stream", k=10, slop=2)
+    assert execute_dsl(e, {"query": {"prefix": "dat"}}) == \
+        e.search_prefix("dat", k=10)
+    assert execute_dsl(e, {"query": {"prefix": {"value": "dat",
+                                                "max_expansions": 5}}}) \
+        == e.search_prefix("dat", k=10, max_expansions=5)
+    assert execute_dsl(e, {"query": {"wildcard": "d?ta"}}) == \
+        e.search_wildcard("d?ta", k=10)
+    assert execute_dsl(e, {"query": {"fuzzy": "tabel"}}) == \
+        e.search_fuzzy("tabel", k=10)          # fuzziness AUTO default
+    assert execute_dsl(e, {"query": {"fuzzy": {"value": "tabel",
+                                               "fuzziness": 2}}}) == \
+        e.search_fuzzy("tabel", k=10, max_edits=2)
+    assert execute_dsl(e, {"query": {"query_string":
+                                     {"query": "+data -window stream"}}}
+                       ) == e.search_qs("+data -window stream", k=10)
+
+
+# ------------------------------------------------------------------ #
+# bool composition
+# ------------------------------------------------------------------ #
+
+def test_bool_match_only_and_filters(engine):
+    e = engine
+    body = {"query": {"bool": {
+        "must": [{"match": "data"}],
+        "should": [{"match": "stream"}, {"match": "window"}],
+        "must_not": [{"match": "vector"}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n_chars": {"gte": 100, "lte": 500}}}],
+    }}, "size": 15}
+    assert execute_dsl(e, body) == e.search_bool(
+        must=["data"], should=["stream", "window"], must_not=["vector"],
+        k=15, filters={"lang": "en",
+                       "n_chars": {"gte": 100, "lte": 500}})
+    # msm passes through
+    body = {"query": {"bool": {"should": [{"match": "data"},
+                                          {"match": "stream"}],
+                               "minimum_should_match": 2}}}
+    assert execute_dsl(e, body) == e.search_bool(
+        should=["data", "stream"], minimum_should_match=2, k=10)
+    # term/range inside must behave as filters (the engine's
+    # constant-score filter context)
+    body = {"query": {"bool": {"must": [{"match": "data"},
+                                        {"term": {"lang": "en"}}]}}}
+    assert execute_dsl(e, body) == e.search_bool(
+        must=["data"], k=10, filters={"lang": "en"})
+
+
+def test_bool_mixed_kinds_route_to_compound(engine):
+    e = engine
+    body = {"query": {"bool": {
+        "must": [{"match_phrase": "data stream"}],
+        "should": [{"match": "window"}, {"prefix": "proc"}],
+        "must_not": [{"wildcard": "s?a*"}],
+    }}, "size": 12}
+    assert execute_dsl(e, body) == e.search_compound(
+        must=[{"phrase": "data stream", "slop": 0}],
+        should=["window", {"prefix": "proc", "max_expansions": 50}],
+        must_not=[{"wildcard": "s?a*", "max_expansions": 50}], k=12)
+
+
+# ------------------------------------------------------------------ #
+# sort / collapse / search_after
+# ------------------------------------------------------------------ #
+
+def test_sort_collapse_after_routing(engine):
+    e = engine
+    assert execute_dsl(e, {"query": {"match": "data stream"},
+                           "sort": [{"n_chars": {"order": "desc"}}],
+                           "size": 5}) == \
+        e.search_sorted("data stream", "n_chars", k=5, ascending=False)
+    assert execute_dsl(e, {"query": {"match": "data stream"},
+                           "sort": "n_chars", "size": 5}) == \
+        e.search_sorted("data stream", "n_chars", k=5, ascending=True)
+    assert execute_dsl(e, {"query": {"match": "data stream"},
+                           "collapse": {"field": "source"},
+                           "size": 5}) == \
+        e.search_collapse("data stream", "source", k=5)
+    assert execute_dsl(e, {"query": {"match": "data stream"},
+                           "collapse": {"field": "source"},
+                           "sort": [{"n_chars": "desc"}], "size": 5}) \
+        == e.search_collapse_sorted("data stream", "source", "n_chars",
+                                    k=5, ascending=False)
+    page1 = e.search("data stream", k=5)
+    body = {"query": {"match": "data stream"}, "size": 5,
+            "search_after": [page1[-1][1], page1[-1][0]]}
+    assert execute_dsl(e, body) == e.search(
+        "data stream", k=5, after=(page1[-1][1], page1[-1][0]))
+
+
+# ------------------------------------------------------------------ #
+# honest boundaries
+# ------------------------------------------------------------------ #
+
+def test_dsl_error_shapes(engine):
+    e = engine
+    for body in (
+        {"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}}},
+        {"query": {"term": {"lang": "en"}}},
+        {"query": {"bool": {"should": [{"term": {"lang": "en"}}]}}},
+        {"query": {"bool": {"must": [{"bool": {"must": []}}]}}},
+        {"query": {"match": "x", "prefix": "y"}},
+        {"query": {"match": "x"}, "sort": [{"a": "asc"}, {"b": "asc"}]},
+        {"query": {"bool": {"must": [{"match": "a"},
+                                     {"match": "b"}]}},
+         "sort": "n_chars"},
+        {"query": {"query_string": {"query": "a"}}, "sort": "n_chars"},
+        {"size": 5},
+        {"query": {"range": {"n_chars": {"between": 1}}}},
+    ):
+        with pytest.raises(ValueError):
+            execute_dsl(e, body)
+
+
+def test_parse_query_pure():
+    plan = parse_query({"bool": {
+        "must": [{"match": "a"}],
+        "should": [{"fuzzy": {"value": "b", "fuzziness": "AUTO"}}],
+        "filter": {"term": {"lang": "en"}},       # bare dict, not list
+    }})
+    assert plan.must == [{"match": "a"}]
+    assert plan.should[0]["fuzzy"] == "b"
+    assert plan.should[0]["max_edits"] is None
+    assert plan.filters == {"lang": "en"}
+
+
+# ------------------------------------------------------------------ #
+# sharded + actor + REST surfaces
+# ------------------------------------------------------------------ #
+
+def test_sharded_dsl_matches_single(engine, ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import ShardedEngine
+    from baram_ray.query.qparse import UnsupportedQuery
+    sh = ShardedEngine(ensure_index(SF, positions=True), n_groups=2)
+    body = {"query": {"bool": {"must": [{"match_phrase": "data stream"}],
+                               "should": [{"match": "window"}]}},
+            "size": 8}
+    assert execute_dsl(sh, body) == execute_dsl(engine, body)
+    with pytest.raises(UnsupportedQuery):
+        execute_dsl(sh, {"query": {"prefix": "dat"}})
+
+
+def test_actor_dsl_kind(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import QueryActor
+    a = QueryActor(ensure_index(SF, positions=True))
+    body = {"query": {"bool": {"must": [{"match": "data"}],
+                               "must_not": [{"match": "vector"}]}}}
+    assert a.serve("dsl", json.dumps(body), k=5) == \
+        a.engine.search_bool(must=["data"], must_not=["vector"], k=5)
+
+
+def test_rest_post_search(ray_session):
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.serve import create_server
+    srv = create_server(ensure_index(SF, positions=True), port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+
+        def post(obj):
+            conn = HTTPConnection(host, port, timeout=10)
+            conn.request("POST", "/api/search", body=json.dumps(obj),
+                         headers={"Content-Type": "application/json"})
+            r = conn.getresponse()
+            out = json.loads(r.read())
+            conn.close()
+            return r.status, out
+
+        body = {"query": {"bool": {
+            "must": [{"match_phrase": "data stream"}],
+            "should": [{"match": "window"}],
+            "filter": [{"term": {"lang": "en"}}]}}, "size": 5}
+        status, out = post(body)
+        assert status == 200
+        exp = srv.engine.search_compound(
+            must=[{"phrase": "data stream", "slop": 0}],
+            should=["window"], k=5, filters={"lang": "en"})
+        assert [(r["doc_id"], r["score"]) for r in out["results"]] == exp
+        # size cap at MAX_K
+        status, out = post({"query": {"match": "data"}, "size": 10_000})
+        assert status == 200 and len(out["results"]) <= 100
+        # sorted body returns sort_value rows
+        status, out = post({"query": {"match": "data stream"},
+                            "sort": [{"n_chars": "desc"}], "size": 3})
+        assert status == 200
+        assert all("sort_value" in r for r in out["results"])
+        # bad body → 400 with message
+        status, out = post({"query": {"term": {"lang": "en"}}})
+        assert status == 400 and "error" in out
+    finally:
+        srv.shutdown()
