@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,
+        "search_compound_docs": searchp.search_compound_docs,
+        "search_dsl_sorted": searchp.search_dsl_sorted,
         "search_collapse_latest": searchp.search_collapse_latest,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,

@@ -229,6 +229,34 @@ ORACLES: dict[str, str] = {
           AND lang = 'en'
         ORDER BY doc_id
     """,
+    # compound-bool retrieval over mixed clause kinds: phrase adjacency
+    # (must) AND >=1 of {st-prefix word, 'vector'} (should, msm=1) AND
+    # no w?nd* word (must_not) — each predicate matches its dedicated
+    # single-kind oracle above
+    "search_compound_docs": r"""
+        WITH w AS (SELECT doc_id, lower(text) AS lt,
+                          string_split_regex(lower(text), '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id FROM w
+        WHERE regexp_matches(lt,
+              '(^|[^a-z0-9_])table[^a-z0-9_]+scan([^a-z0-9_]|$)')
+          AND ((CASE WHEN len(list_filter(ws, x -> x LIKE 'st%')) > 0
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(ws, 'vector')
+                     THEN 1 ELSE 0 END)) >= 1
+          AND len(list_filter(ws, x -> x LIKE 'w_nd%')) = 0
+    """,
+    # JSON-DSL sorted retrieval: conjunctive match + term filter +
+    # metadata sort (n_chars DESC, doc_id ASC ties), top-15
+    "search_dsl_sorted": r"""
+        WITH w AS (SELECT doc_id, n_chars, lang,
+                          string_split_regex(lower(text), '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM w
+        WHERE list_contains(ws, 'data') AND list_contains(ws, 'stream')
+          AND lang = 'en'
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 15
+    """,
     # fuzzy retrieval: any whitespace word within 1 Damerau-Levenshtein
     # edit of 'tabel' (DuckDB's damerau_levenshtein matches the engine's
     # transposition-as-one-edit metric)

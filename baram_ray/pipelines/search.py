@@ -410,6 +410,46 @@ def search_collapse_latest(sf_dir: str, query_text: str = "data stream",
     })
 
 
+def search_compound_docs(sf_dir: str):
+    """Compound-bool retrieval over MIXED clause kinds (the OpenSearch
+    bool the reference's backend accepts): must = phrase "table scan",
+    should (msm=1) = prefix "st" OR term "vector", must_not = wildcard
+    "w?nd*". Every clause's match predicate is SQL-expressible on the
+    single-space word-list corpus → hash-exact DuckDB oracle. Scoring
+    identity per clause vs the dedicated ops is pytest-checked
+    (tests/test_compound.py)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    ids = eng.match_compound_docs(
+        must=[{"phrase": "table scan"}],
+        should=[{"prefix": "st", "max_expansions": 100_000}, "vector"],
+        minimum_should_match=1,
+        must_not=[{"wildcard": "w?nd*", "max_expansions": 100_000}])
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def search_dsl_sorted(sf_dir: str):
+    """JSON-DSL request (the POST /api/search body shape,
+    src/embedding/mod.rs:470-539): bool should-match + term filter +
+    metadata sort routes to the engine's sorted-retrieval path — the
+    longest lang='en' docs matching data∧stream, n_chars desc. Fully
+    deterministic (no _score) → hash-exact DuckDB oracle; DSL→op
+    routing identity is pytest-checked (tests/test_dsl.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = execute_dsl(eng, {
+        "query": {"bool": {"should": [{"match": "data stream"}],
+                           "filter": [{"term": {"lang": "en"}}]}},
+        "sort": [{"n_chars": {"order": "desc"}}], "size": 15})
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "n_chars": pd.array([int(v) for _, v in rows], dtype="int64"),
+    })
+
+
 def search_qs_docs(sf_dir: str):
     """Query-STRING retrieval through the parser (the reference REST
     ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the

@@ -65,7 +65,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_count", "search_facets", "search_facet_hist",
                "search_sorted_docs", "search_suggest",
                "search_percolate", "search_qs_docs",
-               "search_collapse_latest"]
+               "search_collapse_latest", "search_compound_docs",
+               "search_dsl_sorted"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
