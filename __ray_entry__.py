@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,
         "search_compound_docs": searchp.search_compound_docs,
+        "regexp_match_docs": searchp.regexp_match_docs,
         "search_dsl_sorted": searchp.search_dsl_sorted,
         "search_collapse_latest": searchp.search_collapse_latest,
         "search_percolate": searchp.search_percolate,

@@ -445,6 +445,33 @@ class IndexReader:
                     break
         return out
 
+    def terms_regexp(self, fld: str, pattern: str,
+                     max_expansions: int = 50) -> list[str]:
+        """Terms of ``fld`` FULLY matched by the regular expression
+        ``pattern`` (Lucene/OpenSearch RegexpQuery semantics: the regexp
+        is anchored — it must match the whole term), in term-dictionary
+        order, capped at ``max_expansions``. A literal prefix of the
+        pattern narrows the scan to its prefix range of the sorted term
+        list (the prefix extraction Lucene's regexp automaton performs)."""
+        import bisect
+        rx = re.compile(pattern)
+        # longest literal prefix: chars before the first regex
+        # metacharacter (conservative — escapes stop the literal run)
+        m = re.match(r"[^\\.?*+()\[\]{}|^$]*", pattern)
+        lit = m.group(0) if m else ""
+        lst = self._term_list(fld)
+        lo = bisect.bisect_left(lst, lit) if lit else 0
+        out: list[str] = []
+        for i in range(lo, len(lst)):
+            t = lst[i]
+            if lit and not t.startswith(lit):
+                break
+            if rx.fullmatch(t):
+                out.append(t)
+                if len(out) >= max_expansions:
+                    break
+        return out
+
     def df_global(self, fld: str, term: str, pl) -> int:
         """Corpus-wide df for idf (== pl.df for a full reader)."""
         if self._global_df is None:

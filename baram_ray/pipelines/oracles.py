@@ -229,6 +229,17 @@ ORACLES: dict[str, str] = {
           AND lang = 'en'
         ORDER BY doc_id
     """,
+    # regexp retrieval: any whitespace word FULLY matching the anchored
+    # pattern (Lucene RegexpQuery semantics == regexp_full_match)
+    "regexp_match_docs": r"""
+        SELECT CAST(0 AS BIGINT) AS pattern_id, doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> regexp_full_match(w, 'st(ream|orage)'))) > 0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM documents
+        WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+                  w -> regexp_full_match(w, 've.tor'))) > 0
+    """,
     # compound-bool retrieval over mixed clause kinds: phrase adjacency
     # (must) AND >=1 of {st-prefix word, 'vector'} (should, msm=1) AND
     # no w?nd* word (must_not) — each predicate matches its dedicated

@@ -429,6 +429,23 @@ def search_compound_docs(sf_dir: str):
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 
 
+def regexp_match_docs(sf_dir: str):
+    """Regexp retrieval (Lucene/OpenSearch RegexpQuery): all doc_ids
+    containing a term FULLY matched by each anchored pattern, via
+    term-dict expansion. DuckDB ``regexp_full_match`` per whitespace
+    word is the exact equivalent on the single-space word-list corpus
+    → hash-exact oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    for pid, pat in enumerate(["st(ream|orage)", "ve.tor"]):
+        for d in eng.match_regexp_docs(pat):
+            rows.append({"pattern_id": pid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["pattern_id", "doc_id"])
+    return df.astype({"pattern_id": "int64", "doc_id": "int64"})
+
+
 def search_dsl_sorted(sf_dir: str):
     """JSON-DSL request (the POST /api/search body shape,
     src/embedding/mod.rs:470-539): bool should-match + term filter +

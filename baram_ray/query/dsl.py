@@ -20,6 +20,8 @@ Query nodes::
                                     "max_expansions": 50}}
     {"wildcard": "w?ld*"} | {"wildcard": {"value": ...,
                                           "max_expansions": 50}}
+    {"regexp": "ab[cd]+"} | {"regexp": {"value": ...,
+                                        "max_expansions": 50}}
     {"fuzzy": "term"} | {"fuzzy": {"value": ..., "fuzziness": 1|"AUTO",
                                    "prefix_length": 0,
                                    "max_expansions": 50}}
@@ -44,8 +46,8 @@ from __future__ import annotations
 
 from typing import Any
 
-_LEAF_KINDS = ("match", "match_phrase", "prefix", "wildcard", "fuzzy",
-               "query_string", "term", "range", "bool")
+_LEAF_KINDS = ("match", "match_phrase", "prefix", "wildcard", "regexp",
+               "fuzzy", "query_string", "term", "range", "bool")
 
 
 def _node_kind(node: dict) -> str:
@@ -87,6 +89,10 @@ def _leaf_spec(kind: str, v) -> dict:
     if kind == "wildcard":
         d = _text_arg(v, "value")
         return {"wildcard": d["value"],
+                "max_expansions": int(d.get("max_expansions", 50))}
+    if kind == "regexp":
+        d = _text_arg(v, "value")
+        return {"regexp": d["value"],
                 "max_expansions": int(d.get("max_expansions", 50))}
     if kind == "fuzzy":
         d = _text_arg(v, "value")
@@ -254,6 +260,11 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if "wildcard" in spec:
             return engine.search_wildcard(
                 spec["wildcard"], k=k,
+                max_expansions=spec["max_expansions"],
+                filters=filters, min_score=min_score)
+        if "regexp" in spec:
+            return engine.search_regexp(
+                spec["regexp"], k=k,
                 max_expansions=spec["max_expansions"],
                 filters=filters, min_score=min_score)
         return engine.search_fuzzy(

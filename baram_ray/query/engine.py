@@ -33,7 +33,8 @@ import pandas as pd
 from baram_ray.index.segment import IndexReader, PostingList
 
 # clause-spec kinds accepted by search_compound / match_compound_docs
-CLAUSE_KINDS = ("match", "phrase", "prefix", "wildcard", "fuzzy")
+CLAUSE_KINDS = ("match", "phrase", "prefix", "wildcard", "regexp",
+                "fuzzy")
 
 
 def clause_kind(spec) -> str:
@@ -421,6 +422,14 @@ class QueryEngine:
             exps = ((f, t, float(b.get(f, 1.0)))
                     for f in r.fields
                     for t in r.terms_wildcard(f, pat, mx))
+            return self._exp_arrays(exps)
+        if kind == "regexp":
+            pat = spec["regexp"].strip().lower()
+            if not pat:
+                return zero
+            exps = ((f, t, float(b.get(f, 1.0)))
+                    for f in r.fields
+                    for t in r.terms_regexp(f, pat, mx))
             return self._exp_arrays(exps)
         # fuzzy — same expansion order and 1 − d/len boost as
         # search_fuzzy
@@ -820,6 +829,42 @@ class QueryEngine:
                 for f in r.fields
                 for t in r.terms_wildcard(f, pat, max_expansions))
         return self._score_expansions(exps, k, filters, min_score)
+
+    def search_regexp(self, pattern: str, k: int = 10,
+                      max_expansions: int = 50,
+                      boosts: dict[str, float] | None = None,
+                      filters: dict | None = None,
+                      min_score: float | None = None
+                      ) -> list[tuple[int, float]]:
+        """Regexp query (Lucene/OpenSearch RegexpQuery, the last
+        expansion-kind of the reference backend's query_string surface):
+        the ANCHORED pattern expands against each field's term dict in
+        term-dictionary order capped at ``max_expansions``, scored as a
+        bool-should of the expanded term queries (BM25 sum — consistent
+        with this engine's scoring-mode prefix/wildcard queries). The
+        pattern is not analyzed, only lowercased to match the lowercase
+        term dict. Sorted (score desc, doc_id asc)."""
+        pat = pattern.strip().lower()
+        if not pat or k <= 0:
+            return []
+        r = self.r
+        boosts = boosts or {}
+        exps = ((f, t, float(boosts.get(f, 1.0)))
+                for f in r.fields
+                for t in r.terms_regexp(f, pat, max_expansions))
+        return self._score_expansions(exps, k, filters, min_score)
+
+    def match_regexp_docs(self, pattern: str,
+                          max_expansions: int = 100_000) -> np.ndarray:
+        """All doc_ids containing any term fully matching ``pattern``
+        in any field (retrieval, no scoring; sorted asc)."""
+        pat = pattern.strip().lower()
+        if not pat:
+            return np.empty(0, dtype=np.int64)
+        r = self.r
+        return self._match_expanded_docs(
+            (f, t) for f in r.fields
+            for t in r.terms_regexp(f, pat, max_expansions))
 
     # ------------------------------------------------------------------ #
     def search_fuzzy(self, query: str, k: int = 10,
@@ -1414,6 +1459,7 @@ class ShardedEngine:
 
     search_prefix = _expansion_unsupported
     search_wildcard = _expansion_unsupported
+    search_regexp = _expansion_unsupported
     search_fuzzy = _expansion_unsupported
 
     def facets(self, query: str, facet_fields: list[str],

@@ -158,6 +158,11 @@ class OracleIndex:
                     spec["wildcard"], k=self.n_docs,
                     max_expansions=int(spec.get("max_expansions", 50)),
                     boosts=boosts))
+            if "regexp" in spec:
+                return dict(self.search_regexp(
+                    spec["regexp"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
             if "fuzzy" in spec:
                 return dict(self.search_fuzzy(
                     spec["fuzzy"], k=self.n_docs,
@@ -236,6 +241,39 @@ class OracleIndex:
             avg = self.avgdl[f] or 1.0
             terms = [t for t in sorted(self.df[f])
                      if rx.match(t)][:max_expansions]
+            for t in terms:
+                df = self.df[f][t]
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                for i in range(self.n_docs):
+                    tf = self.tf[f][i].get(t)
+                    if not tf:
+                        continue
+                    dl = self.dl[f][i]
+                    s = w * idf * tf / (
+                        tf + self.k1 * (1 - self.b + self.b * dl / avg))
+                    di = self.doc_ids[i]
+                    scores[di] = scores.get(di, 0.0) + s
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
+    def search_regexp(self, pattern: str, k: int = 10,
+                      max_expansions: int = 50,
+                      boosts=None) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_regexp: expand
+        the (lowercased, anchored) regexp against each field's sorted
+        vocabulary, cap per field, score as bool-should."""
+        import re as _re
+        pat = pattern.strip().lower()
+        if not pat:
+            return []
+        rx = _re.compile(pat)
+        boosts = boosts or {}
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            terms = [t for t in sorted(self.df[f])
+                     if rx.fullmatch(t)][:max_expansions]
             for t in terms:
                 df = self.df[f][t]
                 idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))

@@ -10,6 +10,8 @@ conveniences its backend accepts:
 - ``"a phrase"`` (``~N``)   → exact phrase (optional slop); ``+``/``-``
                               and AND/NOT apply like on terms
 - ``pre*`` / ``wi?ld*``     → prefix / wildcard expansion
+- ``/rege.xp/``             → regexp expansion (anchored, Lucene
+                              query-string regexp syntax)
 - ``term~`` / ``term~2``    → fuzzy (edit distance, default 1)
 - ``col:value``             → metadata equality filter on a KEPT
                               column (``col:lo..hi`` = range)
@@ -162,6 +164,9 @@ def parse(q: str) -> Plan:
             plan.filters[fm.group("col")] = _range_or_scalar(
                 fm.group("val"))
             continue
+        if len(w) > 2 and w.startswith("/") and w.endswith("/"):
+            plan.specials.append((pol, {"regexp": w[1:-1]}))
+            continue
         tilde = re.match(r"^(?P<base>[^~]+)~(?P<n>\d*)$", w)
         if tilde:
             plan.specials.append(
@@ -212,6 +217,9 @@ def execute(engine, q: str, k: int = 10, **kw):
                     filters=filters, **kw)
             if "prefix" in spec:
                 return engine.search_prefix(spec["prefix"], k=k,
+                                            filters=filters, **kw)
+            if "regexp" in spec:
+                return engine.search_regexp(spec["regexp"], k=k,
                                             filters=filters, **kw)
             if "wildcard" in spec:
                 return engine.search_wildcard(spec["wildcard"], k=k,

@@ -107,6 +107,8 @@ def test_single_clause_identity(engine):
         e.search_prefix("im", k=20)
     assert e.search_compound(should=[{"wildcard": "m?in*"}], k=20) == \
         e.search_wildcard("m?in*", k=20)
+    assert e.search_compound(should=[{"regexp": "ma.n.*"}], k=20) == \
+        e.search_regexp("ma.n.*", k=20)
     assert e.search_compound(should=[{"fuzzy": "impart",
                                       "max_edits": 1}], k=20) == \
         e.search_fuzzy("impart", k=20, max_edits=1)
@@ -128,6 +130,9 @@ MIXED = [
     dict(must=[{"prefix": "re"}], must_not=[{"phrase": "def main"}]),
     dict(should=[{"phrase": "fn main", "slop": 1}, "let"],
          must_not=[{"wildcard": "*usage*"}]),
+    dict(must=["def"], should=[{"regexp": "im.*"},
+                               {"regexp": "(re|de)turn"}],
+         minimum_should_match=1),
 ]
 
 
@@ -213,6 +218,6 @@ def test_sharded_compound_refuses_expansion_kinds(built):
     from baram_ray.query.qparse import UnsupportedQuery
     sh = ShardedEngine(built.out_dir, n_groups=2)
     for spec in ({"prefix": "im"}, {"wildcard": "m?in"},
-                 {"fuzzy": "impart"}):
+                 {"regexp": "im.*"}, {"fuzzy": "impart"}):
         with pytest.raises(UnsupportedQuery):
             sh.search_compound(should=[spec], k=5)

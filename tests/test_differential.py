@@ -66,7 +66,7 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_sorted_docs", "search_suggest",
                "search_percolate", "search_qs_docs",
                "search_collapse_latest", "search_compound_docs",
-               "search_dsl_sorted"]
+               "search_dsl_sorted", "regexp_match_docs"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

@@ -46,6 +46,12 @@ def test_leaf_kinds_match_explicit_calls(engine):
         == e.search_prefix("dat", k=10, max_expansions=5)
     assert execute_dsl(e, {"query": {"wildcard": "d?ta"}}) == \
         e.search_wildcard("d?ta", k=10)
+    assert execute_dsl(e, {"query": {"regexp": "st.*m"}}) == \
+        e.search_regexp("st.*m", k=10)
+    assert execute_dsl(e, {"query": {"regexp":
+                                     {"value": "st.*m",
+                                      "max_expansions": 5}}}) == \
+        e.search_regexp("st.*m", k=10, max_expansions=5)
     assert execute_dsl(e, {"query": {"fuzzy": "tabel"}}) == \
         e.search_fuzzy("tabel", k=10)          # fuzziness AUTO default
     assert execute_dsl(e, {"query": {"fuzzy": {"value": "tabel",

@@ -258,6 +258,38 @@ def test_terms_wildcard_semantics(engine):
 
 
 # ------------------------------------------------------------------ #
+# Regexp queries (anchored regex expansion against the term dict)
+# ------------------------------------------------------------------ #
+
+def test_regexp_rank_identity(engine, oracle):
+    import numpy as np
+    for pat in ["im.*", "[im]mport", "p.+se", ".*oken", "de.",
+                "zz.*q", "(im|ex)port.*"]:
+        got = engine.search_regexp(pat, k=20, boosts=BOOSTS)
+        exp = oracle.search_regexp(pat, k=20, boosts=BOOSTS)
+        assert [d for d, _ in got] == [d for d, _ in exp], pat
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in exp], rtol=1e-9)
+    # expansion cap parity
+    got = engine.search_regexp("p.*", k=30, max_expansions=3)
+    exp = oracle.search_regexp("p.*", k=30, max_expansions=3)
+    assert [d for d, _ in got] == [d for d, _ in exp]
+
+
+def test_terms_regexp_semantics(engine):
+    """Anchored full-match in term-dict order, prefix-accelerated scan
+    included (literal-prefix patterns must not miss terms)."""
+    import re
+    r = engine.r
+    for f in r.fields:
+        vocab = r._term_list(f)
+        for pat in ["im.*", ".*ort", "p.rse", "imp(o|u)rt",
+                    r"x\d+", "import"]:
+            exp = [t for t in vocab if re.fullmatch(pat, t)][:50]
+            assert r.terms_regexp(f, pat, 50) == exp, (f, pat)
+
+
+# ------------------------------------------------------------------ #
 # Fuzzy queries (Damerau-Levenshtein expansion, AUTO edits)
 # ------------------------------------------------------------------ #
 

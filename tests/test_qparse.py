@@ -53,6 +53,14 @@ def test_parse_prefix_wildcard_fuzzy():
     assert p.fuzzy == "tabel" and p.fuzzy_edits == 2
 
 
+def test_parse_regexp():
+    p = parse("/im.*/")
+    assert p.specials == [("should", {"regexp": "im.*"})]
+    p = parse("data -/st.*m/")
+    assert p.should == ["data"]
+    assert p.specials == [("must_not", {"regexp": "st.*m"})]
+
+
 def test_parse_filters_scalar_and_range():
     p = parse("data lang:en n_chars:100..500 stream")
     assert p.should == ["data", "stream"]
@@ -115,6 +123,8 @@ def test_execute_matches_explicit_calls(engine):
     assert e.search_qs("d?ta", k=10) == e.search_wildcard("d?ta", k=10)
     assert e.search_qs("tabel~1", k=10) == e.search_fuzzy("tabel", k=10,
                                                           max_edits=1)
+    assert e.search_qs("/st.*m/", k=10) == e.search_regexp("st.*m",
+                                                           k=10)
 
 
 def test_execute_filters_merge(engine):
