@@ -9,7 +9,16 @@ Supported body::
     {"query": <node>, "size": 10, "min_score": 0.5,
      "sort": [{"col": {"order": "desc"}}] | "col",
      "collapse": {"field": "col"},
-     "search_after": [score, doc_id]}          # plain match only
+     "search_after": [score, doc_id],          # plain match only
+     "aggs": {"name": {"terms": {"field": "col", "size": n}}
+              | {"histogram": {"field": "col", "interval": i}}}}
+
+Any scoring leaf accepts ``"boost": w`` (OpenSearch clause boost —
+scales that clause's BM25 contribution; routed through
+``search_compound``). ``{"match_all": {}}`` is valid with ``aggs``
+(aggregate the whole live corpus, OpenSearch's size:0 analytics
+shape). A body with ``aggs`` returns ``{"hits": [...],
+"aggregations": {name: [{"key": .., "doc_count": ..}, ...]}}``.
 
 Query nodes::
 
@@ -39,7 +48,7 @@ scoring is score-identical to the dedicated ops — tested). ``term`` /
 reference puts them in ``filter``; OpenSearch's must-context scoring
 for them is a constant 0/1 that never reorders BM25 sums). Shapes the
 engine genuinely does not express (field-subset match, scoring ``term``
-in should, match_all) raise ``ValueError`` with the explicit-API
+in should, match_all without aggs) raise ``ValueError`` with the explicit-API
 spelling — an honest boundary, not silently-wrong scoring.
 """
 from __future__ import annotations
@@ -47,7 +56,8 @@ from __future__ import annotations
 from typing import Any
 
 _LEAF_KINDS = ("match", "match_phrase", "prefix", "wildcard", "regexp",
-               "fuzzy", "query_string", "term", "range", "bool")
+               "fuzzy", "query_string", "term", "range", "match_all",
+               "bool")
 
 
 def _node_kind(node: dict) -> str:
@@ -73,7 +83,15 @@ def _text_arg(v, key: str = "query") -> dict:
 
 
 def _leaf_spec(kind: str, v) -> dict:
-    """Leaf node → search_compound clause spec."""
+    """Leaf node → search_compound clause spec. A ``boost`` key on the
+    leaf body passes through as the clause boost."""
+    spec = _leaf_spec_inner(kind, v)
+    if isinstance(v, dict) and v.get("boost") is not None:
+        spec["boost"] = float(v["boost"])
+    return spec
+
+
+def _leaf_spec_inner(kind: str, v) -> dict:
     if kind == "match":
         return {"match": _text_arg(v)["query"]}
     if kind == "match_phrase":
@@ -181,6 +199,8 @@ def parse_query(node: dict) -> DslPlan:
         raise ValueError(
             f"top-level {kind} has no ranking — wrap it in bool.filter "
             "with a scoring clause, or use facets()/search_sorted()")
+    if kind == "match_all":
+        return plan                      # empty plan: aggs-only bodies
     if kind == "query_string":
         raise ValueError("query_string is routed by execute_dsl")
     plan.should.append(_leaf_spec(kind, node[kind]))
@@ -210,6 +230,47 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
     plan = parse_query(node)
     filters = plan.filters or None
 
+    # ---- aggregations ride a conjunctive match (or match_all) ------ #
+    aggs = body.get("aggs", body.get("aggregations"))
+    if aggs is not None:
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after")):
+            raise ValueError("aggs compose with a plain query only")
+        if not plan.specs:
+            text = ""                      # match_all: whole live corpus
+        elif (len(plan.should) == 1 and not plan.must
+                and not plan.must_not and "match" in plan.should[0]
+                and "boost" not in plan.should[0]):
+            text = plan.should[0]["match"]
+        else:
+            raise ValueError(
+                "aggs need a match/match_all query — the engine's "
+                "facet paths aggregate over a conjunctive match set")
+        out_aggs: dict = {}
+        for name, spec in aggs.items():
+            akind = [a for a in ("terms", "histogram") if a in spec]
+            if len(akind) != 1:
+                raise ValueError(
+                    f"agg '{name}' needs terms or histogram: {spec!r}")
+            if akind[0] == "terms":
+                fld = spec["terms"]["field"]
+                rows = engine.facets(text, [fld], filters=filters)
+                buckets = [{"key": v, "doc_count": c}
+                           for _, v, c in rows]
+                sz = spec["terms"].get("size")
+                out_aggs[name] = buckets[:int(sz)] if sz else buckets
+            else:
+                h = spec["histogram"]
+                rows = engine.facet_histogram(
+                    text, h["field"], float(h["interval"]),
+                    filters=filters)
+                out_aggs[name] = [{"key": b, "doc_count": c}
+                                  for b, c in rows]
+        hits = (engine.search(text, k=k, filters=filters,
+                              min_score=min_score)
+                if k > 0 and text else [])
+        return {"hits": hits, "aggregations": out_aggs}
+
     # ---- sort / collapse / search_after need a plain match text ---- #
     sort = body.get("sort")
     collapse = body.get("collapse")
@@ -217,7 +278,8 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
     if sort is not None or collapse is not None or after is not None:
         if (len(plan.should) == 1 and not plan.must
                 and not plan.must_not
-                and "match" in plan.should[0]):
+                and "match" in plan.should[0]
+                and "boost" not in plan.should[0]):
             text = plan.should[0]["match"]
         else:
             raise ValueError(
@@ -242,7 +304,8 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
 
     # ---- single dedicated op (bit-identical to the explicit call) -- #
     if (len(plan.specs) == 1 and plan.should and
-            plan.minimum_should_match is None):
+            plan.minimum_should_match is None and
+            "boost" not in plan.should[0]):
         spec = plan.should[0]
         if "match" in spec:
             return engine.search(spec["match"], k=k, filters=filters,
@@ -278,7 +341,7 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                          "facets() or search_sorted()")
 
     # ---- general bool: match-only → search_bool, else compound ----- #
-    if all("match" in s for s in plan.specs):
+    if all("match" in s and "boost" not in s for s in plan.specs):
         return engine.search_bool(
             must=[s["match"] for s in plan.must] or None,
             should=[s["match"] for s in plan.should] or None,

@@ -389,7 +389,15 @@ class QueryEngine:
 
     def _spec_arrays(self, spec, boosts: dict[str, float] | None
                      ) -> tuple[np.ndarray, np.ndarray]:
-        """(score array, matched mask) for one typed clause spec."""
+        """(score array, matched mask) for one typed clause spec. A
+        ``boost`` key scales the clause's scores (OpenSearch clause
+        boost; matching is unaffected)."""
+        cb = float(spec.get("boost", 1.0)) if isinstance(spec, dict) \
+            else 1.0
+        if cb != 1.0:
+            spec = {k: v for k, v in spec.items() if k != "boost"}
+            acc, matched = self._spec_arrays(spec, boosts)
+            return acc * cb, matched
         kind = clause_kind(spec)
         if isinstance(spec, str):
             spec = {"match": spec}

@@ -141,6 +141,11 @@ class OracleIndex:
         def clause(spec) -> dict[int, float]:
             if isinstance(spec, str):
                 spec = {"match": spec}
+            cb = float(spec.get("boost", 1.0))
+            if cb != 1.0:
+                inner = clause({k: v for k, v in spec.items()
+                                if k != "boost"})
+                return {d: s * cb for d, s in inner.items()}
             if "match" in spec:
                 return dict(self.search(spec["match"], k=self.n_docs,
                                         boosts=boosts))

@@ -120,14 +120,25 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     hits = execute_dsl(engine, payload, max_k=MAX_K)
                 except (ValueError, KeyError) as e:
                     return self._json(400, {"error": str(e)})
+                aggs = None
+                if isinstance(hits, dict):          # aggs body
+                    aggs = {name: [{"key": _jsonable(b["key"]),
+                                    "doc_count": int(b["doc_count"])}
+                                   for b in buckets]
+                            for name, buckets
+                            in hits["aggregations"].items()}
+                    hits = hits["hits"]
                 val_key = ("sort_value" if "sort" in payload
                            else "score")
-                return self._json(200, {"results": [
+                out = {"results": [
                     {"rank": i + 1, "doc_id": int(t[0]),
                      val_key: _jsonable(t[1]),
                      **({"group": _jsonable(t[2])} if len(t) > 2
                         else {})}
-                    for i, t in enumerate(hits)]})
+                    for i, t in enumerate(hits)]}
+                if aggs is not None:
+                    out["aggregations"] = aggs
+                return self._json(200, out)
             from baram_ray.stages.embed import EmbedStage
             enc = EmbedStage()
             if u.path == "/embed":

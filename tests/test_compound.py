@@ -142,6 +142,11 @@ def test_mixed_rank_identity_vs_oracle(engine, oracle, phrase_q):
         dict(should=[{"phrase": phrase_q}, {"prefix": "im"}, "let"],
              minimum_should_match=2),
         dict(must=["import"], must_not=[{"phrase": phrase_q}]),
+        # per-clause boost (OpenSearch clause boost)
+        dict(must=["def"], should=[{"phrase": phrase_q, "boost": 2.5},
+                                   {"prefix": "im", "boost": 0.5}],
+             minimum_should_match=1),
+        dict(should=[{"match": "import", "boost": 3.0}, "return"]),
     ]
     for q in MIXED + extra:
         got = engine.search_compound(k=25, **q)
@@ -149,6 +154,15 @@ def test_mixed_rank_identity_vs_oracle(engine, oracle, phrase_q):
         assert [d for d, _ in got] == [d for d, _ in exp], q
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in exp], rtol=1e-9)
+
+
+def test_clause_boost_scales_scores(engine):
+    base = engine.search_compound(should=["import"], k=50)
+    boosted = engine.search_compound(
+        should=[{"match": "import", "boost": 2.0}], k=50)
+    assert [d for d, _ in boosted] == [d for d, _ in base]
+    np.testing.assert_allclose([s for _, s in boosted],
+                               [2.0 * s for _, s in base], rtol=1e-12)
 
 
 def test_compound_semantics(engine, phrase_q):

@@ -106,6 +106,61 @@ def test_bool_mixed_kinds_route_to_compound(engine):
         must_not=[{"wildcard": "s?a*", "max_expansions": 50}], k=12)
 
 
+def test_clause_boost_routes_to_compound(engine):
+    e = engine
+    assert execute_dsl(e, {"query": {"match": {"query": "data",
+                                               "boost": 2.0}}}) == \
+        e.search_compound(should=[{"match": "data", "boost": 2.0}],
+                          k=10)
+    body = {"query": {"bool": {"should": [
+        {"match": {"query": "data", "boost": 2.0}},
+        {"match_phrase": {"query": "data stream", "boost": 0.5}}]}}}
+    assert execute_dsl(e, body) == e.search_compound(
+        should=[{"match": "data", "boost": 2.0},
+                {"phrase": "data stream", "slop": 0, "boost": 0.5}],
+        k=10)
+
+
+def test_aggs(engine):
+    e = engine
+    body = {"query": {"match": "data stream"}, "size": 0,
+            "aggs": {"by_lang": {"terms": {"field": "lang"}},
+                     "chars": {"histogram": {"field": "n_chars",
+                                             "interval": 100}}}}
+    out = execute_dsl(e, body)
+    assert out["hits"] == []
+    assert out["aggregations"]["by_lang"] == [
+        {"key": v, "doc_count": c}
+        for _, v, c in e.facets("data stream", ["lang"])]
+    assert out["aggregations"]["chars"] == [
+        {"key": b, "doc_count": c}
+        for b, c in e.facet_histogram("data stream", "n_chars", 100.0)]
+    # match_all + filter-through-bool aggregates the whole corpus slice
+    body = {"query": {"match_all": {}}, "size": 0,
+            "aggs": {"src": {"terms": {"field": "source", "size": 3}}}}
+    out = execute_dsl(e, body)
+    full = [{"key": v, "doc_count": c}
+            for _, v, c in e.facets("", ["source"])]
+    assert out["aggregations"]["src"] == full[:3]
+    # hits ride along when size > 0
+    body = {"query": {"match": "data"}, "size": 4,
+            "aggs": {"l": {"terms": {"field": "lang"}}}}
+    out = execute_dsl(e, body)
+    assert out["hits"] == e.search("data", k=4)
+    # aggs need a match/match_all query
+    with pytest.raises(ValueError):
+        execute_dsl(e, {"query": {"bool": {"must": [{"match": "a"},
+                                                    {"match": "b"}]}},
+                        "aggs": {"l": {"terms": {"field": "lang"}}}})
+    with pytest.raises(ValueError):
+        execute_dsl(e, {"query": {"match": "a"},
+                        "aggs": {"l": {"cardinality":
+                                       {"field": "lang"}}}})
+    # match_all without aggs has no ranking
+    with pytest.raises(ValueError):
+        execute_dsl(e, {"query": {"match_all": {}}})
+
+
 # ------------------------------------------------------------------ #
 # sort / collapse / search_after
 # ------------------------------------------------------------------ #

@@ -112,6 +112,30 @@ def _post(server, path, obj):
     return r.status, out
 
 
+def test_search_post_aggs(server):
+    e = server.engine
+    body = {"query": {"match": "data"}, "size": 3,
+            "aggs": {"by_lang": {"terms": {"field": "lang"}}}}
+    status, out = _post(server, "/api/search", body)
+    assert status == 200
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == \
+        [(d, s) for d, s in e.search("data", k=3)]
+    assert out["aggregations"]["by_lang"] == [
+        {"key": v, "doc_count": c} for _, v, c in e.facets("data", ["lang"])]
+    # match_all + size 0: corpus-wide aggregation, no hits
+    status, out = _post(server, "/api/search",
+                        {"query": {"match_all": {}}, "size": 0,
+                         "aggs": {"src": {"terms": {"field": "source"}}}})
+    assert status == 200 and out["results"] == []
+    assert out["aggregations"]["src"] == [
+        {"key": v, "doc_count": c} for _, v, c in e.facets("", ["source"])]
+    # aggs + sort is an honest 400, not silently-wrong
+    status, _ = _post(server, "/api/search",
+                      {"query": {"match": "data"}, "sort": "lang",
+                       "aggs": {"l": {"terms": {"field": "lang"}}}})
+    assert status == 400
+
+
 def test_embed_endpoints(server):
     from baram_ray.stages.embed import EmbedStage
     status, one = _post(server, "/embed", {"text": "hello world"})
