@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_hybrid_hnsw": searchp.hybrid_topk_hnsw,
         "search_facets": searchp.search_facets,
         "search_facet_hist": searchp.search_facet_hist,
+        "search_agg_stats": searchp.search_agg_stats,
+        "search_agg_range": searchp.search_agg_range,
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,

@@ -1737,6 +1737,43 @@ ORACLES: dict[str, str] = {
                               FILTER (WHERE keep) AS txt
                    FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
     """,
+    # stats + cardinality + value_count aggregations over the match
+    # set of 'data': exact int count/min/max/sum, avg = the single
+    # IEEE division sum/count, exact distinct sources. HAVING drops
+    # the aggregate row on a zero-match corpus (engine: typed empty).
+    "search_agg_stats": r"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(n_chars) AS BIGINT) AS n_vals
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        HAVING count(*) > 0
+    """,
+    # range aggregation over the match set of 'data': half-open
+    # [from, to) buckets with open ends, bucket keys as literals
+    "search_agg_range": r"""
+        WITH m AS (SELECT n_chars FROM documents
+                   WHERE list_contains(string_split_regex(
+                             lower(trim(text)), '\s+'), 'data'))
+        SELECT '*-100.0' AS bucket, CAST(count(*) FILTER (
+                   WHERE n_chars < 100) AS BIGINT) AS n FROM m
+        UNION ALL
+        SELECT '100.0-250.0', CAST(count(*) FILTER (
+                   WHERE n_chars >= 100 AND n_chars < 250) AS BIGINT)
+        FROM m
+        UNION ALL
+        SELECT '250.0-400.0', CAST(count(*) FILTER (
+                   WHERE n_chars >= 250 AND n_chars < 400) AS BIGINT)
+        FROM m
+        UNION ALL
+        SELECT '400.0-*', CAST(count(*) FILTER (
+                   WHERE n_chars >= 400) AS BIGINT) FROM m
+    """,
     # faceted search: terms aggregation over the full conjunctive match
     # set ("data" AND "stream"), per kept metadata column
     "search_facets": r"""

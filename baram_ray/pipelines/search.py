@@ -467,6 +467,71 @@ def search_dsl_sorted(sf_dir: str):
     })
 
 
+def search_agg_stats(sf_dir: str, query_text: str = "data"):
+    """Metric aggregations through the JSON DSL (OpenSearch ``stats``
+    + ``cardinality`` + ``value_count`` bodies) over the full
+    conjunctive match set, served by the ShardedEngine scatter-gather
+    (int partial sums merge bit-identically; exact distinct-value sets
+    union). count/min/max/sum are exact ints; avg is the single IEEE
+    division sum/count — both reproducible in SQL → hash-exact DuckDB
+    oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"st": {"stats": {"field": "n_chars"}},
+                 "card": {"cardinality": {"field": "source"}},
+                 "vc": {"value_count": {"field": "n_chars"}}}})
+    st = out["aggregations"]["st"]
+    rows = [] if st["count"] == 0 else [0]   # typed-empty on no match
+    if not rows:
+        return pd.DataFrame({
+            "n_docs": pd.array([], dtype="int64"),
+            "min_chars": pd.array([], dtype="int64"),
+            "max_chars": pd.array([], dtype="int64"),
+            "sum_chars": pd.array([], dtype="int64"),
+            "avg_chars": pd.array([], dtype="float64"),
+            "n_sources": pd.array([], dtype="int64"),
+            "n_vals": pd.array([], dtype="int64"),
+        })
+    return pd.DataFrame({
+        "n_docs": pd.array([st["count"]], dtype="int64"),
+        "min_chars": pd.array([st["min"]], dtype="int64"),
+        "max_chars": pd.array([st["max"]], dtype="int64"),
+        "sum_chars": pd.array([st["sum"]], dtype="int64"),
+        "avg_chars": pd.array([st["avg"]], dtype="float64"),
+        "n_sources": pd.array([out["aggregations"]["card"]["value"]],
+                              dtype="int64"),
+        "n_vals": pd.array([out["aggregations"]["vc"]["value"]],
+                           dtype="int64"),
+    })
+
+
+def search_agg_range(sf_dir: str, query_text: str = "data"):
+    """Range aggregation through the JSON DSL (OpenSearch ``range``
+    agg, half-open [from, to) buckets with open ends) over the full
+    match set, ShardedEngine scatter-gather (per-shard bucket counts
+    sum exactly). Bucket edges are literals → hash-exact DuckDB
+    oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"rg": {"range": {"field": "n_chars", "ranges": [
+            {"to": 100}, {"from": 100, "to": 250},
+            {"from": 250, "to": 400}, {"from": 400}]}}}})
+    buckets = out["aggregations"]["rg"]
+    return pd.DataFrame({
+        "bucket": pd.array([b["key"] for b in buckets], dtype=object),
+        "n": pd.array([b["doc_count"] for b in buckets],
+                      dtype="int64"),
+    })
+
+
 def search_qs_docs(sf_dir: str):
     """Query-STRING retrieval through the parser (the reference REST
     ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the

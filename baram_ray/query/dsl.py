@@ -11,7 +11,10 @@ Supported body::
      "collapse": {"field": "col"},
      "search_after": [score, doc_id],          # plain match only
      "aggs": {"name": {"terms": {"field": "col", "size": n}}
-              | {"histogram": {"field": "col", "interval": i}}}}
+              | {"histogram": {"field": "col", "interval": i}}
+              | {"range": {"field": c, "ranges": [{"from":a,"to":b}]}}
+              | {"stats" | "min" | "max" | "avg" | "sum"
+                 | "value_count" | "cardinality": {"field": "col"}}}}
 
 Any scoring leaf accepts ``"boost": w`` (OpenSearch clause boost —
 scales that clause's BM25 contribution; routed through
@@ -207,6 +210,52 @@ def parse_query(node: dict) -> DslPlan:
     return plan
 
 
+_AGG_KINDS = ("terms", "histogram", "stats", "range", "cardinality",
+              "min", "max", "avg", "sum", "value_count")
+
+
+def _run_agg(engine, name: str, spec: dict, text: str,
+             filters: dict | None):
+    """One named aggregation body → its OpenSearch-shaped result:
+    bucket aggs (terms / histogram / range) return a list of bucket
+    dicts; stats returns the 5-field dict; single-value metrics
+    (min/max/avg/sum/value_count, cardinality) return {"value": v}."""
+    kinds = [a for a in _AGG_KINDS if a in spec]
+    if len(kinds) != 1:
+        raise ValueError(
+            f"agg '{name}' needs exactly one of {_AGG_KINDS}: {spec!r}")
+    kind = kinds[0]
+    body = spec[kind]
+    fld = body["field"]
+    if kind == "terms":
+        rows = engine.facets(text, [fld], filters=filters)
+        buckets = [{"key": v, "doc_count": c} for _, v, c in rows]
+        sz = body.get("size")
+        return buckets[:int(sz)] if sz else buckets
+    if kind == "histogram":
+        rows = engine.facet_histogram(text, fld,
+                                      float(body["interval"]),
+                                      filters=filters)
+        return [{"key": b, "doc_count": c} for b, c in rows]
+    if kind == "range":
+        rows = engine.facet_ranges(text, fld, list(body["ranges"]),
+                                   filters=filters)
+        return [{"key": f"{'*' if lo is None else lo}-"
+                        f"{'*' if hi is None else hi}",
+                 **({} if lo is None else {"from": lo}),
+                 **({} if hi is None else {"to": hi}),
+                 "doc_count": c}
+                for lo, hi, c in rows]
+    if kind == "stats":
+        return engine.facet_stats(text, fld, filters=filters)
+    if kind == "cardinality":
+        return {"value": engine.facet_cardinality(text, fld,
+                                                  filters=filters)}
+    # single-value metrics ride the stats op (one pass, same mask)
+    s = engine.facet_stats(text, fld, filters=filters)
+    return {"value": s["count"] if kind == "value_count" else s[kind]}
+
+
 def execute_dsl(engine, body: dict, max_k: int | None = None):
     """Execute an OpenSearch-style body on ``engine`` (a QueryEngine or
     ShardedEngine). Returns the routed op's native result rows."""
@@ -248,24 +297,7 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                 "facet paths aggregate over a conjunctive match set")
         out_aggs: dict = {}
         for name, spec in aggs.items():
-            akind = [a for a in ("terms", "histogram") if a in spec]
-            if len(akind) != 1:
-                raise ValueError(
-                    f"agg '{name}' needs terms or histogram: {spec!r}")
-            if akind[0] == "terms":
-                fld = spec["terms"]["field"]
-                rows = engine.facets(text, [fld], filters=filters)
-                buckets = [{"key": v, "doc_count": c}
-                           for _, v, c in rows]
-                sz = spec["terms"].get("size")
-                out_aggs[name] = buckets[:int(sz)] if sz else buckets
-            else:
-                h = spec["histogram"]
-                rows = engine.facet_histogram(
-                    text, h["field"], float(h["interval"]),
-                    filters=filters)
-                out_aggs[name] = [{"key": b, "doc_count": c}
-                                  for b, c in rows]
+            out_aggs[name] = _run_agg(engine, name, spec, text, filters)
         hits = (engine.search(text, k=k, filters=filters,
                               min_score=min_score)
                 if k > 0 and text else [])

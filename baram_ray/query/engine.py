@@ -564,6 +564,30 @@ class QueryEngine:
         (d, ndf, t) = best[0]
         return (t, -ndf, d)
 
+    def _conj_mask(self, query: str, filters: dict | None) -> np.ndarray:
+        """Boolean mask over the reader's doc rows for the conjunctive
+        match set of ``query`` (every token must match; empty query =
+        whole live corpus) intersected with metadata ``filters`` — the
+        shared match-set predicate behind every aggregation path."""
+        from baram_ray.tokenizer import tokenize
+        r = self.r
+        ok = (r.live.copy() if r.live is not None
+              else np.ones(len(r.doc_ids), dtype=bool))
+        for t in dict.fromkeys(tokenize(query or "")):
+            _, m = self._clause_eval(t, None)
+            ok &= m
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            ok &= mask
+        return ok
+
+    def _meta_col(self, field: str) -> np.ndarray:
+        r = self.r
+        if field not in r.doc_meta:
+            from baram_ray.errors import UnknownFilterColumn
+            raise UnknownFilterColumn(field)
+        return r.doc_meta[field]
+
     def facets(self, query: str, facet_fields: list[str],
                filters: dict | None = None
                ) -> list[tuple[str, object, int]]:
@@ -574,17 +598,8 @@ class QueryEngine:
         value, count) rows sorted count desc / value asc within each
         facet. Shard-local counts sum exactly (docs partition by
         shard), so the sharded form merges by addition."""
-        from baram_ray.tokenizer import tokenize
         r = self.r
-        terms = list(dict.fromkeys(tokenize(query or "")))
-        ok = (r.live.copy() if r.live is not None
-              else np.ones(len(r.doc_ids), dtype=bool))
-        for t in terms:
-            _, m = self._clause_eval(t, None)
-            ok &= m
-        mask = r.filter_mask(filters)
-        if mask is not None:
-            ok &= mask
+        ok = self._conj_mask(query, filters)
         out: list[tuple[str, object, int]] = []
         for f in facet_fields:
             if f not in r.doc_meta:
@@ -604,23 +619,67 @@ class QueryEngine:
         metadata column; bucket key = floor(value / interval) *
         interval (OpenSearch's convention). Returns (bucket_lo, count)
         sorted by bucket. Shard-local histograms sum exactly."""
-        from baram_ray.tokenizer import tokenize
-        r = self.r
-        if field not in r.doc_meta:
-            from baram_ray.errors import UnknownFilterColumn
-            raise UnknownFilterColumn(field)
-        ok = (r.live.copy() if r.live is not None
-              else np.ones(len(r.doc_ids), dtype=bool))
-        for t in dict.fromkeys(tokenize(query or "")):
-            _, m = self._clause_eval(t, None)
-            ok &= m
-        mask = r.filter_mask(filters)
-        if mask is not None:
-            ok &= mask
-        vals = r.doc_meta[field][ok].astype(np.float64)
-        keys = np.floor(vals / interval) * interval
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        keys = np.floor(vals.astype(np.float64) / interval) * interval
         uniq, cnts = np.unique(keys, return_counts=True)
         return [(float(u), int(c)) for u, c in zip(uniq, cnts)]
+
+    def facet_stats(self, query: str, field: str,
+                    filters: dict | None = None) -> dict:
+        """OpenSearch ``stats`` aggregation over the full conjunctive
+        match set: count / min / max / sum / avg of a kept NUMERIC
+        metadata column. Empty match set mirrors OpenSearch: count=0,
+        sum=0, min/max/avg None. Integer columns sum in exact Python
+        ints, so per-shard partial sums merge bit-identically; avg is
+        the single IEEE division sum/count (same op on the sharded
+        merge). Float columns sum per shard — merged sums can differ
+        from a single reader by summation-order ULPs."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        n = int(len(vals))
+        if n == 0:
+            return {"count": 0, "min": None, "max": None,
+                    "sum": 0, "avg": None}
+        if np.issubdtype(vals.dtype, np.integer):
+            tot = int(np.sum(vals, dtype=np.int64))  # exact to 2^63
+            lo, hi = int(vals.min()), int(vals.max())
+        else:
+            tot = float(np.sum(vals.astype(np.float64)))
+            lo, hi = float(vals.min()), float(vals.max())
+        return {"count": n, "min": lo, "max": hi, "sum": tot,
+                "avg": tot / n}
+
+    def facet_ranges(self, query: str, field: str, ranges: list[dict],
+                     filters: dict | None = None
+                     ) -> list[tuple[float | None, float | None, int]]:
+        """OpenSearch ``range`` aggregation: per half-open bucket
+        [from, to) of a kept numeric column, the count of matching
+        docs. ``ranges`` entries carry optional "from"/"to" (absent =
+        open end, OpenSearch convention). Returns (from, to, count)
+        in the given bucket order; per-shard counts sum exactly."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)] \
+            .astype(np.float64)
+        out = []
+        for rg in ranges:
+            lo, hi = rg.get("from"), rg.get("to")
+            m = np.ones(len(vals), dtype=bool)
+            if lo is not None:
+                m &= vals >= float(lo)
+            if hi is not None:
+                m &= vals < float(hi)
+            out.append((None if lo is None else float(lo),
+                        None if hi is None else float(hi),
+                        int(np.count_nonzero(m))))
+        return out
+
+    def facet_cardinality(self, query: str, field: str,
+                          filters: dict | None = None) -> int:
+        """EXACT distinct-count of a kept metadata column over the
+        full conjunctive match set (OpenSearch ``cardinality`` is an
+        HLL approximation; per-shard exact value sets union exactly,
+        so this engine serves the exact number — documented stronger
+        semantics, same API shape)."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        return int(len(np.unique(vals)))
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
@@ -1495,6 +1554,53 @@ class ShardedEngine:
                                             filters=filters):
                 totals[b] = totals.get(b, 0) + c
         return sorted(totals.items())
+
+    def facet_stats(self, query: str, field: str,
+                    filters: dict | None = None) -> dict:
+        """Stats scatter-gather: counts and int sums merge exactly;
+        min/max take the extremum over non-empty shards; avg is the
+        same single IEEE division sum/count as the one-reader path
+        (bit-identical on integer columns)."""
+        n, tot, lo, hi = 0, 0, None, None
+        for eng in self.engines:
+            s = eng.facet_stats(query, field, filters=filters)
+            n += s["count"]
+            tot += s["sum"]
+            if s["count"]:
+                lo = s["min"] if lo is None else min(lo, s["min"])
+                hi = s["max"] if hi is None else max(hi, s["max"])
+        if n == 0:
+            return {"count": 0, "min": None, "max": None,
+                    "sum": 0, "avg": None}
+        return {"count": n, "min": lo, "max": hi, "sum": tot,
+                "avg": tot / n}
+
+    def facet_ranges(self, query: str, field: str, ranges: list[dict],
+                     filters: dict | None = None
+                     ) -> list[tuple[float | None, float | None, int]]:
+        """Range scatter-gather: per-shard bucket counts sum exactly
+        (same bucket list on every shard)."""
+        acc = None
+        for eng in self.engines:
+            rows = eng.facet_ranges(query, field, ranges,
+                                    filters=filters)
+            if acc is None:
+                acc = [list(r) for r in rows]
+            else:
+                for a, (_, _, c) in zip(acc, rows):
+                    a[2] += c
+        return [tuple(a) for a in (acc or [])]
+
+    def facet_cardinality(self, query: str, field: str,
+                          filters: dict | None = None) -> int:
+        """Exact-cardinality scatter-gather: per-shard distinct value
+        SETS (ridden on the facets rows) union exactly — unlike count
+        merging, distinct counts cannot simply add."""
+        seen: set = set()
+        for eng in self.engines:
+            seen.update(v for _, v, _ in
+                        eng.facets(query, [field], filters=filters))
+        return len(seen)
 
     def search_qs(self, q: str, k: int = 10, **kw):
         """Query-string routing on the sharded engine: parses like the

@@ -33,6 +33,15 @@ def _jsonable(v):
                                type(None))) else str(v)
 
 
+def _agg_jsonable(v):
+    """One aggregation result → JSON: bucket lists (terms / histogram /
+    range) and metric dicts (stats / {"value": ..}) both pass every
+    scalar through ``_jsonable``."""
+    if isinstance(v, list):
+        return [{k: _jsonable(x) for k, x in b.items()} for b in v]
+    return {k: _jsonable(x) for k, x in v.items()}
+
+
 def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                   clusters_dir: str | None = None) -> ThreadingHTTPServer:
     """Build (but do not start) the API server; ``port=0`` picks an
@@ -122,10 +131,8 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     return self._json(400, {"error": str(e)})
                 aggs = None
                 if isinstance(hits, dict):          # aggs body
-                    aggs = {name: [{"key": _jsonable(b["key"]),
-                                    "doc_count": int(b["doc_count"])}
-                                   for b in buckets]
-                            for name, buckets
+                    aggs = {name: _agg_jsonable(v)
+                            for name, v
                             in hits["aggregations"].items()}
                     hits = hits["hits"]
                 val_key = ("sort_value" if "sort" in payload

@@ -147,6 +147,31 @@ def test_aggs(engine):
             "aggs": {"l": {"terms": {"field": "lang"}}}}
     out = execute_dsl(e, body)
     assert out["hits"] == e.search("data", k=4)
+    # metric + range + cardinality agg kinds map to the facet ops
+    body = {"query": {"match": "data"}, "size": 0, "aggs": {
+        "st": {"stats": {"field": "n_chars"}},
+        "rg": {"range": {"field": "n_chars",
+                         "ranges": [{"to": 100},
+                                    {"from": 100, "to": 300},
+                                    {"from": 300}]}},
+        "card": {"cardinality": {"field": "source"}},
+        "mx": {"max": {"field": "n_chars"}},
+        "vc": {"value_count": {"field": "n_chars"}}}}
+    out = execute_dsl(e, body)["aggregations"]
+    st = e.facet_stats("data", "n_chars")
+    assert out["st"] == st
+    assert out["mx"] == {"value": st["max"]}
+    assert out["vc"] == {"value": st["count"]}
+    assert out["card"] == {"value": e.facet_cardinality("data",
+                                                        "source")}
+    rows = e.facet_ranges("data", "n_chars",
+                          body["aggs"]["rg"]["range"]["ranges"])
+    c0, c1, c2 = (c for _, _, c in rows)
+    assert out["rg"] == [
+        {"key": "*-100.0", "to": 100.0, "doc_count": c0},
+        {"key": "100.0-300.0", "from": 100.0, "to": 300.0,
+         "doc_count": c1},
+        {"key": "300.0-*", "from": 300.0, "doc_count": c2}]
     # aggs need a match/match_all query
     with pytest.raises(ValueError):
         execute_dsl(e, {"query": {"bool": {"must": [{"match": "a"},
@@ -154,7 +179,7 @@ def test_aggs(engine):
                         "aggs": {"l": {"terms": {"field": "lang"}}}})
     with pytest.raises(ValueError):
         execute_dsl(e, {"query": {"match": "a"},
-                        "aggs": {"l": {"cardinality":
+                        "aggs": {"l": {"percentiles":
                                        {"field": "lang"}}}})
     # match_all without aggs has no ranking
     with pytest.raises(ValueError):

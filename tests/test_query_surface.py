@@ -378,6 +378,61 @@ def test_facet_histogram_and_sorted(engine, ray_session):
                                 ascending=asc) == got
 
 
+def test_facet_stats_ranges_cardinality(engine, ray_session):
+    import duckdb
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import ShardedEngine
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    match = ("list_contains(string_split_regex(lower(trim(text)), "
+             "'\\s+'), 'data')")
+    sh = ShardedEngine(ensure_index(SF), n_groups=2)
+    # stats: count/min/max/sum exact, avg the single division sum/count
+    s = engine.facet_stats("data", "n_chars")
+    n, lo, hi, tot = con.execute(
+        f"SELECT count(*), min(n_chars), max(n_chars), sum(n_chars) "
+        f"FROM documents WHERE {match}").fetchone()
+    assert s == {"count": int(n), "min": int(lo), "max": int(hi),
+                 "sum": int(tot), "avg": int(tot) / int(n)}
+    assert sh.facet_stats("data", "n_chars") == s
+    # empty match set mirrors OpenSearch: count 0, sum 0, None metrics
+    empty = {"count": 0, "min": None, "max": None, "sum": 0,
+             "avg": None}
+    assert engine.facet_stats("qqqxplughz", "n_chars") == empty
+    assert sh.facet_stats("qqqxplughz", "n_chars") == empty
+    # range buckets: half-open [from, to), open ends
+    ranges = [{"to": 100}, {"from": 100, "to": 300}, {"from": 300}]
+    got = engine.facet_ranges("data", "n_chars", ranges)
+    exp = [con.execute(
+        f"SELECT count(*) FROM documents WHERE {match}"
+        + (f" AND n_chars >= {r.get('from')}" if "from" in r else "")
+        + (f" AND n_chars < {r.get('to')}" if "to" in r else "")
+    ).fetchone()[0] for r in ranges]
+    assert [c for _, _, c in got] == [int(c) for c in exp]
+    assert got == [(None, 100.0, exp[0]), (100.0, 300.0, exp[1]),
+                   (300.0, None, exp[2])]
+    assert sh.facet_ranges("data", "n_chars", ranges) == got
+    assert sum(c for _, _, c in got) == s["count"]   # total partition
+    # exact cardinality == SQL COUNT(DISTINCT)
+    card = engine.facet_cardinality("data", "source")
+    assert card == con.execute(
+        f"SELECT count(DISTINCT source) FROM documents "
+        f"WHERE {match}").fetchone()[0]
+    assert sh.facet_cardinality("data", "source") == card
+    # filters compose the same way as facets
+    f = engine.facet_stats("data", "n_chars", filters={"lang": "en"})
+    nf = con.execute(
+        f"SELECT count(*) FROM documents WHERE {match} "
+        f"AND lang = 'en'").fetchone()[0]
+    assert f["count"] == int(nf)
+    # unknown column is an honest error
+    from baram_ray.errors import UnknownFilterColumn
+    for fn in (engine.facet_stats, engine.facet_cardinality):
+        with pytest.raises(UnknownFilterColumn):
+            fn("data", "nope")
+
+
 # ------------------------------------------------------------------ #
 # more-like-this + suggest semantics
 # ------------------------------------------------------------------ #
