@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facet_hist": searchp.search_facet_hist,
         "search_agg_stats": searchp.search_agg_stats,
         "search_agg_range": searchp.search_agg_range,
+        "search_agg_terms_stats": searchp.search_agg_terms_stats,
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,

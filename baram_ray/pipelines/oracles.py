@@ -1774,6 +1774,21 @@ ORACLES: dict[str, str] = {
         SELECT '400.0-*', CAST(count(*) FILTER (
                    WHERE n_chars >= 400) AS BIGINT) FROM m
     """,
+    # nested sub-aggregation: per-lang stats of n_chars over the match
+    # set of 'data' (terms bucket agg + stats sub-agg); avg is the
+    # single IEEE division sum/count of exact ints
+    "search_agg_terms_stats": r"""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        GROUP BY lang
+    """,
     # faceted search: terms aggregation over the full conjunctive match
     # set ("data" AND "stream"), per kept metadata column
     "search_facets": r"""

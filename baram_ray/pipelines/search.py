@@ -532,6 +532,39 @@ def search_agg_range(sf_dir: str, query_text: str = "data"):
     })
 
 
+def search_agg_terms_stats(sf_dir: str, query_text: str = "data"):
+    """Nested sub-aggregation through the JSON DSL (OpenSearch terms
+    bucket agg with metric sub-aggs): per-lang stats of n_chars over
+    the full match set, one vectorized grouped-stats pass on the
+    ShardedEngine (per-bucket counts + int sums merge bit-identically,
+    min/max extremum, avg = the single division). Bucket order =
+    count desc / key asc → hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"chars": {"stats": {"field": "n_chars"}}}}}})
+    buckets = out["aggregations"]["by_lang"]
+    return pd.DataFrame({
+        "lang": pd.array([str(b["key"]) for b in buckets],
+                         dtype=object),
+        "n": pd.array([b["doc_count"] for b in buckets],
+                      dtype="int64"),
+        "min_chars": pd.array([b["chars"]["min"] for b in buckets],
+                              dtype="int64"),
+        "max_chars": pd.array([b["chars"]["max"] for b in buckets],
+                              dtype="int64"),
+        "sum_chars": pd.array([b["chars"]["sum"] for b in buckets],
+                              dtype="int64"),
+        "avg_chars": pd.array([b["chars"]["avg"] for b in buckets],
+                              dtype="float64"),
+    })
+
+
 def search_qs_docs(sf_dir: str):
     """Query-STRING retrieval through the parser (the reference REST
     ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the

@@ -10,7 +10,8 @@ Supported body::
      "sort": [{"col": {"order": "desc"}}] | "col",
      "collapse": {"field": "col"},
      "search_after": [score, doc_id],          # plain match only
-     "aggs": {"name": {"terms": {"field": "col", "size": n}}
+     "aggs": {"name": {"terms": {"field": "col", "size": n,
+                                 "aggs": {metric sub-aggs per bucket}}}
               | {"histogram": {"field": "col", "interval": i}}
               | {"range": {"field": c, "ranges": [{"from":a,"to":b}]}}
               | {"stats" | "min" | "max" | "avg" | "sum"
@@ -214,6 +215,43 @@ _AGG_KINDS = ("terms", "histogram", "stats", "range", "cardinality",
               "min", "max", "avg", "sum", "value_count")
 
 
+_METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
+
+
+def _terms_with_subaggs(engine, name: str, by: str, sub: dict,
+                        text: str, filters: dict | None) -> list[dict]:
+    """terms bucket agg with nested METRIC sub-aggregations
+    (stats/min/max/avg/sum/value_count): one vectorized grouped-stats
+    pass per distinct sub-agg field, assembled into per-bucket
+    results. Bucket ordering (count desc, key asc) and counts are
+    identical to the plain terms agg."""
+    per_field: dict[str, dict] = {}
+    for sname, sspec in sub.items():
+        kinds = [a for a in _METRIC_SUBAGGS if a in sspec]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"sub-agg '{name}.{sname}' must be one metric of "
+                f"{_METRIC_SUBAGGS}: {sspec!r}")
+        per_field.setdefault(sspec[kinds[0]]["field"], {})[sname] = \
+            kinds[0]
+    grouped = {f: engine.facet_group_stats(text, by, f,
+                                           filters=filters)
+               for f in per_field}
+    first = grouped[next(iter(grouped))]
+    buckets = [{"key": v, "doc_count": c} for v, c, *_ in first]
+    for f, names in per_field.items():
+        stats_by_val = {v: {"count": c, "min": lo, "max": hi,
+                            "sum": tot, "avg": avg}
+                        for v, c, lo, hi, tot, avg in grouped[f]}
+        for b in buckets:
+            s = stats_by_val[b["key"]]
+            for sname, skind in names.items():
+                b[sname] = (dict(s) if skind == "stats" else
+                            {"value": s["count"]
+                             if skind == "value_count" else s[skind]})
+    return buckets
+
+
 def _run_agg(engine, name: str, spec: dict, text: str,
              filters: dict | None):
     """One named aggregation body → its OpenSearch-shaped result:
@@ -228,8 +266,13 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     body = spec[kind]
     fld = body["field"]
     if kind == "terms":
-        rows = engine.facets(text, [fld], filters=filters)
-        buckets = [{"key": v, "doc_count": c} for _, v, c in rows]
+        sub = spec.get("aggs", spec.get("aggregations"))
+        if sub:
+            buckets = _terms_with_subaggs(engine, name, fld, sub,
+                                          text, filters)
+        else:
+            rows = engine.facets(text, [fld], filters=filters)
+            buckets = [{"key": v, "doc_count": c} for _, v, c in rows]
         sz = body.get("size")
         return buckets[:int(sz)] if sz else buckets
     if kind == "histogram":

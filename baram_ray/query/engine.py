@@ -681,6 +681,45 @@ class QueryEngine:
         vals = self._meta_col(field)[self._conj_mask(query, filters)]
         return int(len(np.unique(vals)))
 
+    def facet_group_stats(self, query: str, by: str, field: str,
+                          filters: dict | None = None
+                          ) -> list[tuple[object, int, object, object,
+                                          object, float]]:
+        """OpenSearch terms aggregation with a nested ``stats``
+        sub-aggregation: per distinct value of ``by`` in the full
+        conjunctive match set, (value, count, min, max, sum, avg) of
+        the numeric ``field``. Vectorized one-pass group stats
+        (unique-inverse + bincount / extremum scatter, no Python
+        group loop); int sums exact → per-shard partials merge
+        bit-identically. Sorted count desc, value asc (the facets
+        bucket order)."""
+        ok = self._conj_mask(query, filters)
+        byv = self._meta_col(by)[ok]
+        vals = self._meta_col(field)[ok]
+        if len(byv) == 0:
+            return []
+        uniq, inv = np.unique(byv, return_inverse=True)
+        g = len(uniq)
+        cnts = np.bincount(inv, minlength=g)
+        is_int = np.issubdtype(vals.dtype, np.integer)
+        if is_int:
+            sums = np.zeros(g, dtype=np.int64)
+            np.add.at(sums, inv, vals.astype(np.int64))
+        else:
+            sums = np.bincount(inv, weights=vals.astype(np.float64),
+                               minlength=g)
+        v64 = vals.astype(np.int64 if is_int else np.float64)
+        lo = np.full(g, v64.max())
+        hi = np.full(g, v64.min())
+        np.minimum.at(lo, inv, v64)
+        np.maximum.at(hi, inv, v64)
+        cast = int if is_int else float
+        rows = [(uniq[i], int(cnts[i]), cast(lo[i]), cast(hi[i]),
+                 cast(sums[i]), cast(sums[i]) / int(cnts[i]))
+                for i in range(g)]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows
+
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
                       filters: dict | None = None
@@ -1601,6 +1640,27 @@ class ShardedEngine:
             seen.update(v for _, v, _ in
                         eng.facets(query, [field], filters=filters))
         return len(seen)
+
+    def facet_group_stats(self, query: str, by: str, field: str,
+                          filters: dict | None = None) -> list[tuple]:
+        """Grouped-stats scatter-gather: per-bucket counts and int
+        sums add exactly, min/max take the extremum, avg is the same
+        single division sum/count as one reader — bit-identical on
+        integer columns. Re-sorted to the global bucket order."""
+        acc: dict = {}
+        for eng in self.engines:
+            for v, c, lo, hi, tot, _ in eng.facet_group_stats(
+                    query, by, field, filters=filters):
+                if v in acc:
+                    a = acc[v]
+                    acc[v] = [a[0] + c, min(a[1], lo), max(a[2], hi),
+                              a[3] + tot]
+                else:
+                    acc[v] = [c, lo, hi, tot]
+        rows = [(v, c, lo, hi, tot, tot / c)
+                for v, (c, lo, hi, tot) in acc.items()]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows
 
     def search_qs(self, q: str, k: int = 10, **kw):
         """Query-string routing on the sharded engine: parses like the

@@ -34,12 +34,15 @@ def _jsonable(v):
 
 
 def _agg_jsonable(v):
-    """One aggregation result → JSON: bucket lists (terms / histogram /
-    range) and metric dicts (stats / {"value": ..}) both pass every
-    scalar through ``_jsonable``."""
+    """One aggregation result → JSON: recurses through bucket lists
+    (terms / histogram / range, possibly holding nested sub-agg
+    dicts) and metric dicts, passing every scalar through
+    ``_jsonable``."""
     if isinstance(v, list):
-        return [{k: _jsonable(x) for k, x in b.items()} for b in v]
-    return {k: _jsonable(x) for k, x in v.items()}
+        return [_agg_jsonable(b) for b in v]
+    if isinstance(v, dict):
+        return {k: _agg_jsonable(x) for k, x in v.items()}
+    return _jsonable(v)
 
 
 def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,

@@ -172,6 +172,24 @@ def test_aggs(engine):
         {"key": "100.0-300.0", "from": 100.0, "to": 300.0,
          "doc_count": c1},
         {"key": "300.0-*", "from": 300.0, "doc_count": c2}]
+    # nested metric sub-aggs under terms buckets
+    body = {"query": {"match": "data"}, "size": 0, "aggs": {
+        "by_lang": {"terms": {"field": "lang", "size": 3},
+                    "aggs": {"chars": {"stats": {"field": "n_chars"}},
+                             "mx": {"max": {"field": "n_chars"}}}}}}
+    out = execute_dsl(e, body)["aggregations"]["by_lang"]
+    gs = e.facet_group_stats("data", "lang", "n_chars")[:3]
+    assert out == [
+        {"key": v, "doc_count": c,
+         "chars": {"count": c, "min": lo, "max": hi, "sum": tot,
+                   "avg": avg},
+         "mx": {"value": hi}}
+        for v, c, lo, hi, tot, avg in gs]
+    # non-metric sub-agg is an honest error
+    with pytest.raises(ValueError):
+        execute_dsl(e, {"query": {"match": "data"}, "aggs": {
+            "b": {"terms": {"field": "lang"},
+                  "aggs": {"t": {"terms": {"field": "source"}}}}}})
     # aggs need a match/match_all query
     with pytest.raises(ValueError):
         execute_dsl(e, {"query": {"bool": {"must": [{"match": "a"},

@@ -433,6 +433,37 @@ def test_facet_stats_ranges_cardinality(engine, ray_session):
             fn("data", "nope")
 
 
+def test_facet_group_stats(engine, ray_session):
+    import duckdb
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.engine import ShardedEngine
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    got = engine.facet_group_stats("data", "lang", "n_chars")
+    exp = con.execute(
+        "SELECT lang, CAST(count(*) AS BIGINT), min(n_chars), "
+        "max(n_chars), CAST(sum(n_chars) AS BIGINT) FROM documents "
+        "WHERE list_contains(string_split_regex(lower(trim(text)), "
+        "'\\s+'), 'data') GROUP BY lang "
+        "ORDER BY 2 DESC, 1 ASC").fetchall()
+    assert [(str(v), c, lo, hi, tot) for v, c, lo, hi, tot, _ in got] \
+        == [(str(v), int(c), int(lo), int(hi), int(t))
+            for v, c, lo, hi, t in exp]
+    for v, c, lo, hi, tot, avg in got:
+        assert avg == tot / c
+    # bucket order and counts match the plain terms facet
+    assert [(v, c) for v, c, *_ in got] == \
+        [(v, c) for _, v, c in engine.facets("data", ["lang"])]
+    # sharded merge is bit-identical on the int column
+    sh = ShardedEngine(ensure_index(SF), n_groups=2)
+    assert sh.facet_group_stats("data", "lang", "n_chars") == got
+    # empty match set → no buckets
+    assert engine.facet_group_stats("qqqxplughz", "lang",
+                                    "n_chars") == []
+    assert sh.facet_group_stats("qqqxplughz", "lang", "n_chars") == []
+
+
 # ------------------------------------------------------------------ #
 # more-like-this + suggest semantics
 # ------------------------------------------------------------------ #
