@@ -1774,6 +1774,25 @@ ORACLES: dict[str, str] = {
         SELECT '400.0-*', CAST(count(*) FILTER (
                    WHERE n_chars >= 400) AS BIGINT) FROM m
     """,
+    # multi_match field-subset match sets for query 'data en': case 0 =
+    # fields ["text"] (token hits in text only), case 1 = fields
+    # ["text", "lang^2"] (adds docs whose lang field is 'en'; boosts
+    # never change the match SET)
+    "search_multi_match_docs": r"""
+        WITH tok AS (SELECT doc_id, lang,
+                            string_split_regex(lower(trim(text)),
+                                               '\s+') AS t
+                     FROM documents),
+        txt AS (SELECT doc_id, lang,
+                       (list_contains(t, 'data')
+                        OR list_contains(t, 'en')) AS hit_text
+                FROM tok)
+        SELECT CAST(0 AS BIGINT) AS case_id, doc_id
+        FROM txt WHERE hit_text
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id
+        FROM txt WHERE hit_text OR lang = 'en'
+    """,
     # nested sub-aggregation: per-lang stats of n_chars over the match
     # set of 'data' (terms bucket agg + stats sub-agg); avg is the
     # single IEEE division sum/count of exact ints

@@ -565,6 +565,44 @@ def search_agg_terms_stats(sf_dir: str, query_text: str = "data"):
     })
 
 
+def ensure_index_mf(sf_dir: str) -> str:
+    """Two-field variant of :func:`ensure_index` (fields = text, lang)
+    for the multi_match field-subset surface; separate cached dir so
+    the single-field index's size/latency are unchanged."""
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(_INDEX_ROOT, f"documents_{tag}_mf")
+    cfg = IndexConfig(fields=("text", "lang"), id_cols=(),
+                      keep=("lang", "source", "n_chars"))
+    build_index(os.path.join(sf_dir, "documents.parquet"), out, cfg,
+                resume=True)
+    return out
+
+
+def search_multi_match_docs(sf_dir: str):
+    """multi_match RETRIEVAL through the JSON DSL over a two-field
+    (text, lang) index: the match SET of query 'data en' per field
+    subset — ["text"] hits text-token matches only; ["text", "lang^2"]
+    adds every doc whose lang field is 'en' (a doc matches iff ANY
+    requested (field, term) pair hits). Sets are SQL-expressible on
+    the plain-word corpus → hash-exact DuckDB oracle; multi_match
+    SCORING is rank/score-identity-tested vs the brute oracle on the
+    two-field code corpus (tests/test_index_e2e.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index_mf(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    for case_id, fields in enumerate([["text"], ["text", "lang^2"]]):
+        hits = execute_dsl(eng, {
+            "query": {"multi_match": {"query": "data en",
+                                      "fields": fields}},
+            "size": 10**9})
+        for d in sorted(int(d) for d, _ in hits):
+            rows.append({"case_id": case_id, "doc_id": d})
+    df = pd.DataFrame(rows, columns=["case_id", "doc_id"])
+    return df.astype({"case_id": "int64", "doc_id": "int64"})
+
+
 def search_qs_docs(sf_dir: str):
     """Query-STRING retrieval through the parser (the reference REST
     ``q=`` surface): ``'+data -vector stream lang:en'`` routes to the

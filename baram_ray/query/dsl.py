@@ -39,6 +39,9 @@ Query nodes::
                                    "prefix_length": 0,
                                    "max_expansions": 50}}
     {"query_string": {"query": "+a -b \"c d\""}}   # qparse surface
+    {"multi_match": {"query": "text",              # field subset with
+                     "fields": ["content^2",       # ^boost suffixes;
+                                "path"]}}          # top-level only
     {"term": {"col": value}}                       # filter context
     {"range": {"col": {"gte": ..., "lt": ...}}}    # filter context
     {"bool": {"must": [...], "should": [...], "must_not": [...],
@@ -59,9 +62,24 @@ from __future__ import annotations
 
 from typing import Any
 
-_LEAF_KINDS = ("match", "match_phrase", "prefix", "wildcard", "regexp",
-               "fuzzy", "query_string", "term", "range", "match_all",
-               "bool")
+_LEAF_KINDS = ("match", "match_phrase", "multi_match", "prefix",
+               "wildcard", "regexp", "fuzzy", "query_string", "term",
+               "range", "match_all", "bool")
+
+
+def _parse_field_boosts(fields) -> tuple[list[str],
+                                         dict[str, float] | None]:
+    """OpenSearch field list with ``^boost`` suffixes →
+    (field subset, per-field boosts dict or None)."""
+    if not fields or not isinstance(fields, list):
+        raise ValueError("multi_match needs a non-empty 'fields' list")
+    names, boosts = [], {}
+    for f in fields:
+        name, _, w = str(f).partition("^")
+        names.append(name)
+        if w:
+            boosts[name] = float(w)
+    return names, boosts or None
 
 
 def _node_kind(node: dict) -> str:
@@ -125,6 +143,10 @@ def _leaf_spec_inner(kind: str, v) -> dict:
                 else int(fz),
                 "prefix_length": int(d.get("prefix_length", 0)),
                 "max_expansions": int(d.get("max_expansions", 50))}
+    if kind == "multi_match":
+        raise ValueError("multi_match is top-level only (routed by "
+                         "execute_dsl) — inside bool, use match "
+                         "clauses with per-field boosts")
     raise ValueError(f"{kind} is not a scoring clause here — "
                      "term/range belong in bool.filter")
 
@@ -318,6 +340,17 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                              "only — use an explicit query node for "
                              "sort/collapse/search_after")
         return engine.search_qs(qs, k=k, min_score=min_score)
+
+    if _node_kind(node) == "multi_match":
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("multi_match composes with size/min_score "
+                             "only")
+        mm = node["multi_match"]
+        fields, boosts = _parse_field_boosts(mm.get("fields"))
+        return engine.search(mm["query"], k=k, fields=fields,
+                             boosts=boosts, min_score=min_score)
 
     plan = parse_query(node)
     filters = plan.filters or None

@@ -163,13 +163,24 @@ class QueryEngine:
         self.b = self.r.b
 
     # ------------------------------------------------------------------ #
-    def _iters(self, query: str, boosts: dict[str, float] | None):
+    def _iters(self, query: str, boosts: dict[str, float] | None,
+               fields: list[str] | None = None):
         from baram_ray.tokenizer import tokenize
         terms = sorted(set(tokenize(query)))
         boosts = boosts or {}
+        if fields is not None:
+            unknown = set(fields) - set(self.r.fields)
+            if unknown:
+                from baram_ray.errors import UnknownFilterColumn
+                raise UnknownFilterColumn(sorted(unknown)[0])
         its: list[_TermIter] = []
         n = self.r.n_docs
-        for f in self.r.fields:                 # field order, then sorted terms
+        # reader field order (restricted to the requested subset), then
+        # sorted terms — accumulation order is fixed regardless of the
+        # caller's fields list order, so fp sums are reproducible
+        use = (self.r.fields if fields is None
+               else [f for f in self.r.fields if f in set(fields)])
+        for f in use:                           # field order, then sorted terms
             w = float(boosts.get(f, 1.0))
             for t in terms:
                 pl = self.r.postings.get((f, t))
@@ -186,7 +197,8 @@ class QueryEngine:
                filters: dict | None = None,
                min_score: float | None = None,
                algorithm: str = "auto",
-               after: tuple[float, int] | None = None
+               after: tuple[float, int] | None = None,
+               fields: list[str] | None = None
                ) -> list[tuple[int, float]]:
         """Top-k (doc_id, score), sorted (score desc, doc_id asc).
 
@@ -194,8 +206,13 @@ class QueryEngine:
         search_after pagination (reference scroll loop,
         ``src/clustering/engine.rs:152-280``; OpenSearch search_after).
         Deterministic scoring makes the (score, doc_id) cursor exact.
+
+        ``fields``: restrict matching AND scoring to a subset of the
+        indexed fields (OpenSearch multi_match field list; docs whose
+        only hits are in other fields do not match). Combine with
+        per-field ``boosts`` for the ``field^w`` syntax.
         """
-        its = self._iters(query, boosts)
+        its = self._iters(query, boosts, fields)
         if not its or k <= 0:
             return []
         mask = self.r.filter_mask(filters)

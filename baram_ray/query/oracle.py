@@ -61,11 +61,14 @@ class OracleIndex:
     def search(self, query: str, k: int = 10,
                boosts: dict[str, float] | None = None,
                filters: dict[str, str] | None = None,
-               min_score: float | None = None) -> list[tuple[int, float]]:
+               min_score: float | None = None,
+               fields: list[str] | None = None) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(query)))
         boosts = boosts or {}
         scores: dict[int, float] = {}
-        for f in self.fields:
+        use = (self.fields if fields is None
+               else [f for f in self.fields if f in set(fields)])
+        for f in use:
             w = float(boosts.get(f, 1.0))
             avg = self.avgdl[f] or 1.0
             for t in terms:

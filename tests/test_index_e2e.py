@@ -106,6 +106,42 @@ def test_filters_and_min_score(engine, oracle):
         assert [d for d, _ in got_m] == [d for d, _ in exp_m]
 
 
+def test_multi_match_field_subset(engine, oracle):
+    """OpenSearch multi_match: matching AND scoring restricted to a
+    field subset — rank- and score-identical to the brute oracle, and
+    docs whose only hits are in excluded fields drop out."""
+    from baram_ray.query.dsl import execute_dsl
+    for fields, boosts in ([["path"], None], [["content"], None],
+                           [["content", "path"], {"path": 2.0}]):
+        for q in ("import batch", "the parse index", "util"):
+            exp = oracle.search(q, k=25, fields=fields, boosts=boosts)
+            got = engine.search(q, k=25, fields=fields, boosts=boosts)
+            assert [d for d, _ in got] == [d for d, _ in exp], \
+                (q, fields)
+            for (_, s1), (_, s2) in zip(got, exp):
+                assert abs(s1 - s2) <= 1e-9
+    # full field list == no restriction (reader field order fixed)
+    q = "import parse"
+    assert engine.search(q, k=50, fields=["path", "content"]) == \
+        engine.search(q, k=50)
+    # a doc matching ONLY in content disappears under fields=["path"]
+    full = {d for d, _ in engine.search("import", k=10**6)}
+    path_only = {d for d, _ in engine.search("import", k=10**6,
+                                             fields=["path"])}
+    assert path_only <= full
+    # DSL routing: multi_match with ^boost suffixes == explicit call
+    body = {"query": {"multi_match": {"query": "import batch",
+                                      "fields": ["path^2", "content"]}},
+            "size": 25}
+    assert execute_dsl(engine, body) == engine.search(
+        "import batch", k=25, fields=["path", "content"],
+        boosts={"path": 2.0})
+    # unknown field is an honest error
+    from baram_ray.errors import UnknownFilterColumn
+    with pytest.raises(UnknownFilterColumn):
+        engine.search("import", fields=["nope"])
+
+
 def test_tie_break_doc_id_asc(engine, oracle):
     """Duplicate-content docs score identically; order must be doc_id asc."""
     got = engine.search("import the def", k=100)
