@@ -191,7 +191,8 @@ def cmd_stats(args) -> int:
 def cmd_serve(args) -> int:
     from baram_ray.serve import create_server
     srv = create_server(args.index, host=args.host, port=args.port,
-                        clusters_dir=args.clusters)
+                        clusters_dir=args.clusters,
+                        corpus_path=args.corpus)
     host, port = srv.server_address[:2]
     print(f"serving {args.index} on http://{host}:{port}")
     try:
@@ -341,6 +342,9 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--clusters", default=None,
                     help="S9 cluster-JSON dir for /api/events")
+    sv.add_argument("--corpus", default=None,
+                    help="source documents parquet — enables "
+                         "highlight=1 snippets on /api/search")
     sv.set_defaults(fn=cmd_serve)
 
     st = sub.add_parser("stats", help="index metadata")

@@ -46,12 +46,33 @@ def _agg_jsonable(v):
 
 
 def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
-                  clusters_dir: str | None = None) -> ThreadingHTTPServer:
+                  clusters_dir: str | None = None,
+                  corpus_path: str | None = None) -> ThreadingHTTPServer:
     """Build (but do not start) the API server; ``port=0`` picks an
     ephemeral port (``srv.server_address``). Call ``serve_forever()`` /
-    ``shutdown()`` to run."""
+    ``shutdown()`` to run.
+
+    ``corpus_path``: the source documents parquet. When given,
+    ``GET /api/search?...&highlight=1`` returns per-hit ``<mark>``
+    fragments + truncated content (reference highlight response,
+    src/embedding/mod.rs:612-676) — the index stores doc LENGTHS, not
+    text, so snippets need the corpus. Per request this reads only the
+    k hit rows (DuckDB predicate pushdown on doc_id row-group stats),
+    never the corpus."""
     from baram_ray.query.engine import QueryEngine
     engine = QueryEngine(index_dir)
+
+    def doc_texts(doc_ids: list[int]) -> dict[int, str]:
+        import duckdb
+        if not doc_ids:
+            return {}
+        con = duckdb.connect()
+        ids = ",".join(str(int(d)) for d in doc_ids)
+        rows = con.execute(
+            f"SELECT doc_id, text FROM read_parquet(?) "
+            f"WHERE doc_id IN ({ids})", [corpus_path]).fetchall()
+        con.close()
+        return {int(d): t for d, t in rows}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):      # quiet: no per-request stderr
@@ -107,11 +128,31 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                 hits = engine.search_wildcard(q, k=k, min_score=ms)
             else:
                 return self._json(400, {"error": f"unknown mode {mode}"})
-            self._json(200, {
-                "query": q, "mode": mode,
-                "results": [{"rank": i + 1, "doc_id": int(d),
-                             "score": float(s)}
-                            for i, (d, s) in enumerate(hits)]})
+            results = [{"rank": i + 1, "doc_id": int(d),
+                        "score": float(s)}
+                       for i, (d, s) in enumerate(hits)]
+            if qs.get("highlight") in ("1", "true"):
+                if corpus_path is None:
+                    return self._json(400, {
+                        "error": "highlight needs the server started "
+                                 "with corpus_path (the index stores "
+                                 "doc lengths, not text)"})
+                if mode not in ("bm25", "phrase"):
+                    return self._json(400, {
+                        "error": "highlight supports bm25/phrase "
+                                 "modes (expansion modes match terms "
+                                 "the raw query does not contain)"})
+                from baram_ray.query.highlight import snippets_for_hit
+                from baram_ray.tokenizer import tokenize
+                texts = doc_texts([r["doc_id"] for r in results])
+                terms = sorted(set(tokenize(q)))
+                for r in results:
+                    snip = snippets_for_hit(
+                        texts.get(r["doc_id"], ""), terms)
+                    r["content"] = snip["content"]
+                    r["highlights"] = snip["highlights"]
+            self._json(200, {"query": q, "mode": mode,
+                             "results": results})
 
         def do_POST(self):
             # POST /api/search: OpenSearch-style JSON query body (the

@@ -26,7 +26,8 @@ def server(ray_session, tmp_path_factory):
     cdir = str(tmp_path_factory.mktemp("clusters"))
     write_cluster_json(clusters, cdir)
     srv = create_server(ensure_index(SF, positions=True), port=0,
-                        clusters_dir=cdir)
+                        clusters_dir=cdir,
+                        corpus_path=f"{SF}/documents.parquet")
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield srv
@@ -110,6 +111,41 @@ def _post(server, path, obj):
     out = json.loads(r.read())
     conn.close()
     return r.status, out
+
+
+def test_search_highlight(server):
+    import duckdb
+    from baram_ray.query.highlight import snippets_for_hit
+    from baram_ray.tokenizer import tokenize
+    status, body = _get(server,
+                        "/api/search?q=data+stream&k=3&highlight=1")
+    assert status == 200 and len(body["results"]) == 3
+    con = duckdb.connect()
+    terms = sorted(set(tokenize("data stream")))
+    for r in body["results"]:
+        text = con.execute(
+            f"SELECT text FROM '{SF}/documents.parquet' "
+            f"WHERE doc_id = {r['doc_id']}").fetchone()[0]
+        snip = snippets_for_hit(text, terms)
+        assert r["content"] == snip["content"]
+        assert r["highlights"] == snip["highlights"]
+        assert any("<mark>" in h for h in r["highlights"])
+    # expansion modes refuse highlight honestly
+    status, _ = _get(server,
+                     "/api/search?q=dat&mode=prefix&highlight=1")
+    assert status == 400
+    # no corpus_path → honest 400 (fresh server without corpus)
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.serve import create_server
+    import threading
+    srv2 = create_server(ensure_index(SF, positions=True), port=0)
+    t = threading.Thread(target=srv2.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, body = _get(srv2, "/api/search?q=data&highlight=1")
+        assert status == 400 and "corpus_path" in body["error"]
+    finally:
+        srv2.shutdown()
 
 
 def test_search_post_aggs(server):
