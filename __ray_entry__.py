@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_agg_range": searchp.search_agg_range,
         "search_agg_terms_stats": searchp.search_agg_terms_stats,
         "search_multi_match_docs": searchp.search_multi_match_docs,
+        "search_sorted_paged": searchp.search_sorted_paged,
         "search_sorted_docs": searchp.search_sorted_docs,
         "search_collapse_docs": searchp.search_collapse_docs,
         "search_qs_docs": searchp.search_qs_docs,

@@ -1774,6 +1774,19 @@ ORACLES: dict[str, str] = {
         SELECT '400.0-*', CAST(count(*) FILTER (
                    WHERE n_chars >= 400) AS BIGINT) FROM m
     """,
+    # sort+search_after pagination: two 8-row pages over the match set
+    # of 'data' ordered n_chars DESC, doc_id ASC == one-shot LIMIT 16
+    # (composite cursor key is unique per doc)
+    "search_sorted_paged": r"""
+        WITH m AS (SELECT doc_id, n_chars,
+                          row_number() OVER (ORDER BY n_chars DESC,
+                                             doc_id ASC) AS rn
+                   FROM documents
+                   WHERE list_contains(string_split_regex(
+                             lower(trim(text)), '\s+'), 'data'))
+        SELECT CAST((rn - 1) // 8 AS BIGINT) AS page, doc_id, n_chars
+        FROM m WHERE rn <= 16
+    """,
     # multi_match field-subset match sets for query 'data en': case 0 =
     # fields ["text"] (token hits in text only), case 1 = fields
     # ["text", "lang^2"] (adds docs whose lang field is 'en'; boosts

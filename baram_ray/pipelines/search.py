@@ -565,6 +565,33 @@ def search_agg_terms_stats(sf_dir: str, query_text: str = "data"):
     })
 
 
+def search_sorted_paged(sf_dir: str, query_text: str = "data",
+                        sort_by: str = "n_chars", page: int = 8):
+    """sort + search_after pagination through the JSON DSL (OpenSearch
+    composite (sort_value, doc_id) cursor): two pages over the
+    ShardedEngine concatenated — must equal the one-shot sorted scan
+    (LIMIT 2·page in SQL) because the cursor key is unique per doc.
+    Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    body = {"query": {"match": query_text},
+            "sort": [{sort_by: {"order": "desc"}}], "size": page}
+    p1 = execute_dsl(eng, body)
+    hits = list(p1)
+    if p1:
+        p2 = execute_dsl(eng, {**body,
+                               "search_after": [p1[-1][1], p1[-1][0]]})
+        hits += p2
+    return pd.DataFrame({
+        "page": pd.array([0] * len(p1) + [1] * (len(hits) - len(p1)),
+                         dtype="int64"),
+        "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+        sort_by: pd.array([int(v) for _, v in hits], dtype="int64"),
+    })
+
+
 def ensure_index_mf(sf_dir: str) -> str:
     """Two-field variant of :func:`ensure_index` (fields = text, lang)
     for the multi_match field-subset surface; separate cached dir so

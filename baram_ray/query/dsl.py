@@ -9,7 +9,10 @@ Supported body::
     {"query": <node>, "size": 10, "min_score": 0.5,
      "sort": [{"col": {"order": "desc"}}] | "col",
      "collapse": {"field": "col"},
-     "search_after": [score, doc_id],          # plain match only
+     "search_after": [score, doc_id],          # plain match; with
+                                               # "sort": the composite
+                                               # (sort_value, doc_id)
+                                               # cursor
      "aggs": {"name": {"terms": {"field": "col", "size": n,
                                  "aggs": {metric sub-aggs per bucket}}}
               | {"histogram": {"field": "col", "interval": i}}
@@ -397,12 +400,17 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if sort is not None:
             col, ascending = _sort_key(sort)
             if collapse is not None:
+                if after is not None:
+                    raise ValueError("search_after does not compose "
+                                     "with collapse")
                 return engine.search_collapse_sorted(
                     text, collapse["field"], col, k=k,
                     ascending=ascending, filters=filters)
+            cursor = ((after[0], int(after[1]))
+                      if after is not None else None)
             return engine.search_sorted(text, col, k=k,
                                         ascending=ascending,
-                                        filters=filters)
+                                        filters=filters, after=cursor)
         if collapse is not None:
             return engine.search_collapse(text, collapse["field"], k=k,
                                           filters=filters)

@@ -739,25 +739,28 @@ class QueryEngine:
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
-                      filters: dict | None = None
+                      filters: dict | None = None,
+                      after: tuple | None = None
                       ) -> list[tuple[int, object]]:
         """Metadata-sorted retrieval (OpenSearch ``sort`` clause instead
         of _score): the conjunctive match set ordered by a kept
         metadata column (doc_id-asc tie-break), top-k. Returns
-        (doc_id, sort_value) rows."""
-        from baram_ray.tokenizer import tokenize
+        (doc_id, sort_value) rows.
+
+        ``after=(sort_value, doc_id)``: resume strictly after that
+        composite cursor — OpenSearch sort+search_after pagination.
+        The (value, doc_id) key is unique per doc, so page-concat
+        equals a one-shot scan (tested)."""
         r = self.r
         if sort_by not in r.doc_meta:
             from baram_ray.errors import UnknownFilterColumn
             raise UnknownFilterColumn(sort_by)
-        ok = (r.live.copy() if r.live is not None
-              else np.ones(len(r.doc_ids), dtype=bool))
-        for t in dict.fromkeys(tokenize(query or "")):
-            _, m = self._clause_eval(t, None)
-            ok &= m
-        mask = r.filter_mask(filters)
-        if mask is not None:
-            ok &= mask
+        ok = self._conj_mask(query, filters)
+        if after is not None:
+            v_a, d_a = after
+            col = r.doc_meta[sort_by]
+            later = (col > v_a) if ascending else (col < v_a)
+            ok &= later | ((col == v_a) & (r.doc_ids > int(d_a)))
         rows = np.nonzero(ok)[0]
         if len(rows) == 0 or k <= 0:
             return []
@@ -1775,14 +1778,18 @@ class ShardedEngine:
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
-                      filters: dict | None = None) -> list:
+                      filters: dict | None = None,
+                      after: tuple | None = None) -> list:
         """Sorted-retrieval scatter-gather: merge each shard's top-k by
-        the same (value, doc_id) key — identical to a single reader."""
+        the same (value, doc_id) key — identical to a single reader.
+        The ``after`` cursor filters per shard before each local
+        top-k, so pagination composes exactly."""
         hits = []
         for eng in self.engines:
             hits.extend(eng.search_sorted(query, sort_by, k=k,
                                           ascending=ascending,
-                                          filters=filters))
+                                          filters=filters,
+                                          after=after))
         hits.sort(key=lambda dv: ((dv[1], dv[0]) if ascending
                                   else (_RevKey(dv[1]), dv[0])))
         return hits[:k]

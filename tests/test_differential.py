@@ -65,6 +65,7 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_count", "search_facets", "search_facet_hist",
                "search_agg_stats", "search_agg_range",
                "search_agg_terms_stats", "search_multi_match_docs",
+               "search_sorted_paged",
                "search_sorted_docs", "search_suggest",
                "search_percolate", "search_qs_docs",
                "search_collapse_latest", "search_compound_docs",

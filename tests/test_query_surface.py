@@ -433,6 +433,46 @@ def test_facet_stats_ranges_cardinality(engine, ray_session):
             fn("data", "nope")
 
 
+def test_sorted_search_after(engine, ray_session):
+    """sort + search_after composite cursor: page-concat equals the
+    one-shot sorted scan, single reader and sharded alike, and the
+    DSL body routes it."""
+    from baram_ray.pipelines.search import ensure_index
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    sh = ShardedEngine(ensure_index(SF), n_groups=2)
+    for asc in (True, False):
+        full = engine.search_sorted("data", "n_chars", k=10**9,
+                                    ascending=asc)
+        for eng in (engine, sh):
+            pages, cursor = [], None
+            while True:
+                page = eng.search_sorted("data", "n_chars", k=7,
+                                         ascending=asc, after=cursor)
+                if not page:
+                    break
+                pages.extend(page)
+                cursor = (page[-1][1], page[-1][0])
+            assert pages == full
+    # DSL routing == explicit call; cursor resumes exactly
+    p1 = execute_dsl(engine, {"query": {"match": "data"},
+                              "sort": [{"n_chars": {"order": "desc"}}],
+                              "size": 5})
+    p2 = execute_dsl(engine, {"query": {"match": "data"},
+                              "sort": [{"n_chars": {"order": "desc"}}],
+                              "search_after": [p1[-1][1], p1[-1][0]],
+                              "size": 5})
+    one = engine.search_sorted("data", "n_chars", k=10,
+                               ascending=False)
+    assert p1 + p2 == one
+    # collapse + search_after is an honest error
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"match": "data"},
+                             "sort": "n_chars",
+                             "collapse": {"field": "lang"},
+                             "search_after": [0, 0]})
+
+
 def test_facet_group_stats(engine, ray_session):
     import duckdb
     from baram_ray.pipelines.search import ensure_index
