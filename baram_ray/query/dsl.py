@@ -14,9 +14,16 @@ Supported body::
                                                # (sort_value, doc_id)
                                                # cursor
      "aggs": {"name": {"terms": {"field": "col", "size": n,
-                                 "aggs": {metric sub-aggs per bucket}}}
+                                 "aggs": {metric sub-aggs per bucket
+                                          | ONE top_hits sub-agg}}}
               | {"histogram": {"field": "col", "interval": i}}
+              | {"date_histogram": {"field": "epoch_day_col",
+                                    "calendar_interval": "month"
+                                    | "fixed_interval": days}}
               | {"range": {"field": c, "ranges": [{"from":a,"to":b}]}}
+              | {"percentiles": {"field": c, "percents": [...]}}
+              | {"significant_text": {"field": c, "size": n,
+                                      "min_doc_count": m}}
               | {"stats" | "min" | "max" | "avg" | "sum"
                  | "value_count" | "cardinality": {"field": "col"}}}}
 
@@ -32,6 +39,11 @@ Query nodes::
     {"match": "text"} | {"match": {"query": "text"}}
     {"match_phrase": "a b"} | {"match_phrase": {"query": "a b",
                                                 "slop": 1}}
+    {"match_phrase_prefix": "a b"} | {"match_phrase_prefix":
+        {"query": "a b", "max_expansions": 50}}  # last term = prefix
+    {"dis_max": {"queries": [leaf nodes], "tie_breaker": 0.3}}
+    {"constant_score": {"filter": [term/range/match nodes],
+                        "boost": 1.2}}
     {"prefix": "pre"} | {"prefix": {"value": "pre",
                                     "max_expansions": 50}}
     {"wildcard": "w?ld*"} | {"wildcard": {"value": ...,
@@ -65,9 +77,10 @@ from __future__ import annotations
 
 from typing import Any
 
-_LEAF_KINDS = ("match", "match_phrase", "multi_match", "prefix",
-               "wildcard", "regexp", "fuzzy", "query_string", "term",
-               "range", "match_all", "bool")
+_LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
+               "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
+               "query_string", "term", "range", "match_all", "bool",
+               "dis_max", "constant_score")
 
 
 def _parse_field_boosts(fields) -> tuple[list[str],
@@ -122,6 +135,13 @@ def _leaf_spec_inner(kind: str, v) -> dict:
     if kind == "match_phrase":
         d = _text_arg(v)
         spec = {"phrase": d["query"], "slop": int(d.get("slop", 0))}
+        if d.get("fields"):
+            spec["fields"] = list(d["fields"])
+        return spec
+    if kind == "match_phrase_prefix":
+        d = _text_arg(v)
+        spec = {"phrase_prefix": d["query"],
+                "max_expansions": int(d.get("max_expansions", 50))}
         if d.get("fields"):
             spec["fields"] = list(d["fields"])
         return spec
@@ -230,14 +250,15 @@ def parse_query(node: dict) -> DslPlan:
             "with a scoring clause, or use facets()/search_sorted()")
     if kind == "match_all":
         return plan                      # empty plan: aggs-only bodies
-    if kind == "query_string":
-        raise ValueError("query_string is routed by execute_dsl")
+    if kind in ("query_string", "dis_max", "constant_score"):
+        raise ValueError(f"{kind} is routed by execute_dsl")
     plan.should.append(_leaf_spec(kind, node[kind]))
     return plan
 
 
-_AGG_KINDS = ("terms", "histogram", "stats", "range", "cardinality",
-              "min", "max", "avg", "sum", "value_count")
+_AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
+              "cardinality", "min", "max", "avg", "sum", "value_count",
+              "percentiles", "significant_text", "significant_terms")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -289,10 +310,21 @@ def _run_agg(engine, name: str, spec: dict, text: str,
             f"agg '{name}' needs exactly one of {_AGG_KINDS}: {spec!r}")
     kind = kinds[0]
     body = spec[kind]
-    fld = body["field"]
+    fld = body.get("field")
     if kind == "terms":
         sub = spec.get("aggs", spec.get("aggregations"))
-        if sub:
+        if sub and len(sub) == 1 and "top_hits" in next(iter(
+                sub.values())):
+            sname, th = next(iter(sub.items()))
+            th = th["top_hits"]
+            col, ascending = _sort_key(th.get("sort", "doc_id"))
+            buckets = [
+                {"key": b["key"], "doc_count": b["doc_count"],
+                 sname: b["hits"]}
+                for b in engine.facet_top_hits(
+                    text, fld, col, size=int(th.get("size", 3)),
+                    ascending=ascending, filters=filters)]
+        elif sub:
             buckets = _terms_with_subaggs(engine, name, fld, sub,
                                           text, filters)
         else:
@@ -305,6 +337,25 @@ def _run_agg(engine, name: str, spec: dict, text: str,
                                       float(body["interval"]),
                                       filters=filters)
         return [{"key": b, "doc_count": c} for b, c in rows]
+    if kind == "date_histogram":
+        rows = engine.facet_date_histogram(
+            text, fld,
+            calendar_interval=body.get("calendar_interval"),
+            fixed_interval=body.get("fixed_interval"),
+            filters=filters)
+        return [{"key_as_string": s, "key": u, "doc_count": c}
+                for s, u, c in rows]
+    if kind == "percentiles":
+        vals = engine.facet_percentiles(
+            text, fld, percents=body.get("percents"), filters=filters)
+        return {"values": vals}
+    if kind in ("significant_text", "significant_terms"):
+        rows = engine.facet_significant_text(
+            text, size=int(body.get("size", 10)),
+            min_doc_count=int(body.get("min_doc_count", 3)),
+            field=fld, filters=filters)
+        return [{"key": t, "doc_count": fg, "bg_count": bg,
+                 "score": s} for t, fg, bg, s in rows]
     if kind == "range":
         rows = engine.facet_ranges(text, fld, list(body["ranges"]),
                                    filters=filters)
@@ -354,6 +405,51 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         fields, boosts = _parse_field_boosts(mm.get("fields"))
         return engine.search(mm["query"], k=k, fields=fields,
                              boosts=boosts, min_score=min_score)
+
+    if _node_kind(node) == "dis_max":
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("dis_max composes with size/min_score "
+                             "only")
+        dm = node["dis_max"]
+        subs = dm.get("queries")
+        if not subs or not isinstance(subs, list):
+            raise ValueError("dis_max needs a non-empty 'queries' "
+                             "list")
+        specs = []
+        for sn in subs:
+            sk = _node_kind(sn)
+            specs.append(_leaf_spec(sk, sn[sk]))
+        return engine.search_dismax(
+            specs, tie_breaker=float(dm.get("tie_breaker", 0.0)),
+            k=k, min_score=min_score)
+
+    if _node_kind(node) == "constant_score":
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("constant_score composes with size only")
+        cs = node["constant_score"]
+        flt = cs.get("filter")
+        nodes = (flt if isinstance(flt, list)
+                 else ([flt] if flt else []))
+        cfilters: dict = {}
+        texts: list[str] = []
+        for fn in nodes:
+            fk = _node_kind(fn)
+            if fk in ("term", "range"):
+                col, val = _filter_entry(fk, fn[fk])
+                cfilters[col] = val
+            elif fk == "match":
+                texts.append(_text_arg(fn[fk])["query"])
+            elif fk != "match_all":
+                raise ValueError(
+                    "constant_score.filter supports term/range/match/"
+                    "match_all nodes")
+        return engine.search_constant_score(
+            boost=float(cs.get("boost", 1.0)), k=k,
+            query=" ".join(texts), filters=cfilters or None)
 
     plan = parse_query(node)
     filters = plan.filters or None
@@ -429,6 +525,12 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if "phrase" in spec:
             return engine.search_phrase(
                 spec["phrase"], k=k, slop=spec.get("slop", 0),
+                fields=spec.get("fields"), filters=filters,
+                min_score=min_score)
+        if "phrase_prefix" in spec:
+            return engine.search_phrase_prefix(
+                spec["phrase_prefix"], k=k,
+                max_expansions=spec["max_expansions"],
                 fields=spec.get("fields"), filters=filters,
                 min_score=min_score)
         if "prefix" in spec:

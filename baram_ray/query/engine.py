@@ -33,8 +33,8 @@ import pandas as pd
 from baram_ray.index.segment import IndexReader, PostingList
 
 # clause-spec kinds accepted by search_compound / match_compound_docs
-CLAUSE_KINDS = ("match", "phrase", "prefix", "wildcard", "regexp",
-                "fuzzy")
+CLAUSE_KINDS = ("match", "phrase", "phrase_prefix", "prefix",
+                "wildcard", "regexp", "fuzzy")
 
 
 def clause_kind(spec) -> str:
@@ -425,6 +425,24 @@ class QueryEngine:
                                        slop=int(spec.get("slop", 0)),
                                        fields=spec.get("fields"),
                                        boosts=boosts)
+        if kind == "phrase_prefix":
+            r2 = self.r
+            acc = np.zeros(len(r2.doc_ids), dtype=np.float64)
+            matched = np.zeros(len(r2.doc_ids), dtype=bool)
+            per_field = self._phrase_prefix_freqs(
+                spec["phrase_prefix"], fields=spec.get("fields"),
+                boosts=boosts,
+                max_expansions=int(spec.get("max_expansions", 50)))
+            for f, w, idf_sum, freqs in per_field:
+                avg = r2.avgdl[f] or 1.0
+                dl = r2.dl[f]
+                for rank, fr in freqs.items():
+                    row = rank - r2.rank_base
+                    acc[row] += w * idf_sum * fr / (
+                        fr + self.k1 * (1.0 - self.b
+                                        + (self.b * dl[row]) / avg))
+                    matched[row] = True
+            return acc, matched
         from baram_ray.tokenizer import tokenize
         r = self.r
         b = boosts or {}
@@ -549,6 +567,71 @@ class QueryEngine:
                                     k=len(self.r.doc_ids),
                                     filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
+    def search_dismax(self, queries: list, tie_breaker: float = 0.0,
+                      k: int = 10,
+                      boosts: dict[str, float] | None = None,
+                      filters: dict | None = None,
+                      min_score: float | None = None
+                      ) -> list[tuple[int, float]]:
+        """Disjunction-max top-k (Lucene ``DisjunctionMaxQuery``, the
+        OpenSearch ``dis_max`` body): a doc matches if ANY clause
+        matches; score = best matching clause's score +
+        ``tie_breaker`` × Σ of the other matching clauses' scores.
+        Clauses are the same typed specs as ``search_compound`` (each
+        scores exactly like its standalone op). tie_breaker 0 is pure
+        max (the Lucene default); 1 degenerates to the compound sum.
+        Sorted (score desc, doc_id asc)."""
+        if not queries:
+            return []
+        r = self.r
+        n = len(r.doc_ids)
+        best = np.zeros(n, dtype=np.float64)
+        total = np.zeros(n, dtype=np.float64)
+        any_m = np.zeros(n, dtype=bool)
+        for spec in queries:
+            s, m = self._spec_arrays(spec, boosts)
+            s = np.where(m, s, 0.0)
+            np.maximum(best, s, out=best)
+            total += s
+            any_m |= m
+        acc = best + tie_breaker * (total - best)
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            any_m &= mask
+        cand = np.nonzero(any_m)[0]
+        if len(cand) == 0 or k <= 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -acc[cand]))
+        top = cand[order[:k]]
+        out = [(int(r.doc_ids[i]), float(acc[i])) for i in top]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_dismax_docs(self, queries: list,
+                          filters: dict | None = None) -> np.ndarray:
+        """dis_max RETRIEVAL (no scoring): sorted doc_ids matching ANY
+        clause — the SQL-checkable union core of ``search_dismax``."""
+        hits = self.search_dismax(queries, k=len(self.r.doc_ids),
+                                  filters=filters)
+        return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
+    def search_constant_score(self, boost: float = 1.0, k: int = 10,
+                              query: str = "",
+                              filters: dict | None = None
+                              ) -> list[tuple[int, float]]:
+        """Constant-score retrieval (OpenSearch ``constant_score``): every
+        doc in the filter-context match set (conjunctive ``query`` terms
+        ∩ metadata ``filters``; empty query = whole live corpus) scores
+        exactly ``boost``. Equal scores tie-break doc_id asc, so the
+        result is the first k matching doc_ids."""
+        ok = self._conj_mask(query, filters)
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0 or k <= 0:
+            return []
+        ids = np.sort(self.r.doc_ids[rows])[:k]
+        return [(int(d), float(boost)) for d in ids]
 
     def suggest(self, term: str, field: str | None = None,
                 max_edits: int = 2, prefix_length: int = 1
@@ -736,6 +819,204 @@ class QueryEngine:
                 for i in range(g)]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows
+
+    # calendar truncation for date_histogram: epoch-day value → the
+    # bucket's first epoch day (vectorized numpy datetime64 math; weeks
+    # start Monday like OpenSearch/ISO — 1970-01-01 was a Thursday, so
+    # days-since-Monday = (epoch_day + 3) mod 7)
+    @staticmethod
+    def _calendar_trunc(days: np.ndarray, interval: str) -> np.ndarray:
+        d64 = days.astype("datetime64[D]")
+        if interval == "day":
+            return days
+        if interval == "week":
+            return days - (days + 3) % 7
+        if interval == "month":
+            return d64.astype("datetime64[M]").astype(
+                "datetime64[D]").astype(np.int64)
+        if interval == "quarter":
+            m = d64.astype("datetime64[M]").astype(np.int64)
+            return ((m // 3) * 3).astype("datetime64[M]").astype(
+                "datetime64[D]").astype(np.int64)
+        if interval == "year":
+            return d64.astype("datetime64[Y]").astype(
+                "datetime64[D]").astype(np.int64)
+        raise ValueError(f"unknown calendar_interval {interval!r} — "
+                         "use day/week/month/quarter/year")
+
+    def facet_date_histogram(self, query: str, field: str,
+                             calendar_interval: str | None = None,
+                             fixed_interval: int | None = None,
+                             filters: dict | None = None
+                             ) -> list[tuple[str, int, int]]:
+        """OpenSearch ``date_histogram`` aggregation over the full
+        conjunctive match set. ``field`` holds dates as EPOCH DAYS (a
+        numeric kept metadata column — OpenSearch likewise buckets on
+        the underlying epoch number). ``calendar_interval`` ∈
+        day/week/month/quarter/year does real calendar truncation
+        (weeks start Monday, ISO/OpenSearch convention);
+        ``fixed_interval`` is a day count (floor to multiples, the
+        histogram rule). Returns (key_as_string ISO date, epoch_day
+        key, count) sorted by key; per-shard bucket counts sum
+        exactly."""
+        if (calendar_interval is None) == (fixed_interval is None):
+            raise ValueError("exactly one of calendar_interval / "
+                             "fixed_interval is required")
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        days = vals.astype(np.int64)
+        if calendar_interval is not None:
+            keys = self._calendar_trunc(days, calendar_interval)
+        else:
+            n = int(fixed_interval)
+            keys = (days // n) * n
+        uniq, cnts = np.unique(keys, return_counts=True)
+        iso = uniq.astype("datetime64[D]").astype(str)
+        return [(str(s), int(u), int(c))
+                for s, u, c in zip(iso, uniq, cnts)]
+
+    def facet_value_counts(self, query: str, field: str,
+                           filters: dict | None = None
+                           ) -> list[tuple[float, int]]:
+        """(value, count) pairs of a numeric kept column over the full
+        conjunctive match set — the mergeable exact representation
+        behind ``facet_percentiles`` (per-shard pair lists merge by
+        addition; exact when the column's distinct-value universe is
+        bounded, which metadata columns are. The unbounded-stream
+        analogue is the KLL sketch in ``baram_ray.sketches``)."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        uniq, cnts = np.unique(vals, return_counts=True)
+        return [(v, int(c)) for v, c in zip(uniq.tolist(),
+                                            cnts.tolist())]
+
+    @staticmethod
+    def percentiles_from_counts(pairs: list[tuple[float, int]],
+                                percents: list[float]) -> dict:
+        """EXACT percentiles from merged (value, count) pairs — the
+        classic nearest-rank convention: the element at 0-based index
+        ``ceil(p·n) − 1`` of the sorted multiset (empirically verified
+        identical to DuckDB ``quantile_disc`` across sizes and
+        percents). OpenSearch serves a TDigest approximation; this
+        engine serves the exact number (documented stronger semantics,
+        same API shape)."""
+        out: dict[str, float | None] = {}
+        if not pairs:
+            return {str(p): None for p in percents}
+        pairs = sorted(pairs)
+        cum = np.cumsum([c for _, c in pairs])
+        n = int(cum[-1])
+        for p in percents:
+            idx = max(0, min(n - 1,
+                             int(math.ceil((p / 100.0) * n)) - 1))
+            pos = int(np.searchsorted(cum, idx + 1, side="left"))
+            out[str(p)] = float(pairs[pos][0])
+        return out
+
+    def facet_percentiles(self, query: str, field: str,
+                          percents: list[float] | None = None,
+                          filters: dict | None = None) -> dict:
+        """OpenSearch ``percentiles`` aggregation (exact — see
+        ``percentiles_from_counts``). Default percents are
+        OpenSearch's [1, 5, 25, 50, 75, 95, 99]."""
+        percents = percents or [1, 5, 25, 50, 75, 95, 99]
+        return self.percentiles_from_counts(
+            self.facet_value_counts(query, field, filters=filters),
+            percents)
+
+    def facet_top_hits(self, query: str, by: str, sort_field: str,
+                       size: int = 3, ascending: bool = False,
+                       filters: dict | None = None
+                       ) -> list[dict]:
+        """OpenSearch ``terms`` bucket agg with a ``top_hits``
+        sub-aggregation sorted by a kept metadata column: per distinct
+        ``by`` value in the full conjunctive match set, the top
+        ``size`` docs by (sort_field desc/asc, doc_id asc). One
+        vectorized lexsort, no per-bucket loop. Buckets keep the
+        facets order (count desc, key asc); per-shard bucket top
+        lists re-sort + truncate exactly (docs partition by shard)."""
+        r = self.r
+        ok = self._conj_mask(query, filters)
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0:
+            return []
+        byv = self._meta_col(by)[rows]
+        ids = r.doc_ids[rows]
+        # "doc_id" (the DSL's default top_hits sort) is the identity
+        # column, not a kept meta column
+        sv = ids if sort_field == "doc_id" else \
+            self._meta_col(sort_field)[rows]
+        skey = sv if ascending else -sv
+        order = np.lexsort((ids, skey, byv))
+        byv, sv, ids = byv[order], sv[order], ids[order]
+        uniq, starts, cnts = np.unique(byv, return_index=True,
+                                       return_counts=True)
+        def py(v):
+            return v.item() if hasattr(v, "item") else v
+        buckets = []
+        for u, st, c in zip(uniq, starts, cnts):
+            hits = [{"doc_id": int(ids[i]), sort_field: py(sv[i])}
+                    for i in range(st, st + min(int(c), size))]
+            buckets.append({"key": py(u), "doc_count": int(c),
+                            "hits": hits})
+        buckets.sort(key=lambda b: (-b["doc_count"], str(b["key"])))
+        return buckets
+
+    def facet_significant_text(self, query: str, size: int = 10,
+                               min_doc_count: int = 3,
+                               field: str | None = None,
+                               filters: dict | None = None
+                               ) -> list[tuple[str, int, int, float]]:
+        """OpenSearch ``significant_text`` aggregation: vocabulary
+        terms unusually frequent in the match set (foreground) vs the
+        whole index (background), scored with the default JLH:
+        ``(fg% − bg%) × (fg% / bg%)`` where fg% = fg_df/fg_total and
+        bg% = bg_df/bg_total. fg/bg doc counts are postings-exact
+        (index-native — no doc re-tokenization); df is build-time df
+        like Lucene (tombstones don't decrement). ``min_doc_count``
+        prefilters on GLOBAL df (so per-shard passes keep the same
+        candidate set and their fg/bg counts sum exactly). Returns
+        (term, fg_df, bg_df, score) sorted (score desc, term asc),
+        top ``size``; only terms with fg% > bg% qualify (OpenSearch
+        drops non-positive scores)."""
+        r = self.r
+        fld = field or r.fields[0]
+        ok = self._conj_mask(query, filters)
+        fg_total = int(np.count_nonzero(ok))
+        bg_total = int(r.n_docs)
+        if fg_total == 0:
+            return []
+        rows = []
+        for t in r._term_list(fld):
+            pl = r.postings.get((fld, t))
+            if pl is None:
+                continue
+            bg_df = r.df_global(fld, t, pl)
+            if bg_df < min_doc_count:
+                continue
+            ranks, _ = pl.decode_all()
+            fg_df = int(np.count_nonzero(ok[ranks - r.rank_base]))
+            if fg_df < min_doc_count:
+                continue
+            rows.append((t, fg_df, bg_df))
+        scored = self.score_significant(rows, fg_total, bg_total)
+        return scored[:size]
+
+    @staticmethod
+    def score_significant(rows: list[tuple[str, int, int]],
+                          fg_total: int, bg_total: int
+                          ) -> list[tuple[str, int, int, float]]:
+        """JLH scoring of (term, fg_df, bg_df) rows — shared by the
+        single-reader and scatter-gather paths so merged counts score
+        bit-identically. Fixed IEEE expression order:
+        fg% = fg/fgN, bg% = bg/bgN, score = (fg% − bg%) × (fg% / bg%)."""
+        out = []
+        for t, fg, bg in rows:
+            fgp = fg / fg_total
+            bgp = bg / bg_total
+            if fgp <= bgp:
+                continue
+            out.append((t, fg, bg, (fgp - bgp) * (fgp / bgp)))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        return out
 
     def search_sorted(self, query: str, sort_by: str, k: int = 10,
                       ascending: bool = True,
@@ -1386,6 +1667,158 @@ class QueryEngine:
             np.empty(0, dtype=np.int64)
 
     # ------------------------------------------------------------------ #
+    # match_phrase_prefix — Lucene MultiPhrasePrefixQuery: an analyzed
+    # phrase whose LAST position accepts any term-dict expansion of a
+    # prefix (autocomplete-as-you-type search). Alignment semantics are
+    # the multi-phrase rule: a base offset matches when every fixed
+    # query occurrence aligns AND any expansion aligns at the last
+    # slot. Scoring treats the phrase as one composite term (same shape
+    # as search_phrase): idf = Σ idf(fixed terms) + idf(df_union) where
+    # df_union is the distinct-doc count of the expansion UNION (the
+    # well-defined analogue of a single term's df — Lucene's own
+    # MultiPhraseQuery sums every expansion's idf, which grows with
+    # max_expansions; the union df is expansion-count-stable), tf = the
+    # aligned-offset count.
+    # ------------------------------------------------------------------ #
+    def _phrase_prefix_field(self, field: str, toks: list[str],
+                             mx: int) -> tuple[dict[int, int], float]:
+        """({rank: freq}, idf_sum) for one field — the _phrase_vec key
+        intersection with a UNIONED last slot."""
+        r = self.r
+        n = r.n_docs
+        pre = toks[-1]
+        exps = r.terms_with_prefix(field, pre, mx)
+        if not exps:
+            return {}, 0.0
+        qterms: dict[str, list[int]] = {}
+        for i, t in enumerate(toks[:-1]):
+            qterms.setdefault(t, []).append(i)
+        idf_sum = 0.0
+        SHIFT = np.int64(len(toks))
+        keys = None
+        for t, qps in qterms.items():
+            pl = r.postings.get((field, t))
+            if pl is None:
+                return {}, 0.0
+            df = r.df_global(field, t, pl)
+            idf_sum += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            ranks, tfs = pl.decode_all()
+            pos = pl.decode_pos_all()
+            rep = np.repeat(ranks, tfs)
+            for qp in qps:
+                kk = np.unique((rep << np.int64(32))
+                               | (pos - np.int64(qp) + SHIFT))
+                keys = kk if keys is None else \
+                    keys[np.isin(keys, kk, assume_unique=True)]
+                if len(keys) == 0:
+                    return {}, 0.0
+        # last slot: union of every expansion's shifted key set
+        qp_last = np.int64(len(toks) - 1)
+        parts = []
+        union_ranks = []
+        for e in exps:
+            pl = r.postings[(field, e)]
+            ranks, tfs = pl.decode_all()
+            union_ranks.append(ranks)
+            rep = np.repeat(ranks, tfs)
+            parts.append((rep << np.int64(32))
+                         | (pl.decode_pos_all() - qp_last + SHIFT))
+        last_keys = np.unique(np.concatenate(parts))
+        df_union = int(len(np.unique(np.concatenate(union_ranks))))
+        idf_sum += math.log(1.0 + (n - df_union + 0.5)
+                            / (df_union + 0.5))
+        keys = last_keys if keys is None else \
+            keys[np.isin(keys, last_keys, assume_unique=True)]
+        if len(keys) == 0:
+            return {}, 0.0
+        ranks = keys >> np.int64(32)
+        uniq, counts = np.unique(ranks, return_counts=True)
+        return dict(zip(uniq.tolist(), counts.tolist())), idf_sum
+
+    def _phrase_prefix_freqs(self, query: str,
+                             fields: list[str] | None = None,
+                             boosts: dict[str, float] | None = None,
+                             max_expansions: int = 50):
+        """Per-field multi-phrase match maps, shaped like
+        ``_phrase_freqs``: [(field, weight, idf_sum, {rank: freq})]."""
+        from baram_ray.tokenizer import analyze_phrase
+        if not self.r.has_positions:
+            raise ValueError(
+                "match_phrase_prefix needs a positional index — build "
+                "with IndexConfig(positions=True)")
+        toks = analyze_phrase(query)
+        if not toks:
+            return []
+        boosts = boosts or {}
+        out = []
+        for f in (fields or self.r.fields):
+            freqs, idf_sum = self._phrase_prefix_field(
+                f, toks, max_expansions)
+            if freqs:
+                out.append((f, float(boosts.get(f, 1.0)), idf_sum,
+                            freqs))
+        return out
+
+    def search_phrase_prefix(self, query: str, k: int = 10,
+                             max_expansions: int = 50,
+                             fields: list[str] | None = None,
+                             boosts: dict[str, float] | None = None,
+                             filters: dict | None = None,
+                             min_score: float | None = None
+                             ) -> list[tuple[int, float]]:
+        """match_phrase_prefix top-k (OpenSearch autocomplete query):
+        scored like ``search_phrase`` with the multi-phrase freq and
+        the union-df last-slot idf. Sorted (score desc, doc_id asc)."""
+        per_field = self._phrase_prefix_freqs(query, fields, boosts,
+                                              max_expansions)
+        if not per_field or k <= 0:
+            return []
+        r = self.r
+        acc: dict[int, float] = {}
+        for f, w, idf_sum, freqs in per_field:
+            avg = r.avgdl[f] or 1.0
+            dl = r.dl[f]
+            for rank, fr in freqs.items():
+                row = rank - r.rank_base
+                s = w * idf_sum * fr / (
+                    fr + self.k1 * (1.0 - self.b
+                                    + (self.b * dl[row]) / avg))
+                acc[rank] = acc.get(rank, 0.0) + s
+        mask = r.filter_mask(filters)
+        hits = []
+        for rank, s in acc.items():
+            row = rank - r.rank_base
+            if mask is not None and not mask[row]:
+                continue
+            if min_score is not None and s < min_score:
+                continue
+            hits.append((int(r.doc_ids[row]), float(s)))
+        hits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return hits[:k]
+
+    def match_phrase_prefix_docs(self, query: str,
+                                 max_expansions: int = 50,
+                                 fields: list[str] | None = None,
+                                 filters: dict | None = None
+                                 ) -> np.ndarray:
+        """match_phrase_prefix RETRIEVAL (no scoring): sorted doc_ids
+        with an aligned multi-phrase occurrence — the SQL-checkable
+        core of ``search_phrase_prefix``."""
+        per_field = self._phrase_prefix_freqs(
+            query, fields, max_expansions=max_expansions)
+        r = self.r
+        mask = r.filter_mask(filters)
+        ranks: set[int] = set()
+        for _, _, _, freqs in per_field:
+            ranks.update(freqs)
+        rows = np.array(sorted(rk - r.rank_base for rk in ranks),
+                        dtype=np.int64)
+        if mask is not None and len(rows):
+            rows = rows[mask[rows]]
+        return np.sort(r.doc_ids[rows]) if len(rows) else \
+            np.empty(0, dtype=np.int64)
+
+    # ------------------------------------------------------------------ #
     def _daat(self, its: list[_TermIter], k: int, mask,
               after: tuple[float, int] | None = None) -> list:
         """Exhaustive vectorized scoring (the non-pruned exact path)."""
@@ -1572,6 +2005,33 @@ class ShardedEngine:
                         "this shape")
         return self._scatter("search_compound", k, (), kw)
 
+    def search_dismax(self, queries: list, k: int = 10, **kw) -> list:
+        """dis_max scatter-gather: per-doc scores are shard-complete
+        (docs partition by shard; global idf via the termdict), so the
+        merged top-k is rank- and score-identical to a single reader —
+        for match/phrase clauses only (expansion kinds are per-shard
+        term-dict-local, same boundary as ``search_compound``)."""
+        from baram_ray.query.qparse import UnsupportedQuery
+        for c in (queries or []):
+            if clause_kind(c) not in ("match", "phrase"):
+                raise UnsupportedQuery(
+                    f"{clause_kind(c)} clause expansion is "
+                    "per-shard-local — query a single reader for "
+                    "this shape")
+        return self._scatter("search_dismax", k, (queries,), kw)
+
+    def search_constant_score(self, boost: float = 1.0, k: int = 10,
+                              **kw) -> list:
+        """Constant-score scatter-gather: per-shard match sets are
+        disjoint; equal scores tie-break doc_id asc, so merging the
+        per-shard first-k id lists and re-cutting k is exact."""
+        hits = []
+        for eng in self.engines:
+            hits.extend(eng.search_constant_score(boost=boost, k=k,
+                                                  **kw))
+        hits.sort(key=lambda ds: ds[0])
+        return hits[:k]
+
     def _expansion_unsupported(self, *a, **kw):
         """Prefix/wildcard/fuzzy expand against a per-shard term dict
         with a per-shard cap — different shards could pick different
@@ -1587,6 +2047,7 @@ class ShardedEngine:
     search_wildcard = _expansion_unsupported
     search_regexp = _expansion_unsupported
     search_fuzzy = _expansion_unsupported
+    search_phrase_prefix = _expansion_unsupported
 
     def facets(self, query: str, facet_fields: list[str],
                filters: dict | None = None
@@ -1681,6 +2142,103 @@ class ShardedEngine:
                 for v, (c, lo, hi, tot) in acc.items()]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows
+
+    def facet_date_histogram(self, query: str, field: str,
+                             calendar_interval: str | None = None,
+                             fixed_interval: int | None = None,
+                             filters: dict | None = None
+                             ) -> list[tuple[str, int, int]]:
+        """date_histogram scatter-gather: per-shard bucket counts sum
+        exactly (same truncation rule on every shard)."""
+        totals: dict[tuple[str, int], int] = {}
+        for eng in self.engines:
+            for s, u, c in eng.facet_date_histogram(
+                    query, field, calendar_interval=calendar_interval,
+                    fixed_interval=fixed_interval, filters=filters):
+                totals[(s, u)] = totals.get((s, u), 0) + c
+        return [(s, u, c)
+                for (s, u), c in sorted(totals.items(),
+                                        key=lambda kv: kv[0][1])]
+
+    def facet_percentiles(self, query: str, field: str,
+                          percents: list[float] | None = None,
+                          filters: dict | None = None) -> dict:
+        """Exact-percentile scatter-gather: per-shard (value, count)
+        pairs merge by addition (docs partition by shard), then the
+        same nearest-rank selection as one reader — bit-identical."""
+        percents = percents or [1, 5, 25, 50, 75, 95, 99]
+        totals: dict[float, int] = {}
+        for eng in self.engines:
+            for v, c in eng.facet_value_counts(query, field,
+                                               filters=filters):
+                totals[v] = totals.get(v, 0) + c
+        return QueryEngine.percentiles_from_counts(
+            sorted(totals.items()), percents)
+
+    def facet_top_hits(self, query: str, by: str, sort_field: str,
+                       size: int = 3, ascending: bool = False,
+                       filters: dict | None = None) -> list[dict]:
+        """top_hits scatter-gather: per-bucket counts sum; per-shard
+        top lists concatenate, re-sort by (sort_field, doc_id) and
+        re-cut — exact because each shard returns its first ``size``
+        under the same total order."""
+        acc: dict = {}
+        for eng in self.engines:
+            for b in eng.facet_top_hits(query, by, sort_field,
+                                        size=size, ascending=ascending,
+                                        filters=filters):
+                a = acc.setdefault(b["key"], {"doc_count": 0,
+                                              "hits": []})
+                a["doc_count"] += b["doc_count"]
+                a["hits"].extend(b["hits"])
+        sgn = 1 if ascending else -1
+        buckets = []
+        for key, a in acc.items():
+            a["hits"].sort(key=lambda h: (sgn * h[sort_field],
+                                          h["doc_id"]))
+            buckets.append({"key": key, "doc_count": a["doc_count"],
+                            "hits": a["hits"][:size]})
+        buckets.sort(key=lambda b: (-b["doc_count"], str(b["key"])))
+        return buckets
+
+    def facet_significant_text(self, query: str, size: int = 10,
+                               min_doc_count: int = 3,
+                               field: str | None = None,
+                               filters: dict | None = None
+                               ) -> list[tuple[str, int, int, float]]:
+        """significant_text scatter-gather: per-shard fg counts and
+        fg totals SUM (docs partition by shard); bg_df and bg_total
+        are global already (termdict df / global n_docs — identical
+        on every shard, taken once per term). Scoring runs once on
+        the merged counts with the same fixed expression order →
+        bit-identical to a single reader."""
+        fg: dict[str, int] = {}
+        bg: dict[str, int] = {}
+        fg_total = 0
+        bg_total = 0
+        for eng in self.engines:
+            r = eng.r
+            fld = field or r.fields[0]
+            ok = eng._conj_mask(query, filters)
+            fg_total += int(np.count_nonzero(ok))
+            bg_total = int(r.n_docs)      # global — same on all shards
+            for t in r._term_list(fld):
+                pl = r.postings.get((fld, t))
+                if pl is None:
+                    continue
+                bg_df = r.df_global(fld, t, pl)
+                if bg_df < min_doc_count:
+                    continue
+                ranks, _ = pl.decode_all()
+                fg[t] = fg.get(t, 0) + int(
+                    np.count_nonzero(ok[ranks - r.rank_base]))
+                bg[t] = bg_df
+        if fg_total == 0:
+            return []
+        rows = [(t, c, bg[t]) for t, c in fg.items()
+                if c >= min_doc_count]
+        return QueryEngine.score_significant(rows, fg_total,
+                                             bg_total)[:size]
 
     def search_qs(self, q: str, k: int = 10, **kw):
         """Query-string routing on the sharded engine: parses like the
@@ -1878,6 +2436,20 @@ class QueryActor:
                     filters=self.filters, min_score=self.min_score,
                     slop=(int(batch["slop"].iloc[i])
                           if "slop" in batch.columns else 0))
+            elif self.mode == "phrase_prefix":
+                hits = self.engine.search_phrase_prefix(
+                    str(text), k=int(k), boosts=self.boosts,
+                    filters=self.filters, min_score=self.min_score)
+            elif self.mode == "dismax":
+                # "text" carries ";"-separated match clauses
+                hits = self.engine.search_dismax(
+                    [c.strip() for c in str(text).split(";")
+                     if c.strip()],
+                    tie_breaker=(float(batch["tie_breaker"].iloc[i])
+                                 if "tie_breaker" in batch.columns
+                                 else 0.0),
+                    k=int(k), boosts=self.boosts, filters=self.filters,
+                    min_score=self.min_score)
             elif self.mode == "collapse":
                 rows3 = self.engine.search_collapse(
                     str(text), self.collapse_field, k=int(k),

@@ -156,6 +156,11 @@ class OracleIndex:
                 return dict(self.search_phrase(
                     self._docs, spec["phrase"], k=self.n_docs,
                     boosts=boosts, slop=int(spec.get("slop", 0))))
+            if "phrase_prefix" in spec:
+                return dict(self.search_phrase_prefix(
+                    self._docs, spec["phrase_prefix"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
             if "prefix" in spec:
                 return dict(self.search_prefix(
                     spec["prefix"], k=self.n_docs,
@@ -342,6 +347,147 @@ class OracleIndex:
                         di = self.doc_ids[i]
                         scores[di] = scores.get(di, 0.0) + s
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
+    def search_dismax(self, queries: list, tie_breaker: float = 0.0,
+                      k: int = 10, boosts=None
+                      ) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_dismax: each
+        typed clause's doc→score map comes from this oracle's own
+        standalone op; score = max matching clause + tie_breaker × Σ of
+        the rest; a doc matches if any clause does."""
+
+        def clause(spec) -> dict[int, float]:
+            if isinstance(spec, str):
+                spec = {"match": spec}
+            cb = float(spec.get("boost", 1.0))
+            if cb != 1.0:
+                inner = clause({kk: v for kk, v in spec.items()
+                                if kk != "boost"})
+                return {d: s * cb for d, s in inner.items()}
+            if "match" in spec:
+                return dict(self.search(spec["match"], k=self.n_docs,
+                                        boosts=boosts))
+            if "phrase" in spec:
+                return dict(self.search_phrase(
+                    self._docs, spec["phrase"], k=self.n_docs,
+                    boosts=boosts, slop=int(spec.get("slop", 0))))
+            if "phrase_prefix" in spec:
+                return dict(self.search_phrase_prefix(
+                    self._docs, spec["phrase_prefix"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "prefix" in spec:
+                return dict(self.search_prefix(
+                    spec["prefix"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "wildcard" in spec:
+                return dict(self.search_wildcard(
+                    spec["wildcard"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "regexp" in spec:
+                return dict(self.search_regexp(
+                    spec["regexp"], k=self.n_docs,
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            if "fuzzy" in spec:
+                return dict(self.search_fuzzy(
+                    spec["fuzzy"], k=self.n_docs,
+                    max_edits=spec.get("max_edits"),
+                    prefix_length=int(spec.get("prefix_length", 0)),
+                    max_expansions=int(spec.get("max_expansions", 50)),
+                    boosts=boosts))
+            raise ValueError(f"unknown clause spec {spec!r}")
+
+        maps = [clause(c) for c in (queries or [])]
+        cands = set()
+        for m in maps:
+            cands |= set(m)
+        scores = {}
+        for d in cands:
+            ss = [m.get(d, 0.0) for m in maps]
+            best = max(ss)
+            scores[d] = best + tie_breaker * (sum(ss) - best)
+        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
+    def _phrase_prefix_freq(self, text: str, fixed: list[str],
+                            exps: set[str]) -> int:
+        """Multi-phrase frequency in one field text: base offsets where
+        every fixed token aligns at its slot and ANY expansion term
+        aligns at the last slot."""
+        toks, poss = tokenize_with_positions(text or "")
+        at: dict[str, set[int]] = {}
+        for t, p in zip(toks, poss):
+            at.setdefault(t, set()).add(p)
+        bases: set[int] | None = None
+        for i, qt in enumerate(fixed):
+            ps = at.get(qt)
+            if not ps:
+                return 0
+            shifted = {p - i for p in ps}
+            bases = shifted if bases is None else bases & shifted
+            if not bases:
+                return 0
+        last = set()
+        qp = len(fixed)
+        for e in exps:
+            last.update(p - qp for p in at.get(e, ()))
+        bases = last if bases is None else bases & last
+        return len(bases)
+
+    def search_phrase_prefix(self, docs: list[dict], query: str,
+                             k: int = 10, max_expansions: int = 50,
+                             boosts: dict[str, float] | None = None
+                             ) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_phrase_prefix:
+        the last analyzed token expands to the first max_expansions
+        vocabulary terms with that prefix (lexicographic); idf = Σ idf
+        of the fixed terms + idf of the expansion-union df; tf = the
+        multi-phrase freq."""
+        qtoks = analyze_phrase(query)
+        if not qtoks:
+            return []
+        fixed, pre = qtoks[:-1], qtoks[-1]
+        boosts = boosts or {}
+        scores: dict[int, float] = {}
+        for f in self.fields:
+            w = float(boosts.get(f, 1.0))
+            avg = self.avgdl[f] or 1.0
+            exps = [t for t in sorted(self.df[f])
+                    if t.startswith(pre)][:max_expansions]
+            if not exps:
+                continue
+            idf_sum = 0.0
+            missing = False
+            for t in dict.fromkeys(fixed):
+                df = self.df[f].get(t, 0)
+                if df == 0:
+                    missing = True
+                    break
+                idf_sum += math.log(
+                    1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            if missing:
+                continue
+            eset = set(exps)
+            df_union = sum(1 for c in self.tf[f]
+                           if any(e in c for e in eset))
+            idf_sum += math.log(
+                1.0 + (self.n_docs - df_union + 0.5) / (df_union + 0.5))
+            for i, d in enumerate(docs):
+                fr = self._phrase_prefix_freq(d.get(f) or "", fixed,
+                                              eset)
+                if not fr:
+                    continue
+                dl = self.dl[f][i]
+                s = w * idf_sum * fr / (
+                    fr + self.k1 * (1 - self.b + self.b * dl / avg))
+                di = self.doc_ids[i]
+                scores[di] = scores.get(di, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
 
     # ----------------------------------------------------------------- #
     def _phrase_freq(self, text: str, qtoks: list[str]) -> int:
