@@ -152,6 +152,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regexp_match_docs": searchp.regexp_match_docs,
         "search_dsl_sorted": searchp.search_dsl_sorted,
         "search_collapse_latest": searchp.search_collapse_latest,
+        "search_date_histogram": searchp.search_date_histogram,
+        "search_percentiles": searchp.search_percentiles,
+        "search_top_hits": searchp.search_top_hits,
+        "search_sigtext": searchp.search_sigtext,
+        "dismax_match_docs": searchp.dismax_match_docs,
+        "phrase_prefix_docs": searchp.phrase_prefix_docs,
+        "search_constant_score": searchp.search_constant_score,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

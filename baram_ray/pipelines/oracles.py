@@ -2367,4 +2367,120 @@ ORACLES: dict[str, str] = {
           ON s.session_start <= e.hi AND s.session_end >= e.lo
         GROUP BY 1, 2, 3
     """,
+    # date_histogram (calendar month) over the match set of 'data':
+    # pub_day is the derived epoch-day column 18262 + doc_id % 1096
+    # (same expression the engine's dated index derives); DuckDB
+    # date_trunc == the engine's numpy datetime64 truncation
+    "search_date_histogram": r"""
+        WITH w AS (SELECT doc_id,
+                          18262 + (doc_id % 1096) AS pub_day,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT date_trunc('month',
+                     DATE '1970-01-01'
+                     + CAST(pub_day AS INTEGER)) AS mo
+              FROM w WHERE list_contains(ws, 'data'))
+        SELECT strftime(mo, '%Y-%m-%d') AS key_as_string,
+               CAST(datediff('day', DATE '1970-01-01', mo)
+                    AS BIGINT) AS "key",
+               CAST(count(*) AS BIGINT) AS doc_count
+        FROM m GROUP BY mo
+    """,
+    # exact percentiles over the match set of 'data': quantile_disc is
+    # the engine's verified-identical nearest-rank convention
+    "search_percentiles": r"""
+        SELECT CAST(quantile_disc(n_chars, 0.01) AS DOUBLE) AS p1,
+               CAST(quantile_disc(n_chars, 0.05) AS DOUBLE) AS p5,
+               CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS p25,
+               CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS p50,
+               CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS p75,
+               CAST(quantile_disc(n_chars, 0.95) AS DOUBLE) AS p95,
+               CAST(quantile_disc(n_chars, 0.99) AS DOUBLE) AS p99
+        FROM documents
+        WHERE list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        HAVING count(*) > 0
+    """,
+    # terms + top_hits: per source bucket over the data AND stream
+    # match set, the top 2 docs by (n_chars DESC, doc_id ASC)
+    "search_top_hits": r"""
+        WITH w AS (SELECT doc_id, source, n_chars,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id, source, n_chars FROM w
+              WHERE list_contains(ws, 'data')
+                AND list_contains(ws, 'stream')),
+        r AS (SELECT source, doc_id, n_chars,
+                     count(*) OVER (PARTITION BY source) AS doc_count,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id ASC) AS hit_rank
+              FROM m)
+        SELECT source, CAST(doc_count AS BIGINT) AS doc_count,
+               CAST(hit_rank AS BIGINT) AS hit_rank, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE hit_rank <= 2
+    """,
+    # significant_text (JLH) over the match set of 'data': fg/bg df
+    # are per-doc-distinct word counts; the float chain (identical
+    # IEEE op order to QueryEngine.score_significant) only drives the
+    # ORDER BY — the compared columns are pure ints/strings
+    "search_sigtext": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        dw AS (SELECT DISTINCT doc_id, term
+               FROM (SELECT doc_id, unnest(ws) AS term FROM w)),
+        f AS (SELECT doc_id FROM w WHERE list_contains(ws, 'data')),
+        tot AS (SELECT (SELECT count(*) FROM f) AS fgn,
+                       (SELECT count(*) FROM w) AS bgn),
+        c AS (SELECT term,
+                     CAST(count(*) AS BIGINT) AS bg,
+                     CAST(count(*) FILTER (WHERE doc_id IN
+                          (SELECT doc_id FROM f)) AS BIGINT) AS fg
+              FROM dw GROUP BY term),
+        s AS (SELECT term, fg, bg,
+                     (fg / fgn - bg / bgn)
+                     * ((fg / fgn) / (bg / bgn)) AS score
+              FROM c, tot
+              WHERE bg >= 5 AND fg >= 5 AND fg / fgn > bg / bgn)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, term ASC)
+                    AS BIGINT) AS rnk,
+               term, fg AS fg_df, bg AS bg_df
+        FROM s ORDER BY score DESC, term ASC LIMIT 10
+    """,
+    # dis_max match set: union of phrase "table scan", term 'vector',
+    # prefix 'st' (scoring identity is pytest-checked; the SET is SQL)
+    "dismax_match_docs": r"""
+        WITH w AS (SELECT doc_id, lower(trim(text)) AS lt,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id FROM w
+        WHERE regexp_matches(lt,
+              '(^|[^a-z0-9_])table[^a-z0-9_]+scan([^a-z0-9_]|$)')
+           OR list_contains(ws, 'vector')
+           OR len(list_filter(ws, x -> x LIKE 'st%')) > 0
+    """,
+    # match_phrase_prefix 'merge so': word 'merge' immediately followed
+    # by a word starting 'so' (expansion cap above vocab size == the
+    # unbounded regexp)
+    "phrase_prefix_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(lower(trim(text)),
+              '(^|[^a-z0-9_])merge[^a-z0-9_]+so')
+    """,
+    # constant_score: every doc matching lang='en' AND the term 'data'
+    # scores exactly the boost literal; top-25 by doc_id asc
+    "search_constant_score": r"""
+        SELECT doc_id, CAST(1.5 AS DOUBLE) AS score
+        FROM documents
+        WHERE lang = 'en'
+          AND list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        ORDER BY doc_id ASC LIMIT 25
+    """,
 }

@@ -1178,3 +1178,195 @@ def hybrid_topk_hnsw(sf_dir: str, query_text: str = "data stream query",
         "doc_id": [d for d, _ in rows],
         "score": [round(s, 6) for _, s in rows],
     })
+
+
+def ensure_index_dated(sf_dir: str) -> str:
+    """Variant of :func:`ensure_index` whose kept metadata includes a
+    derived ``pub_day`` epoch-day column (18262 + doc_id % 1096 — three
+    calendar years from 2020-01-01), the date_histogram surface the
+    reference serves from OpenSearch's @timestamp mapping
+    (src/embedding/mod.rs:517-532). The derivation streams through
+    ``map_batches`` into a /tmp parquet (atomic rename) so the oracle
+    can reproduce it as a SQL expression over the raw table."""
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    src = os.path.join(_INDEX_ROOT, f"documents_{tag}_dated_src")
+    out = os.path.join(_INDEX_ROOT, f"documents_{tag}_dated")
+    if not os.path.isdir(src):
+        def add_day(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["pub_day"] = (18262 + (b["doc_id"] % 1096)).astype("int64")
+            return b
+        tmp = src + ".tmp"
+        import shutil as _sh
+        _sh.rmtree(tmp, ignore_errors=True)
+        (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+         .map_batches(add_day, batch_format="pandas")
+         .write_parquet(tmp))
+        os.rename(tmp, src)
+    cfg = IndexConfig(fields=("text",), id_cols=(),
+                      keep=("lang", "source", "n_chars", "pub_day"))
+    build_index(src, out, cfg, resume=True)
+    return out
+
+
+def search_date_histogram(sf_dir: str, query_text: str = "data",
+                          interval: str = "month"):
+    """date_histogram aggregation through the JSON DSL (OpenSearch
+    ``calendar_interval`` body) over the full conjunctive match set,
+    served by the ShardedEngine scatter-gather (per-shard bucket
+    counts sum exactly; calendar truncation is numpy datetime64 math
+    == DuckDB date_trunc). Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"by_month": {"date_histogram": {
+            "field": "pub_day", "calendar_interval": interval}}}})
+    rows = out["aggregations"]["by_month"]
+    return pd.DataFrame({
+        "key_as_string": pd.array([r["key_as_string"] for r in rows],
+                                  dtype=object),
+        "key": pd.array([r["key"] for r in rows], dtype="int64"),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
+def search_percentiles(sf_dir: str, query_text: str = "data"):
+    """Exact percentiles aggregation through the JSON DSL (OpenSearch
+    ``percentiles`` body; the engine serves the exact nearest-rank
+    number where OpenSearch serves a TDigest approximation —
+    documented stronger semantics, same API). ShardedEngine merges
+    per-shard (value, count) pairs exactly; DuckDB ``quantile_disc``
+    is the verified-identical convention → hash-exact oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    pcts = [1, 5, 25, 50, 75, 95, 99]
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"pc": {"percentiles": {"field": "n_chars",
+                                        "percents": pcts}}}})
+    vals = out["aggregations"]["pc"]["values"]
+    if vals[str(pcts[0])] is None:
+        return pd.DataFrame({f"p{p}": pd.array([], dtype="float64")
+                             for p in pcts})
+    return pd.DataFrame({f"p{p}": pd.array([vals[str(p)]],
+                                           dtype="float64")
+                         for p in pcts})
+
+
+def search_top_hits(sf_dir: str, query_text: str = "data stream",
+                    size: int = 2):
+    """terms + top_hits sub-aggregation through the JSON DSL (the
+    OpenSearch "representative docs per bucket" shape): per source,
+    the top ``size`` matching docs by (n_chars desc, doc_id asc),
+    flattened to one row per hit. Deterministic (no _score) →
+    hash-exact DuckDB oracle (row_number window); sharded re-sort +
+    re-cut identity is pytest-checked."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"by_source": {
+            "terms": {"field": "source"},
+            "aggs": {"top": {"top_hits": {
+                "size": size,
+                "sort": [{"n_chars": {"order": "desc"}}]}}}}}})
+    rows = []
+    for b in out["aggregations"]["by_source"]:
+        for i, h in enumerate(b["top"]):
+            rows.append({"source": b["key"],
+                         "doc_count": b["doc_count"],
+                         "hit_rank": i + 1,
+                         "doc_id": h["doc_id"],
+                         "n_chars": h["n_chars"]})
+    df = pd.DataFrame(rows, columns=["source", "doc_count", "hit_rank",
+                                     "doc_id", "n_chars"])
+    return df.astype({"doc_count": "int64", "hit_rank": "int64",
+                      "doc_id": "int64", "n_chars": "int64"})
+
+
+def search_sigtext(sf_dir: str, query_text: str = "data",
+                   size: int = 10, min_doc_count: int = 5):
+    """significant_text aggregation through the JSON DSL (OpenSearch
+    JLH): vocabulary terms over-represented in the match set vs the
+    whole corpus. fg/bg doc counts are postings-exact ints; the JLH
+    float chain only ORDERS the output (rank column), so the compared
+    frame is pure ints/strings → hash-exact DuckDB oracle with the
+    identical IEEE expression order in the ORDER BY."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": size,
+            "min_doc_count": min_doc_count}}}})
+    rows = out["aggregations"]["sig"]
+    return pd.DataFrame({
+        "rnk": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        "term": pd.array([r["key"] for r in rows], dtype=object),
+        "fg_df": pd.array([r["doc_count"] for r in rows],
+                          dtype="int64"),
+        "bg_df": pd.array([r["bg_count"] for r in rows],
+                          dtype="int64"),
+    })
+
+
+def dismax_match_docs(sf_dir: str):
+    """dis_max retrieval (Lucene DisjunctionMaxQuery match set): docs
+    matching ANY clause — phrase "table scan" OR term 'vector' OR
+    prefix 'st'. Scoring identity (max + tie_breaker × rest) is
+    pytest-checked vs the brute-force oracle; the match-set union is
+    SQL-expressible → hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    ids = eng.match_dismax_docs([
+        {"phrase": "table scan"},
+        {"match": "vector"},
+        {"prefix": "st", "max_expansions": 100_000},
+    ])
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def phrase_prefix_docs(sf_dir: str, query_text: str = "merge so"):
+    """match_phrase_prefix retrieval (OpenSearch search-as-you-type):
+    docs where 'merge' is immediately followed by a word starting
+    'so', via positional adjacency over the expanded prefix terms.
+    max_expansions above vocabulary size == the unbounded regexp →
+    hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    ids = eng.match_phrase_prefix_docs(query_text,
+                                       max_expansions=100_000)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def search_constant_score(sf_dir: str, boost: float = 1.5, k: int = 25):
+    """constant_score retrieval through the JSON DSL: every doc in the
+    filter-context match set (term lang='en' ∩ match 'data') scores
+    exactly ``boost``; equal scores tie-break doc_id asc so top-k is
+    the first k matching ids. Fully deterministic → hash-exact DuckDB
+    oracle (score is a literal)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = execute_dsl(eng, {
+        "query": {"constant_score": {
+            "filter": [{"term": {"lang": "en"}}, {"match": "data"}],
+            "boost": boost}},
+        "size": k})
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "score": pd.array([s for _, s in rows], dtype="float64"),
+    })

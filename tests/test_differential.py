@@ -69,7 +69,11 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_sorted_docs", "search_suggest",
                "search_percolate", "search_qs_docs",
                "search_collapse_latest", "search_compound_docs",
-               "search_dsl_sorted", "regexp_match_docs"]
+               "search_dsl_sorted", "regexp_match_docs",
+               "search_date_histogram", "search_percentiles",
+               "search_top_hits", "search_sigtext",
+               "dismax_match_docs", "phrase_prefix_docs",
+               "search_constant_score"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
