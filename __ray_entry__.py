@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_match_docs": searchp.dismax_match_docs,
         "phrase_prefix_docs": searchp.phrase_prefix_docs,
         "search_constant_score": searchp.search_constant_score,
+        "search_composite_pages": searchp.search_composite_pages,
+        "search_function_score": searchp.search_function_score,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

@@ -2483,4 +2483,34 @@ ORACLES: dict[str, str] = {
                                                '\s+'), 'data')
         ORDER BY doc_id ASC LIMIT 25
     """,
+    # composite aggregation: the full after-cursor page chain over
+    # (lang, source) buckets of the match set of 'data', page_size 4 —
+    # buckets in ascending composite-key order == row_number pages
+    "search_composite_pages": r"""
+        WITH w AS (SELECT lang, source,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        g AS (SELECT lang, source,
+                     CAST(count(*) AS BIGINT) AS doc_count
+              FROM w WHERE list_contains(ws, 'data')
+              GROUP BY lang, source),
+        r AS (SELECT lang, source, doc_count,
+                     row_number() OVER (ORDER BY lang, source) AS rn
+              FROM g)
+        SELECT CAST((rn - 1) // 4 AS BIGINT) AS page, lang, source,
+               doc_count
+        FROM r
+    """,
+    # function_score field_value_factor boost_mode=replace: lang='en'
+    # docs matching 'data' scored ln(1 + 2*n_chars) — DuckDB ln is
+    # libm, the engine computes the identical libm call
+    "search_function_score": r"""
+        SELECT doc_id, round(ln(1 + 2.0 * n_chars), 6) AS score
+        FROM documents
+        WHERE lang = 'en'
+          AND list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+        ORDER BY ln(1 + 2.0 * n_chars) DESC, doc_id ASC LIMIT 15
+    """,
 }

@@ -1370,3 +1370,67 @@ def search_constant_score(sf_dir: str, boost: float = 1.5, k: int = 25):
         "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
         "score": pd.array([s for _, s in rows], dtype="float64"),
     })
+
+
+def search_composite_pages(sf_dir: str, query_text: str = "data",
+                           page_size: int = 4):
+    """composite aggregation through the JSON DSL (the OpenSearch
+    paginated-buckets shape — THE scale-safe aggregation: each request
+    ships one page, never the full bucket set): drive the after-cursor
+    chain to exhaustion over (lang, source) buckets of the match set,
+    one row per bucket tagged with its page number. ShardedEngine
+    scatter-gather (per-shard pages merge exactly — proof in
+    QueryEngine.facet_composite). Hash-exact DuckDB oracle
+    (row_number window)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    body = {"query": {"match": query_text}, "size": 0,
+            "aggs": {"pg": {"composite": {
+                "sources": [{"lang": {"terms": {"field": "lang"}}},
+                            {"source": {"terms":
+                                        {"field": "source"}}}],
+                "size": page_size}}}}
+    rows, page = [], 0
+    while True:
+        out = execute_dsl(eng, body)["aggregations"]["pg"]
+        if not out["buckets"]:
+            break
+        for b in out["buckets"]:
+            rows.append({"page": page, "lang": b["key"]["lang"],
+                         "source": b["key"]["source"],
+                         "doc_count": b["doc_count"]})
+        body["aggs"]["pg"]["composite"]["after"] = out["after_key"]
+        page += 1
+    df = pd.DataFrame(rows, columns=["page", "lang", "source",
+                                     "doc_count"])
+    return df.astype({"page": "int64", "doc_count": "int64"})
+
+
+def search_function_score(sf_dir: str, query_text: str = "data",
+                          k: int = 15):
+    """function_score + field_value_factor through the JSON DSL
+    (boost_mode=replace — the deterministic form): lang='en' docs
+    matching 'data' scored by ln(1 + 2·n_chars). The engine computes
+    the log through libm over unique values, bit-identical to DuckDB's
+    ``ln`` → hash-exact oracle (score round6 both sides; ordering is
+    full-precision and monotone in n_chars, so it is ULP-robust)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    rows = execute_dsl(eng, {
+        "query": {"function_score": {
+            "query": {"bool": {"filter": [
+                {"term": {"lang": "en"}},
+                {"match": query_text}]}},
+            "field_value_factor": {"field": "n_chars", "factor": 2.0,
+                                   "modifier": "ln1p"},
+            "boost_mode": "replace"}},
+        "size": k})
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "score": pd.array([round(s, 6) for _, s in rows],
+                          dtype="float64"),
+    })

@@ -22,6 +22,9 @@ Supported body::
                                     | "fixed_interval": days}}
               | {"range": {"field": c, "ranges": [{"from":a,"to":b}]}}
               | {"percentiles": {"field": c, "percents": [...]}}
+              | {"composite": {"sources": [{name: {"terms":
+                    {"field": c}}}], "size": n,
+                    "after": {name: value}}}  # paginated buckets
               | {"significant_text": {"field": c, "size": n,
                                       "min_doc_count": m}}
               | {"stats" | "min" | "max" | "avg" | "sum"
@@ -44,6 +47,10 @@ Query nodes::
     {"dis_max": {"queries": [leaf nodes], "tie_breaker": 0.3}}
     {"constant_score": {"filter": [term/range/match nodes],
                         "boost": 1.2}}
+    {"function_score": {"query": match | bool-filter | match_all,
+                        "field_value_factor": {"field": c,
+                            "factor": f, "modifier": "ln1p"},
+                        "boost_mode": "replace" | "multiply"}}
     {"prefix": "pre"} | {"prefix": {"value": "pre",
                                     "max_expansions": 50}}
     {"wildcard": "w?ld*"} | {"wildcard": {"value": ...,
@@ -80,7 +87,7 @@ from typing import Any
 _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
                "query_string", "term", "range", "match_all", "bool",
-               "dis_max", "constant_score")
+               "dis_max", "constant_score", "function_score")
 
 
 def _parse_field_boosts(fields) -> tuple[list[str],
@@ -250,7 +257,8 @@ def parse_query(node: dict) -> DslPlan:
             "with a scoring clause, or use facets()/search_sorted()")
     if kind == "match_all":
         return plan                      # empty plan: aggs-only bodies
-    if kind in ("query_string", "dis_max", "constant_score"):
+    if kind in ("query_string", "dis_max", "constant_score",
+                "function_score"):
         raise ValueError(f"{kind} is routed by execute_dsl")
     plan.should.append(_leaf_spec(kind, node[kind]))
     return plan
@@ -258,7 +266,8 @@ def parse_query(node: dict) -> DslPlan:
 
 _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "cardinality", "min", "max", "avg", "sum", "value_count",
-              "percentiles", "significant_text", "significant_terms")
+              "percentiles", "significant_text", "significant_terms",
+              "composite")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -356,6 +365,22 @@ def _run_agg(engine, name: str, spec: dict, text: str,
             field=fld, filters=filters)
         return [{"key": t, "doc_count": fg, "bg_count": bg,
                  "score": s} for t, fg, bg, s in rows]
+    if kind == "composite":
+        names, flds = [], []
+        for src in body["sources"]:
+            (sname, sspec), = src.items()
+            names.append(sname)
+            flds.append(sspec["terms"]["field"])
+        after = body.get("after")
+        if after is not None:
+            after = tuple(after[nm] for nm in names)
+        buckets = engine.facet_composite(
+            text, flds, size=int(body.get("size", 10)), after=after,
+            filters=filters)
+        out = [{"key": dict(zip(names, (b["key"][f] for f in flds))),
+                "doc_count": b["doc_count"]} for b in buckets]
+        return {"buckets": out,
+                "after_key": out[-1]["key"] if out else None}
     if kind == "range":
         rows = engine.facet_ranges(text, fld, list(body["ranges"]),
                                    filters=filters)
@@ -373,6 +398,27 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     # single-value metrics ride the stats op (one pass, same mask)
     s = engine.facet_stats(text, fld, filters=filters)
     return {"value": s["count"] if kind == "value_count" else s[kind]}
+
+
+def _filter_context(flt) -> tuple[str, dict | None]:
+    """Decompose a filter-context node list (term / range / match /
+    match_all) into (conjunctive query text, metadata filters) — the
+    shared form for constant_score / function_score filters."""
+    nodes = flt if isinstance(flt, list) else ([flt] if flt else [])
+    cfilters: dict = {}
+    texts: list[str] = []
+    for fn in nodes:
+        fk = _node_kind(fn)
+        if fk in ("term", "range"):
+            col, val = _filter_entry(fk, fn[fk])
+            cfilters[col] = val
+        elif fk == "match":
+            texts.append(_text_arg(fn[fk])["query"])
+        elif fk != "match_all":
+            raise ValueError(
+                "filter context supports term/range/match/"
+                "match_all nodes")
+    return " ".join(texts), cfilters or None
 
 
 def execute_dsl(engine, body: dict, max_k: int | None = None):
@@ -431,25 +477,44 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                                        "aggregations")):
             raise ValueError("constant_score composes with size only")
         cs = node["constant_score"]
-        flt = cs.get("filter")
-        nodes = (flt if isinstance(flt, list)
-                 else ([flt] if flt else []))
-        cfilters: dict = {}
-        texts: list[str] = []
-        for fn in nodes:
-            fk = _node_kind(fn)
-            if fk in ("term", "range"):
-                col, val = _filter_entry(fk, fn[fk])
-                cfilters[col] = val
-            elif fk == "match":
-                texts.append(_text_arg(fn[fk])["query"])
-            elif fk != "match_all":
-                raise ValueError(
-                    "constant_score.filter supports term/range/match/"
-                    "match_all nodes")
+        qtext, cfilters = _filter_context(cs.get("filter"))
         return engine.search_constant_score(
             boost=float(cs.get("boost", 1.0)), k=k,
-            query=" ".join(texts), filters=cfilters or None)
+            query=qtext, filters=cfilters)
+
+    if _node_kind(node) == "function_score":
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("function_score composes with size/"
+                             "min_score only")
+        fs = node["function_score"]
+        fvf = fs.get("field_value_factor")
+        if not fvf:
+            raise ValueError("function_score needs a "
+                             "field_value_factor function")
+        boost_mode = fs.get("boost_mode", "multiply")
+        inner = fs.get("query", {"match_all": {}})
+        ik = _node_kind(inner)
+        if boost_mode == "multiply":
+            if ik != "match":
+                raise ValueError("boost_mode=multiply needs a match "
+                                 "query (BM25 base)")
+            qtext, ffilters = _text_arg(inner["match"])["query"], None
+        elif ik == "bool":
+            bl = inner["bool"].get("filter")
+            qtext, ffilters = _filter_context(bl)
+        else:
+            qtext, ffilters = _filter_context(
+                [] if ik == "match_all" else [inner])
+        rows = engine.search_function_score(
+            qtext, k=k, field=fvf["field"],
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=fvf.get("modifier", "none"),
+            boost_mode=boost_mode, filters=ffilters)
+        if min_score is not None:
+            rows = [(d, s) for d, s in rows if s >= min_score]
+        return rows
 
     plan = parse_query(node)
     filters = plan.filters or None

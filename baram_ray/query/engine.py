@@ -633,6 +633,124 @@ class QueryEngine:
         ids = np.sort(self.r.doc_ids[rows])[:k]
         return [(int(d), float(boost)) for d in ids]
 
+    _FVF_MODIFIERS = ("none", "ln1p", "log1p", "sqrt", "square",
+                      "reciprocal")
+
+    @classmethod
+    def _fvf(cls, vals: np.ndarray, factor: float,
+             modifier: str) -> np.ndarray:
+        """field_value_factor function values (OpenSearch modifier
+        vocabulary; ``log1p`` is the COMMON log like OpenSearch's,
+        ``ln1p`` the natural one). The log modifiers go through LIBM
+        (``math.log`` over the UNIQUE values, mapped back) — numpy's
+        SIMD log differs from libm by 1 ulp on ~20% of inputs, and
+        libm is what DuckDB's ``ln``/``log10`` call, so this keeps the
+        SQL oracle bit-exact. sqrt is IEEE-correctly-rounded
+        everywhere; the rest are exact arithmetic."""
+        x = vals.astype(np.float64) * factor
+        if modifier == "none":
+            return x
+        if modifier in ("ln1p", "log1p"):
+            fn = math.log if modifier == "ln1p" else math.log10
+            uniq, inv = np.unique(x, return_inverse=True)
+            return np.array([fn(1.0 + u) for u in uniq.tolist()],
+                            dtype=np.float64)[inv]
+        if modifier == "sqrt":
+            return np.sqrt(x)
+        if modifier == "square":
+            return x * x
+        if modifier == "reciprocal":
+            return 1.0 / x
+        raise ValueError(f"unknown field_value_factor modifier "
+                         f"{modifier!r} — use one of "
+                         f"{cls._FVF_MODIFIERS}")
+
+    def search_function_score(self, query: str = "", k: int = 10,
+                              field: str = "", factor: float = 1.0,
+                              modifier: str = "none",
+                              boost_mode: str = "replace",
+                              filters: dict | None = None
+                              ) -> list[tuple[int, float]]:
+        """OpenSearch ``function_score`` with a ``field_value_factor``
+        function over a kept NUMERIC metadata column: fn =
+        modifier(factor × field_value). boost_mode ``replace`` scores
+        every doc in the filter-context match set (conjunctive
+        ``query`` terms ∩ ``filters``) by fn alone — fully
+        deterministic, the SQL-oracled form. ``multiply`` rescores the
+        BM25 match set by bm25 × fn (Lucene's default combine; global
+        idf keeps the sharded merge score-identical). Sorted
+        (score desc, doc_id asc)."""
+        r = self.r
+        if k <= 0:
+            return []
+        if boost_mode == "replace":
+            ok = self._conj_mask(query, filters)
+            rows = np.nonzero(ok)[0]
+            if len(rows) == 0:
+                return []
+            s = self._fvf(self._meta_col(field)[rows], factor,
+                          modifier)
+            order = np.lexsort((r.doc_ids[rows], -s))[:k]
+            return [(int(r.doc_ids[rows[i]]), float(s[i]))
+                    for i in order]
+        if boost_mode != "multiply":
+            raise ValueError("boost_mode must be 'replace' or "
+                             "'multiply'")
+        hits = self.search(query, k=len(r.doc_ids), filters=filters)
+        if not hits:
+            return []
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        base = np.array([s for _, s in hits], dtype=np.float64)
+        rows = np.searchsorted(r.doc_ids, ids)
+        s = base * self._fvf(self._meta_col(field)[rows], factor,
+                             modifier)
+        order = np.lexsort((ids, -s))[:k]
+        return [(int(ids[i]), float(s[i])) for i in order]
+
+    def facet_composite(self, query: str, sources: list[str],
+                        size: int = 10, after: tuple | None = None,
+                        filters: dict | None = None) -> list[dict]:
+        """OpenSearch ``composite`` aggregation: buckets keyed by the
+        tuple of one or more kept metadata columns, in ascending
+        composite-key order, paginated with an exclusive ``after``
+        cursor. THE scale-shaped aggregation — unlike ``terms`` it
+        never ships the full bucket set: each page is the next
+        ``size`` buckets. The sharded merge stays exact because docs
+        partition by shard and any key in the global first ``size``
+        is preceded by < size keys in EVERY shard, so each shard's
+        first-``size``-after-cursor page contains its full count for
+        every global-page key. Returns
+        ``[{"key": {field: value}, "doc_count": n}]``."""
+        r = self.r
+        ok = self._conj_mask(query, filters)
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0 or size <= 0:
+            return []
+        cols = [self._meta_col(f)[rows] for f in sources]
+        order = np.lexsort(tuple(reversed(cols)))
+        cs = [c[order] for c in cols]
+        n = len(order)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in cs:
+            change[1:] |= c[1:] != c[:-1]
+        starts = np.nonzero(change)[0]
+        counts = np.diff(np.append(starts, n))
+
+        def py(v):
+            return v.item() if hasattr(v, "item") else v
+
+        out: list[dict] = []
+        for st, c in zip(starts, counts):
+            key = tuple(py(col[st]) for col in cs)
+            if after is not None and key <= tuple(after):
+                continue
+            out.append({"key": dict(zip(sources, key)),
+                        "doc_count": int(c)})
+            if len(out) == size:
+                break
+        return out
+
     def suggest(self, term: str, field: str | None = None,
                 max_edits: int = 2, prefix_length: int = 1
                 ) -> tuple[str, int, int] | None:
@@ -2031,6 +2149,30 @@ class ShardedEngine:
                                                   **kw))
         hits.sort(key=lambda ds: ds[0])
         return hits[:k]
+
+    def search_function_score(self, query: str = "", k: int = 10,
+                              **kw) -> list:
+        """function_score scatter-gather: fn is a pure per-doc value
+        and BM25 uses global idf, so per-shard top-k lists merge
+        score-identically to a single reader (both boost_modes)."""
+        return self._scatter("search_function_score", k, (query,), kw)
+
+    def facet_composite(self, query: str, sources: list[str],
+                        size: int = 10, after: tuple | None = None,
+                        filters: dict | None = None) -> list[dict]:
+        """Composite-agg scatter-gather: merge per-shard
+        first-``size``-after-cursor pages by key (counts sum — each
+        shard's page fully covers every global-page key, see
+        QueryEngine.facet_composite), re-sort, re-cut ``size``."""
+        totals: dict[tuple, int] = {}
+        for eng in self.engines:
+            for b in eng.facet_composite(query, sources, size=size,
+                                         after=after, filters=filters):
+                key = tuple(b["key"][f] for f in sources)
+                totals[key] = totals.get(key, 0) + b["doc_count"]
+        return [{"key": dict(zip(sources, key)),
+                 "doc_count": totals[key]}
+                for key in sorted(totals)[:size]]
 
     def _expansion_unsupported(self, *a, **kw):
         """Prefix/wildcard/fuzzy expand against a per-shard term dict
