@@ -215,3 +215,66 @@ def test_bm25_p95_under_10ms_at_sf01(ray_session):
         lat.sort()
         best_p95 = min(best_p95, lat[int(0.95 * len(lat)) - 1])
     assert best_p95 < 10.0, f"p95 {best_p95:.2f} ms"
+
+
+def test_search_post_extended_dsl(server):
+    """The round-4 DSL surface over POST /api/search: dis_max,
+    function_score, constant_score bodies and composite / percentiles
+    / significant_text aggs all serve and match the engine."""
+    e = server.engine
+    # dis_max
+    status, out = _post(server, "/api/search", {
+        "query": {"dis_max": {"queries": [
+            {"match": "data"}, {"match_phrase_prefix": "data pro"}],
+            "tie_breaker": 0.3}}, "size": 5})
+    assert status == 200
+    want = e.search_dismax([{"match": "data"},
+                            {"phrase_prefix": "data pro",
+                             "max_expansions": 50}],
+                           tie_breaker=0.3, k=5)
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == want
+    # function_score (multiply over BM25)
+    status, out = _post(server, "/api/search", {
+        "query": {"function_score": {
+            "query": {"match": "data stream"},
+            "field_value_factor": {"field": "n_chars",
+                                   "modifier": "ln1p"}}}, "size": 4})
+    assert status == 200
+    assert [(r["doc_id"], r["score"]) for r in out["results"]] == \
+        e.search_function_score("data stream", k=4, field="n_chars",
+                                modifier="ln1p",
+                                boost_mode="multiply")
+    # constant_score
+    status, out = _post(server, "/api/search", {
+        "query": {"constant_score": {
+            "filter": [{"term": {"lang": "en"}}], "boost": 2.0}},
+        "size": 3})
+    assert status == 200
+    assert all(r["score"] == 2.0 for r in out["results"])
+    # composite agg: page 1 then after-cursor page 2, JSON-clean
+    body = {"query": {"match_all": {}}, "size": 0,
+            "aggs": {"pg": {"composite": {
+                "sources": [{"lang": {"terms": {"field": "lang"}}}],
+                "size": 2}}}}
+    status, out = _post(server, "/api/search", body)
+    assert status == 200
+    pg = out["aggregations"]["pg"]
+    assert len(pg["buckets"]) == 2 and pg["after_key"] is not None
+    body["aggs"]["pg"]["composite"]["after"] = pg["after_key"]
+    status, out2 = _post(server, "/api/search", body)
+    assert status == 200
+    keys1 = [b["key"]["lang"] for b in pg["buckets"]]
+    keys2 = [b["key"]["lang"]
+             for b in out2["aggregations"]["pg"]["buckets"]]
+    assert keys2 and min(keys2) > max(keys1)
+    # percentiles + significant_text serve as JSON
+    status, out = _post(server, "/api/search", {
+        "query": {"match": "data"}, "size": 0,
+        "aggs": {"pc": {"percentiles": {"field": "n_chars"}},
+                 "sig": {"significant_text": {"field": "text",
+                                              "size": 3}}}})
+    assert status == 200
+    assert set(out["aggregations"]["pc"]["values"]) == \
+        {"1", "5", "25", "50", "75", "95", "99"}
+    for b in out["aggregations"]["sig"]:
+        assert {"key", "doc_count", "bg_count", "score"} <= set(b)
