@@ -2513,4 +2513,19 @@ ORACLES: dict[str, str] = {
                                                '\s+'), 'data')
         ORDER BY ln(1 + 2.0 * n_chars) DESC, doc_id ASC LIMIT 15
     """,
+    # nested-bool retrieval: data AND (phrase "table scan" OR (vector
+    # AND NOT stream)) AND NOT (lang='de' AND cache)
+    "nested_bool_docs": r"""
+        WITH w AS (SELECT doc_id, lang, lower(trim(text)) AS lt,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id FROM w
+        WHERE list_contains(ws, 'data')
+          AND (regexp_matches(lt,
+               '(^|[^a-z0-9_])table[^a-z0-9_]+scan([^a-z0-9_]|$)')
+               OR (list_contains(ws, 'vector')
+                   AND NOT list_contains(ws, 'stream')))
+          AND NOT (lang = 'de' AND list_contains(ws, 'cache'))
+    """,
 }

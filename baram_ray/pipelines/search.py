@@ -1434,3 +1434,26 @@ def search_function_score(sf_dir: str, query_text: str = "data",
         "score": pd.array([round(s, 6) for _, s in rows],
                           dtype="float64"),
     })
+
+
+def nested_bool_docs(sf_dir: str):
+    """Nested-bool retrieval (bool-inside-bool, the general OpenSearch
+    body the reference's backend compiles recursively): docs matching
+    data AND (phrase "table scan" OR (vector AND NOT stream)) AND NOT
+    (lang='de' AND cache), via the recursive tree evaluator. Scoring
+    identity vs the brute-force recursive oracle is pytest-checked
+    (tests/test_bool_tree.py); the match SET is SQL-expressible →
+    hash-exact DuckDB oracle."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    ids = eng.match_bool_tree_docs({"bool": {
+        "must": [{"match": "data"}],
+        "should": [
+            {"bool": {"must": [{"match_phrase": "table scan"}]}},
+            {"bool": {"must": [{"match": "vector"}],
+                      "must_not": [{"match": "stream"}]}}],
+        "minimum_should_match": 1,
+        "must_not": [{"bool": {"filter": [{"term": {"lang": "de"}}],
+                               "must": [{"match": "cache"}]}}]}})
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})

@@ -245,10 +245,16 @@ def parse_query(node: dict) -> DslPlan:
                     col, val = _filter_entry(ck, c[ck])
                     plan.filters[col] = val
                     continue
-                if ck in ("bool", "query_string"):
+                if ck == "bool":
                     raise ValueError(
-                        f"nested {ck} inside bool is not supported — "
-                        "flatten the clauses or call the explicit API")
+                        "nested bool reached the flat planner — "
+                        "execute_dsl routes it to search_bool_tree; "
+                        "call that (or the DSL) instead")
+                if ck == "query_string":
+                    raise ValueError(
+                        "nested query_string inside bool is not "
+                        "supported — flatten the clauses or call the "
+                        "explicit API")
                 sink.append(_leaf_spec(ck, c[ck]))
         return plan
     if kind in ("term", "range"):
@@ -400,6 +406,19 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     return {"value": s["count"] if kind == "value_count" else s[kind]}
 
 
+def _has_nested_bool(node: dict) -> bool:
+    """True when any clause group of a bool node holds a bool child —
+    the shape parse_query's flat plan cannot express (routed to
+    engine.search_bool_tree instead)."""
+    b = node["bool"]
+    for g in ("must", "should", "must_not", "filter"):
+        v = b.get(g) or []
+        for c in (v if isinstance(v, list) else [v]):
+            if _node_kind(c) == "bool":
+                return True
+    return False
+
+
 def _filter_context(flt) -> tuple[str, dict | None]:
     """Decompose a filter-context node list (term / range / match /
     match_all) into (conjunctive query text, metadata filters) — the
@@ -515,6 +534,15 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if min_score is not None:
             rows = [(d, s) for d, s in rows if s >= min_score]
         return rows
+
+    if _node_kind(node) == "bool" and _has_nested_bool(node):
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("nested bool composes with size/"
+                             "min_score only")
+        return engine.search_bool_tree(
+            node, k=k, min_score=body.get("min_score"))
 
     plan = parse_query(node)
     filters = plan.filters or None

@@ -617,6 +617,101 @@ class QueryEngine:
                                   filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
 
+    def _eval_bool_tree(self, node: dict,
+                        boosts: dict[str, float] | None = None
+                        ) -> tuple[np.ndarray, np.ndarray]:
+        """(score, matched) arrays for an arbitrarily NESTED bool tree
+        (Lucene BooleanQuery semantics, the recursion OpenSearch
+        compiles natively): a bool node matches when all must/filter
+        children match, no must_not child matches, and ≥
+        minimum_should_match should children match (default 0 when
+        must/filter present, else 1 — OpenSearch's rule); its score is
+        Σ of matching scoring children (must + should; filter and
+        term/range leaves mask only, the engine's existing
+        convention). A nested bool contributes its summed internal
+        score where it matches. Leaves evaluate through
+        ``_spec_arrays`` so every typed clause scores exactly like its
+        standalone op."""
+        from baram_ray.query import dsl as _dsl
+        n = len(self.r.doc_ids)
+        kind = _dsl._node_kind(node)
+        if kind != "bool":
+            if kind in ("term", "range"):
+                col, val = _dsl._filter_entry(kind, node[kind])
+                m = self.r.filter_mask({col: val})
+                return np.zeros(n), m
+            if kind == "match_all":
+                live = self.r.filter_mask(None)
+                return np.zeros(n), (live if live is not None
+                                     else np.ones(n, dtype=bool))
+            return self._spec_arrays(_dsl._leaf_spec(kind, node[kind]),
+                                     boosts)
+        b = node["bool"]
+
+        def group(g) -> list:
+            v = b.get(g) or []
+            return v if isinstance(v, list) else [v]
+
+        score = np.zeros(n, dtype=np.float64)
+        matched = np.ones(n, dtype=bool)
+        for c in group("must"):
+            s, m = self._eval_bool_tree(c, boosts)
+            score += np.where(m, s, 0.0)
+            matched &= m
+        for c in group("filter"):
+            _, m = self._eval_bool_tree(c, boosts)
+            matched &= m
+        for c in group("must_not"):
+            _, m = self._eval_bool_tree(c, boosts)
+            matched &= ~m
+        should = group("should")
+        msm = b.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (group("must") or group("filter")) else 1
+        if should:
+            cnt = np.zeros(n, dtype=np.int64)
+            for c in should:
+                s, m = self._eval_bool_tree(c, boosts)
+                score += np.where(m, s, 0.0)
+                cnt += m
+            if int(msm) > 0:
+                matched &= cnt >= int(msm)
+        return score, matched
+
+    def search_bool_tree(self, node: dict, k: int = 10,
+                         boosts: dict[str, float] | None = None,
+                         filters: dict | None = None,
+                         min_score: float | None = None
+                         ) -> list[tuple[int, float]]:
+        """Top-k over a NESTED bool query tree (see
+        ``_eval_bool_tree``) — the general OpenSearch ``bool``-inside-
+        ``bool`` body the flat ``search_bool``/``search_compound``
+        paths refuse. Sorted (score desc, doc_id asc); flat trees are
+        score-identical to ``search_compound`` (tested)."""
+        r = self.r
+        score, matched = self._eval_bool_tree(node, boosts)
+        mask = r.filter_mask(filters)        # + tombstones when None
+        if mask is not None:
+            matched &= mask
+        cand = np.nonzero(matched)[0]
+        if len(cand) == 0 or k <= 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -score[cand]))
+        out = [(int(r.doc_ids[i]), float(score[i]))
+               for i in cand[order[:k]]]
+        if min_score is not None:
+            out = [(d, s) for d, s in out if s >= min_score]
+        return out
+
+    def match_bool_tree_docs(self, node: dict,
+                             filters: dict | None = None) -> np.ndarray:
+        """Nested-bool RETRIEVAL (no scoring): sorted doc_ids of the
+        tree's match set — the SQL-checkable core of
+        ``search_bool_tree``."""
+        hits = self.search_bool_tree(node, k=len(self.r.doc_ids),
+                                     filters=filters)
+        return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
     def search_constant_score(self, boost: float = 1.0, k: int = 10,
                               query: str = "",
                               filters: dict | None = None
@@ -740,15 +835,17 @@ class QueryEngine:
         def py(v):
             return v.item() if hasattr(v, "item") else v
 
+        lo = 0
+        if after is not None:          # O(log B) cursor seek, not a scan
+            import bisect
+            lo = bisect.bisect_right(
+                starts, tuple(after),
+                key=lambda st: tuple(py(col[st]) for col in cs))
         out: list[dict] = []
-        for st, c in zip(starts, counts):
-            key = tuple(py(col[st]) for col in cs)
-            if after is not None and key <= tuple(after):
-                continue
-            out.append({"key": dict(zip(sources, key)),
-                        "doc_count": int(c)})
-            if len(out) == size:
-                break
+        for st, c in zip(starts[lo:lo + size], counts[lo:lo + size]):
+            out.append({"key": dict(zip(
+                sources, (py(col[st]) for col in cs))),
+                "doc_count": int(c)})
         return out
 
     def suggest(self, term: str, field: str | None = None,
@@ -2156,6 +2253,31 @@ class ShardedEngine:
         and BM25 uses global idf, so per-shard top-k lists merge
         score-identically to a single reader (both boost_modes)."""
         return self._scatter("search_function_score", k, (query,), kw)
+
+    @staticmethod
+    def _tree_shard_safe(node: dict) -> None:
+        from baram_ray.query.qparse import UnsupportedQuery
+        kind = next(iter(node))
+        if kind == "bool":
+            for g in ("must", "should", "must_not", "filter"):
+                v = node["bool"].get(g) or []
+                for c in (v if isinstance(v, list) else [v]):
+                    ShardedEngine._tree_shard_safe(c)
+            return
+        if kind not in ("match", "match_phrase", "term", "range",
+                        "match_all"):
+            raise UnsupportedQuery(
+                f"{kind} clause expansion is per-shard-local — query "
+                "a single reader for this shape")
+
+    def search_bool_tree(self, node: dict, k: int = 10, **kw) -> list:
+        """Nested-bool scatter-gather: per-doc (score, matched) are
+        shard-complete for match/phrase/term/range/match_all leaves
+        (global idf; docs partition by shard), so per-shard top-k
+        lists merge identically to a single reader. Expansion leaves
+        refuse honestly (same boundary as ``search_compound``)."""
+        self._tree_shard_safe(node)
+        return self._scatter("search_bool_tree", k, (node,), kw)
 
     def facet_composite(self, query: str, sources: list[str],
                         size: int = 10, after: tuple | None = None,

@@ -349,21 +349,19 @@ class OracleIndex:
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
     # ----------------------------------------------------------------- #
-    def search_dismax(self, queries: list, tie_breaker: float = 0.0,
-                      k: int = 10, boosts=None
-                      ) -> list[tuple[int, float]]:
-        """Brute-force reference for QueryEngine.search_dismax: each
-        typed clause's doc→score map comes from this oracle's own
-        standalone op; score = max matching clause + tie_breaker × Σ of
-        the rest; a doc matches if any clause does."""
+    def _clause_map(self, spec, boosts=None) -> dict[int, float]:
+        """doc→score map for one typed clause spec, each from this
+        oracle's own standalone op (shared by search_dismax and
+        search_bool_tree)."""
+        clause = self._clause_map
 
-        def clause(spec) -> dict[int, float]:
+        def _inner(spec) -> dict[int, float]:
             if isinstance(spec, str):
                 spec = {"match": spec}
             cb = float(spec.get("boost", 1.0))
             if cb != 1.0:
                 inner = clause({kk: v for kk, v in spec.items()
-                                if kk != "boost"})
+                                if kk != "boost"}, boosts)
                 return {d: s * cb for d, s in inner.items()}
             if "match" in spec:
                 return dict(self.search(spec["match"], k=self.n_docs,
@@ -401,7 +399,16 @@ class OracleIndex:
                     boosts=boosts))
             raise ValueError(f"unknown clause spec {spec!r}")
 
-        maps = [clause(c) for c in (queries or [])]
+        return _inner(spec)
+
+    # ----------------------------------------------------------------- #
+    def search_dismax(self, queries: list, tie_breaker: float = 0.0,
+                      k: int = 10, boosts=None
+                      ) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_dismax: score =
+        max matching clause + tie_breaker × Σ of the rest; a doc
+        matches if any clause does."""
+        maps = [self._clause_map(c, boosts) for c in (queries or [])]
         cands = set()
         for m in maps:
             cands |= set(m)
@@ -411,6 +418,84 @@ class OracleIndex:
             best = max(ss)
             scores[d] = best + tie_breaker * (sum(ss) - best)
         return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # ----------------------------------------------------------------- #
+    def search_bool_tree(self, node: dict, k: int = 10, boosts=None
+                         ) -> list[tuple[int, float]]:
+        """Brute-force reference for QueryEngine.search_bool_tree:
+        recursive Lucene BooleanQuery semantics over doc-id SETS and
+        per-clause score maps from this oracle's standalone ops. A
+        clause's score contributes only where that clause matched
+        (mirrors the engine's np.where mask); term/range/match_all
+        leaves mask without scoring."""
+        from baram_ray.query.dsl import (_filter_entry, _leaf_spec,
+                                         _node_kind)
+        all_ids = set(self.doc_ids)
+
+        def meta_mask(kind: str, v) -> set[int]:
+            col, val = _filter_entry(kind, v)
+            vals = self.meta[col]
+            if isinstance(val, dict):
+                import operator as op
+                ops = {"gte": op.ge, "lte": op.le,
+                       "gt": op.gt, "lt": op.lt}
+                return {d for d, x in zip(self.doc_ids, vals)
+                        if all(ops[o](x, b) for o, b in val.items())}
+            return {d for d, x in zip(self.doc_ids, vals) if x == val}
+
+        def ev(n: dict) -> tuple[dict[int, float], set[int]]:
+            kind = _node_kind(n)
+            if kind != "bool":
+                if kind in ("term", "range"):
+                    return {}, meta_mask(kind, n[kind])
+                if kind == "match_all":
+                    return {}, set(all_ids)
+                sc = self._clause_map(_leaf_spec(kind, n[kind]),
+                                      boosts)
+                return sc, set(sc)
+            b = n["bool"]
+
+            def grp(g) -> list:
+                x = b.get(g) or []
+                return x if isinstance(x, list) else [x]
+
+            score: dict[int, float] = {}
+            matched = set(all_ids)
+
+            def add(sc: dict, m: set) -> None:
+                for d, v in sc.items():
+                    if d in m:
+                        score[d] = score.get(d, 0.0) + v
+
+            for c in grp("must"):
+                sc, m = ev(c)
+                add(sc, m)
+                matched &= m
+            for c in grp("filter"):
+                _, m = ev(c)
+                matched &= m
+            for c in grp("must_not"):
+                _, m = ev(c)
+                matched -= m
+            should = grp("should")
+            msm = b.get("minimum_should_match")
+            if msm is None:
+                msm = 0 if (grp("must") or grp("filter")) else 1
+            if should:
+                cnt: dict[int, int] = {}
+                for c in should:
+                    sc, m = ev(c)
+                    add(sc, m)
+                    for d in m:
+                        cnt[d] = cnt.get(d, 0) + 1
+                if int(msm) > 0:
+                    matched &= {d for d, c0 in cnt.items()
+                                if c0 >= int(msm)}
+            return score, matched
+
+        score, matched = ev(node)
+        rows = [(d, score.get(d, 0.0)) for d in matched]
+        return sorted(rows, key=lambda kv: (-kv[1], kv[0]))[:k]
 
     # ----------------------------------------------------------------- #
     def _phrase_prefix_freq(self, text: str, fixed: list[str],

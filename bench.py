@@ -226,8 +226,9 @@ def run_serve_bench() -> dict:
     a pool of resident ``ray.remote(QueryActor)`` actors takes a mixed
     closed-loop workload from 32 CLIENT TASKS (own processes — driver
     threads would GIL-serialize and measure the client, not the
-    server) — 40% BM25, 20% phrase, 10% bool, 10% query-string,
-    20% hybrid (BM25 through
+    server) — 1/3 BM25, 1/6 phrase, bool, query-string, 1/6 extended-
+    DSL bodies (dis_max / function_score / composite page), 1/6 hybrid
+    (BM25 through
     the pool + ANN through the ``HnswService`` actors, merged 0.3/0.7
     min-max in the client, the full end-to-end cost). Reports per-kind
     and overall p50/p95/p99 ms plus requests/sec at two pool sizes —
@@ -266,7 +267,26 @@ def run_serve_bench() -> dict:
 
     texts = [q["text"] for q in DOC_QUERIES if "qqq" not in q["text"]]
     kinds = (["bm25"] * 4 + ["phrase"] * 2 + ["bool"] + ["qs"]
-             + ["hybrid"] * 2)
+             + ["hybrid"] * 2 + ["dsl"] * 2)
+    # extended-DSL bodies (round-4 surface): dis_max, function_score
+    # and a composite-agg page — JSON-serialized once, served via the
+    # QueryActor "dsl" kind
+    import json as _json
+    dsl_bodies = [_json.dumps(b) for b in (
+        {"query": {"dis_max": {"queries": [
+            {"match": "data processing"}, {"match": "table scan"}],
+            "tie_breaker": 0.3}}, "size": 10},
+        {"query": {"function_score": {
+            "query": {"match": "data stream"},
+            "field_value_factor": {"field": "n_chars",
+                                   "modifier": "ln1p"}},
+            }, "size": 10},
+        {"query": {"match": "data"}, "size": 0,
+         "aggs": {"pg": {"composite": {
+             "sources": [{"l": {"terms": {"field": "lang"}}},
+                         {"s": {"terms": {"field": "source"}}}],
+             "size": 10}}}},
+    )]
 
     @ray.remote(num_cpus=0.25)
     def client(cid: int, actors, ann_actors, per: int, qv):
@@ -307,6 +327,9 @@ def run_serve_bench() -> dict:
                 merged = {d: 0.3 * bs.get(d, 0) + 0.7 * an.get(d, 0)
                           for d in set(bs) | set(an)}
                 _ = sorted(merged.items(), key=lambda kv: -kv[1])[:10]
+            elif kind == "dsl":
+                ray.get(a.serve.remote(
+                    "dsl", dsl_bodies[(cid + r) % len(dsl_bodies)], 10))
             else:
                 # "qs" exercises the string parser route (+must term)
                 ray.get(a.serve.remote(

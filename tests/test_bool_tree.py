@@ -1,0 +1,159 @@
+"""Nested bool queries (bool-inside-bool, Lucene BooleanQuery
+recursion): rank+score identity vs the recursive brute-force oracle,
+flat-tree == search_compound, sharded == single with the honest
+expansion boundary, and JSON-DSL routing."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from baram_ray.index.build import IndexConfig, build_index
+from baram_ray.query.dsl import execute_dsl
+from baram_ray.query.engine import QueryEngine, ShardedEngine
+from baram_ray.query.oracle import OracleIndex
+
+OUT = "/tmp/baram_test_btree_idx"
+SRC = "/tmp/baram_test_btree_docs.parquet"
+N = 280
+VOCAB = ["data", "stream", "table", "scan", "merge", "sort", "vector",
+         "batch", "index", "query", "shard", "cache"]
+
+
+@pytest.fixture(scope="module")
+def docs():
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(N):
+        words = list(rng.choice(VOCAB, size=int(rng.integers(3, 22))))
+        text = " ".join(words)
+        rows.append({"doc_id": i, "text": text,
+                     "lang": ["en", "de", "fr"][i % 3],
+                     "source": f"s{i % 5}", "n_chars": len(text)})
+    pd.DataFrame(rows).to_parquet(SRC, index=False)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def engine(docs):
+    shutil.rmtree(OUT, ignore_errors=True)
+    cfg = IndexConfig(fields=("text",), id_cols=(), num_shards=4,
+                      keep=("lang", "source", "n_chars"),
+                      positions=True)
+    build_index(SRC, OUT, cfg, resume=False)
+    return QueryEngine(OUT)
+
+
+@pytest.fixture(scope="module")
+def sharded(engine):
+    return ShardedEngine(OUT, n_groups=2)
+
+
+@pytest.fixture(scope="module")
+def oracle(docs):
+    return OracleIndex(docs, fields=["text"],
+                       meta_cols=["lang", "source", "n_chars"])
+
+
+TREES = [
+    # should-of-bools with msm inside the child
+    {"bool": {
+        "must": [{"match": "data"}],
+        "should": [
+            {"bool": {"must": [{"match_phrase": "table scan"}]}},
+            {"bool": {"should": [{"match": "vector"},
+                                 {"match": "batch"}],
+                      "minimum_should_match": 2}}],
+        "minimum_should_match": 1}},
+    # must_not of a nested bool
+    {"bool": {
+        "must": [{"match": "stream"}],
+        "must_not": [{"bool": {
+            "must": [{"match": "vector"}],
+            "filter": [{"term": {"lang": "de"}}]}}]}},
+    # filter group holding a nested bool (pure mask, no score)
+    {"bool": {
+        "must": [{"match": "merge sort"}],
+        "filter": [{"bool": {
+            "should": [{"term": {"lang": "en"}},
+                       {"term": {"lang": "fr"}}]}},
+                   {"range": {"n_chars": {"gte": 30}}}]}},
+    # three levels deep
+    {"bool": {
+        "should": [
+            {"bool": {"must": [
+                {"match": "data"},
+                {"bool": {"should": [{"match": "cache"},
+                                     {"match": "shard"}]}}]}},
+            {"match_phrase": "index query"}]}},
+    # match_all + must_not leaf
+    {"bool": {"must": [{"match_all": {}}],
+              "must_not": [{"match": "vector"}],
+              "filter": [{"term": {"source": "s1"}}]}},
+]
+
+
+@pytest.mark.parametrize("i", range(len(TREES)))
+def test_tree_matches_oracle(engine, oracle, i):
+    got = engine.search_bool_tree(TREES[i], k=N)
+    want = oracle.search_bool_tree(TREES[i], k=N)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got],
+                               [s for _, s in want], rtol=1e-9)
+
+
+def test_flat_tree_equals_compound(engine):
+    tree = {"bool": {"must": [{"match_phrase": "table scan"}],
+                     "should": [{"match": "vector"},
+                                {"match": "batch"}],
+                     "must_not": [{"match": "cache"}]}}
+    got = engine.search_bool_tree(tree, k=25)
+    want = engine.search_compound(
+        must=[{"phrase": "table scan"}],
+        should=["vector", "batch"], must_not=["cache"], k=25)
+    assert got == want
+
+
+@pytest.mark.parametrize("i", range(len(TREES)))
+def test_tree_sharded_identity(engine, sharded, i):
+    assert engine.search_bool_tree(TREES[i], k=30) == \
+        sharded.search_bool_tree(TREES[i], k=30)
+
+
+def test_tree_sharded_expansion_refusal(sharded):
+    from baram_ray.query.qparse import UnsupportedQuery
+    with pytest.raises(UnsupportedQuery):
+        sharded.search_bool_tree(
+            {"bool": {"must": [{"bool": {
+                "should": [{"prefix": "st"}]}}]}}, k=5)
+
+
+def test_tree_dsl_routing(engine):
+    body = {"query": TREES[0], "size": 12}
+    assert execute_dsl(engine, body) == \
+        engine.search_bool_tree(TREES[0], k=12)
+    # flat bool bodies still take the flat-plan path (same results)
+    flat = {"query": {"bool": {"must": [{"match": "data"}],
+                               "should": [{"match": "vector"}]}},
+            "size": 10}
+    assert execute_dsl(engine, flat) == engine.search_bool(
+        must=["data"], should=["vector"], k=10)
+    # nested bool + aggs is an honest refusal
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": TREES[0], "size": 0,
+                             "aggs": {"l": {"terms":
+                                            {"field": "lang"}}}})
+
+
+def test_tree_match_docs_and_edges(engine, oracle):
+    ids = engine.match_bool_tree_docs(TREES[1])
+    want = sorted(d for d, _ in oracle.search_bool_tree(TREES[1], k=N))
+    assert list(ids) == want
+    assert engine.search_bool_tree(TREES[0], k=0) == []
+    # empty bool matches every live doc with score 0
+    got = engine.search_bool_tree({"bool": {}}, k=N + 10)
+    assert len(got) == N and all(s == 0.0 for _, s in got)
+    # zero-hit must
+    assert engine.search_bool_tree(
+        {"bool": {"must": [{"match": "qqqzz"}]}}, k=5) == []

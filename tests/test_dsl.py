@@ -243,7 +243,6 @@ def test_dsl_error_shapes(engine):
         {"query": {"bool": {"filter": [{"term": {"lang": "en"}}]}}},
         {"query": {"term": {"lang": "en"}}},
         {"query": {"bool": {"should": [{"term": {"lang": "en"}}]}}},
-        {"query": {"bool": {"must": [{"bool": {"must": []}}]}}},
         {"query": {"match": "x", "prefix": "y"}},
         {"query": {"match": "x"}, "sort": [{"a": "asc"}, {"b": "asc"}]},
         {"query": {"bool": {"must": [{"match": "a"},
@@ -255,6 +254,11 @@ def test_dsl_error_shapes(engine):
     ):
         with pytest.raises(ValueError):
             execute_dsl(e, body)
+    # nested bool is no longer an error: it routes to the recursive
+    # tree evaluator (empty child bool == match_all)
+    got = execute_dsl(e, {"query": {"bool": {
+        "must": [{"bool": {"must": []}}]}}, "size": 3})
+    assert len(got) == 3 and all(s == 0.0 for _, s in got)
 
 
 def test_parse_query_pure():
