@@ -534,6 +534,9 @@ class IndexReader:
                     mask &= data > val["gt"]
                 if "lt" in val:
                     mask &= data < val["lt"]
+            elif isinstance(val, (list, tuple, set, frozenset)):
+                # OpenSearch ``terms`` filter: value IN list
+                mask &= np.isin(data, list(val))
             else:
                 mask &= data == val
         return mask

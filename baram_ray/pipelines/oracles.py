@@ -2528,4 +2528,11 @@ ORACLES: dict[str, str] = {
                    AND NOT list_contains(ws, 'stream')))
           AND NOT (lang = 'de' AND list_contains(ws, 'cache'))
     """,
+    # terms (IN-list) filter: match 'data' AND lang IN (en, fr)
+    "terms_filter_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE lang IN ('en', 'fr')
+          AND list_contains(string_split_regex(lower(trim(text)),
+                                               '\s+'), 'data')
+    """,
 }

@@ -1457,3 +1457,21 @@ def nested_bool_docs(sf_dir: str):
         "must_not": [{"bool": {"filter": [{"term": {"lang": "de"}}],
                                "must": [{"match": "cache"}]}}]}})
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def terms_filter_docs(sf_dir: str):
+    """``terms`` (IN-list) filter through the JSON DSL: docs matching
+    'data' with lang ∈ {en, fr} — the multi-value metadata filter
+    OpenSearch serves as a terms query in filter context (np.isin over
+    the kept column). Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = execute_dsl(eng, {
+        "query": {"bool": {
+            "must": [{"match": "data"}],
+            "filter": [{"terms": {"lang": ["en", "fr"]}}]}},
+        "size": 10**9})
+    ids = sorted(d for d, _ in rows)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})

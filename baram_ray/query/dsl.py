@@ -65,6 +65,7 @@ Query nodes::
                      "fields": ["content^2",       # ^boost suffixes;
                                 "path"]}}          # top-level only
     {"term": {"col": value}}                       # filter context
+    {"terms": {"col": [v1, v2]}}                   # filter context (IN)
     {"range": {"col": {"gte": ..., "lt": ...}}}    # filter context
     {"bool": {"must": [...], "should": [...], "must_not": [...],
               "filter": [...], "minimum_should_match": n}}
@@ -86,8 +87,8 @@ from typing import Any
 
 _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
-               "query_string", "term", "range", "match_all", "bool",
-               "dis_max", "constant_score", "function_score")
+               "query_string", "term", "terms", "range", "match_all",
+               "bool", "dis_max", "constant_score", "function_score")
 
 
 def _parse_field_boosts(fields) -> tuple[list[str],
@@ -182,7 +183,7 @@ def _leaf_spec_inner(kind: str, v) -> dict:
 
 
 def _filter_entry(kind: str, v) -> tuple[str, Any]:
-    """term/range node → (column, engine filter value)."""
+    """term/terms/range node → (column, engine filter value)."""
     if not isinstance(v, dict) or len(v) != 1:
         raise ValueError(f"{kind} needs exactly one column: {v!r}")
     col, val = next(iter(v.items()))
@@ -190,6 +191,10 @@ def _filter_entry(kind: str, v) -> tuple[str, Any]:
         if isinstance(val, dict):          # {"value": x} long form
             val = val.get("value")
         return col, val
+    if kind == "terms":                    # value IN list
+        if not isinstance(val, list) or not val:
+            raise ValueError(f"terms needs a non-empty list: {val!r}")
+        return col, list(val)
     bad = set(val) - {"gte", "lte", "gt", "lt"}
     if not isinstance(val, dict) or bad:
         raise ValueError(f"range supports gte/lte/gt/lt: {val!r}")
@@ -226,9 +231,10 @@ def parse_query(node: dict) -> DslPlan:
 
         for c in each("filter"):
             ck = _node_kind(c)
-            if ck not in ("term", "range"):
+            if ck not in ("term", "terms", "range"):
                 raise ValueError(
-                    f"filter context supports term/range, got {ck}")
+                    f"filter context supports term/terms/range, "
+                    f"got {ck}")
             col, val = _filter_entry(ck, c[ck])
             plan.filters[col] = val
         for group, sink in (("must", plan.must),
@@ -236,7 +242,7 @@ def parse_query(node: dict) -> DslPlan:
                             ("must_not", plan.must_not)):
             for c in each(group):
                 ck = _node_kind(c)
-                if ck in ("term", "range"):
+                if ck in ("term", "terms", "range"):
                     if group != "must":
                         raise ValueError(
                             f"{ck} in {group} has no BM25 score on "
@@ -257,7 +263,7 @@ def parse_query(node: dict) -> DslPlan:
                         "explicit API")
                 sink.append(_leaf_spec(ck, c[ck]))
         return plan
-    if kind in ("term", "range"):
+    if kind in ("term", "terms", "range"):
         raise ValueError(
             f"top-level {kind} has no ranking — wrap it in bool.filter "
             "with a scoring clause, or use facets()/search_sorted()")
@@ -428,14 +434,14 @@ def _filter_context(flt) -> tuple[str, dict | None]:
     texts: list[str] = []
     for fn in nodes:
         fk = _node_kind(fn)
-        if fk in ("term", "range"):
+        if fk in ("term", "terms", "range"):
             col, val = _filter_entry(fk, fn[fk])
             cfilters[col] = val
         elif fk == "match":
             texts.append(_text_arg(fn[fk])["query"])
         elif fk != "match_all":
             raise ValueError(
-                "filter context supports term/range/match/"
+                "filter context supports term/terms/range/match/"
                 "match_all nodes")
     return " ".join(texts), cfilters or None
 

@@ -636,7 +636,7 @@ class QueryEngine:
         n = len(self.r.doc_ids)
         kind = _dsl._node_kind(node)
         if kind != "bool":
-            if kind in ("term", "range"):
+            if kind in ("term", "terms", "range"):
                 col, val = _dsl._filter_entry(kind, node[kind])
                 m = self.r.filter_mask({col: val})
                 return np.zeros(n), m
@@ -2264,8 +2264,8 @@ class ShardedEngine:
                 for c in (v if isinstance(v, list) else [v]):
                     ShardedEngine._tree_shard_safe(c)
             return
-        if kind not in ("match", "match_phrase", "term", "range",
-                        "match_all"):
+        if kind not in ("match", "match_phrase", "term", "terms",
+                        "range", "match_all"):
             raise UnsupportedQuery(
                 f"{kind} clause expansion is per-shard-local — query "
                 "a single reader for this shape")

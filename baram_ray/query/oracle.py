@@ -435,6 +435,9 @@ class OracleIndex:
         def meta_mask(kind: str, v) -> set[int]:
             col, val = _filter_entry(kind, v)
             vals = self.meta[col]
+            if isinstance(val, list):      # terms (IN) filter
+                return {d for d, x in zip(self.doc_ids, vals)
+                        if x in set(val)}
             if isinstance(val, dict):
                 import operator as op
                 ops = {"gte": op.ge, "lte": op.le,
@@ -446,7 +449,7 @@ class OracleIndex:
         def ev(n: dict) -> tuple[dict[int, float], set[int]]:
             kind = _node_kind(n)
             if kind != "bool":
-                if kind in ("term", "range"):
+                if kind in ("term", "terms", "range"):
                     return {}, meta_mask(kind, n[kind])
                 if kind == "match_all":
                     return {}, set(all_ids)

@@ -157,3 +157,35 @@ def test_tree_match_docs_and_edges(engine, oracle):
     # zero-hit must
     assert engine.search_bool_tree(
         {"bool": {"must": [{"match": "qqqzz"}]}}, k=5) == []
+
+
+def test_terms_filter_isin(engine, oracle, docs):
+    """OpenSearch ``terms`` (IN-list) filter: flat filter context,
+    nested tree leaf, and the explicit filters API all agree with the
+    row-level recompute."""
+    tree = {"bool": {"must": [{"match": "data"}],
+                     "filter": [{"terms": {"lang": ["en", "fr"]}}]}}
+    got = engine.search_bool_tree(tree, k=N)
+    want = oracle.search_bool_tree(tree, k=N)
+    assert got == want
+    want_ids = {d["doc_id"] for d in docs
+                if d["lang"] in ("en", "fr")
+                and "data" in d["text"].split()}
+    assert {d for d, _ in got} == want_ids
+    # flat DSL path (filters dict value = list -> np.isin)
+    flat = execute_dsl(engine, {
+        "query": {"bool": {"must": [{"match": "data"}],
+                           "filter": [{"terms":
+                                       {"lang": ["en", "fr"]}}]}},
+        "size": N})
+    assert {d for d, _ in flat} == want_ids
+    assert engine.search("data", k=N,
+                         filters={"lang": ["en", "fr"]}) == flat
+    # sharded identity for the terms-filter tree
+    assert ShardedEngine(OUT, n_groups=2).search_bool_tree(
+        tree, k=20) == engine.search_bool_tree(tree, k=20)
+    # empty list is an honest error
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"bool": {
+            "filter": [{"terms": {"lang": []}}],
+            "must": [{"match": "data"}]}}})
