@@ -74,6 +74,26 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
         con.close()
         return {int(d): t for d, t in rows}
 
+    def _run_dsl_body(payload: dict) -> dict:
+        """One OpenSearch-style body → the JSON response dict (shared
+        by POST /api/search and each /api/msearch slot)."""
+        from baram_ray.query.dsl import execute_dsl
+        hits = execute_dsl(engine, payload, max_k=MAX_K)
+        aggs = None
+        if isinstance(hits, dict):          # aggs body
+            aggs = {name: _agg_jsonable(v)
+                    for name, v in hits["aggregations"].items()}
+            hits = hits["hits"]
+        val_key = "sort_value" if "sort" in payload else "score"
+        out = {"results": [
+            {"rank": i + 1, "doc_id": int(t[0]),
+             val_key: _jsonable(t[1]),
+             **({"group": _jsonable(t[2])} if len(t) > 2 else {})}
+            for i, t in enumerate(hits)]}
+        if aggs is not None:
+            out["aggregations"] = aggs
+        return out
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):      # quiet: no per-request stderr
             pass
@@ -168,28 +188,25 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
             except (ValueError, json.JSONDecodeError):
                 return self._json(400, {"error": "bad json"})
             if u.path == "/api/search":
-                from baram_ray.query.dsl import execute_dsl
                 try:
-                    hits = execute_dsl(engine, payload, max_k=MAX_K)
+                    return self._json(200, _run_dsl_body(payload))
                 except (ValueError, KeyError) as e:
                     return self._json(400, {"error": str(e)})
-                aggs = None
-                if isinstance(hits, dict):          # aggs body
-                    aggs = {name: _agg_jsonable(v)
-                            for name, v
-                            in hits["aggregations"].items()}
-                    hits = hits["hits"]
-                val_key = ("sort_value" if "sort" in payload
-                           else "score")
-                out = {"results": [
-                    {"rank": i + 1, "doc_id": int(t[0]),
-                     val_key: _jsonable(t[1]),
-                     **({"group": _jsonable(t[2])} if len(t) > 2
-                        else {})}
-                    for i, t in enumerate(hits)]}
-                if aggs is not None:
-                    out["aggregations"] = aggs
-                return self._json(200, out)
+            if u.path == "/api/msearch":
+                # OpenSearch _msearch: a list of bodies in one round
+                # trip; per-body errors come back in-slot (the bulk
+                # contract — one bad body never fails the batch)
+                if not isinstance(payload, list):
+                    return self._json(400, {
+                        "error": "msearch takes a JSON list of "
+                                 "search bodies"})
+                responses = []
+                for body in payload:
+                    try:
+                        responses.append(_run_dsl_body(body))
+                    except (ValueError, KeyError) as e:
+                        responses.append({"error": str(e)})
+                return self._json(200, {"responses": responses})
             from baram_ray.stages.embed import EmbedStage
             enc = EmbedStage()
             if u.path == "/embed":

@@ -278,3 +278,34 @@ def test_search_post_extended_dsl(server):
         {"1", "5", "25", "50", "75", "95", "99"}
     for b in out["aggregations"]["sig"]:
         assert {"key", "doc_count", "bg_count", "score"} <= set(b)
+
+
+def test_msearch_bulk(server):
+    """POST /api/msearch: one round trip, per-slot responses, per-slot
+    errors (a bad body never fails the batch) — OpenSearch _msearch
+    contract."""
+    e = server.engine
+    bodies = [
+        {"query": {"match": "data"}, "size": 3},
+        {"query": {"bool": {"must": [{"match": "data"}],
+                            "filter": [{"terms":
+                                        {"lang": ["en", "de"]}}]}},
+         "size": 2},
+        {"query": {"nope": 1}},                      # bad slot
+        {"query": {"match_all": {}}, "size": 0,
+         "aggs": {"l": {"terms": {"field": "lang"}}}},
+    ]
+    status, out = _post(server, "/api/msearch", bodies)
+    assert status == 200 and len(out["responses"]) == 4
+    assert [(r["doc_id"], r["score"])
+            for r in out["responses"][0]["results"]] == \
+        e.search("data", k=3)
+    assert [(r["doc_id"], r["score"])
+            for r in out["responses"][1]["results"]] == \
+        e.search("data", k=2, filters={"lang": ["en", "de"]})
+    assert "error" in out["responses"][2]
+    assert out["responses"][3]["aggregations"]["l"] == [
+        {"key": v, "doc_count": c} for _, v, c in e.facets("", ["lang"])]
+    # non-list payload is a 400
+    status, _ = _post(server, "/api/msearch", {"query": {}})
+    assert status == 400
