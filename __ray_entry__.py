@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_function_score": searchp.search_function_score,
         "nested_bool_docs": searchp.nested_bool_docs,
         "terms_filter_docs": searchp.terms_filter_docs,
+        "search_rescore_topk": searchp.search_rescore_topk,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

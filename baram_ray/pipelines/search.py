@@ -1475,3 +1475,26 @@ def terms_filter_docs(sf_dir: str):
         "size": 10**9})
     ids = sorted(d for d, _ in rows)
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
+def search_rescore_topk(sf_dir: str, k: int = 10):
+    """Rescore (OpenSearch QueryRescorer) through the JSON DSL: BM25
+    top-50 window for 'data stream', phrase "table scan" secondary at
+    0.7/1.3 weights. Rows-only driver check (BM25 core has no SQL
+    form); window semantics and sharded identity are pytest-checked
+    (tests/test_bool_tree.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    rows = execute_dsl(eng, {
+        "query": {"match": "data stream"}, "size": k,
+        "rescore": {"window_size": 50, "query": {
+            "rescore_query": {"match_phrase": "table scan"},
+            "query_weight": 0.7, "rescore_query_weight": 1.3}}})
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "score": pd.array([round(s, 6) for _, s in rows],
+                          dtype="float64"),
+    })

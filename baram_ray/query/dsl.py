@@ -9,6 +9,9 @@ Supported body::
     {"query": <node>, "size": 10, "min_score": 0.5,
      "sort": [{"col": {"order": "desc"}}] | "col",
      "collapse": {"field": "col"},
+     "rescore": {"window_size": 50, "query": {
+         "rescore_query": <leaf or bool node>,
+         "query_weight": 1.0, "rescore_query_weight": 1.0}},
      "search_after": [score, doc_id],          # plain match; with
                                                # "sort": the composite
                                                # (sort_value, doc_id)
@@ -63,7 +66,10 @@ Query nodes::
     {"query_string": {"query": "+a -b \"c d\""}}   # qparse surface
     {"multi_match": {"query": "text",              # field subset with
                      "fields": ["content^2",       # ^boost suffixes;
-                                "path"]}}          # top-level only
+                                "path"],           # top-level only
+                     "type": "most_fields"         # per-field SUM
+                     | "best_fields",              # dis_max per field
+                     "tie_breaker": 0.0}}
     {"term": {"col": value}}                       # filter context
     {"terms": {"col": [v1, v2]}}                   # filter context (IN)
     {"range": {"col": {"gte": ..., "lt": ...}}}    # filter context
@@ -474,8 +480,48 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                              "only")
         mm = node["multi_match"]
         fields, boosts = _parse_field_boosts(mm.get("fields"))
-        return engine.search(mm["query"], k=k, fields=fields,
-                             boosts=boosts, min_score=min_score)
+        mtype = mm.get("type", "most_fields")
+        if mtype == "most_fields":
+            # per-field scores SUM (this engine's native multi-field
+            # accumulation)
+            return engine.search(mm["query"], k=k, fields=fields,
+                                 boosts=boosts, min_score=min_score)
+        if mtype == "best_fields":
+            # Lucene's default: dis_max over single-field match
+            # clauses; ^boosts become clause boosts, tie_breaker
+            # blends the non-best fields
+            specs = []
+            for f in fields:
+                spec = {"match": mm["query"], "fields": [f]}
+                if boosts and boosts.get(f, 1.0) != 1.0:
+                    spec["boost"] = float(boosts[f])
+                specs.append(spec)
+            return engine.search_dismax(
+                specs, tie_breaker=float(mm.get("tie_breaker", 0.0)),
+                k=k, min_score=min_score)
+        raise ValueError("multi_match type must be most_fields or "
+                         "best_fields")
+
+    if "rescore" in body:
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("rescore composes with size/min_score "
+                             "only")
+        if _node_kind(node) != "match":
+            raise ValueError("rescore needs a match primary query "
+                             "(the BM25 window source)")
+        rs = body["rescore"]
+        rq = rs.get("query") or {}
+        if "rescore_query" not in rq:
+            raise ValueError("rescore.query.rescore_query is "
+                             "required")
+        return engine.search_rescore(
+            _text_arg(node["match"])["query"], rq["rescore_query"],
+            k=k, window_size=int(rs.get("window_size", 50)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(
+                rq.get("rescore_query_weight", 1.0)))
 
     if _node_kind(node) == "dis_max":
         if any(key in body for key in ("sort", "collapse",

@@ -279,13 +279,14 @@ class QueryEngine:
     # complement). Each clause is a match query (analyzed string, any
     # field); scoring = BM25 sum over the matching must/should clauses.
     # ------------------------------------------------------------------ #
-    def _clause_eval(self, clause: str, boosts):
+    def _clause_eval(self, clause: str, boosts, fields=None):
         """(score array, matched mask) for one match clause — exhaustive
-        vectorized scoring over local rows."""
+        vectorized scoring over local rows (optionally restricted to a
+        field subset, the multi_match per-field form)."""
         r = self.r
         acc = np.zeros(len(r.doc_ids), dtype=np.float64)
         matched = np.zeros(len(r.doc_ids), dtype=bool)
-        for it in self._iters(clause, boosts):
+        for it in self._iters(clause, boosts, fields):
             rows, tfs = it.pl.decode_all()
             if r.rank_base:
                 rows = rows - r.rank_base
@@ -419,7 +420,8 @@ class QueryEngine:
         if isinstance(spec, str):
             spec = {"match": spec}
         if kind == "match":
-            return self._clause_eval(spec["match"], boosts)
+            return self._clause_eval(spec["match"], boosts,
+                                     spec.get("fields"))
         if kind == "phrase":
             return self._phrase_arrays(spec["phrase"],
                                        slop=int(spec.get("slop", 0)),
@@ -616,6 +618,53 @@ class QueryEngine:
         hits = self.search_dismax(queries, k=len(self.r.doc_ids),
                                   filters=filters)
         return np.sort(np.array([d for d, _ in hits], dtype=np.int64))
+
+    def search_rescore(self, query: str, rescore_node: dict,
+                       k: int = 10, window_size: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_query_weight: float = 1.0,
+                       filters: dict | None = None
+                       ) -> list[tuple[int, float]]:
+        """OpenSearch ``rescore`` (QueryRescorer): take the primary
+        BM25 top-``window_size``, recombine each hit's score as
+        query_weight × primary + rescore_query_weight × secondary
+        (secondary = the rescore clause's score where it matches, 0
+        otherwise — Lucene's total-hit behavior), re-sort the window,
+        return top-k. Docs OUTSIDE the window keep their primary rank
+        below every window doc (the window is a strict head), so only
+        window_size × (scores) move — the cheap precision-bump shape
+        that avoids running the expensive clause corpus-wide.
+        ``rescore_node`` is a DSL leaf or bool node (evaluated through
+        the tree evaluator, so any nesting works)."""
+        hits = self.search(query, k=window_size, filters=filters)
+        if not hits or k <= 0:
+            return []
+        r = self.r
+        s2, m2 = self._eval_bool_tree(rescore_node)
+        ids = np.array([d for d, _ in hits], dtype=np.int64)
+        rows = np.searchsorted(r.doc_ids, ids)
+        sec = np.where(m2[rows], s2[rows], 0.0)
+        comb = (query_weight * np.array([s for _, s in hits])
+                + rescore_query_weight * sec)
+        order = np.lexsort((ids, -comb))[:k]
+        return [(int(ids[i]), float(comb[i])) for i in order]
+
+    def rescore_scores(self, rescore_node: dict,
+                       doc_ids: list[int]) -> dict[int, float]:
+        """Secondary scores for the given doc_ids where the rescore
+        clause matches (ids not in this reader/shard are omitted) —
+        the per-shard half of the sharded rescore."""
+        r = self.r
+        ids = np.asarray(sorted(doc_ids), dtype=np.int64)
+        rows = np.searchsorted(r.doc_ids, ids)
+        ok = rows < len(r.doc_ids)
+        ok[ok] &= r.doc_ids[rows[ok]] == ids[ok]
+        if not ok.any():
+            return {}
+        s2, m2 = self._eval_bool_tree(rescore_node)
+        rws = rows[ok]
+        return {int(d): float(s)
+                for d, s, m in zip(ids[ok], s2[rws], m2[rws]) if m}
 
     def _eval_bool_tree(self, node: dict,
                         boosts: dict[str, float] | None = None
@@ -2278,6 +2327,32 @@ class ShardedEngine:
         refuse honestly (same boundary as ``search_compound``)."""
         self._tree_shard_safe(node)
         return self._scatter("search_bool_tree", k, (node,), kw)
+
+    def search_rescore(self, query: str, rescore_node: dict,
+                       k: int = 10, window_size: int = 50,
+                       query_weight: float = 1.0,
+                       rescore_query_weight: float = 1.0,
+                       filters: dict | None = None) -> list:
+        """Rescore scatter-gather: the GLOBAL primary top-window merges
+        exactly (global idf), then each window doc's secondary score
+        comes from its owning shard (``rescore_scores``) — identical
+        to a single reader because both halves are per-doc
+        shard-complete. The window must be global: rescoring each
+        shard's LOCAL window would promote docs outside the true
+        window."""
+        self._tree_shard_safe(rescore_node)
+        hits = self.search(query, k=window_size, filters=filters)
+        if not hits or k <= 0:
+            return []
+        ids = [d for d, _ in hits]
+        sec: dict[int, float] = {}
+        for eng in self.engines:
+            sec.update(eng.rescore_scores(rescore_node, ids))
+        comb = sorted(
+            ((d, query_weight * s
+              + rescore_query_weight * sec.get(d, 0.0))
+             for d, s in hits), key=lambda ds: (-ds[1], ds[0]))
+        return comb[:k]
 
     def facet_composite(self, query: str, sources: list[str],
                         size: int = 10, after: tuple | None = None,

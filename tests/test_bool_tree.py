@@ -189,3 +189,63 @@ def test_terms_filter_isin(engine, oracle, docs):
         execute_dsl(engine, {"query": {"bool": {
             "filter": [{"terms": {"lang": []}}],
             "must": [{"match": "data"}]}}})
+
+
+# ------------------------------------------------------------------ #
+# rescore (QueryRescorer window semantics)
+# ------------------------------------------------------------------ #
+
+def test_rescore_recompute(engine):
+    """score = qw × primary + rqw × secondary-where-matched over the
+    primary top-window only."""
+    rnode = {"bool": {"must": [{"match_phrase": "table scan"}]}}
+    got = engine.search_rescore("data stream", rnode, k=10,
+                                window_size=40, query_weight=0.7,
+                                rescore_query_weight=1.3)
+    hits = engine.search("data stream", k=40)
+    s2, m2 = engine._eval_bool_tree(rnode)
+    rows = {int(d): i for i, d in enumerate(engine.r.doc_ids)}
+    want = sorted(
+        ((d, 0.7 * s + 1.3 * (s2[rows[d]] if m2[rows[d]] else 0.0))
+         for d, s in hits), key=lambda ds: (-ds[1], ds[0]))[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    np.testing.assert_allclose([s for _, s in got],
+                               [s for _, s in want], rtol=1e-12)
+
+
+def test_rescore_window_is_strict(engine):
+    """A doc outside the primary top-window never enters the result,
+    however well it matches the rescore clause."""
+    rnode = {"bool": {"must": [{"match": "vector"}]}}
+    small = engine.search_rescore("data", rnode, k=5, window_size=5)
+    window = {d for d, _ in engine.search("data", k=5)}
+    assert {d for d, _ in small} <= window
+
+
+def test_rescore_sharded_identity(engine, sharded):
+    rnode = {"bool": {"must": [{"match_phrase": "merge sort"}],
+                      "filter": [{"term": {"lang": "en"}}]}}
+    kw = dict(k=12, window_size=30, query_weight=0.5,
+              rescore_query_weight=2.0)
+    assert engine.search_rescore("data stream", rnode, **kw) == \
+        sharded.search_rescore("data stream", rnode, **kw)
+    # expansion leaf in the rescore clause refuses on the sharded path
+    from baram_ray.query.qparse import UnsupportedQuery
+    with pytest.raises(UnsupportedQuery):
+        sharded.search_rescore("data", {"bool": {
+            "must": [{"prefix": "st"}]}}, k=5)
+
+
+def test_rescore_dsl_routing(engine):
+    rnode = {"match_phrase": "table scan"}
+    body = {"query": {"match": "data stream"}, "size": 8,
+            "rescore": {"window_size": 25, "query": {
+                "rescore_query": rnode, "query_weight": 0.7,
+                "rescore_query_weight": 1.3}}}
+    assert execute_dsl(engine, body) == engine.search_rescore(
+        "data stream", rnode, k=8, window_size=25,
+        query_weight=0.7, rescore_query_weight=1.3)
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"prefix": "st"},
+                             "rescore": {"query": {
+                                 "rescore_query": rnode}}})

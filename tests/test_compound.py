@@ -235,3 +235,40 @@ def test_sharded_compound_refuses_expansion_kinds(built):
                  {"regexp": "im.*"}, {"fuzzy": "impart"}):
         with pytest.raises(UnsupportedQuery):
             sh.search_compound(should=[spec], k=5)
+
+
+# ------------------------------------------------------------------ #
+# multi_match type: best_fields (dis_max per field) vs most_fields
+# ------------------------------------------------------------------ #
+
+def test_multi_match_best_fields(engine):
+    """best_fields == dis_max over single-field match clauses; boosts
+    become clause boosts; tie_breaker blends the rest; most_fields
+    stays the per-field sum (the engine's native accumulation)."""
+    from baram_ray.query.dsl import execute_dsl
+    q = "def main"
+    body = {"query": {"multi_match": {
+        "query": q, "fields": ["content^2", "path"],
+        "type": "best_fields", "tie_breaker": 0.4}}, "size": 15}
+    got = execute_dsl(engine, body)
+    want = engine.search_dismax(
+        [{"match": q, "fields": ["content"], "boost": 2.0},
+         {"match": q, "fields": ["path"]}],
+        tie_breaker=0.4, k=15)
+    assert got == want
+    # per-field clause == single-field search (scoring identity)
+    one = dict(engine.search(q, k=10**9, fields=["path"]))
+    s, m = engine._spec_arrays({"match": q, "fields": ["path"]}, None)
+    ids = engine.r.doc_ids
+    assert {int(d): float(x)
+            for d, x, ok in zip(ids, s, m) if ok} == one
+    # most_fields (default) == the field-subset sum path
+    flat = execute_dsl(engine, {"query": {"multi_match": {
+        "query": q, "fields": ["content^2", "path"]}}, "size": 15})
+    assert flat == engine.search(q, k=15,
+                                 fields=["content", "path"],
+                                 boosts={"content": 2.0})
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"multi_match": {
+            "query": q, "fields": ["content"],
+            "type": "cross_fields"}}, "size": 5})
