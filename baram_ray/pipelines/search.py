@@ -1498,3 +1498,26 @@ def search_rescore_topk(sf_dir: str, k: int = 10):
         "score": pd.array([round(s, 6) for _, s in rows],
                           dtype="float64"),
     })
+
+
+def search_boosting_topk(sf_dir: str, k: int = 10):
+    """boosting query through the JSON DSL: 'data stream' demoted ×0.25
+    where 'vector' also matches (Lucene BoostingQuery — the soft
+    must_not). Rows-only driver check (BM25 core); demote-vs-exclude
+    and sharded identity are pytest-checked (tests/test_bool_tree.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = execute_dsl(eng, {
+        "query": {"boosting": {
+            "positive": {"match": "data stream"},
+            "negative": {"match": "vector"},
+            "negative_boost": 0.25}},
+        "size": k})
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+        "doc_id": pd.array([d for d, _ in rows], dtype="int64"),
+        "score": pd.array([round(s, 6) for _, s in rows],
+                          dtype="float64"),
+    })

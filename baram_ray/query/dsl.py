@@ -48,6 +48,8 @@ Query nodes::
     {"match_phrase_prefix": "a b"} | {"match_phrase_prefix":
         {"query": "a b", "max_expansions": 50}}  # last term = prefix
     {"dis_max": {"queries": [leaf nodes], "tie_breaker": 0.3}}
+    {"boosting": {"positive": <node>, "negative": <node>,
+                  "negative_boost": 0.5}}  # demote, don't exclude
     {"constant_score": {"filter": [term/range/match nodes],
                         "boost": 1.2}}
     {"function_score": {"query": match | bool-filter | match_all,
@@ -94,7 +96,8 @@ from typing import Any
 _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
                "query_string", "term", "terms", "range", "match_all",
-               "bool", "dis_max", "constant_score", "function_score")
+               "bool", "dis_max", "constant_score", "function_score",
+               "boosting")
 
 
 def _parse_field_boosts(fields) -> tuple[list[str],
@@ -276,7 +279,7 @@ def parse_query(node: dict) -> DslPlan:
     if kind == "match_all":
         return plan                      # empty plan: aggs-only bodies
     if kind in ("query_string", "dis_max", "constant_score",
-                "function_score"):
+                "function_score", "boosting"):
         raise ValueError(f"{kind} is routed by execute_dsl")
     plan.should.append(_leaf_spec(kind, node[kind]))
     return plan
@@ -522,6 +525,23 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
             query_weight=float(rq.get("query_weight", 1.0)),
             rescore_query_weight=float(
                 rq.get("rescore_query_weight", 1.0)))
+
+    if _node_kind(node) == "boosting":
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations")):
+            raise ValueError("boosting composes with size/min_score "
+                             "only")
+        bq = node["boosting"]
+        if "positive" not in bq or "negative" not in bq:
+            raise ValueError("boosting needs positive and negative "
+                             "query nodes")
+        rows = engine.search_boosting(
+            bq["positive"], bq["negative"],
+            negative_boost=float(bq.get("negative_boost", 0.5)), k=k)
+        if min_score is not None:
+            rows = [(d, s) for d, s in rows if s >= min_score]
+        return rows
 
     if _node_kind(node) == "dis_max":
         if any(key in body for key in ("sort", "collapse",

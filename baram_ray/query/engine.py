@@ -649,6 +649,29 @@ class QueryEngine:
         order = np.lexsort((ids, -comb))[:k]
         return [(int(ids[i]), float(comb[i])) for i in order]
 
+    def search_boosting(self, positive: dict, negative: dict,
+                        negative_boost: float = 0.5, k: int = 10,
+                        filters: dict | None = None
+                        ) -> list[tuple[int, float]]:
+        """OpenSearch ``boosting`` query: docs matching ``positive``
+        (any DSL leaf/bool node) keep their score, DEMOTED — not
+        excluded — by × ``negative_boost`` where ``negative`` also
+        matches (Lucene BoostingQuery; the soft version of must_not).
+        Sorted (score desc, doc_id asc)."""
+        r = self.r
+        s, m = self._eval_bool_tree(positive)
+        _, neg = self._eval_bool_tree(negative)
+        s = np.where(neg, s * float(negative_boost), s)
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            m = m & mask
+        cand = np.nonzero(m)[0]
+        if len(cand) == 0 or k <= 0:
+            return []
+        order = np.lexsort((r.doc_ids[cand], -s[cand]))
+        return [(int(r.doc_ids[i]), float(s[i]))
+                for i in cand[order[:k]]]
+
     def rescore_scores(self, rescore_node: dict,
                        doc_ids: list[int]) -> dict[int, float]:
         """Secondary scores for the given doc_ids where the rescore
@@ -2327,6 +2350,17 @@ class ShardedEngine:
         refuse honestly (same boundary as ``search_compound``)."""
         self._tree_shard_safe(node)
         return self._scatter("search_bool_tree", k, (node,), kw)
+
+    def search_boosting(self, positive: dict, negative: dict,
+                        k: int = 10, **kw) -> list:
+        """Boosting scatter-gather: per-doc scores and the negative
+        mask are shard-complete (global idf; docs partition by
+        shard), so per-shard top-k lists merge identically for
+        shard-safe node trees."""
+        self._tree_shard_safe(positive)
+        self._tree_shard_safe(negative)
+        return self._scatter("search_boosting", k,
+                             (positive, negative), kw)
 
     def search_rescore(self, query: str, rescore_node: dict,
                        k: int = 10, window_size: int = 50,

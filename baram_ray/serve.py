@@ -1,6 +1,8 @@
 """REST serving surface — the reference's axum API
 (``src/commands/serve.rs:753-757``: ``/api/health``, ``/api/search``,
-``/api/events``, ``/api/events/:id``) rebuilt on the stdlib
+``/api/events``, ``/api/events/:id``; plus ``/api/msearch``,
+``/api/analyze``, ``/api/stats``, ``/api/explain`` — the OpenSearch
+surfaces the reference gets from its backend) rebuilt on the stdlib
 ``ThreadingHTTPServer`` in front of one resident ``QueryEngine``.
 
 Single-node by design: HTTP serving is the A7 resident-engine shape; the
@@ -119,6 +121,20 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                 elif u.path == "/api/explain":
                     self._json(200, engine.explain(qs["q"],
                                                    int(qs["doc_id"])))
+                elif u.path == "/api/analyze":
+                    from baram_ray.tokenizer import tokenize
+                    self._json(200, {"tokens": [
+                        {"token": t, "position": i}
+                        for i, t in enumerate(tokenize(qs["text"]))]})
+                elif u.path == "/api/stats":
+                    r = engine.r
+                    self._json(200, {
+                        "n_docs": int(r.n_docs),
+                        "n_live": int(r.live.sum()) if r.live
+                                  is not None else int(r.n_docs),
+                        "fields": list(r.fields),
+                        "n_terms": {f: len(r._term_list(f))
+                                    for f in r.fields}})
                 elif u.path == "/api/events":
                     self._events(None)
                 elif u.path.startswith("/api/events/"):

@@ -249,3 +249,27 @@ def test_rescore_dsl_routing(engine):
         execute_dsl(engine, {"query": {"prefix": "st"},
                              "rescore": {"query": {
                                  "rescore_query": rnode}}})
+
+
+def test_boosting_query(engine, sharded, docs):
+    """boosting: negative match DEMOTES (× negative_boost), never
+    excludes; positive-only docs keep their exact score."""
+    from baram_ray.query.dsl import execute_dsl
+    pos = {"match": "data stream"}
+    neg = {"bool": {"must": [{"match": "vector"}]}}
+    got = engine.search_boosting(pos, neg, negative_boost=0.25, k=N)
+    base = dict(engine.search_bool_tree(pos, k=N))
+    _, nm = engine._eval_bool_tree(neg)
+    negset = {int(d) for d, m in zip(engine.r.doc_ids, nm) if m}
+    want = sorted(
+        ((d, s * 0.25 if d in negset else s) for d, s in base.items()),
+        key=lambda ds: (-ds[1], ds[0]))
+    assert got == want
+    assert {d for d, _ in got} == set(base)        # demoted, not gone
+    # sharded identity + DSL routing
+    assert sharded.search_boosting(pos, neg, k=15,
+                                   negative_boost=0.25) == got[:15]
+    body = {"query": {"boosting": {"positive": pos, "negative": neg,
+                                   "negative_boost": 0.25}},
+            "size": 15}
+    assert execute_dsl(engine, body) == got[:15]

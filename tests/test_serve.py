@@ -309,3 +309,17 @@ def test_msearch_bulk(server):
     # non-list payload is a 400
     status, _ = _post(server, "/api/msearch", {"query": {}})
     assert status == 400
+
+
+def test_analyze_and_stats(server):
+    from baram_ray.tokenizer import tokenize
+    status, out = _get(server, "/api/analyze?text=Data+processing")
+    assert status == 200
+    assert [t["token"] for t in out["tokens"]] == \
+        tokenize("Data processing")
+    assert [t["position"] for t in out["tokens"]] == \
+        list(range(len(out["tokens"])))
+    status, st = _get(server, "/api/stats")
+    assert status == 200 and st["n_docs"] == 500
+    assert st["n_live"] <= st["n_docs"] and "text" in st["fields"]
+    assert st["n_terms"]["text"] > 0
