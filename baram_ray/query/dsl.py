@@ -388,6 +388,9 @@ def _run_agg(engine, name: str, spec: dict, text: str,
                  "score": s} for t, fg, bg, s in rows]
     if kind == "composite":
         names, flds = [], []
+        if not body.get("sources"):
+            raise ValueError("composite needs a non-empty 'sources' "
+                             "list")
         for src in body["sources"]:
             (sname, sspec), = src.items()
             names.append(sname)
@@ -519,12 +522,15 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if "rescore_query" not in rq:
             raise ValueError("rescore.query.rescore_query is "
                              "required")
-        return engine.search_rescore(
+        rows = engine.search_rescore(
             _text_arg(node["match"])["query"], rq["rescore_query"],
             k=k, window_size=int(rs.get("window_size", 50)),
             query_weight=float(rq.get("query_weight", 1.0)),
             rescore_query_weight=float(
                 rq.get("rescore_query_weight", 1.0)))
+        if min_score is not None:      # applies to the COMBINED score
+            rows = [(d, s) for d, s in rows if s >= min_score]
+        return rows
 
     if _node_kind(node) == "boosting":
         if any(key in body for key in ("sort", "collapse",

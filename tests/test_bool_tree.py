@@ -273,3 +273,16 @@ def test_boosting_query(engine, sharded, docs):
                                    "negative_boost": 0.25}},
             "size": 15}
     assert execute_dsl(engine, body) == got[:15]
+
+
+def test_rescore_min_score_applies_to_combined(engine):
+    from baram_ray.query.dsl import execute_dsl
+    rnode = {"match_phrase": "table scan"}
+    body = {"query": {"match": "data stream"}, "size": 30,
+            "rescore": {"window_size": 30,
+                        "query": {"rescore_query": rnode}}}
+    full = execute_dsl(engine, body)
+    cut = sorted(s for _, s in full)[len(full) // 2]
+    body["min_score"] = cut
+    got = execute_dsl(engine, body)
+    assert got == [(d, s) for d, s in full if s >= cut]

@@ -226,3 +226,10 @@ def test_fscore_dsl_routing(engine):
     assert execute_dsl(engine, body_m) == engine.search_function_score(
         "data stream", k=8, field="n_chars", modifier="sqrt",
         boost_mode="multiply")
+
+
+def test_composite_empty_sources_refused(engine):
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"match": "data"}, "size": 0,
+                             "aggs": {"pg": {"composite":
+                                             {"sources": []}}}})
