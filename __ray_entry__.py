@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_filter_docs": searchp.terms_filter_docs,
         "search_rescore_topk": searchp.search_rescore_topk,
         "search_boosting_topk": searchp.search_boosting_topk,
+        "search_filters_agg": searchp.search_filters_agg,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

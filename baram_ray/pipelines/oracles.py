@@ -2535,4 +2535,25 @@ ORACLES: dict[str, str] = {
           AND list_contains(string_split_regex(lower(trim(text)),
                                                '\s+'), 'data')
     """,
+    # filters aggregation: named predicate buckets over the match set
+    # of 'data' — (lang IN en/fr), contains 'vector', n_chars >= 250
+    "search_filters_agg": r"""
+        WITH m AS (SELECT lang, n_chars,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT 'en_or_fr' AS bucket,
+               CAST(count(*) FILTER (WHERE lang IN ('en', 'fr'))
+                    AS BIGINT) AS doc_count
+        FROM m WHERE list_contains(ws, 'data')
+        UNION ALL
+        SELECT 'has_vector',
+               CAST(count(*) FILTER (WHERE list_contains(ws, 'vector'))
+                    AS BIGINT)
+        FROM m WHERE list_contains(ws, 'data')
+        UNION ALL
+        SELECT 'long',
+               CAST(count(*) FILTER (WHERE n_chars >= 250) AS BIGINT)
+        FROM m WHERE list_contains(ws, 'data')
+    """,
 }

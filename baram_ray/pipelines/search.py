@@ -1521,3 +1521,30 @@ def search_boosting_topk(sf_dir: str, k: int = 10):
         "score": pd.array([round(s, 6) for _, s in rows],
                           dtype="float64"),
     })
+
+
+def search_filters_agg(sf_dir: str, query_text: str = "data"):
+    """``filters`` aggregation through the JSON DSL (named predicate
+    buckets — arbitrary leaf/bool trees counted against the outer
+    match set), ShardedEngine scatter-gather (counts sum exactly).
+    Every bucket predicate is SQL-expressible → hash-exact DuckDB
+    oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"fb": {"filters": {"filters": {
+            "en_or_fr": {"bool": {"should": [
+                {"term": {"lang": "en"}},
+                {"term": {"lang": "fr"}}]}},
+            "has_vector": {"match": "vector"},
+            "long": {"range": {"n_chars": {"gte": 250}}},
+        }}}}})
+    b = out["aggregations"]["fb"]["buckets"]
+    return pd.DataFrame({
+        "bucket": pd.array(sorted(b), dtype=object),
+        "doc_count": pd.array([b[n]["doc_count"] for n in sorted(b)],
+                              dtype="int64"),
+    })

@@ -25,6 +25,7 @@ Supported body::
                                     | "fixed_interval": days}}
               | {"range": {"field": c, "ranges": [{"from":a,"to":b}]}}
               | {"percentiles": {"field": c, "percents": [...]}}
+              | {"filters": {"filters": {name: <query node>}}}
               | {"composite": {"sources": [{name: {"terms":
                     {"field": c}}}], "size": n,
                     "after": {name: value}}}  # paginated buckets
@@ -288,7 +289,7 @@ def parse_query(node: dict) -> DslPlan:
 _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "cardinality", "min", "max", "avg", "sum", "value_count",
               "percentiles", "significant_text", "significant_terms",
-              "composite")
+              "composite", "filters")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -386,6 +387,14 @@ def _run_agg(engine, name: str, spec: dict, text: str,
             field=fld, filters=filters)
         return [{"key": t, "doc_count": fg, "bg_count": bg,
                  "score": s} for t, fg, bg, s in rows]
+    if kind == "filters":
+        sub = body.get("filters")
+        if not isinstance(sub, dict) or not sub:
+            raise ValueError("filters agg needs a non-empty "
+                             "'filters' dict of named query nodes")
+        rows = engine.facet_filters(text, sub, filters=filters)
+        return {"buckets": {name: {"doc_count": c}
+                            for name, c in rows}}
     if kind == "composite":
         names, flds = [], []
         if not body.get("sources"):

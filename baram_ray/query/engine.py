@@ -874,6 +874,21 @@ class QueryEngine:
         order = np.lexsort((ids, -s))[:k]
         return [(int(ids[i]), float(s[i])) for i in order]
 
+    def facet_filters(self, query: str, buckets: dict[str, dict],
+                      filters: dict | None = None
+                      ) -> list[tuple[str, int]]:
+        """OpenSearch ``filters`` aggregation: one named bucket per
+        sub-query node (any DSL leaf/bool tree), counting the docs of
+        the outer match set that also match the node. Returns
+        (name, count) in name order; per-shard counts sum exactly
+        (docs partition by shard)."""
+        base = self._conj_mask(query, filters)
+        out = []
+        for name in sorted(buckets):
+            _, m = self._eval_bool_tree(buckets[name])
+            out.append((name, int(np.count_nonzero(base & m))))
+        return out
+
     def facet_composite(self, query: str, sources: list[str],
                         size: int = 10, after: tuple | None = None,
                         filters: dict | None = None) -> list[dict]:
@@ -2387,6 +2402,20 @@ class ShardedEngine:
               + rescore_query_weight * sec.get(d, 0.0))
              for d, s in hits), key=lambda ds: (-ds[1], ds[0]))
         return comb[:k]
+
+    def facet_filters(self, query: str, buckets: dict[str, dict],
+                      filters: dict | None = None
+                      ) -> list[tuple[str, int]]:
+        """filters-agg scatter-gather: per-shard named-bucket counts
+        sum exactly (shard-safe trees only)."""
+        for node in buckets.values():
+            self._tree_shard_safe(node)
+        totals: dict[str, int] = {}
+        for eng in self.engines:
+            for name, c in eng.facet_filters(query, buckets,
+                                             filters=filters):
+                totals[name] = totals.get(name, 0) + c
+        return sorted(totals.items())
 
     def facet_composite(self, query: str, sources: list[str],
                         size: int = 10, after: tuple | None = None,

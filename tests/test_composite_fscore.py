@@ -233,3 +233,35 @@ def test_composite_empty_sources_refused(engine):
         execute_dsl(engine, {"query": {"match": "data"}, "size": 0,
                              "aggs": {"pg": {"composite":
                                              {"sources": []}}}})
+
+
+# ------------------------------------------------------------------ #
+# filters aggregation (named predicate buckets)
+# ------------------------------------------------------------------ #
+
+def test_filters_agg(engine, sharded, docs_df, matched):
+    buckets = {
+        "en_or_fr": {"bool": {"should": [{"term": {"lang": "en"}},
+                                         {"term": {"lang": "fr"}}]}},
+        "has_vector": {"match": "vector"},
+        "long": {"range": {"n_chars": {"gte": 60}}},
+    }
+    got = dict(engine.facet_filters("data", buckets))
+    ws = matched["text"].str.split()
+    assert got["en_or_fr"] == int(
+        matched["lang"].isin(["en", "fr"]).sum())
+    assert got["has_vector"] == int(
+        ws.map(lambda w: "vector" in w).sum())
+    assert got["long"] == int((matched["n_chars"] >= 60).sum())
+    # sharded sums exactly; DSL shape
+    assert sharded.facet_filters("data", buckets) == \
+        engine.facet_filters("data", buckets)
+    out = execute_dsl(engine, {
+        "query": {"match": "data"}, "size": 0,
+        "aggs": {"fb": {"filters": {"filters": buckets}}}})
+    assert out["aggregations"]["fb"]["buckets"] == {
+        n: {"doc_count": c} for n, c in got.items()}
+    with pytest.raises(ValueError):
+        execute_dsl(engine, {"query": {"match": "data"}, "size": 0,
+                             "aggs": {"fb": {"filters":
+                                             {"filters": {}}}}})

@@ -75,7 +75,7 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dismax_match_docs", "phrase_prefix_docs",
                "search_constant_score", "search_composite_pages",
                "search_function_score", "nested_bool_docs",
-               "terms_filter_docs"]
+               "terms_filter_docs", "search_filters_agg"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
