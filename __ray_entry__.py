@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rescore_topk": searchp.search_rescore_topk,
         "search_boosting_topk": searchp.search_boosting_topk,
         "search_filters_agg": searchp.search_filters_agg,
+        "search_dh_pipeline": searchp.search_dh_pipeline,
+        "search_bucket_script": searchp.search_bucket_script,
+        "search_sibling_stats": searchp.search_sibling_stats,
         "search_percolate": searchp.search_percolate,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,

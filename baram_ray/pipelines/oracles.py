@@ -2556,4 +2556,74 @@ ORACLES: dict[str, str] = {
                CAST(count(*) FILTER (WHERE n_chars >= 250) AS BIGINT)
         FROM m WHERE list_contains(ws, 'data')
     """,
+    # parent pipeline aggs under a monthly date_histogram: derivative
+    # of the sum metric (int diff cast to DOUBLE; first bucket NULL),
+    # cumulative doc count (exact BIGINT running sum), and a trailing
+    # 3-bucket moving average whose window ends BEFORE the current
+    # bucket (moving_fn shift=0) — ONE sum/count division, exact
+    "search_dh_pipeline": r"""
+        WITH w AS (SELECT doc_id,
+                          18262 + (doc_id % 1096) AS pub_day, n_chars,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT date_trunc('month',
+                     DATE '1970-01-01'
+                     + CAST(pub_day AS INTEGER)) AS mo, n_chars
+              FROM w WHERE list_contains(ws, 'data')),
+        b AS (SELECT mo, CAST(count(*) AS BIGINT) AS doc_count,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM m GROUP BY mo)
+        SELECT strftime(mo, '%Y-%m-%d') AS key_as_string,
+               CAST(datediff('day', DATE '1970-01-01', mo)
+                    AS BIGINT) AS "key",
+               doc_count, sum_chars,
+               CAST(sum_chars - lag(sum_chars) OVER (ORDER BY mo)
+                    AS DOUBLE) AS deriv,
+               CAST(sum(doc_count) OVER (ORDER BY mo
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs,
+               CAST(sum(doc_count) OVER w3 AS DOUBLE)
+                   / count(doc_count) OVER w3 AS ma3
+        FROM b
+        WINDOW w3 AS (ORDER BY mo
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    """,
+    # bucket_script (avg = sum/count, one division) + bucket_selector
+    # (count > 1) + bucket_sort (top 3 by the scripted value; tie-break
+    # matches the engine's stable sort over count desc, lang asc)
+    "search_bucket_script": r"""
+        WITH m AS (SELECT lang, n_chars,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        g AS (SELECT lang, CAST(count(*) AS BIGINT) AS doc_count,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM m WHERE list_contains(ws, 'data')
+              GROUP BY lang HAVING count(*) > 1)
+        SELECT lang, doc_count, sum_chars,
+               CAST(sum_chars AS DOUBLE) / doc_count AS avg_chars
+        FROM g
+        ORDER BY avg_chars DESC, doc_count DESC, lang
+        LIMIT 3
+    """,
+    # sibling stats_bucket over the monthly bucket doc counts: exact
+    # int min/max/sum, avg is the same single sum/count division
+    "search_sibling_stats": r"""
+        WITH w AS (SELECT doc_id,
+                          18262 + (doc_id % 1096) AS pub_day,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        b AS (SELECT date_trunc('month',
+                     DATE '1970-01-01'
+                     + CAST(pub_day AS INTEGER)) AS mo,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM w WHERE list_contains(ws, 'data') GROUP BY mo)
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(min(c) AS BIGINT) AS min_docs,
+               CAST(max(c) AS BIGINT) AS max_docs,
+               CAST(sum(c) AS BIGINT) AS sum_docs,
+               CAST(sum(c) AS DOUBLE) / count(*) AS avg_docs
+        FROM b
+    """,
 }

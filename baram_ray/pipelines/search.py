@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -1547,4 +1548,118 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
         "bucket": pd.array(sorted(b), dtype=object),
         "doc_count": pd.array([b[n]["doc_count"] for n in sorted(b)],
                               dtype="int64"),
+    })
+
+
+def search_dh_pipeline(sf_dir: str, query_text: str = "data"):
+    """Parent pipeline aggregations under a monthly date_histogram
+    (OpenSearch derivative / cumulative_sum / moving_fn — the
+    dashboard shapes the reference serves from OpenSearch): sum metric
+    sub-agg, its derivative, a cumulative doc count, and a trailing
+    3-bucket moving average (window ends BEFORE the current bucket,
+    the moving_fn shift=0 convention). Bucket math is exact int
+    sums/diffs plus ONE float division per moving-average cell →
+    hash-exact DuckDB window-function oracle. Missing first-bucket
+    values surface as NaN (SQL NULL)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"mo": {
+            "date_histogram": {"field": "pub_day",
+                               "calendar_interval": "month"},
+            "aggs": {
+                "sum_chars": {"sum": {"field": "n_chars"}},
+                "deriv": {"derivative": {"buckets_path": "sum_chars"}},
+                "cum_docs": {"cumulative_sum": {
+                    "buckets_path": "_count"}},
+                "ma3": {"moving_fn": {
+                    "buckets_path": "_count", "window": 3,
+                    "script":
+                        "MovingFunctions.unweightedAvg(values)"}},
+            }}}})
+    rows = out["aggregations"]["mo"]
+
+    def _opt(r, name):
+        v = r.get(name)
+        return float(v["value"]) if v is not None else np.nan
+
+    return pd.DataFrame({
+        "key_as_string": pd.array([r["key_as_string"] for r in rows],
+                                  dtype=object),
+        "key": pd.array([r["key"] for r in rows], dtype="int64"),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+        "sum_chars": pd.array([r["sum_chars"]["value"] for r in rows],
+                              dtype="int64"),
+        "deriv": pd.array([_opt(r, "deriv") for r in rows],
+                          dtype="float64"),
+        "cum_docs": pd.array([r["cum_docs"]["value"] for r in rows],
+                             dtype="int64"),
+        "ma3": pd.array([_opt(r, "ma3") for r in rows],
+                        dtype="float64"),
+    })
+
+
+def search_bucket_script(sf_dir: str, query_text: str = "data"):
+    """bucket_script + bucket_selector + bucket_sort pipeline chain
+    under a terms agg: per-language sum of n_chars, a scripted
+    avg-chars ratio (ONE exact int/int division), buckets with ≤1 doc
+    dropped, top 3 by the scripted value. The AST-whitelisted script
+    evaluator is pytest-covered (tests/test_pipeline_aggs.py);
+    hash-exact DuckDB oracle (HAVING + ORDER + LIMIT with the same
+    tie-break)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"langs": {"terms": {"field": "lang"}, "aggs": {
+            "sum_chars": {"sum": {"field": "n_chars"}},
+            "avg_chars": {"bucket_script": {
+                "buckets_path": {"s": "sum_chars", "c": "_count"},
+                "script": "params.s / params.c"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.c > 1"}},
+            "cut": {"bucket_sort": {
+                "sort": [{"avg_chars": {"order": "desc"}}],
+                "size": 3}}}}}})
+    rows = out["aggregations"]["langs"]
+    return pd.DataFrame({
+        "lang": pd.array([r["key"] for r in rows], dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+        "sum_chars": pd.array([r["sum_chars"]["value"] for r in rows],
+                              dtype="int64"),
+        "avg_chars": pd.array([r["avg_chars"]["value"] for r in rows],
+                              dtype="float64"),
+    })
+
+
+def search_sibling_stats(sf_dir: str, query_text: str = "data"):
+    """Sibling pipeline aggregation (stats_bucket) reducing a monthly
+    date_histogram's per-bucket doc counts to one row: bucket count,
+    min/max/sum (exact ints) and avg (ONE sum/count division).
+    Hash-exact DuckDB oracle (GROUP BY month, then one aggregate
+    row)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"mo": {"date_histogram": {
+            "field": "pub_day", "calendar_interval": "month"}},
+            "tot": {"stats_bucket": {"buckets_path": "mo>_count"}}}})
+    s = out["aggregations"]["tot"]
+    return pd.DataFrame({
+        "n_buckets": pd.array([s["count"]], dtype="int64"),
+        "min_docs": pd.array([s["min"]], dtype="int64"),
+        "max_docs": pd.array([s["max"]], dtype="int64"),
+        "sum_docs": pd.array([s["sum"]], dtype="int64"),
+        "avg_docs": pd.array([s["avg"]], dtype="float64"),
     })

@@ -34,6 +34,37 @@ Supported body::
               | {"stats" | "min" | "max" | "avg" | "sum"
                  | "value_count" | "cardinality": {"field": "col"}}}}
 
+Pipeline aggregations (OpenSearch parent/sibling pipelines)::
+
+    # parent pipelines nest under terms / histogram / date_histogram
+    # (derivative-family: histogram/date_histogram only), referencing
+    # sibling sub-aggs or _count via "buckets_path":
+    {"aggs": {"per_mo": {"date_histogram": {...}, "aggs": {
+        "chars": {"sum": {"field": "n_chars"}},
+        "d":   {"derivative":     {"buckets_path": "chars"}},
+        "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        "ma":  {"moving_fn": {"buckets_path": "_count", "window": 3,
+                 "script": "MovingFunctions.unweightedAvg(values)",
+                 "shift": 0}},     # window ends BEFORE current bucket
+        "sd":  {"serial_diff":    {"buckets_path": "chars", "lag": 2}},
+        "r":   {"bucket_script":  {"buckets_path": {"a": "chars",
+                                                    "b": "_count"},
+                                   "script": "params.a / params.b"}},
+        "keep": {"bucket_selector": {"buckets_path": {"c": "_count"},
+                                     "script": "params.c > 5"}},
+        "cut": {"bucket_sort": {"sort": [{"r": {"order": "desc"}}],
+                                "from": 0, "size": 10}}}}}}
+    # sibling pipelines reduce a computed bucket agg at the SAME level:
+    {"aggs": {"per_mo": {"date_histogram": {...}},
+              "best": {"max_bucket": {"buckets_path":
+                                      "per_mo>_count"}},
+              "tot": {"stats_bucket": {"buckets_path":
+                                       "per_mo>_count"}}}}
+
+date_histogram also accepts nested METRIC sub-aggs (stats/min/max/avg/
+sum/value_count), served by one vectorized date-bucketed grouped-stats
+pass per field (exact per-shard merge).
+
 Any scoring leaf accepts ``"boost": w`` (OpenSearch clause boost —
 scales that clause's BM25 contribution; routed through
 ``search_compound``). ``{"match_all": {}}`` is valid with ``aggs``
@@ -329,6 +360,303 @@ def _terms_with_subaggs(engine, name: str, by: str, sub: dict,
     return buckets
 
 
+def _date_histogram_with_subaggs(engine, name: str, fld: str,
+                                 body: dict, sub: dict, text: str,
+                                 filters: dict | None) -> list[dict]:
+    """date_histogram with nested METRIC sub-aggregations: one
+    vectorized date-bucketed grouped-stats pass per distinct sub-agg
+    field (``facet_date_group_stats``), assembled into per-bucket
+    results. Bucket keys/counts identical to the plain
+    date_histogram."""
+    per_field: dict[str, dict] = {}
+    for sname, sspec in sub.items():
+        kinds = [a for a in _METRIC_SUBAGGS if a in sspec]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"sub-agg '{name}.{sname}' must be one metric of "
+                f"{_METRIC_SUBAGGS}: {sspec!r}")
+        per_field.setdefault(sspec[kinds[0]]["field"], {})[sname] = \
+            kinds[0]
+    kw = dict(calendar_interval=body.get("calendar_interval"),
+              fixed_interval=body.get("fixed_interval"),
+              filters=filters)
+    grouped = {f: engine.facet_date_group_stats(text, fld, f, **kw)
+               for f in per_field}
+    first = grouped[next(iter(grouped))]
+    buckets = [{"key_as_string": s, "key": u, "doc_count": c}
+               for s, u, c, *_ in first]
+    for f, names in per_field.items():
+        stats_by_key = {u: {"count": c, "min": lo, "max": hi,
+                            "sum": tot, "avg": avg}
+                        for _, u, c, lo, hi, tot, avg in grouped[f]}
+        for b in buckets:
+            s = stats_by_key[b["key"]]
+            for sname, skind in names.items():
+                b[sname] = (dict(s) if skind == "stats" else
+                            {"value": s["count"]
+                             if skind == "value_count" else s[skind]})
+    return buckets
+
+
+# ---------------------------------------------------------------------------
+# Pipeline aggregations (OpenSearch parent/sibling pipeline aggs).
+# Parent pipelines post-process an ordered bucket list (derivative /
+# cumulative_sum / moving_fn / serial_diff / bucket_script /
+# bucket_selector / bucket_sort); sibling pipelines (avg_bucket /
+# sum_bucket / min_bucket / max_bucket / stats_bucket) reduce a sibling
+# bucket agg's per-bucket values to one result. All are pure driver-side
+# arithmetic over the (already tiny) bucket lists — the distributed
+# work happened in the bucket agg itself.
+
+_PIPELINE_SUBAGGS = ("derivative", "cumulative_sum", "moving_fn",
+                     "serial_diff", "bucket_script", "bucket_selector",
+                     "bucket_sort")
+_SIBLING_AGGS = ("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+                 "stats_bucket")
+# derivative-family pipelines need the parent's buckets in key order —
+# OpenSearch likewise restricts them to the histogram family.
+_ORDERED_ONLY = ("derivative", "cumulative_sum", "moving_fn",
+                 "serial_diff")
+
+_MOVING_FNS = {
+    "MovingFunctions.unweightedAvg(values)":
+        lambda w: sum(w) / len(w),
+    "MovingFunctions.sum(values)": lambda w: sum(w),
+    "MovingFunctions.min(values)": lambda w: min(w),
+    "MovingFunctions.max(values)": lambda w: max(w),
+}
+
+
+def _bucket_value(bucket: dict, path: str):
+    """Resolve an OpenSearch ``buckets_path`` against one bucket:
+    ``_count`` → doc_count; ``name`` / ``name.value`` → a metric or
+    earlier-pipeline sub-agg value; ``name.stat`` → a stats field."""
+    if path == "_count":
+        return bucket["doc_count"]
+    name, _, attr = path.partition(".")
+    if name not in bucket:
+        return None
+    v = bucket[name]
+    if isinstance(v, dict):
+        return v.get(attr or "value")
+    return v
+
+
+def _eval_script(src: str, params: dict):
+    """Safe arithmetic/comparison evaluator for bucket_script /
+    bucket_selector bodies (the ``params.x`` Painless subset the
+    reference's dashboards use). AST-whitelisted: numbers, params
+    attributes, + - * / % **, unary +/-, comparisons, and/or/not,
+    parentheses. Anything else (calls, subscripts, names other than
+    ``params``) raises ValueError — never handed to eval()."""
+    import ast
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float)):
+                return node.value
+            raise ValueError(f"non-numeric constant {node.value!r}")
+        if isinstance(node, ast.Attribute):
+            if (isinstance(node.value, ast.Name)
+                    and node.value.id == "params"):
+                if node.attr not in params:
+                    raise ValueError(f"unknown param {node.attr!r}")
+                return params[node.attr]
+            raise ValueError("only params.<name> attributes allowed")
+        if isinstance(node, ast.UnaryOp):
+            v = ev(node.operand)
+            if isinstance(node.op, ast.USub):
+                return -v
+            if isinstance(node.op, ast.UAdd):
+                return +v
+            if isinstance(node.op, ast.Not):
+                return not v
+            raise ValueError("bad unary op")
+        if isinstance(node, ast.BinOp):
+            a, b = ev(node.left), ev(node.right)
+            ops = {ast.Add: lambda: a + b, ast.Sub: lambda: a - b,
+                   ast.Mult: lambda: a * b, ast.Div: lambda: a / b,
+                   ast.Mod: lambda: a % b, ast.Pow: lambda: a ** b,
+                   ast.FloorDiv: lambda: a // b}
+            for t, f in ops.items():
+                if isinstance(node.op, t):
+                    return f()
+            raise ValueError("bad binary op")
+        if isinstance(node, ast.Compare):
+            left = ev(node.left)
+            for op, cmp in zip(node.ops, node.comparators):
+                right = ev(cmp)
+                ok = {ast.Gt: left > right, ast.GtE: left >= right,
+                      ast.Lt: left < right, ast.LtE: left <= right,
+                      ast.Eq: left == right,
+                      ast.NotEq: left != right}.get(type(op))
+                if ok is None:
+                    raise ValueError("bad comparison op")
+                if not ok:
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.BoolOp):
+            vals = [ev(v) for v in node.values]
+            return (all(vals) if isinstance(node.op, ast.And)
+                    else any(vals))
+        raise ValueError(
+            f"disallowed script construct {type(node).__name__}")
+
+    return ev(ast.parse(src.strip(), mode="eval"))
+
+
+def _script_params(bucket: dict, paths) -> dict | None:
+    """buckets_path dict (or single string → param 'value') resolved
+    against one bucket; None if any referenced value is missing
+    (OpenSearch gap_policy=skip)."""
+    if isinstance(paths, str):
+        paths = {"value": paths}
+    out = {}
+    for pname, path in paths.items():
+        v = _bucket_value(bucket, path)
+        if v is None:
+            return None
+        out[pname] = v
+    return out
+
+
+def _apply_pipeline_subaggs(buckets: list[dict], pipes: dict,
+                            parent_kind: str) -> list[dict]:
+    """Apply parent pipeline sub-aggs to an ordered bucket list, in
+    body order (later pipelines may reference earlier ones via
+    buckets_path). Value producers first write ``{"value": v}`` into
+    each bucket (first-bucket derivative / out-of-window moving_fn
+    buckets are skipped, the OpenSearch convention);
+    ``bucket_selector`` then filters, ``bucket_sort`` reorders/cuts
+    last."""
+    selector = sorter = None
+    for name, spec in pipes.items():
+        (kind, body), = spec.items()
+        if kind in _ORDERED_ONLY and parent_kind not in (
+                "date_histogram", "histogram"):
+            raise ValueError(
+                f"{kind} needs a histogram-family parent agg, not "
+                f"{parent_kind} (OpenSearch's histogram-only rule)")
+        if kind == "bucket_selector":
+            selector = (name, body)
+            continue
+        if kind == "bucket_sort":
+            sorter = (name, body)
+            continue
+        if kind == "derivative":
+            vals = [_bucket_value(b, body["buckets_path"])
+                    for b in buckets]
+            for i, b in enumerate(buckets):
+                if i and vals[i] is not None and vals[i - 1] is not None:
+                    b[name] = {"value": vals[i] - vals[i - 1]}
+        elif kind == "cumulative_sum":
+            total = 0
+            for b in buckets:
+                v = _bucket_value(b, body["buckets_path"])
+                total += v if v is not None else 0
+                b[name] = {"value": total}
+        elif kind == "serial_diff":
+            lag = int(body.get("lag", 1))
+            vals = [_bucket_value(b, body["buckets_path"])
+                    for b in buckets]
+            for i, b in enumerate(buckets):
+                if (i >= lag and vals[i] is not None
+                        and vals[i - lag] is not None):
+                    b[name] = {"value": vals[i] - vals[i - lag]}
+        elif kind == "moving_fn":
+            fn = _MOVING_FNS.get(str(body.get("script", "")).strip())
+            if fn is None:
+                raise ValueError(
+                    "moving_fn script must be one of "
+                    f"{sorted(_MOVING_FNS)}")
+            w = int(body["window"])
+            # OpenSearch: window is the w buckets ENDING at i+shift
+            # (exclusive) — shift=0 (default) excludes the current
+            # bucket, shift=1 includes it.
+            shift = int(body.get("shift", 0))
+            vals = [_bucket_value(b, body["buckets_path"])
+                    for b in buckets]
+            for i, b in enumerate(buckets):
+                win = [v for v in vals[max(0, i + shift - w):
+                                       max(0, i + shift)]
+                       if v is not None]
+                if win:
+                    b[name] = {"value": fn(win)}
+        elif kind == "bucket_script":
+            for b in buckets:
+                p = _script_params(b, body["buckets_path"])
+                if p is not None:
+                    b[name] = {"value": _eval_script(body["script"], p)}
+        else:
+            raise ValueError(f"unknown pipeline sub-agg {kind!r}")
+    if selector is not None:
+        _, body = selector
+        kept = []
+        for b in buckets:
+            p = _script_params(b, body["buckets_path"])
+            if p is not None and _eval_script(body["script"], p):
+                kept.append(b)
+        buckets = kept
+    if sorter is not None:
+        _, body = sorter
+        for s in reversed(body.get("sort", [])):
+            (path, how), = (s.items() if isinstance(s, dict)
+                            else ((s, {}),))
+            desc = (how.get("order", "asc") == "desc"
+                    if isinstance(how, dict) else False)
+            buckets.sort(key=lambda b: _bucket_value(b, path)
+                         if _bucket_value(b, path) is not None
+                         else float("-inf" if desc else "inf"),
+                         reverse=desc)
+        frm = int(body.get("from", 0))
+        size = body.get("size")
+        buckets = (buckets[frm:frm + int(size)] if size is not None
+                   else buckets[frm:])
+    return buckets
+
+
+def _split_subaggs(sub: dict | None) -> tuple[dict, dict]:
+    """Partition a sub-agg dict into (metric/top_hits, pipeline)."""
+    if not sub:
+        return {}, {}
+    pipes = {n: s for n, s in sub.items()
+             if any(k in s for k in _PIPELINE_SUBAGGS)}
+    rest = {n: s for n, s in sub.items() if n not in pipes}
+    return rest, pipes
+
+
+def _run_sibling_agg(kind: str, body: dict, out_aggs: dict):
+    """Sibling pipeline agg: ``buckets_path: "parent>metric"`` reduces
+    the already-computed parent bucket list (``_count`` or a metric
+    sub-agg name after ``>``)."""
+    parent, _, metric = str(body["buckets_path"]).partition(">")
+    if parent not in out_aggs:
+        raise ValueError(f"sibling buckets_path parent {parent!r} not "
+                         "among the computed aggs")
+    buckets = out_aggs[parent]
+    if isinstance(buckets, dict):
+        buckets = buckets.get("buckets")
+    if not isinstance(buckets, list):
+        raise ValueError("sibling pipeline needs a bucket-list parent")
+    vals = [v for v in (_bucket_value(b, metric or "_count")
+                        for b in buckets) if v is not None]
+    if not vals:
+        return {"value": None}
+    if kind == "stats_bucket":
+        return {"count": len(vals), "min": min(vals), "max": max(vals),
+                "sum": sum(vals), "avg": sum(vals) / len(vals)}
+    if kind == "avg_bucket":
+        return {"value": sum(vals) / len(vals)}
+    if kind == "sum_bucket":
+        return {"value": sum(vals)}
+    if kind == "min_bucket":
+        return {"value": min(vals)}
+    return {"value": max(vals)}
+
+
 def _run_agg(engine, name: str, spec: dict, text: str,
              filters: dict | None):
     """One named aggregation body → its OpenSearch-shaped result:
@@ -343,7 +671,8 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     body = spec[kind]
     fld = body.get("field")
     if kind == "terms":
-        sub = spec.get("aggs", spec.get("aggregations"))
+        sub, pipes = _split_subaggs(
+            spec.get("aggs", spec.get("aggregations")))
         if sub and len(sub) == 1 and "top_hits" in next(iter(
                 sub.values())):
             sname, th = next(iter(sub.items()))
@@ -362,20 +691,43 @@ def _run_agg(engine, name: str, spec: dict, text: str,
             rows = engine.facets(text, [fld], filters=filters)
             buckets = [{"key": v, "doc_count": c} for _, v, c in rows]
         sz = body.get("size")
-        return buckets[:int(sz)] if sz else buckets
+        buckets = buckets[:int(sz)] if sz else buckets
+        if pipes:
+            buckets = _apply_pipeline_subaggs(buckets, pipes, "terms")
+        return buckets
     if kind == "histogram":
         rows = engine.facet_histogram(text, fld,
                                       float(body["interval"]),
                                       filters=filters)
-        return [{"key": b, "doc_count": c} for b, c in rows]
+        buckets = [{"key": b, "doc_count": c} for b, c in rows]
+        sub, pipes = _split_subaggs(
+            spec.get("aggs", spec.get("aggregations")))
+        if sub:
+            raise ValueError("histogram supports pipeline sub-aggs "
+                             "only — metric sub-aggs ride "
+                             "date_histogram or terms")
+        if pipes:
+            buckets = _apply_pipeline_subaggs(buckets, pipes,
+                                              "histogram")
+        return buckets
     if kind == "date_histogram":
-        rows = engine.facet_date_histogram(
-            text, fld,
-            calendar_interval=body.get("calendar_interval"),
-            fixed_interval=body.get("fixed_interval"),
-            filters=filters)
-        return [{"key_as_string": s, "key": u, "doc_count": c}
-                for s, u, c in rows]
+        sub, pipes = _split_subaggs(
+            spec.get("aggs", spec.get("aggregations")))
+        if sub:
+            buckets = _date_histogram_with_subaggs(
+                engine, name, fld, body, sub, text, filters)
+        else:
+            rows = engine.facet_date_histogram(
+                text, fld,
+                calendar_interval=body.get("calendar_interval"),
+                fixed_interval=body.get("fixed_interval"),
+                filters=filters)
+            buckets = [{"key_as_string": s, "key": u, "doc_count": c}
+                       for s, u, c in rows]
+        if pipes:
+            buckets = _apply_pipeline_subaggs(buckets, pipes,
+                                              "date_histogram")
+        return buckets
     if kind == "percentiles":
         vals = engine.facet_percentiles(
             text, fld, percents=body.get("percents"), filters=filters)
@@ -651,8 +1003,15 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                 "aggs need a match/match_all query — the engine's "
                 "facet paths aggregate over a conjunctive match set")
         out_aggs: dict = {}
+        siblings = {n: s for n, s in aggs.items()
+                    if any(k in s for k in _SIBLING_AGGS)}
         for name, spec in aggs.items():
+            if name in siblings:
+                continue
             out_aggs[name] = _run_agg(engine, name, spec, text, filters)
+        for name, spec in siblings.items():
+            (skind, sbody), = spec.items()
+            out_aggs[name] = _run_sibling_agg(skind, sbody, out_aggs)
         hits = (engine.search(text, k=k, filters=filters,
                               min_score=min_score)
                 if k > 0 and text else [])

@@ -1176,6 +1176,56 @@ class QueryEngine:
         return [(str(s), int(u), int(c))
                 for s, u, c in zip(iso, uniq, cnts)]
 
+    def facet_date_group_stats(self, query: str, field: str,
+                               value_field: str,
+                               calendar_interval: str | None = None,
+                               fixed_interval: int | None = None,
+                               filters: dict | None = None
+                               ) -> list[tuple]:
+        """``date_histogram`` with a nested metric (``stats``-family)
+        sub-aggregation over ``value_field`` — the OpenSearch shape the
+        pipeline aggregations (derivative / cumulative_sum / moving_fn)
+        consume. Same bucketing rule as :meth:`facet_date_histogram`;
+        same vectorized group-stats kernel as
+        :meth:`facet_group_stats` (int sums exact → per-shard partials
+        merge bit-identically, avg is ONE sum/count division). Returns
+        (iso, epoch_day key, count, min, max, sum, avg) sorted by
+        key."""
+        if (calendar_interval is None) == (fixed_interval is None):
+            raise ValueError("exactly one of calendar_interval / "
+                             "fixed_interval is required")
+        ok = self._conj_mask(query, filters)
+        days = self._meta_col(field)[ok].astype(np.int64)
+        vals = self._meta_col(value_field)[ok]
+        if len(days) == 0:
+            return []
+        if calendar_interval is not None:
+            keys = self._calendar_trunc(days, calendar_interval)
+        else:
+            n = int(fixed_interval)
+            keys = (days // n) * n
+        uniq, inv = np.unique(keys, return_inverse=True)
+        g = len(uniq)
+        cnts = np.bincount(inv, minlength=g)
+        is_int = np.issubdtype(vals.dtype, np.integer)
+        if is_int:
+            sums = np.zeros(g, dtype=np.int64)
+            np.add.at(sums, inv, vals.astype(np.int64))
+        else:
+            sums = np.bincount(inv, weights=vals.astype(np.float64),
+                               minlength=g)
+        v64 = vals.astype(np.int64 if is_int else np.float64)
+        lo = np.full(g, v64.max())
+        hi = np.full(g, v64.min())
+        np.minimum.at(lo, inv, v64)
+        np.maximum.at(hi, inv, v64)
+        cast = int if is_int else float
+        iso = uniq.astype("datetime64[D]").astype(str)
+        return [(str(iso[i]), int(uniq[i]), int(cnts[i]),
+                 cast(lo[i]), cast(hi[i]), cast(sums[i]),
+                 cast(sums[i]) / int(cnts[i]))
+                for i in range(g)]
+
     def facet_value_counts(self, query: str, field: str,
                            filters: dict | None = None
                            ) -> list[tuple[float, int]]:
@@ -2561,6 +2611,32 @@ class ShardedEngine:
         return [(s, u, c)
                 for (s, u), c in sorted(totals.items(),
                                         key=lambda kv: kv[0][1])]
+
+    def facet_date_group_stats(self, query: str, field: str,
+                               value_field: str,
+                               calendar_interval: str | None = None,
+                               fixed_interval: int | None = None,
+                               filters: dict | None = None
+                               ) -> list[tuple]:
+        """date_histogram + metric sub-agg scatter-gather: per-bucket
+        counts and int sums add exactly, min/max take the extremum,
+        avg is the same single sum/count division as one reader —
+        bit-identical on integer columns. Re-sorted by bucket key."""
+        acc: dict = {}
+        for eng in self.engines:
+            for s, u, c, lo, hi, tot, _ in eng.facet_date_group_stats(
+                    query, field, value_field,
+                    calendar_interval=calendar_interval,
+                    fixed_interval=fixed_interval, filters=filters):
+                if (s, u) in acc:
+                    a = acc[(s, u)]
+                    acc[(s, u)] = [a[0] + c, min(a[1], lo),
+                                   max(a[2], hi), a[3] + tot]
+                else:
+                    acc[(s, u)] = [c, lo, hi, tot]
+        return [(s, u, c, lo, hi, tot, tot / c)
+                for (s, u), (c, lo, hi, tot)
+                in sorted(acc.items(), key=lambda kv: kv[0][1])]
 
     def facet_percentiles(self, query: str, field: str,
                           percents: list[float] | None = None,
