@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_boosting_topk": searchp.search_boosting_topk,
         "search_filters_agg": searchp.search_filters_agg,
         "search_dh_pipeline": searchp.search_dh_pipeline,
+        "span_near_docs": searchp.span_near_docs,
+        "span_first_docs": searchp.span_first_docs,
+        "span_not_docs": searchp.span_not_docs,
         "search_bucket_script": searchp.search_bucket_script,
         "search_sibling_stats": searchp.search_sibling_stats,
         "search_percolate": searchp.search_percolate,

@@ -2606,6 +2606,75 @@ ORACLES: dict[str, str] = {
         ORDER BY avg_chars DESC, doc_count DESC, lang
         LIMIT 3
     """,
+    # span_near satisfiability on token positions (1-based ordinality
+    # zipped with unnest): ordered = an increasing chain within slack,
+    # unordered = any two distinct positions within slack; slack =
+    # (span - 1) - (n_terms - 1)
+    "span_near_docs": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(ws) AS tok,
+                   unnest(range(1, len(ws) + 1)) AS pos
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)),
+                                            '\s+') AS ws
+                  FROM documents))
+        SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM documents d
+        WHERE EXISTS (SELECT 1 FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id
+                      WHERE a.doc_id = d.doc_id
+                        AND a.tok = 'data' AND b.tok = 'stream'
+                        AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2)
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM documents d
+        WHERE EXISTS (SELECT 1 FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id
+                      WHERE a.doc_id = d.doc_id
+                        AND a.tok = 'merge' AND b.tok = 'sort'
+                        AND abs(b.pos - a.pos) - 1 <= 3)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), doc_id FROM documents d
+        WHERE EXISTS (SELECT 1 FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id
+                      JOIN toks c ON b.doc_id = c.doc_id
+                      WHERE a.doc_id = d.doc_id
+                        AND a.tok = 'table' AND b.tok = 'scan'
+                        AND c.tok = 'merge'
+                        AND b.pos > a.pos AND c.pos > b.pos
+                        AND c.pos - a.pos - 2 <= 2)
+    """,
+    # span_first: first occurrence of the term within the first N
+    # token positions (list_position is 1-based, the engine's 0-based
+    # pos < end is the same predicate)
+    "span_first_docs": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM w
+        WHERE list_position(ws, 'data') BETWEEN 1 AND 3
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM w
+        WHERE list_position(ws, 'stream') BETWEEN 1 AND 5
+    """,
+    # span_not: an include-term position with no exclude-term position
+    # within dist=2
+    "span_not_docs": r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(ws) AS tok,
+                   unnest(range(1, len(ws) + 1)) AS pos
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)),
+                                            '\s+') AS ws
+                  FROM documents))
+        SELECT doc_id FROM documents d
+        WHERE EXISTS (
+            SELECT 1 FROM toks a
+            WHERE a.doc_id = d.doc_id AND a.tok = 'data'
+              AND NOT EXISTS (
+                  SELECT 1 FROM toks b
+                  WHERE b.doc_id = a.doc_id AND b.tok = 'vector'
+                    AND abs(b.pos - a.pos) <= 2))
+    """,
     # sibling stats_bucket over the monthly bucket doc counts: exact
     # int min/max/sum, avg is the same single sum/count division
     "search_sibling_stats": r"""
@@ -2624,6 +2693,6 @@ ORACLES: dict[str, str] = {
                CAST(max(c) AS BIGINT) AS max_docs,
                CAST(sum(c) AS BIGINT) AS sum_docs,
                CAST(sum(c) AS DOUBLE) / count(*) AS avg_docs
-        FROM b
+        FROM b HAVING count(*) > 0
     """,
 }

@@ -1551,6 +1551,58 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def span_near_docs(sf_dir: str):
+    """span_near RETRIEVAL (Lucene SpanNearQuery via the JSON DSL):
+    ordered and unordered proximity windows with slop over positional
+    postings. Satisfiability is exact (ordered: any chain within
+    slack; unordered: the k-list minimal-window sweep) → hash-exact
+    DuckDB oracle on token positions (zipped unnest ordinality)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    cases = [
+        (["data", "stream"], 2, True),
+        (["merge", "sort"], 3, False),
+        (["table", "scan", "merge"], 2, True),
+    ]
+    rows = []
+    for qid, (terms, slop, in_order) in enumerate(cases):
+        for d in eng.match_span_near_docs(terms, slop=slop,
+                                          in_order=in_order):
+            rows.append({"query_id": qid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id"])
+    return df.astype({"query_id": "int64", "doc_id": "int64"})
+
+
+def span_first_docs(sf_dir: str):
+    """span_first RETRIEVAL: docs whose first occurrence of the term
+    lies within the first ``end`` token positions (SpanFirstQuery).
+    Hash-exact DuckDB oracle (1-based list_position ≤ end)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    rows = []
+    for qid, (term, end) in enumerate([("data", 3), ("stream", 5)]):
+        for d in eng.match_span_first_docs(term, end):
+            rows.append({"query_id": qid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id"])
+    return df.astype({"query_id": "int64", "doc_id": "int64"})
+
+
+def span_not_docs(sf_dir: str):
+    """span_not RETRIEVAL: docs with an occurrence of the include term
+    having NO exclude-term occurrence within ``dist`` positions
+    (SpanNotQuery, pre = post = dist). Hash-exact DuckDB oracle
+    (EXISTS include position with NOT EXISTS nearby exclude)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir, positions=True)
+    eng = QueryEngine(idx)
+    rows = [{"doc_id": int(d)}
+            for d in eng.match_span_not_docs("data", "vector", dist=2)]
+    df = pd.DataFrame(rows, columns=["doc_id"])
+    return df.astype({"doc_id": "int64"})
+
+
 def search_dh_pipeline(sf_dir: str, query_text: str = "data"):
     """Parent pipeline aggregations under a monthly date_histogram
     (OpenSearch derivative / cumulative_sum / moving_fn — the
@@ -1656,10 +1708,16 @@ def search_sibling_stats(sf_dir: str, query_text: str = "data"):
             "field": "pub_day", "calendar_interval": "month"}},
             "tot": {"stats_bucket": {"buckets_path": "mo>_count"}}}})
     s = out["aggregations"]["tot"]
+    empty = "count" not in s          # zero buckets (no matching docs)
     return pd.DataFrame({
-        "n_buckets": pd.array([s["count"]], dtype="int64"),
-        "min_docs": pd.array([s["min"]], dtype="int64"),
-        "max_docs": pd.array([s["max"]], dtype="int64"),
-        "sum_docs": pd.array([s["sum"]], dtype="int64"),
-        "avg_docs": pd.array([s["avg"]], dtype="float64"),
+        "n_buckets": pd.array([] if empty else [s["count"]],
+                              dtype="int64"),
+        "min_docs": pd.array([] if empty else [s["min"]],
+                             dtype="int64"),
+        "max_docs": pd.array([] if empty else [s["max"]],
+                             dtype="int64"),
+        "sum_docs": pd.array([] if empty else [s["sum"]],
+                             dtype="int64"),
+        "avg_docs": pd.array([] if empty else [s["avg"]],
+                             dtype="float64"),
     })

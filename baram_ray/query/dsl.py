@@ -104,6 +104,11 @@ Query nodes::
                      "type": "most_fields"         # per-field SUM
                      | "best_fields",              # dis_max per field
                      "tie_breaker": 0.0}}
+    {"span_near": {"clauses": [{"span_term": {"text": "a"}}, ...],
+                   "slop": 2, "in_order": true}}   # Lucene spans
+    {"span_first": {"match": {"span_term": {"text": "a"}}, "end": 3}}
+    {"span_not": {"include": {"span_term": ...},
+                  "exclude": {"span_term": ...}, "dist": 1}}
     {"term": {"col": value}}                       # filter context
     {"terms": {"col": [v1, v2]}}                   # filter context (IN)
     {"range": {"col": {"gte": ..., "lt": ...}}}    # filter context
@@ -129,7 +134,27 @@ _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
                "query_string", "term", "terms", "range", "match_all",
                "bool", "dis_max", "constant_score", "function_score",
-               "boosting")
+               "boosting", "span_near", "span_first", "span_not")
+
+
+def _span_term(node) -> str:
+    """A span_term clause → its term: accepts a bare string,
+    ``{"span_term": {"field": "term"}}`` and
+    ``{"span_term": {"field": {"value": "term"}}}`` (the OpenSearch
+    shapes)."""
+    if isinstance(node, str):
+        return node
+    if isinstance(node, dict) and "span_term" in node:
+        v = node["span_term"]
+        if isinstance(v, str):
+            return v
+        if isinstance(v, dict) and len(v) == 1:
+            (_, t), = v.items()
+            if isinstance(t, str):
+                return t
+            if isinstance(t, dict) and "value" in t:
+                return str(t["value"])
+    raise ValueError(f"bad span_term clause: {node!r}")
 
 
 def _parse_field_boosts(fields) -> tuple[list[str],
@@ -829,6 +854,36 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         k = min(k, max_k)
     min_score = body.get("min_score")
     node = body["query"]
+
+    if _node_kind(node) in ("span_near", "span_first", "span_not"):
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations", "rescore")):
+            raise ValueError("span queries compose with size/min_score "
+                             "only")
+        kind = _node_kind(node)
+        v = node[kind]
+        if kind == "span_near":
+            terms = [_span_term(c) for c in v.get("clauses", [])]
+            if not terms:
+                raise ValueError("span_near needs a non-empty "
+                                 "'clauses' list")
+            return engine.search_span_near(
+                terms, k=k, slop=int(v.get("slop", 0)),
+                in_order=bool(v.get("in_order", True)),
+                min_score=min_score)
+        # span_first / span_not are position PREDICATES — served as
+        # constant-score hits (boost per hit), doc_id ascending
+        boost = float(v.get("boost", 1.0))
+        if kind == "span_first":
+            docs = engine.match_span_first_docs(
+                _span_term(v.get("match")), int(v["end"]))
+        else:
+            docs = engine.match_span_not_docs(
+                _span_term(v.get("include")),
+                _span_term(v.get("exclude")),
+                dist=int(v.get("dist", 0)))
+        return [(int(d), boost) for d in docs[:k]]
 
     if _node_kind(node) == "query_string":
         qs = _text_arg(node["query_string"])["query"]

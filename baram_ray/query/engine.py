@@ -2019,6 +2019,249 @@ class QueryEngine:
             np.empty(0, dtype=np.int64)
 
     # ------------------------------------------------------------------ #
+    # Span queries — the Lucene SpanQuery family the reference gets from
+    # OpenSearch (span_near / span_first / span_not). Ordered span_near
+    # IS the sloppy-phrase machinery above; unordered span_near uses the
+    # k-list minimal-window sweep; span_first / span_not are per-doc
+    # position predicates on a single term's positions.
+
+    @staticmethod
+    def _unordered_span_freq(pos_lists: list[np.ndarray],
+                             slop: int) -> float:
+        """Unordered span-near sloppy frequency (Lucene SpanNearQuery
+        in_order=False): the classic smallest-range sweep over the k
+        sorted position lists — at each step the current window is
+        [min, max] of the per-list heads and the list holding the min
+        advances. The sweep visits every containment-minimal covering
+        window (standard k-list range-cover result), so slop
+        satisfiability is exact; each visited window with
+        ``slack = (max - min) - (m - 1) ≤ slop`` contributes
+        ``1 / (1 + slack)`` (the SloppyPhrase weighting)."""
+        m = len(pos_lists)
+        idx = [0] * m
+        lens = [len(p) for p in pos_lists]
+        freq = 0.0
+        while True:
+            vals = [int(pos_lists[j][idx[j]]) for j in range(m)]
+            s, e = min(vals), max(vals)
+            slack = (e - s) - (m - 1)
+            if slack <= slop:
+                freq += 1.0 / (1.0 + slack)
+            j = vals.index(s)
+            idx[j] += 1
+            if idx[j] == lens[j]:
+                return freq
+
+    def _span_field(self, field: str, terms: list[str], slop: int,
+                    in_order: bool):
+        """Conjunctive traversal + span window verification for one
+        field — the ``_phrase_field_slop`` skeleton with the window
+        checker swapped: ordered spans reuse ``_sloppy_freq``,
+        unordered spans use ``_unordered_span_freq``. Returns
+        ({rank: span_freq}, idf_sum)."""
+        if len(set(terms)) != len(terms):
+            raise ValueError("span_near clauses must be distinct "
+                             "terms — repeated-term spans are not "
+                             "supported")
+        r = self.r
+        n = r.n_docs
+        its: dict[str, _TermIter] = {}
+        idf_sum = 0.0
+        for t in terms:
+            pl = r.postings.get((field, t))
+            if pl is None:
+                return {}, 0.0
+            df = r.df_global(field, t, pl)
+            idf_sum += math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            its[t] = _TermIter(field, t, pl, 0.0, 1.0, self.k1, self.b)
+        iters = list(its.values())
+        lead = min(range(len(iters)), key=lambda i: iters[i].pl.df)
+        others = [it for i, it in enumerate(iters) if i != lead]
+        DONE = _TermIter.DONE
+        freqs: dict[int, float] = {}
+        d = iters[lead].doc
+        while d < DONE:
+            target = d
+            ok = True
+            for it in others:
+                nd = it.next_geq(target)
+                if nd != target:
+                    ok, target = False, nd
+                    break
+            if not ok:
+                if target >= DONE:
+                    break
+                d = iters[lead].next_geq(target)
+                continue
+            pls = [its[t].positions_at() for t in terms]
+            fr = (self._sloppy_freq(pls, slop) if in_order
+                  else self._unordered_span_freq(pls, slop))
+            if fr > 0.0:
+                freqs[d] = fr
+            d = iters[lead].advance()
+        return freqs, idf_sum
+
+    def _span_freqs(self, terms: list[str], slop: int, in_order: bool,
+                    fields: list[str] | None = None):
+        from baram_ray.tokenizer import analyze_phrase
+        if not self.r.has_positions:
+            raise ValueError(
+                "span queries need a positional index — build with "
+                "IndexConfig(positions=True)")
+        toks = [t for raw in terms for t in analyze_phrase(raw)]
+        if not toks:
+            return []
+        out = []
+        for f in (fields or self.r.fields):
+            freqs, idf_sum = self._span_field(f, toks, slop, in_order)
+            if freqs:
+                out.append((f, 1.0, idf_sum, freqs))
+        return out
+
+    def search_span_near(self, terms: list[str], k: int = 10,
+                         slop: int = 0, in_order: bool = True,
+                         fields: list[str] | None = None,
+                         filters: dict | None = None,
+                         min_score: float | None = None
+                         ) -> list[tuple[int, float]]:
+        """span_near top-k: docs where the terms co-occur within a
+        window of slack ≤ ``slop`` (ordered chain when ``in_order``,
+        any permutation otherwise), scored as ONE composite term
+        (idf = Σ term idfs, tf = span frequency — the PhraseQuery
+        scoring shape). Sorted (score desc, doc_id asc)."""
+        per_field = self._span_freqs(terms, slop, in_order, fields)
+        return self._score_composite(per_field, k, filters, min_score)
+
+    def match_span_near_docs(self, terms: list[str], slop: int = 0,
+                             in_order: bool = True,
+                             fields: list[str] | None = None,
+                             filters: dict | None = None) -> np.ndarray:
+        """All doc_ids with a qualifying span window (retrieval without
+        scoring, sorted ascending)."""
+        per_field = self._span_freqs(terms, slop, in_order, fields)
+        r = self.r
+        mask = r.filter_mask(filters)
+        ranks: set[int] = set()
+        for _, _, _, freqs in per_field:
+            ranks.update(freqs)
+        rows = np.array(sorted(rk - r.rank_base for rk in ranks),
+                        dtype=np.int64)
+        if mask is not None and len(rows):
+            rows = rows[mask[rows]]
+        return np.sort(r.doc_ids[rows]) if len(rows) else \
+            np.empty(0, dtype=np.int64)
+
+    def _term_positions_rows(self, term: str,
+                             fields: list[str] | None = None):
+        """(field → {rank: positions}) for one analyzed term."""
+        from baram_ray.tokenizer import analyze_phrase
+        if not self.r.has_positions:
+            raise ValueError(
+                "span queries need a positional index — build with "
+                "IndexConfig(positions=True)")
+        toks = analyze_phrase(term)
+        if len(toks) != 1:
+            raise ValueError(f"span term must analyze to one token, "
+                             f"got {toks!r} from {term!r}")
+        t = toks[0]
+        out = {}
+        for f in (fields or self.r.fields):
+            pl = self.r.postings.get((f, t))
+            if pl is None:
+                continue
+            it = _TermIter(f, t, pl, 0.0, 1.0, self.k1, self.b)
+            per: dict[int, np.ndarray] = {}
+            d = it.doc
+            while d < _TermIter.DONE:
+                per[d] = it.positions_at()
+                d = it.advance()
+            out[f] = per
+        return out
+
+    def match_span_first_docs(self, term: str, end: int,
+                              fields: list[str] | None = None,
+                              filters: dict | None = None
+                              ) -> np.ndarray:
+        """span_first: docs whose FIRST occurrence of ``term`` lies
+        within the first ``end`` token positions (Lucene SpanFirstQuery
+        — span end ≤ end, i.e. 0-based position < end). Sorted doc_ids."""
+        ranks: set[int] = set()
+        for per in self._term_positions_rows(term, fields).values():
+            for rk, pos in per.items():
+                if len(pos) and int(pos[0]) < end:
+                    ranks.add(rk)
+        return self._ranks_to_docs(ranks, filters)
+
+    def match_span_not_docs(self, include: str, exclude: str,
+                            dist: int = 0,
+                            fields: list[str] | None = None,
+                            filters: dict | None = None) -> np.ndarray:
+        """span_not: docs with an occurrence of ``include`` that has NO
+        occurrence of ``exclude`` within ``dist`` token positions
+        (Lucene SpanNotQuery with pre = post = dist). ``dist=0`` means
+        the same position — useful with ``dist ≥ 1`` for proximity
+        exclusion. Sorted doc_ids."""
+        inc = self._term_positions_rows(include, fields)
+        exc = self._term_positions_rows(exclude, fields)
+        ranks: set[int] = set()
+        for f, per in inc.items():
+            eper = exc.get(f, {})
+            for rk, pos in per.items():
+                ep = eper.get(rk)
+                if ep is None or not len(ep):
+                    ranks.add(rk)
+                    continue
+                # an include position survives iff no exclude position
+                # within [p - dist, p + dist]
+                lo = np.searchsorted(ep, pos - dist, side="left")
+                hi = np.searchsorted(ep, pos + dist, side="right")
+                if bool(np.any(lo == hi)):
+                    ranks.add(rk)
+        return self._ranks_to_docs(ranks, filters)
+
+    def _ranks_to_docs(self, ranks: set[int],
+                       filters: dict | None) -> np.ndarray:
+        r = self.r
+        mask = r.filter_mask(filters)
+        rows = np.array(sorted(rk - r.rank_base for rk in ranks),
+                        dtype=np.int64)
+        if mask is not None and len(rows):
+            rows = rows[mask[rows]]
+        return np.sort(r.doc_ids[rows]) if len(rows) else \
+            np.empty(0, dtype=np.int64)
+
+    def _score_composite(self, per_field, k: int,
+                         filters: dict | None,
+                         min_score: float | None
+                         ) -> list[tuple[int, float]]:
+        """Composite-term BM25 scoring over (field, w, idf_sum, freqs)
+        tuples — the search_phrase scoring tail, shared by spans."""
+        if not per_field or k <= 0:
+            return []
+        r = self.r
+        acc: dict[int, float] = {}
+        for f, w, idf_sum, freqs in per_field:
+            avg = r.avgdl[f] or 1.0
+            dl = r.dl[f]
+            for rank, fr in freqs.items():
+                row = rank - r.rank_base
+                s = w * idf_sum * fr / (
+                    fr + self.k1 * (1.0 - self.b
+                                    + (self.b * dl[row]) / avg))
+                acc[rank] = acc.get(rank, 0.0) + s
+        mask = r.filter_mask(filters)
+        hits = []
+        for rank, s in acc.items():
+            row = rank - r.rank_base
+            if mask is not None and not mask[row]:
+                continue
+            if min_score is not None and s < min_score:
+                continue
+            hits.append((int(r.doc_ids[row]), float(s)))
+        hits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return hits[:k]
+
+    # ------------------------------------------------------------------ #
     # match_phrase_prefix — Lucene MultiPhrasePrefixQuery: an analyzed
     # phrase whose LAST position accepts any term-dict expansion of a
     # prefix (autocomplete-as-you-type search). Alignment semantics are
@@ -2332,6 +2575,34 @@ class ShardedEngine:
         local, idf is global (termdict) — merged top-k is rank- and
         score-identical to a single reader (tested)."""
         return self._scatter("search_phrase", k, (query,), kw)
+
+    def search_span_near(self, terms: list, k: int = 10, **kw) -> list:
+        """span_near scatter-gather: window verification is shard-
+        local, idf is global (termdict) — same safety argument as
+        search_phrase."""
+        return self._scatter("search_span_near", k, (terms,), kw)
+
+    def match_span_near_docs(self, terms: list, **kw) -> np.ndarray:
+        """Docs-set scatter-gather: shards partition docs, so the
+        sorted concatenation of per-shard matches is the global set."""
+        parts = [eng.match_span_near_docs(terms, **kw)
+                 for eng in self.engines]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+
+    def match_span_first_docs(self, term: str, end: int,
+                              **kw) -> np.ndarray:
+        parts = [eng.match_span_first_docs(term, end, **kw)
+                 for eng in self.engines]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+
+    def match_span_not_docs(self, include: str, exclude: str,
+                            **kw) -> np.ndarray:
+        parts = [eng.match_span_not_docs(include, exclude, **kw)
+                 for eng in self.engines]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
 
     def search_bool(self, k: int = 10, **kw) -> list:
         """Bool scatter-gather: each shard's must_not complement is its

@@ -75,7 +75,10 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "dismax_match_docs", "phrase_prefix_docs",
                "search_constant_score", "search_composite_pages",
                "search_function_score", "nested_bool_docs",
-               "terms_filter_docs", "search_filters_agg"]
+               "terms_filter_docs", "search_filters_agg",
+               "search_dh_pipeline", "search_bucket_script",
+               "search_sibling_stats", "span_near_docs",
+               "span_first_docs", "span_not_docs"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
