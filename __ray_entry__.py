@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": trainp.doc_repetition,
         "doc_lm_score": trainp.doc_lm_score,
         "doc_heavy_terms": trainp.doc_heavy_terms,
+        "doc_distinct_hll": trainp.doc_distinct_hll,
+        "search_cardinality_hll": searchp.search_cardinality_hll,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,

@@ -1551,6 +1551,30 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def search_cardinality_hll(sf_dir: str, query_text: str = "data"):
+    """Approximate cardinality agg (OpenSearch precision_threshold →
+    HLL registers) next to the exact count, via the JSON DSL on the
+    ShardedEngine (per-shard registers merge bit-identically — tested
+    in tests/test_hll.py). Rows-only driver check (blake2b isn't
+    SQL-expressible); the ≤5%-error and shard-identity contracts are
+    pytest-enforced."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"exact": {"cardinality": {"field": "n_chars"}},
+                 "approx": {"cardinality": {
+                     "field": "n_chars",
+                     "precision_threshold": 3000}}}})
+    a = out["aggregations"]
+    return pd.DataFrame({
+        "exact": pd.array([a["exact"]["value"]], dtype="int64"),
+        "approx": pd.array([a["approx"]["value"]], dtype="int64"),
+    })
+
+
 def span_near_docs(sf_dir: str):
     """span_near RETRIEVAL (Lucene SpanNearQuery via the JSON DSL):
     ordered and unordered proximity windows with slop over positional

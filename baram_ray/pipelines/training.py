@@ -461,6 +461,42 @@ def doc_heavy_terms(sf_dir: str, topn: int = 20):
     return out
 
 
+def doc_distinct_hll(sf_dir: str):
+    """Approximate distinct token count per language via mergeable
+    HyperLogLog registers (``sketches.distinct_hll`` — 4 KiB of state
+    per group rides the exchange instead of the distinct-token sets;
+    the OpenSearch ``cardinality`` register sketch as a corpus
+    operator). Rows-only driver check; the ≤5%-error vs exact and the
+    reshard-stability contracts are pytest-enforced
+    (tests/test_hll.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from baram_ray import sketches
+
+    ds = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def flat(batch: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            ws = (t or "").lower().split()
+            langs.extend([lg] * len(ws))
+            toks.extend(ws)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "tok": pa.array(toks, pa.string())})
+
+    flat_ds = ds.map_batches(flat, batch_format="pyarrow")
+    out = sketches.distinct_hll(
+        flat_ds,
+        lambda b: b["tok"].to_numpy(zero_copy_only=False),
+        "lang").to_pandas()
+    out = out.sort_values("lang").reset_index(drop=True)
+    out["est_distinct"] = out["est_distinct"].round(2).astype(
+        "float64")
+    return out
+
+
 def doc_lm_score(sf_dir: str, alpha: float = 0.5):
     """CCNet-style corpus-LM quality scoring (Wenzek et al. 2020: docs
     are ranked by the perplexity of an n-gram LM; here the LM is a

@@ -803,6 +803,14 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     if kind == "stats":
         return engine.facet_stats(text, fld, filters=filters)
     if kind == "cardinality":
+        # default is EXACT (documented stronger semantics than
+        # OpenSearch); a precision_threshold opts into the HLL
+        # register sketch (the OpenSearch behavior — ~1.6% rel. error
+        # at p=12, linear-counting-corrected at small n, per-shard
+        # registers merge bit-identically)
+        if "precision_threshold" in body:
+            return {"value": engine.facet_cardinality_approx(
+                text, fld, filters=filters)}
         return {"value": engine.facet_cardinality(text, fld,
                                                   filters=filters)}
     # single-value metrics ride the stats op (one pass, same mask)

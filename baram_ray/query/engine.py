@@ -1083,6 +1083,28 @@ class QueryEngine:
         vals = self._meta_col(field)[self._conj_mask(query, filters)]
         return int(len(np.unique(vals)))
 
+    def cardinality_registers(self, query: str, field: str,
+                              filters: dict | None = None,
+                              p: int = 12) -> np.ndarray:
+        """HLL register array (2^p uint8) of a kept column over the
+        match set — the mergeable representation behind the
+        approximate ``cardinality`` agg (OpenSearch's
+        precision_threshold path). Registers from disjoint doc shards
+        merge by elementwise max BIT-IDENTICALLY to a single pass
+        (fixed blake2b hash)."""
+        from baram_ray.sketches import hll_partial
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        return hll_partial(vals, p)
+
+    def facet_cardinality_approx(self, query: str, field: str,
+                                 filters: dict | None = None,
+                                 p: int = 12) -> int:
+        """Approximate distinct count via HLL (~1.04/√2^p rel. error,
+        linear-counting-corrected at small n)."""
+        from baram_ray.sketches import hll_estimate
+        return int(round(hll_estimate(
+            self.cardinality_registers(query, field, filters, p))))
+
     def facet_group_stats(self, query: str, by: str, field: str,
                           filters: dict | None = None
                           ) -> list[tuple[object, int, object, object,
@@ -2844,6 +2866,18 @@ class ShardedEngine:
             seen.update(v for _, v, _ in
                         eng.facets(query, [field], filters=filters))
         return len(seen)
+
+    def facet_cardinality_approx(self, query: str, field: str,
+                                 filters: dict | None = None,
+                                 p: int = 12) -> int:
+        """Approximate-cardinality scatter-gather: per-shard HLL
+        registers merge by elementwise max — BIT-IDENTICAL to a single
+        reader's registers (same fixed hash), so the estimate is too."""
+        from baram_ray.sketches import hll_estimate, hll_merge
+        regs = hll_merge([eng.cardinality_registers(query, field,
+                                                    filters, p)
+                          for eng in self.engines])
+        return int(round(hll_estimate(regs)))
 
     def facet_group_stats(self, query: str, by: str, field: str,
                           filters: dict | None = None) -> list[tuple]:

@@ -305,3 +305,115 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
     bkt = cms_buckets(keys)
     ests = np.stack([cms[i, bkt[i]] for i in range(len(CMS_SEEDS))])
     return ests.min(axis=0).astype(np.int64)
+
+
+# ------------------------------------------------------------------ #
+# HyperLogLog (Flajolet et al. 2007, with the HLL++ linear-counting
+# small-range correction from Heule et al. 2013) — the register
+# sketch behind OpenSearch's ``cardinality`` aggregation (the engine's
+# default stays EXACT; HLL is the opt-in web-scale path via
+# ``precision_threshold``). 2^p one-byte registers (p=12 → 4 KiB,
+# ~1.04/√m ≈ 1.6% rel. error) make the per-group state constant-size:
+# at 100 TB a cardinality-by-group carries groups × 4 KiB through the
+# exchange instead of groups × distinct-values. Merge = elementwise
+# register max, so the sketch composes through any reduce tree and a
+# sharded merge is BIT-IDENTICAL to a single pass (same fixed blake2b
+# hash — no seed, no PYTHONHASHSEED dependence).
+# ------------------------------------------------------------------ #
+
+HLL_P = 12
+_HLL_M = 1 << HLL_P
+
+
+def _hll_hash64(values: np.ndarray) -> np.ndarray:
+    """Stable 64-bit hash per DISTINCT value: blake2b over the UTF-8
+    of ``str(v)`` (ints and strings canonicalize identically on every
+    worker). Hashing unique values only keeps the Python loop off the
+    row count."""
+    import hashlib
+    u = pd.unique(np.asarray(values))
+    out = np.empty(len(u), dtype=np.uint64)
+    for i, v in enumerate(u):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(),
+            "big")
+    return out
+
+
+def hll_partial(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """2^p uint8 registers for one batch of values. The low 64-p bits
+    fit float64 exactly for p ≥ 12, so the frexp-based bit-length is
+    deterministic."""
+    if p < 12 or p > 16:
+        raise ValueError("HLL p must be in [12, 16] (register math "
+                         "relies on 64-p <= 52 float-exact bits)")
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hll_hash64(values)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rho = leading-zero count of the (64-p)-bit suffix + 1
+    #     = (64 - p) - bit_length(w) + 1; bit_length via frexp exponent
+    _, exp = np.frexp(w.astype(np.float64))
+    rho = ((64 - p) - exp + 1).astype(np.uint8)
+    np.maximum.at(regs, bucket, rho)
+    return regs
+
+
+def hll_merge(parts: list[np.ndarray]) -> np.ndarray:
+    """Elementwise register max — order-independent, idempotent."""
+    out = np.zeros(_HLL_M if not parts else len(parts[0]),
+                   dtype=np.uint8)
+    for pr in parts:
+        np.maximum(out, pr, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the linear-counting small-range
+    correction (E ≤ 2.5m with empty registers); no large-range
+    correction is needed with a 64-bit hash."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.exp2(-regs.astype(
+        np.float64))))
+    if e <= 2.5 * m:
+        v = int(np.count_nonzero(regs == 0))
+        if v > 0:
+            e = m * np.log(m / v)
+    return float(e)
+
+
+def distinct_hll(ds, key_fn, group_col: str, *, p: int = HLL_P,
+                 num_buckets: int = 4):
+    """Approximate distinct ``key_fn(batch)`` values per ``group_col``
+    via mergeable HLL registers: each map task emits ONE
+    (group, 2^p-byte register blob) row per (group, batch); the
+    per-group reduce maxes the registers and applies the estimator.
+    Returns Dataset[(group, est_distinct)]."""
+    from baram_ray.util import grouped_map
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = key_fn(batch)
+        groups = batch[group_col].to_numpy(zero_copy_only=False)
+        gs, blobs = [], []
+        for g in pd.unique(groups):
+            gs.append(g)
+            blobs.append(hll_partial(keys[groups == g], p).tobytes())
+        return pa.table({group_col: pa.array(gs),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        def est(s: pd.Series) -> float:
+            merged = hll_merge([np.frombuffer(b, dtype=np.uint8)
+                                for b in s])
+            return hll_estimate(merged)
+        return (df.groupby(group_col)["regs"].apply(est)
+                  .rename("est_distinct").reset_index())
+
+    return grouped_map(parts, [group_col], reduce,
+                       num_buckets=num_buckets)
