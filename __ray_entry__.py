@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_filters_agg": searchp.search_filters_agg,
         "search_dh_pipeline": searchp.search_dh_pipeline,
         "span_near_docs": searchp.span_near_docs,
+        "synonym_match_docs": searchp.synonym_match_docs,
         "span_first_docs": searchp.span_first_docs,
         "span_not_docs": searchp.span_not_docs,
         "search_bucket_script": searchp.search_bucket_script,

@@ -2642,6 +2642,20 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # SynonymQuery match sets: a group matches when ANY member token
+    # occurs; operator=and requires every group
+    "synonym_match_docs": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM w
+        WHERE (list_contains(ws, 'data') OR list_contains(ws, 'stream'))
+          AND (list_contains(ws, 'merge') OR list_contains(ws, 'sort'))
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM w
+        WHERE list_contains(ws, 'table') OR list_contains(ws, 'scan')
+    """,
     # span_first: first occurrence of the term within the first N
     # token positions (list_position is 1-based, the engine's 0-based
     # pos < end is the same predicate)

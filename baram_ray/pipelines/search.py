@@ -1551,6 +1551,27 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def synonym_match_docs(sf_dir: str):
+    """SynonymQuery RETRIEVAL (Lucene blended-term groups — what the
+    reference's OpenSearch synonym analyzer produces): docs matching
+    every group (operator=and, any member counts) and docs matching a
+    single group (operator=or). Hash-exact DuckDB oracle; blended
+    BM25 scoring and sharded df-sum identity are pytest-checked
+    (tests/test_synonym.py)."""
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    for d in eng.match_synonym_docs(
+            [["data", "stream"], ["merge", "sort"]], operator="and"):
+        rows.append({"query_id": 0, "doc_id": int(d)})
+    for d in eng.match_synonym_docs([["table", "scan"]],
+                                    operator="or"):
+        rows.append({"query_id": 1, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id"])
+    return df.astype({"query_id": "int64", "doc_id": "int64"})
+
+
 def search_cardinality_hll(sf_dir: str, query_text: str = "data"):
     """Approximate cardinality agg (OpenSearch precision_threshold →
     HLL registers) next to the exact count, via the JSON DSL on the

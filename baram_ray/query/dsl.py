@@ -75,6 +75,9 @@ shape). A body with ``aggs`` returns ``{"hits": [...],
 Query nodes::
 
     {"match": "text"} | {"match": {"query": "text"}}
+    {"match": {"query": "text", "operator": "or" | "and",
+               "synonyms": {"tok": ["syn1", ...]}}}  # SynonymQuery
+                                        # blended df/tf per group
     {"match_phrase": "a b"} | {"match_phrase": {"query": "a b",
                                                 "slop": 1}}
     {"match_phrase_prefix": "a b"} | {"match_phrase_prefix":
@@ -892,6 +895,27 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
                 _span_term(v.get("exclude")),
                 dist=int(v.get("dist", 0)))
         return [(int(d), boost) for d in docs[:k]]
+
+    if (_node_kind(node) == "match"
+            and isinstance(node["match"], dict)
+            and "synonyms" in node["match"]):
+        # query-time synonym expansion (what OpenSearch's
+        # synonym_graph search analyzer produces): each query token
+        # becomes a Lucene SynonymQuery group — blended df/tf, one
+        # BM25 term per group; "operator": "and" requires every group
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations", "rescore")):
+            raise ValueError("synonym match composes with "
+                             "size/min_score only")
+        from baram_ray.tokenizer import analyze_phrase
+        d = node["match"]
+        syn = d["synonyms"] or {}
+        groups = [[t] + list(syn.get(t, []))
+                  for t in analyze_phrase(d["query"])]
+        return engine.search_synonym(
+            groups, k=k, operator=d.get("operator", "or"),
+            min_score=min_score)
 
     if _node_kind(node) == "query_string":
         qs = _text_arg(node["query_string"])["query"]

@@ -2284,6 +2284,142 @@ class QueryEngine:
         return hits[:k]
 
     # ------------------------------------------------------------------ #
+    # SynonymQuery — Lucene's blended-term scoring (what OpenSearch's
+    # synonym/synonym_graph analyzer filters produce at query time):
+    # every member of a synonym group shares ONE statistic — df is the
+    # distinct-doc count of the member UNION, tf(doc) is the SUM of
+    # member tfs — and the group scores as a single BM25 term. Groups
+    # combine like match-query tokens (operator or/and).
+
+    def _synonym_group(self, field: str, terms: list[str]):
+        """Merged (rows, tf_sum) over the member postings of one group
+        (rows are reader-local row indices; per-shard unions are
+        disjoint across shards, so blended df sums exactly)."""
+        r = self.r
+        rks, tfs = [], []
+        for t in terms:
+            pl = r.postings.get((field, t))
+            if pl is None:
+                continue
+            for bi in range(pl.n_blocks):
+                d, f = pl.decode(bi)
+                rks.append(np.asarray(d, dtype=np.int64))
+                tfs.append(np.asarray(f, dtype=np.float64))
+        if not rks:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.float64))
+        rk = np.concatenate(rks)
+        tf = np.concatenate(tfs)
+        uniq, inv = np.unique(rk, return_inverse=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, tf)
+        return uniq, summed
+
+    @staticmethod
+    def _analyze_groups(groups) -> list[list[str]]:
+        from baram_ray.tokenizer import analyze_phrase
+        out = []
+        for g in groups:
+            toks = []
+            for raw in g:
+                t = analyze_phrase(raw)
+                if len(t) != 1:
+                    raise ValueError(
+                        f"synonym member must analyze to one token, "
+                        f"got {t!r} from {raw!r}")
+                toks.append(t[0])
+            out.append(list(dict.fromkeys(toks)))
+        return out
+
+    def synonym_group_df(self, groups: list[list[str]],
+                         fields: list[str] | None = None
+                         ) -> dict[tuple[str, int], int]:
+        """Shard-LOCAL blended df per (field, group index) — summed
+        across shards by ShardedEngine (doc shards are disjoint) to
+        recover the global union size."""
+        groups = self._analyze_groups(groups)
+        out = {}
+        for f in (fields or self.r.fields):
+            for gi, g in enumerate(groups):
+                rows, _ = self._synonym_group(f, g)
+                out[(f, gi)] = int(len(rows))
+        return out
+
+    def search_synonym(self, groups: list[list[str]], k: int = 10,
+                       operator: str = "or",
+                       fields: list[str] | None = None,
+                       filters: dict | None = None,
+                       min_score: float | None = None,
+                       df_override: dict | None = None
+                       ) -> list[tuple[int, float]]:
+        """Blended synonym-group top-k. ``operator="and"`` keeps only
+        docs matching EVERY group (the match-query operator rule).
+        ``df_override`` carries the cross-shard blended dfs so sharded
+        scoring is score-identical to one reader."""
+        groups = self._analyze_groups(groups)
+        if not groups or k <= 0:
+            return []
+        r = self.r
+        n = r.n_docs
+        all_rows, all_scores = [], []
+        ngroups_hit = {}
+        for f in (fields or self.r.fields):
+            avg = r.avgdl[f] or 1.0
+            dl = r.dl[f]
+            for gi, g in enumerate(groups):
+                uniq, tf = self._synonym_group(f, g)
+                if not len(uniq):
+                    continue
+                df = (df_override or {}).get((f, gi), len(uniq))
+                idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+                rows = uniq - r.rank_base
+                denom = tf + self.k1 * (1.0 - self.b
+                                        + self.b * dl[rows] / avg)
+                all_rows.append(rows)
+                all_scores.append(idf * tf / denom)
+                for rk in rows:
+                    key = int(rk)
+                    ngroups_hit.setdefault(key, set()).add(gi)
+        if not all_rows:
+            return []
+        rows = np.concatenate(all_rows)
+        scores = np.concatenate(all_scores)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, scores)
+        mask = r.filter_mask(filters)
+        hits = []
+        need = len(groups) if operator == "and" else 1
+        for i, row in enumerate(uniq):
+            if mask is not None and not mask[row]:
+                continue
+            if len(ngroups_hit.get(int(row), ())) < need:
+                continue
+            s = float(acc[i])
+            if min_score is not None and s < min_score:
+                continue
+            hits.append((int(r.doc_ids[row]), s))
+        hits.sort(key=lambda ds: (-ds[1], ds[0]))
+        return hits[:k]
+
+    def match_synonym_docs(self, groups: list[list[str]],
+                           operator: str = "or",
+                           fields: list[str] | None = None,
+                           filters: dict | None = None) -> np.ndarray:
+        """Doc-set retrieval for synonym groups (sorted ascending)."""
+        groups = self._analyze_groups(groups)
+        r = self.r
+        per_doc: dict[int, set] = {}
+        for f in (fields or self.r.fields):
+            for gi, g in enumerate(groups):
+                ranks_g, _ = self._synonym_group(f, g)
+                for rk in ranks_g:
+                    per_doc.setdefault(int(rk), set()).add(gi)
+        need = len(groups) if operator == "and" else 1
+        ranks = {rk for rk, gs in per_doc.items() if len(gs) >= need}
+        return self._ranks_to_docs(ranks, filters)
+
+    # ------------------------------------------------------------------ #
     # match_phrase_prefix — Lucene MultiPhrasePrefixQuery: an analyzed
     # phrase whose LAST position accepts any term-dict expansion of a
     # prefix (autocomplete-as-you-type search). Alignment semantics are
@@ -2608,6 +2744,26 @@ class ShardedEngine:
         """Docs-set scatter-gather: shards partition docs, so the
         sorted concatenation of per-shard matches is the global set."""
         parts = [eng.match_span_near_docs(terms, **kw)
+                 for eng in self.engines]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+
+    def search_synonym(self, groups: list, k: int = 10,
+                       **kw) -> list:
+        """Synonym scatter-gather: blended df is the SUM of per-shard
+        union sizes (doc shards are disjoint), computed first and
+        passed as ``df_override`` so every shard scores with the
+        global statistic — score-identical to one reader (tested)."""
+        dfs: dict = {}
+        for eng in self.engines:
+            for key, df in eng.synonym_group_df(
+                    groups, kw.get("fields")).items():
+                dfs[key] = dfs.get(key, 0) + df
+        kw = dict(kw, df_override=dfs)
+        return self._scatter("search_synonym", k, (groups,), kw)
+
+    def match_synonym_docs(self, groups: list, **kw) -> np.ndarray:
+        parts = [eng.match_synonym_docs(groups, **kw)
                  for eng in self.engines]
         return np.sort(np.concatenate(parts)) if parts else \
             np.empty(0, dtype=np.int64)

@@ -78,7 +78,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "terms_filter_docs", "search_filters_agg",
                "search_dh_pipeline", "search_bucket_script",
                "search_sibling_stats", "span_near_docs",
-               "span_first_docs", "span_not_docs"]
+               "span_first_docs", "span_not_docs",
+               "synonym_match_docs"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
