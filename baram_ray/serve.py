@@ -76,9 +76,47 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
         con.close()
         return {int(d): t for d, t in rows}
 
-    def _run_dsl_body(payload: dict) -> dict:
-        """One OpenSearch-style body → the JSON response dict (shared
-        by POST /api/search and each /api/msearch slot)."""
+    # ---- scroll state (OpenSearch _search?scroll=TTL + /_search/scroll):
+    # server-held cursors over the engine's exact search_after pagination.
+    # State is one (body, cursor, expiry) triple per scroll — O(1) per
+    # open scroll, never result pages — purged lazily on access.
+    import threading
+    import time as _time
+
+    scrolls: dict[str, dict] = {}
+    scroll_lock = threading.Lock()
+    scroll_seq = iter(range(1, 1 << 62))
+
+    def _parse_ttl(v) -> float:
+        s = str(v or "1m").strip().lower()
+        if s.endswith("ms"):
+            return float(s[:-2]) / 1000.0
+        if s.endswith("s"):
+            return float(s[:-1])
+        if s.endswith("m"):
+            return float(s[:-1]) * 60.0
+        if s.endswith("h"):
+            return float(s[:-1]) * 3600.0
+        return float(s)
+
+    def _purge_scrolls(now: float) -> None:
+        dead = [sid for sid, st in scrolls.items()
+                if st["expiry"] < now]
+        for sid in dead:
+            del scrolls[sid]
+
+    def _scroll_cursor(body: dict, hits: list):
+        """The search_after cursor after a page: (sort_value, doc_id)
+        with an explicit sort, else (score, doc_id)."""
+        if not hits:
+            return None
+        last = hits[-1]
+        return [_jsonable(last[1]), int(last[0])]
+
+    def _run_dsl(payload: dict) -> tuple[dict, list]:
+        """One OpenSearch-style body → (JSON response dict, raw hits)
+        (shared by POST /api/search, each /api/msearch slot, and the
+        scroll cursor)."""
         from baram_ray.query.dsl import execute_dsl
         hits = execute_dsl(engine, payload, max_k=MAX_K)
         aggs = None
@@ -94,7 +132,64 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
             for i, t in enumerate(hits)]}
         if aggs is not None:
             out["aggregations"] = aggs
+        return out, hits
+
+    def _run_dsl_body(payload: dict) -> dict:
+        return _run_dsl(payload)[0]
+
+    def _open_scroll(payload: dict) -> dict:
+        """POST /api/search with "scroll": TTL — first page plus a
+        scroll_id whose server-held cursor resumes via the engine's
+        exact search_after pagination (page-concat == one-shot,
+        the property the search_after tests already pin)."""
+        ttl = _parse_ttl(payload.pop("scroll"))
+        bad = [key for key in ("aggs", "aggregations", "collapse",
+                               "rescore", "search_after")
+               if key in payload]
+        if bad:
+            raise ValueError(f"scroll composes with plain/sorted "
+                             f"match bodies only, not {bad}")
+        body = dict(payload)
+        out, hits = _run_dsl(body)
+        now = _time.monotonic()
+        with scroll_lock:
+            _purge_scrolls(now)
+            sid = f"scroll-{next(scroll_seq)}"
+            scrolls[sid] = {"body": body,
+                            "cursor": _scroll_cursor(body, hits),
+                            "expiry": now + ttl, "ttl": ttl}
+        out["scroll_id"] = sid
         return out
+
+    def _continue_scroll(payload: dict) -> tuple[int, dict]:
+        sid = payload.get("scroll_id")
+        now = _time.monotonic()
+        with scroll_lock:
+            _purge_scrolls(now)
+            st = scrolls.get(sid)
+            if payload.get("clear"):
+                scrolls.pop(sid, None)
+                return 200, {"cleared": sid is not None
+                             and st is not None}
+            if st is None:
+                return 404, {"error": "scroll_id not found or expired"}
+            if st["cursor"] is None:        # previous page was empty
+                scrolls.pop(sid, None)
+                return 200, {"results": [], "scroll_id": sid}
+            body = dict(st["body"],
+                        search_after=list(st["cursor"]))
+            if "scroll" in payload:
+                st["ttl"] = _parse_ttl(payload["scroll"])
+        out, hits = _run_dsl(body)
+        with scroll_lock:
+            st = scrolls.get(sid)
+            if st is not None:
+                st["cursor"] = _scroll_cursor(body, hits)
+                st["expiry"] = _time.monotonic() + st["ttl"]
+                if not hits:
+                    scrolls.pop(sid, None)
+        out["scroll_id"] = sid
+        return 200, out
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):      # quiet: no per-request stderr
@@ -205,7 +300,15 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                 return self._json(400, {"error": "bad json"})
             if u.path == "/api/search":
                 try:
+                    if "scroll" in payload:
+                        return self._json(200, _open_scroll(payload))
                     return self._json(200, _run_dsl_body(payload))
+                except (ValueError, KeyError) as e:
+                    return self._json(400, {"error": str(e)})
+            if u.path == "/api/scroll":
+                try:
+                    code, obj = _continue_scroll(payload)
+                    return self._json(code, obj)
                 except (ValueError, KeyError) as e:
                     return self._json(400, {"error": str(e)})
             if u.path == "/api/msearch":

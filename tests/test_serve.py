@@ -323,3 +323,64 @@ def test_analyze_and_stats(server):
     assert status == 200 and st["n_docs"] == 500
     assert st["n_live"] <= st["n_docs"] and "text" in st["fields"]
     assert st["n_terms"]["text"] > 0
+
+
+def test_scroll_pages_equal_one_shot(server):
+    """Scroll pages concatenated == one big search; cursor state is
+    server-held; exhausted/cleared/expired ids 404 or report empty."""
+    st, big = _post(server, "/api/search",
+                    {"query": {"match": "data stream"}, "size": 40})
+    assert st == 200
+    st, page = _post(server, "/api/search",
+                     {"query": {"match": "data stream"}, "size": 7,
+                      "scroll": "30s"})
+    assert st == 200 and "scroll_id" in page
+    sid = page["scroll_id"]
+    got = list(page["results"])
+    for _ in range(20):
+        st, nxt = _post(server, "/api/scroll",
+                        {"scroll_id": sid, "scroll": "30s"})
+        assert st == 200
+        if not nxt["results"]:
+            break
+        got.extend(nxt["results"])
+        if len(got) >= 40:
+            break
+    assert [h["doc_id"] for h in got[:40]] == \
+        [h["doc_id"] for h in big["results"]]
+    assert [h["score"] for h in got[:40]] == \
+        [h["score"] for h in big["results"]]
+
+
+def test_scroll_sorted_and_lifecycle(server):
+    # sorted scroll uses the composite (sort_value, doc_id) cursor
+    st, big = _post(server, "/api/search",
+                    {"query": {"match": "data"}, "size": 30,
+                     "sort": [{"n_chars": {"order": "desc"}}]})
+    assert st == 200
+    st, p1 = _post(server, "/api/search",
+                   {"query": {"match": "data"}, "size": 15,
+                    "sort": [{"n_chars": {"order": "desc"}}],
+                    "scroll": "30s"})
+    assert st == 200
+    st, p2 = _post(server, "/api/scroll", {"scroll_id":
+                                           p1["scroll_id"]})
+    assert st == 200
+    both = p1["results"] + p2["results"]
+    assert [h["doc_id"] for h in both] == \
+        [h["doc_id"] for h in big["results"]]
+    # clear → gone
+    st, out = _post(server, "/api/scroll",
+                    {"scroll_id": p1["scroll_id"], "clear": True})
+    assert st == 200
+    st, out = _post(server, "/api/scroll",
+                    {"scroll_id": p1["scroll_id"]})
+    assert st == 404
+    # unknown id
+    st, _ = _post(server, "/api/scroll", {"scroll_id": "nope"})
+    assert st == 404
+    # scroll refuses agg bodies
+    st, out = _post(server, "/api/search",
+                    {"query": {"match": "data"}, "scroll": "1m",
+                     "aggs": {"l": {"terms": {"field": "lang"}}}})
+    assert st == 400
