@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dh_pipeline": searchp.search_dh_pipeline,
         "span_near_docs": searchp.span_near_docs,
         "synonym_match_docs": searchp.synonym_match_docs,
+        "ids_filter_docs": searchp.ids_filter_docs,
+        "search_date_range_agg": searchp.search_date_range_agg,
+        "search_adjacency_matrix": searchp.search_adjacency_matrix,
         "span_first_docs": searchp.span_first_docs,
         "span_not_docs": searchp.span_not_docs,
         "search_bucket_script": searchp.search_bucket_script,

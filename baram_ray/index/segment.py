@@ -522,6 +522,13 @@ class IndexReader:
                 from baram_ray.errors import UnknownFilterColumn
                 raise UnknownFilterColumn(col)
             data = self.doc_meta[col]
+            if isinstance(val, dict) and set(val) == {"exists"}:
+                # OpenSearch ``exists`` filter: non-null (NaN floats,
+                # None objects); ints/strings are dense → all pass
+                import pandas as pd
+                nn = np.asarray(pd.notna(data))
+                mask &= nn if val["exists"] else ~nn
+                continue
             if isinstance(val, dict):
                 bad = set(val) - {"gte", "lte", "gt", "lt"}
                 if bad:

@@ -2642,6 +2642,66 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # ids query: present subset of a fixed id list
+    "ids_filter_docs": r"""
+        SELECT doc_id FROM documents
+        WHERE doc_id IN (1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144,
+                         999999999)
+    """,
+    # date_range buckets [from, to) over the derived epoch-day column
+    "search_date_range_agg": r"""
+        WITH w AS (SELECT doc_id,
+                          18262 + (doc_id % 1096) AS pub_day,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT pub_day FROM w WHERE list_contains(ws, 'data')),
+        b AS (SELECT datediff('day', DATE '1970-01-01',
+                              DATE '2020-07-01') AS d1,
+                     datediff('day', DATE '1970-01-01',
+                              DATE '2022-01-01') AS d2)
+        SELECT '*-2020-07-01' AS "key",
+               CAST(count(*) FILTER (WHERE pub_day < d1) AS BIGINT)
+                   AS doc_count FROM m, b
+        UNION ALL
+        SELECT '2020-07-01-2022-01-01',
+               CAST(count(*) FILTER (WHERE pub_day >= d1
+                                       AND pub_day < d2) AS BIGINT)
+        FROM m, b
+        UNION ALL
+        SELECT '2022-01-01-*',
+               CAST(count(*) FILTER (WHERE pub_day >= d2) AS BIGINT)
+        FROM m, b
+    """,
+    # adjacency_matrix: named predicate counts + pairwise
+    # intersections over the match set, zero cells dropped
+    "search_adjacency_matrix": r"""
+        WITH m AS (SELECT lang, n_chars,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        d AS (SELECT lang = 'en' AS en, n_chars >= 250 AS lng,
+                     list_contains(ws, 'vector') AS vec
+              FROM m WHERE list_contains(ws, 'data')),
+        c AS (
+            SELECT 'en' AS "key",
+                   CAST(count(*) FILTER (WHERE en) AS BIGINT) AS
+                       doc_count FROM d
+            UNION ALL SELECT 'long',
+                   CAST(count(*) FILTER (WHERE lng) AS BIGINT) FROM d
+            UNION ALL SELECT 'vec',
+                   CAST(count(*) FILTER (WHERE vec) AS BIGINT) FROM d
+            UNION ALL SELECT 'en&long',
+                   CAST(count(*) FILTER (WHERE en AND lng) AS BIGINT)
+                   FROM d
+            UNION ALL SELECT 'en&vec',
+                   CAST(count(*) FILTER (WHERE en AND vec) AS BIGINT)
+                   FROM d
+            UNION ALL SELECT 'long&vec',
+                   CAST(count(*) FILTER (WHERE lng AND vec) AS BIGINT)
+                   FROM d)
+        SELECT * FROM c WHERE doc_count > 0
+    """,
     # SynonymQuery match sets: a group matches when ANY member token
     # occurs; operator=and requires every group
     "synonym_match_docs": r"""

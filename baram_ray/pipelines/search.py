@@ -1551,6 +1551,68 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def ids_filter_docs(sf_dir: str):
+    """OpenSearch ``ids`` query through the JSON DSL: the present,
+    live subset of a fixed id list as constant-score hits. Hash-exact
+    DuckDB oracle (doc_id IN list)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    vals = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 999999999]
+    hits = execute_dsl(eng, {"query": {"ids": {"values": vals}},
+                             "size": 100})
+    return pd.DataFrame({
+        "doc_id": pd.array([d for d, _ in hits], dtype="int64")})
+
+
+def search_date_range_agg(sf_dir: str, query_text: str = "data"):
+    """``date_range`` aggregation (ISO endpoints over the epoch-day
+    column, [from, to) buckets) through the JSON DSL on the
+    ShardedEngine (per-shard counts sum exactly). Hash-exact DuckDB
+    oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"dr": {"date_range": {"field": "pub_day", "ranges": [
+            {"to": "2020-07-01"},
+            {"from": "2020-07-01", "to": "2022-01-01"},
+            {"from": "2022-01-01"}]}}}})
+    rows = out["aggregations"]["dr"]
+    return pd.DataFrame({
+        "key": pd.array([r["key"] for r in rows], dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
+def search_adjacency_matrix(sf_dir: str, query_text: str = "data"):
+    """``adjacency_matrix`` aggregation (named predicates + all
+    pairwise intersections, empty cells dropped) through the JSON DSL
+    — a pure composition over the filters-agg scatter-gather.
+    Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"adj": {"adjacency_matrix": {"filters": {
+            "en": {"term": {"lang": "en"}},
+            "long": {"range": {"n_chars": {"gte": 250}}},
+            "vec": {"match": "vector"},
+        }}}}})
+    rows = out["aggregations"]["adj"]
+    return pd.DataFrame({
+        "key": pd.array([r["key"] for r in rows], dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
 def synonym_match_docs(sf_dir: str):
     """SynonymQuery RETRIEVAL (Lucene blended-term groups — what the
     reference's OpenSearch synonym analyzer produces): docs matching

@@ -31,8 +31,18 @@ Supported body::
                     "after": {name: value}}}  # paginated buckets
               | {"significant_text": {"field": c, "size": n,
                                       "min_doc_count": m}}
+              | {"date_range": {"field": c, "ranges":
+                    [{"from": "2020-07-01", "to": "2021-01-01"}]}}
+              | {"adjacency_matrix": {"filters": {name: <node>}}}
+              | {"global": {}, "aggs": {...}}   # whole live corpus
+              | {"missing": {"field": c}}       # null-count
               | {"stats" | "min" | "max" | "avg" | "sum"
-                 | "value_count" | "cardinality": {"field": "col"}}}}
+                 | "value_count"
+                 | "cardinality": {"field": "col"
+                    [, "precision_threshold": n]}}}}  # HLL opt-in
+
+    {"ids": {"values": [..]}} and {"exists": {"field": c}} are also
+    query nodes (constant-score hits / filter context).
 
 Pipeline aggregations (OpenSearch parent/sibling pipelines)::
 
@@ -133,11 +143,14 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "multi_match", "prefix", "wildcard", "regexp", "fuzzy",
                "query_string", "term", "terms", "range", "match_all",
                "bool", "dis_max", "constant_score", "function_score",
-               "boosting", "span_near", "span_first", "span_not")
+               "boosting", "span_near", "span_first", "span_not",
+               "ids", "exists")
 
 
 def _span_term(node) -> str:
@@ -252,7 +265,11 @@ def _leaf_spec_inner(kind: str, v) -> dict:
 
 
 def _filter_entry(kind: str, v) -> tuple[str, Any]:
-    """term/terms/range node → (column, engine filter value)."""
+    """term/terms/range/exists node → (column, engine filter value)."""
+    if kind == "exists":
+        if not isinstance(v, dict) or "field" not in v:
+            raise ValueError(f"exists needs a 'field': {v!r}")
+        return v["field"], {"exists": True}
     if not isinstance(v, dict) or len(v) != 1:
         raise ValueError(f"{kind} needs exactly one column: {v!r}")
     col, val = next(iter(v.items()))
@@ -300,10 +317,10 @@ def parse_query(node: dict) -> DslPlan:
 
         for c in each("filter"):
             ck = _node_kind(c)
-            if ck not in ("term", "terms", "range"):
+            if ck not in ("term", "terms", "range", "exists"):
                 raise ValueError(
-                    f"filter context supports term/terms/range, "
-                    f"got {ck}")
+                    f"filter context supports term/terms/range/"
+                    f"exists, got {ck}")
             col, val = _filter_entry(ck, c[ck])
             plan.filters[col] = val
         for group, sink in (("must", plan.must),
@@ -311,7 +328,7 @@ def parse_query(node: dict) -> DslPlan:
                             ("must_not", plan.must_not)):
             for c in each(group):
                 ck = _node_kind(c)
-                if ck in ("term", "terms", "range"):
+                if ck in ("term", "terms", "range", "exists"):
                     if group != "must":
                         raise ValueError(
                             f"{ck} in {group} has no BM25 score on "
@@ -348,7 +365,8 @@ def parse_query(node: dict) -> DslPlan:
 _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "cardinality", "min", "max", "avg", "sum", "value_count",
               "percentiles", "significant_text", "significant_terms",
-              "composite", "filters")
+              "composite", "filters", "date_range", "adjacency_matrix",
+              "global", "missing")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -794,6 +812,54 @@ def _run_agg(engine, name: str, spec: dict, text: str,
                 "doc_count": b["doc_count"]} for b in buckets]
         return {"buckets": out,
                 "after_key": out[-1]["key"] if out else None}
+    if kind == "global":
+        # OpenSearch global agg: sub-aggs over the WHOLE live corpus,
+        # ignoring the outer query and filters (text="" is the
+        # match_all facet path)
+        sub = spec.get("aggs", spec.get("aggregations"))
+        if not sub:
+            raise ValueError("global needs nested aggs")
+        return {n: _run_agg(engine, n, s, "", None)
+                for n, s in sub.items()}
+    if kind == "missing":
+        return {"doc_count": engine.facet_missing_count(
+            text, fld, filters=filters)}
+    if kind == "date_range":
+        # ISO-date ranges over an epoch-day column: [from, to) like
+        # the range agg (OpenSearch date_range convention)
+        def _day(s):
+            return None if s is None else int(
+                np.datetime64(str(s), "D").astype("int64"))
+        rgs = [{"from": _day(rg.get("from")), "to": _day(rg.get("to"))}
+               for rg in body["ranges"]]
+        rows = engine.facet_ranges(text, fld, rgs, filters=filters)
+        out = []
+        for (lo, hi, c), rg in zip(rows, body["ranges"]):
+            b = {"key": f"{rg.get('from', '*')}-{rg.get('to', '*')}",
+                 "doc_count": c}
+            if lo is not None:
+                b["from"] = int(lo)
+                b["from_as_string"] = str(rg["from"])
+            if hi is not None:
+                b["to"] = int(hi)
+                b["to_as_string"] = str(rg["to"])
+            out.append(b)
+        return out
+    if kind == "adjacency_matrix":
+        # named filters + all pairwise intersections (OpenSearch
+        # adjacency_matrix; key "a&b" with names sorted) — pure
+        # composition over the filters-agg engine op
+        named = body.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise ValueError("adjacency_matrix needs a non-empty "
+                             "'filters' dict")
+        names = sorted(named)
+        pairs = {f"{a}&{b}": {"bool": {"must": [named[a], named[b]]}}
+                 for i, a in enumerate(names)
+                 for b in names[i + 1:]}
+        rows = engine.facet_filters(text, {**named, **pairs},
+                                    filters=filters)
+        return [{"key": n, "doc_count": c} for n, c in rows if c > 0]
     if kind == "range":
         rows = engine.facet_ranges(text, fld, list(body["ranges"]),
                                    filters=filters)
@@ -843,15 +909,15 @@ def _filter_context(flt) -> tuple[str, dict | None]:
     texts: list[str] = []
     for fn in nodes:
         fk = _node_kind(fn)
-        if fk in ("term", "terms", "range"):
+        if fk in ("term", "terms", "range", "exists"):
             col, val = _filter_entry(fk, fn[fk])
             cfilters[col] = val
         elif fk == "match":
             texts.append(_text_arg(fn[fk])["query"])
         elif fk != "match_all":
             raise ValueError(
-                "filter context supports term/terms/range/match/"
-                "match_all nodes")
+                "filter context supports term/terms/range/exists/"
+                "match/match_all nodes")
     return " ".join(texts), cfilters or None
 
 
@@ -865,6 +931,17 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         k = min(k, max_k)
     min_score = body.get("min_score")
     node = body["query"]
+
+    if _node_kind(node) == "ids":
+        # OpenSearch ids query — constant-score hits for the present,
+        # live subset of the given doc_ids, doc_id ascending
+        v = node["ids"]
+        vals = v.get("values") if isinstance(v, dict) else v
+        if not isinstance(vals, list):
+            raise ValueError("ids needs a 'values' list")
+        boost = float(v.get("boost", 1.0)) if isinstance(v, dict) \
+            else 1.0
+        return [(int(d), boost) for d in engine.match_ids(vals)[:k]]
 
     if _node_kind(node) in ("span_near", "span_first", "span_not"):
         if any(key in body for key in ("sort", "collapse",

@@ -708,7 +708,7 @@ class QueryEngine:
         n = len(self.r.doc_ids)
         kind = _dsl._node_kind(node)
         if kind != "bool":
-            if kind in ("term", "terms", "range"):
+            if kind in ("term", "terms", "range", "exists"):
                 col, val = _dsl._filter_entry(kind, node[kind])
                 m = self.r.filter_mask({col: val})
                 return np.zeros(n), m
@@ -1082,6 +1082,28 @@ class QueryEngine:
         semantics, same API shape)."""
         vals = self._meta_col(field)[self._conj_mask(query, filters)]
         return int(len(np.unique(vals)))
+
+    def match_ids(self, values, filters: dict | None = None
+                  ) -> np.ndarray:
+        """OpenSearch ``ids`` query: the subset of ``values`` present
+        (and live) in the index, sorted ascending."""
+        r = self.r
+        vals = np.unique(np.asarray(list(values), dtype=np.int64))
+        rows = np.nonzero(np.isin(r.doc_ids, vals))[0]
+        mask = r.filter_mask(filters)
+        if mask is not None and len(rows):
+            rows = rows[mask[rows]]
+        return np.sort(r.doc_ids[rows]) if len(rows) else \
+            np.empty(0, dtype=np.int64)
+
+    def facet_missing_count(self, query: str, field: str,
+                            filters: dict | None = None) -> int:
+        """OpenSearch ``missing`` aggregation: matching docs whose
+        kept column is null (NaN float / None object); per-shard
+        counts sum exactly."""
+        import pandas as pd
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        return int(np.count_nonzero(~np.asarray(pd.notna(vals))))
 
     def cardinality_registers(self, query: str, field: str,
                               filters: dict | None = None,
@@ -2851,7 +2873,7 @@ class ShardedEngine:
                     ShardedEngine._tree_shard_safe(c)
             return
         if kind not in ("match", "match_phrase", "term", "terms",
-                        "range", "match_all"):
+                        "range", "exists", "match_all"):
             raise UnsupportedQuery(
                 f"{kind} clause expansion is per-shard-local — query "
                 "a single reader for this shape")
@@ -3022,6 +3044,18 @@ class ShardedEngine:
             seen.update(v for _, v, _ in
                         eng.facets(query, [field], filters=filters))
         return len(seen)
+
+    def match_ids(self, values, **kw) -> np.ndarray:
+        parts = [eng.match_ids(values, **kw) for eng in self.engines]
+        return np.sort(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
+
+    def facet_missing_count(self, query: str, field: str,
+                            filters: dict | None = None) -> int:
+        """missing-count scatter-gather: per-shard counts sum."""
+        return sum(eng.facet_missing_count(query, field,
+                                           filters=filters)
+                   for eng in self.engines)
 
     def facet_cardinality_approx(self, query: str, field: str,
                                  filters: dict | None = None,

@@ -1,0 +1,127 @@
+"""exists/ids queries and the missing / global / date_range /
+adjacency_matrix aggregations — including the nullable-column paths no
+oracle table exercises (NaN floats, None objects)."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from baram_ray.index.build import IndexConfig, build_index
+from baram_ray.query.dsl import execute_dsl
+from baram_ray.query.engine import QueryEngine, ShardedEngine
+
+OUT = "/tmp/baram_test_misc_idx"
+SRC = "/tmp/baram_test_misc_docs.parquet"
+N = 180
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    rng = np.random.default_rng(41)
+    score = rng.uniform(0, 1, N)
+    score[::4] = np.nan                      # every 4th doc: null score
+    rows = []
+    for i in range(N):
+        words = ["data"] * (i % 2 or 1) + list(
+            rng.choice(["stream", "table", "scan"],
+                       size=int(rng.integers(2, 9))))
+        rows.append({
+            "doc_id": i,
+            "text": " ".join(words),
+            "lang": ["en", "de"][i % 2],
+            "score": score[i],
+            "pub_day": 18262 + (i * 13) % 900,
+        })
+    df = pd.DataFrame(rows)
+    df.to_parquet(SRC, index=False)
+    return df
+
+
+@pytest.fixture(scope="module")
+def engine(docs_df):
+    shutil.rmtree(OUT, ignore_errors=True)
+    build_index(SRC, OUT, IndexConfig(
+        fields=("text",), id_cols=(), num_shards=4,
+        keep=("lang", "score", "pub_day")), resume=False)
+    return QueryEngine(OUT)
+
+
+@pytest.fixture(scope="module")
+def sharded(engine):
+    return ShardedEngine(OUT, n_groups=2)
+
+
+def test_exists_filter(engine, docs_df):
+    hits = execute_dsl(engine, {"query": {"bool": {
+        "must": [{"match": "data"}],
+        "filter": [{"exists": {"field": "score"}}]}}, "size": N})
+    got = {d for d, _ in hits}
+    exp = {int(r.doc_id) for r in docs_df.itertuples()
+           if not np.isnan(r.score)}
+    assert got == exp                      # every doc matches 'data'
+
+
+def test_missing_agg(engine, sharded, docs_df):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"m": {"missing": {"field": "score"}}}}
+    one = execute_dsl(engine, body)["aggregations"]["m"]
+    many = execute_dsl(sharded, body)["aggregations"]["m"]
+    exp = int(docs_df["score"].isna().sum())
+    assert one == many == {"doc_count": exp}
+
+
+def test_ids_query(engine):
+    hits = execute_dsl(engine, {"query": {"ids": {
+        "values": [5, 3, 99999, 7, 3]}}, "size": 10})
+    assert [d for d, _ in hits] == [3, 5, 7]
+    assert all(s == 1.0 for _, s in hits)
+
+
+def test_global_agg_ignores_query(engine, docs_df):
+    out = execute_dsl(engine, {
+        "query": {"match": "stream"}, "size": 0,
+        "aggs": {"g": {"global": {}, "aggs": {
+            "langs": {"terms": {"field": "lang"}}}},
+            "langs_q": {"terms": {"field": "lang"}}}})
+    g = {b["key"]: b["doc_count"]
+         for b in out["aggregations"]["g"]["langs"]}
+    exp = docs_df["lang"].value_counts().to_dict()
+    assert g == exp
+    q = sum(b["doc_count"] for b in out["aggregations"]["langs_q"])
+    assert q < len(docs_df)               # the scoped agg is narrower
+
+
+def test_date_range_agg(engine, docs_df):
+    out = execute_dsl(engine, {
+        "query": {"match": "data"}, "size": 0,
+        "aggs": {"dr": {"date_range": {"field": "pub_day", "ranges": [
+            {"to": "2020-07-01"},
+            {"from": "2020-07-01", "to": "2021-06-01"},
+            {"from": "2021-06-01"}]}}}})
+    rows = out["aggregations"]["dr"]
+    d1 = int(np.datetime64("2020-07-01", "D").astype("int64"))
+    d2 = int(np.datetime64("2021-06-01", "D").astype("int64"))
+    pv = docs_df["pub_day"].to_numpy()
+    assert rows[0]["doc_count"] == int((pv < d1).sum())
+    assert rows[1]["doc_count"] == int(((pv >= d1) & (pv < d2)).sum())
+    assert rows[2]["doc_count"] == int((pv >= d2).sum())
+    assert rows[1]["from"] == d1 and rows[1]["to"] == d2
+    assert rows[1]["from_as_string"] == "2020-07-01"
+
+
+def test_adjacency_matrix(engine, sharded, docs_df):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"adj": {"adjacency_matrix": {"filters": {
+                "en": {"term": {"lang": "en"}},
+                "scored": {"exists": {"field": "score"}}}}}}}
+    one = execute_dsl(engine, body)["aggregations"]["adj"]
+    many = execute_dsl(sharded, body)["aggregations"]["adj"]
+    assert one == many
+    got = {b["key"]: b["doc_count"] for b in one}
+    en = docs_df["lang"] == "en"
+    sc = docs_df["score"].notna()
+    assert got["en"] == int(en.sum())
+    assert got["scored"] == int(sc.sum())
+    assert got["en&scored"] == int((en & sc).sum())
