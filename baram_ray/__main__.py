@@ -113,6 +113,30 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    from baram_ray.state.snapshot import snapshot_index
+    man = snapshot_index(args.index, args.dest, base=args.base)
+    print(json.dumps({"files": man["n_files"],
+                      "reused": man["n_reused"],
+                      "bytes": man["total_bytes"]}))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from baram_ray.state.snapshot import restore_index
+    man = restore_index(args.snapshot, args.target)
+    print(json.dumps({"files": man["n_files"],
+                      "bytes": man["total_bytes"]}))
+    return 0
+
+
+def cmd_verify_snapshot(args) -> int:
+    from baram_ray.state.snapshot import verify_snapshot
+    man = verify_snapshot(args.snapshot)
+    print(json.dumps({"ok": True, "files": man["n_files"]}))
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Reference ``baram cluster`` (src/commands/cluster.rs): form event
     clusters over an embeddings table, optionally LLM-summarize, write
@@ -316,6 +340,26 @@ def main(argv: list[str] | None = None) -> int:
                              "(merge-time delete, rewrites segments)")
     pg.add_argument("--index", required=True)
     pg.set_defaults(fn=cmd_purge)
+
+    sn = sub.add_parser("snapshot", help="point-in-time snapshot of an "
+                        "index dir (incremental vs --base)")
+    sn.add_argument("index")
+    sn.add_argument("dest")
+    sn.add_argument("--base", default=None,
+                    help="previous snapshot dir — unchanged immutable "
+                         "files hardlink instead of copy")
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="verify + materialize a "
+                        "snapshot at a new index dir (atomic)")
+    rs.add_argument("snapshot")
+    rs.add_argument("target")
+    rs.set_defaults(fn=cmd_restore)
+
+    vs = sub.add_parser("verify-snapshot",
+                        help="re-hash a snapshot against its manifest")
+    vs.add_argument("snapshot")
+    vs.set_defaults(fn=cmd_verify_snapshot)
 
     cl = sub.add_parser("cluster", help="greedy event clustering over an "
                                         "embeddings parquet → JSON docs")
