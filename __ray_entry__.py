@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near_docs": searchp.span_near_docs,
         "synonym_match_docs": searchp.synonym_match_docs,
         "ids_filter_docs": searchp.ids_filter_docs,
+        "doc_termvectors": searchp.doc_termvectors,
         "search_date_range_agg": searchp.search_date_range_agg,
         "search_adjacency_matrix": searchp.search_adjacency_matrix,
         "span_first_docs": searchp.span_first_docs,

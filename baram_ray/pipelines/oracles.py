@@ -2642,6 +2642,25 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # _termvectors: per-doc term counts + corpus-wide df/cf
+    "doc_termvectors": r"""
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split_regex(
+                                 lower(trim(text)), '\s+')) AS term
+                      FROM documents),
+        v AS (SELECT doc_id, term,
+                     CAST(count(*) AS BIGINT) AS term_freq
+              FROM toks WHERE doc_id IN (0, 1, 2, 3, 4, 7, 11)
+              GROUP BY doc_id, term),
+        s AS (SELECT term,
+                     CAST(count(DISTINCT doc_id) AS BIGINT)
+                         AS doc_freq,
+                     CAST(count(*) AS BIGINT) AS total_freq
+              FROM toks GROUP BY term)
+        SELECT v.doc_id, v.term, v.term_freq, s.doc_freq,
+               s.total_freq
+        FROM v JOIN s USING (term)
+    """,
     # ids query: present subset of a fixed id list
     "ids_filter_docs": r"""
         SELECT doc_id FROM documents

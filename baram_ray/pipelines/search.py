@@ -1551,6 +1551,24 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def doc_termvectors(sf_dir: str):
+    """The OpenSearch ``_termvectors`` surface: per-doc term_freq plus
+    corpus-wide doc_freq / total_freq for a fixed id set, served from
+    the forward store (doc_id row-group-pruned read) + termdict join
+    (query/termvectors.py). Hash-exact DuckDB oracle (unnest + group
+    by against the raw corpus)."""
+    from baram_ray.query.termvectors import term_vectors
+    idx = ensure_index(sf_dir)
+    tv = term_vectors(idx, [0, 1, 2, 3, 4, 7, 11])
+    return pd.DataFrame({
+        "doc_id": pd.array(tv["doc_id"], dtype="int64"),
+        "term": pd.array(tv["term"], dtype=object),
+        "term_freq": pd.array(tv["term_freq"], dtype="int64"),
+        "doc_freq": pd.array(tv["doc_freq"], dtype="int64"),
+        "total_freq": pd.array(tv["total_freq"], dtype="int64"),
+    })
+
+
 def ids_filter_docs(sf_dir: str):
     """OpenSearch ``ids`` query through the JSON DSL: the present,
     live subset of a fixed id list as constant-score hits. Hash-exact

@@ -221,6 +221,24 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     self._json(200, {"tokens": [
                         {"token": t, "position": i}
                         for i, t in enumerate(tokenize(qs["text"]))]})
+                elif u.path == "/api/termvectors":
+                    # OpenSearch _termvectors: per-doc term stats
+                    # from the forward store (row-group-pruned read)
+                    from baram_ray.query.termvectors import \
+                        term_vectors
+                    if "doc_id" not in qs:
+                        return self._json(400,
+                                          {"error": "missing doc_id"})
+                    tv = term_vectors(index_dir,
+                                      [int(qs["doc_id"])])
+                    self._json(200, {
+                        "doc_id": int(qs["doc_id"]),
+                        "found": len(tv) > 0,
+                        "terms": {
+                            r.term: {"term_freq": int(r.term_freq),
+                                     "doc_freq": int(r.doc_freq),
+                                     "total_freq": int(r.total_freq)}
+                            for r in tv.itertuples()}})
                 elif u.path == "/api/stats":
                     r = engine.r
                     self._json(200, {

@@ -80,7 +80,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_sibling_stats", "span_near_docs",
                "span_first_docs", "span_not_docs",
                "synonym_match_docs", "ids_filter_docs",
-               "search_date_range_agg", "search_adjacency_matrix"]
+               "search_date_range_agg", "search_adjacency_matrix",
+               "doc_termvectors"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

@@ -384,3 +384,17 @@ def test_scroll_sorted_and_lifecycle(server):
                     {"query": {"match": "data"}, "scroll": "1m",
                      "aggs": {"l": {"terms": {"field": "lang"}}}})
     assert st == 400
+
+
+def test_termvectors_endpoint(server):
+    st, out = _get(server, "/api/termvectors?doc_id=3")
+    assert st == 200 and out["found"] and out["doc_id"] == 3
+    # term_freq sums to the analyzed doc length; df/cf >= tf
+    assert sum(v["term_freq"] for v in out["terms"].values()) > 0
+    for t, v in out["terms"].items():
+        assert v["doc_freq"] >= 1
+        assert v["total_freq"] >= v["term_freq"]
+    st, out = _get(server, "/api/termvectors?doc_id=999999999")
+    assert st == 200 and not out["found"] and out["terms"] == {}
+    st, _ = _get(server, "/api/termvectors")
+    assert st == 400
