@@ -2642,6 +2642,23 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # stemmed-analyzer retrieval: inflected query forms conflate with
+    # corpus words at the Porter stem; "the" is stop-filtered away
+    "stemmed_match_docs": r"""
+        WITH w AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT CAST(0 AS BIGINT) AS query_id, doc_id FROM w
+        WHERE list_contains(ws, 'query')     -- queries → queri
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), doc_id FROM w
+        WHERE list_contains(ws, 'table')     -- tables → tabl
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), doc_id FROM w
+        WHERE list_contains(ws, 'merge')     -- merged → merg
+        -- query_id 3 ("the") is stop-filtered: no rows by design
+    """,
     # _termvectors: per-doc term counts + corpus-wide df/cf
     "doc_termvectors": r"""
         WITH toks AS (SELECT doc_id,

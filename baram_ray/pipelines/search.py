@@ -1551,6 +1551,65 @@ def search_filters_agg(sf_dir: str, query_text: str = "data"):
     })
 
 
+def ensure_index_analyzed(sf_dir: str,
+                          filters: tuple[str, ...] = ("stop",
+                                                      "porter")):
+    """Index over an ANALYZER-CHAIN-transformed corpus (stopword
+    removal + Porter stemming — the OpenSearch english-analyzer
+    config the reference sets per index). The chain is a pure
+    text→text ``map_batches`` stage upstream of the core tokenizer,
+    so all rank-identity machinery applies to the transformed corpus
+    unchanged; the query path applies the SAME chain to query text
+    (analysis.analyze_chain)."""
+    from baram_ray.analysis import analyze_chain
+    tag = hashlib.sha1((os.path.abspath(sf_dir) + str(filters))
+                       .encode()).hexdigest()[:12]
+    src = os.path.join(_INDEX_ROOT, f"documents_{tag}_an_src")
+    out = os.path.join(_INDEX_ROOT, f"documents_{tag}_an")
+    if not os.path.isdir(src):
+        def transform(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["text"] = [analyze_chain(t or "", filters)
+                         for t in b["text"]]
+            return b
+        tmp = src + ".tmp"
+        import shutil as _sh
+        _sh.rmtree(tmp, ignore_errors=True)
+        (ray.data.read_parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+         .map_batches(transform, batch_format="pandas")
+         .write_parquet(tmp))
+        os.rename(tmp, src)
+    cfg = IndexConfig(fields=("text",), id_cols=(),
+                      keep=("lang", "source", "n_chars"))
+    build_index(src, out, cfg, resume=True)
+    return out
+
+
+def stemmed_match_docs(sf_dir: str):
+    """Stemmed-analyzer RETRIEVAL: the query forms are INFLECTIONS
+    that never occur in the corpus ("queries", "tables", "merged") —
+    they match only because query and corpus meet at the Porter stem
+    ("queri"/"tabl"/"merg"); the stopword filter makes "the" match
+    nothing. Hash-exact DuckDB oracle over the UNSTEMMED corpus
+    words (the stem conflation is hand-resolved in SQL)."""
+    from baram_ray.analysis import analyze_chain
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index_analyzed(sf_dir)
+    eng = QueryEngine(idx)
+    rows = []
+    cases = ["queries", "tables", "merged", "the"]
+    for qid, q in enumerate(cases):
+        stemmed = analyze_chain(q, ("stop", "porter"))
+        if stemmed:
+            for d, _ in eng.search(stemmed, k=1_000_000):
+                rows.append({"query_id": qid, "doc_id": int(d)})
+    df = pd.DataFrame(rows, columns=["query_id", "doc_id"])
+    return (df.sort_values(["query_id", "doc_id"])
+              .reset_index(drop=True)
+              .astype({"query_id": "int64", "doc_id": "int64"}))
+
+
 def doc_termvectors(sf_dir: str):
     """The OpenSearch ``_termvectors`` surface: per-doc term_freq plus
     corpus-wide doc_freq / total_freq for a fixed id set, served from

@@ -217,10 +217,18 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     self._json(200, engine.explain(qs["q"],
                                                    int(qs["doc_id"])))
                 elif u.path == "/api/analyze":
+                    # ?filter=stop,porter prepends an analyzer chain
+                    # (analysis.py) before the core tokenizer — the
+                    # OpenSearch _analyze "filter" parameter
                     from baram_ray.tokenizer import tokenize
+                    text = qs["text"]
+                    if qs.get("filter"):
+                        from baram_ray.analysis import analyze_chain
+                        text = analyze_chain(
+                            text, tuple(qs["filter"].split(",")))
                     self._json(200, {"tokens": [
                         {"token": t, "position": i}
-                        for i, t in enumerate(tokenize(qs["text"]))]})
+                        for i, t in enumerate(tokenize(text))]})
                 elif u.path == "/api/termvectors":
                     # OpenSearch _termvectors: per-doc term stats
                     # from the forward store (row-group-pruned read)

@@ -398,3 +398,15 @@ def test_termvectors_endpoint(server):
     assert st == 200 and not out["found"] and out["terms"] == {}
     st, _ = _get(server, "/api/termvectors")
     assert st == 400
+
+
+def test_analyze_with_filter_chain(server):
+    st, out = _get(server,
+                   "/api/analyze?text=the%20Queries&filter=stop,porter")
+    assert st == 200
+    assert [t["token"] for t in out["tokens"]] == ["queri"]
+    st, out = _get(server, "/api/analyze?text=the%20Queries")
+    assert [t["token"] for t in out["tokens"]] == ["the", "queries"]
+    st, out = _get(server,
+                   "/api/analyze?text=x&filter=bogus")
+    assert st == 400
