@@ -410,3 +410,36 @@ def test_analyze_with_filter_chain(server):
     st, out = _get(server,
                    "/api/analyze?text=x&filter=bogus")
     assert st == 400
+
+
+def test_search_post_pipeline_and_misc_aggs(server):
+    st, out = _post(server, "/api/search", {
+        "query": {"match": "data"}, "size": 0,
+        "aggs": {"langs": {"terms": {"field": "lang"}, "aggs": {
+            "chars": {"sum": {"field": "n_chars"}},
+            "avgc": {"bucket_script": {
+                "buckets_path": {"s": "chars", "c": "_count"},
+                "script": "params.s / params.c"}}}},
+            "best": {"max_bucket": {"buckets_path": "langs>chars"}},
+            "adj": {"adjacency_matrix": {"filters": {
+                "en": {"term": {"lang": "en"}},
+                "vec": {"match": "vector"}}}}}})
+    assert st == 200
+    a = out["aggregations"]
+    assert a["best"]["value"] == max(
+        b["chars"]["value"] for b in a["langs"])
+    for b in a["langs"]:
+        assert b["avgc"]["value"] == pytest.approx(
+            b["chars"]["value"] / b["doc_count"])
+    assert all(b["doc_count"] > 0 for b in a["adj"])
+    # synonym + span bodies through the POST path
+    st, out = _post(server, "/api/search", {
+        "query": {"match": {"query": "data", "synonyms":
+                            {"data": ["stream"]}}}, "size": 3})
+    assert st == 200 and len(out["results"]) == 3
+    st, out = _post(server, "/api/search", {
+        "query": {"span_near": {"clauses": [
+            {"span_term": {"text": "data"}},
+            {"span_term": {"text": "stream"}}], "slop": 3,
+            "in_order": False}}, "size": 3})
+    assert st == 200
