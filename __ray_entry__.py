@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ids_filter_docs": searchp.ids_filter_docs,
         "doc_termvectors": searchp.doc_termvectors,
         "stemmed_match_docs": searchp.stemmed_match_docs,
+        "search_script_score": searchp.search_script_score,
         "search_date_range_agg": searchp.search_date_range_agg,
         "search_adjacency_matrix": searchp.search_adjacency_matrix,
         "span_first_docs": searchp.span_first_docs,

@@ -2678,6 +2678,25 @@ ORACLES: dict[str, str] = {
                s.total_freq
         FROM v JOIN s USING (term)
     """,
+    # script_score: metadata-only arithmetic re-scoring of the match
+    # set — same single exact division, same tie-break
+    "search_script_score": r"""
+        WITH w AS (SELECT doc_id, n_chars,
+                          18262 + (doc_id % 1096) AS pub_day,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     n_chars * 1.0 / (1 + pub_day % 7) AS score
+              FROM w WHERE list_contains(ws, 'data')),
+        r AS (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC,
+                                        doc_id ASC) AS rank
+              FROM m)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(score AS DOUBLE) AS score
+        FROM r WHERE rank <= 20
+    """,
     # ids query: present subset of a fixed id list
     "ids_filter_docs": r"""
         SELECT doc_id FROM documents

@@ -1628,6 +1628,33 @@ def doc_termvectors(sf_dir: str):
     })
 
 
+def search_script_score(sf_dir: str, query_text: str = "data",
+                        k: int = 20):
+    """``script_score`` top-k through the JSON DSL (ShardedEngine):
+    the match set of 'data' re-scored by a metadata-only arithmetic
+    script (ONE exact division per doc — vectorized over the kept
+    columns, no per-doc loop). Hash-exact DuckDB oracle (same
+    expression, same (score DESC, doc_id ASC) tie-break). The
+    _score-blended variant is pytest-verified against a brute
+    recomputation (tests/test_misc_dsl.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    hits = execute_dsl(eng, {
+        "query": {"script_score": {
+            "query": {"match": query_text},
+            "script": {"source":
+                       "params.n_chars * 1.0 / (1 + params.pub_day"
+                       " % 7)"}}},
+        "size": k})
+    return pd.DataFrame({
+        "rank": pd.array(range(1, len(hits) + 1), dtype="int64"),
+        "doc_id": pd.array([d for d, _ in hits], dtype="int64"),
+        "score": pd.array([s for _, s in hits], dtype="float64"),
+    })
+
+
 def ids_filter_docs(sf_dir: str):
     """OpenSearch ``ids`` query through the JSON DSL: the present,
     live subset of a fixed id list as constant-score hits. Hash-exact

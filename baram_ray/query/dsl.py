@@ -150,7 +150,7 @@ _LEAF_KINDS = ("match", "match_phrase", "match_phrase_prefix",
                "query_string", "term", "terms", "range", "match_all",
                "bool", "dis_max", "constant_score", "function_score",
                "boosting", "span_near", "span_first", "span_not",
-               "ids", "exists")
+               "ids", "exists", "script_score")
 
 
 def _span_term(node) -> str:
@@ -488,13 +488,30 @@ def _bucket_value(bucket: dict, path: str):
     return v
 
 
-def _eval_script(src: str, params: dict):
+def script_param_names(src: str) -> list[str]:
+    """The ``params.<name>`` attributes a script references (for
+    binding engine columns in script_score)."""
+    import ast
+    out = []
+    for node in ast.walk(ast.parse(src.strip(), mode="eval")):
+        if (isinstance(node, ast.Attribute)
+                and isinstance(node.value, ast.Name)
+                and node.value.id == "params"):
+            out.append(node.attr)
+    return sorted(set(out))
+
+
+def _eval_script(src: str, params: dict, arith_only: bool = False):
     """Safe arithmetic/comparison evaluator for bucket_script /
     bucket_selector bodies (the ``params.x`` Painless subset the
     reference's dashboards use). AST-whitelisted: numbers, params
     attributes, + - * / % **, unary +/-, comparisons, and/or/not,
     parentheses. Anything else (calls, subscripts, names other than
-    ``params``) raises ValueError — never handed to eval()."""
+    ``params``) raises ValueError — never handed to eval().
+    ``arith_only=True`` additionally refuses comparisons/boolean ops —
+    the script_score mode, where params are NUMPY COLUMNS and every
+    allowed operator is element-wise (one vectorized pass, no per-doc
+    loop)."""
     import ast
 
     def ev(node):
@@ -518,6 +535,9 @@ def _eval_script(src: str, params: dict):
             if isinstance(node.op, ast.UAdd):
                 return +v
             if isinstance(node.op, ast.Not):
+                if arith_only:
+                    raise ValueError("script_score scripts are "
+                                     "arithmetic-only (no not)")
                 return not v
             raise ValueError("bad unary op")
         if isinstance(node, ast.BinOp):
@@ -531,6 +551,9 @@ def _eval_script(src: str, params: dict):
                     return f()
             raise ValueError("bad binary op")
         if isinstance(node, ast.Compare):
+            if arith_only:
+                raise ValueError("script_score scripts are "
+                                 "arithmetic-only (no comparisons)")
             left = ev(node.left)
             for op, cmp in zip(node.ops, node.comparators):
                 right = ev(cmp)
@@ -545,6 +568,9 @@ def _eval_script(src: str, params: dict):
                 left = right
             return True
         if isinstance(node, ast.BoolOp):
+            if arith_only:
+                raise ValueError("script_score scripts are "
+                                 "arithmetic-only (no and/or)")
             vals = [ev(v) for v in node.values]
             return (all(vals) if isinstance(node.op, ast.And)
                     else any(vals))
@@ -931,6 +957,23 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         k = min(k, max_k)
     min_score = body.get("min_score")
     node = body["query"]
+
+    if _node_kind(node) == "script_score":
+        # OpenSearch script_score: arithmetic over params._score +
+        # kept metadata columns, evaluated vectorized engine-side
+        if any(key in body for key in ("sort", "collapse",
+                                       "search_after", "aggs",
+                                       "aggregations", "rescore")):
+            raise ValueError("script_score composes with "
+                             "size/min_score only")
+        v = node["script_score"]
+        sc = v.get("script")
+        src = sc.get("source") if isinstance(sc, dict) else sc
+        if not isinstance(src, str) or "query" not in v:
+            raise ValueError("script_score needs 'query' and "
+                             "'script' (string or {source})")
+        return engine.search_script_score(v["query"], src, k=k,
+                                          min_score=min_score)
 
     if _node_kind(node) == "ids":
         # OpenSearch ids query — constant-score hits for the present,

@@ -1083,6 +1083,49 @@ class QueryEngine:
         vals = self._meta_col(field)[self._conj_mask(query, filters)]
         return int(len(np.unique(vals)))
 
+    def search_script_score(self, node: dict, script: str,
+                            k: int = 10,
+                            filters: dict | None = None,
+                            min_score: float | None = None
+                            ) -> list[tuple[int, float]]:
+        """OpenSearch ``script_score``: replace every match's score
+        with ``script`` evaluated over ``params._score`` (the BM25
+        score) and ``params.<col>`` (kept metadata columns). The AST
+        evaluator runs ONCE over numpy columns — every allowed
+        operator is element-wise, so scoring is one vectorized pass
+        (no per-doc loop). Matching comes from the nested-bool
+        evaluator, so any shard-safe query tree works; per-shard
+        scores are shard-complete (global idf) → sharded merge is
+        rank-identical."""
+        from baram_ray.query.dsl import (_eval_script,
+                                         script_param_names)
+        r = self.r
+        base, matched = self._eval_bool_tree(node)
+        params = {}
+        for name in script_param_names(script):
+            if name == "_score":
+                params[name] = base
+            else:
+                params[name] = self._meta_col(name)
+        vals = np.asarray(_eval_script(script, params,
+                                       arith_only=True),
+                          dtype=np.float64)
+        if vals.ndim == 0:                 # constant script
+            vals = np.full(len(matched), float(vals))
+        mask = r.filter_mask(filters)
+        if mask is not None:
+            matched = matched & mask
+        rows = np.nonzero(matched)[0]
+        if not len(rows) or k <= 0:
+            return []
+        sv = vals[rows]
+        if min_score is not None:
+            keep = sv >= min_score
+            rows, sv = rows[keep], sv[keep]
+        order = np.lexsort((r.doc_ids[rows], -sv))[:k]
+        return [(int(r.doc_ids[rows[i]]), float(sv[i]))
+                for i in order]
+
     def match_ids(self, values, filters: dict | None = None
                   ) -> np.ndarray:
         """OpenSearch ``ids`` query: the subset of ``values`` present
@@ -3049,6 +3092,15 @@ class ShardedEngine:
         parts = [eng.match_ids(values, **kw) for eng in self.engines]
         return np.sort(np.concatenate(parts)) if parts else \
             np.empty(0, dtype=np.int64)
+
+    def search_script_score(self, node: dict, script: str,
+                            k: int = 10, **kw) -> list:
+        """script_score scatter-gather: per-shard (score, meta)
+        columns are shard-complete for shard-safe trees, so merged
+        top-k is rank- and value-identical to one reader."""
+        self._tree_shard_safe(node)
+        return self._scatter("search_script_score", k,
+                             (node, script), kw)
 
     def facet_missing_count(self, query: str, field: str,
                             filters: dict | None = None) -> int:

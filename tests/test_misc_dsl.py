@@ -125,3 +125,30 @@ def test_adjacency_matrix(engine, sharded, docs_df):
     assert got["en"] == int(en.sum())
     assert got["scored"] == int(sc.sum())
     assert got["en&scored"] == int((en & sc).sum())
+
+
+def test_script_score_vs_brute(engine, sharded, docs_df):
+    from baram_ray.query.dsl import execute_dsl
+    body = {"query": {"script_score": {
+        "query": {"match": "data"},
+        "script": "params._score * 2.0 + params.pub_day % 5"}},
+        "size": 50}
+    got = execute_dsl(engine, body)
+    assert got == execute_dsl(sharded, body)   # shard identity
+    # brute: BM25 over the same match set, rescored per doc
+    base = dict(engine.search("data", k=len(docs_df)))
+    days = dict(zip(docs_df["doc_id"], docs_df["pub_day"]))
+    exp = sorted(((d, s * 2.0 + days[d] % 5)
+                  for d, s in base.items()),
+                 key=lambda t: (-t[1], t[0]))[:50]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_script_score_refuses_non_arith(engine):
+    from baram_ray.query.dsl import execute_dsl
+    with pytest.raises(ValueError, match="arithmetic-only"):
+        execute_dsl(engine, {"query": {"script_score": {
+            "query": {"match": "data"},
+            "script": "params._score > 1"}}, "size": 5})
