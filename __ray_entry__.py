@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": trainp.doc_lm_score,
         "doc_heavy_terms": trainp.doc_heavy_terms,
         "doc_distinct_hll": trainp.doc_distinct_hll,
+        "doc_unigram_vocab": trainp.doc_unigram_vocab,
+        "doc_unigram_token_count": trainp.doc_unigram_token_count,
         "search_cardinality_hll": searchp.search_cardinality_hll,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,

@@ -461,6 +461,63 @@ def doc_heavy_terms(sf_dir: str, topn: int = 20):
     return out
 
 
+def doc_unigram_vocab(sf_dir: str, vocab_size: int = 45):
+    """Distributed unigram-LM tokenizer TRAINING (Kudo 2018 /
+    SentencePiece — ``unigram.py``): substring seeding + EM
+    forward-backward + probability pruning, every pass a
+    ``map_batches`` over the distinct-word table with the piece table
+    broadcast. Rows-only driver check; distributed == single-process
+    (vocab set exact, logp ≤1e-9, encodings exact) and reshard
+    stability are pytest-enforced (tests/test_unigram.py)."""
+    import pandas as pd
+
+    from baram_ray.unigram import unigram_train
+    ds = read_table(sf_dir, "documents", ["text"])
+    logp = unigram_train(ds, vocab_size=vocab_size, seed_size=500)
+    pieces = sorted(logp)
+    return pd.DataFrame({
+        "piece": pd.array(pieces, dtype=object),
+        "logp": pd.array([round(logp[p], 6) for p in pieces],
+                         dtype="float64"),
+    })
+
+
+def doc_unigram_token_count(sf_dir: str, vocab_size: int = 45):
+    """Corpus-wide Viterbi encoding with the trained unigram vocab:
+    per-doc piece counts (the unigram analogue of
+    ``doc_bpe_token_count``). The vocab is deliberately SMALLER than
+    needed to hold every corpus word, so real multi-piece
+    segmentation happens. Rows-only driver check (segmentation isn't
+    SQL-expressible); encode determinism is pytest-pinned."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from baram_ray.unigram import unigram_train, viterbi_encode
+    ds = read_table(sf_dir, "documents", ["doc_id", "text"])
+    logp = unigram_train(ds, vocab_size=vocab_size, seed_size=500)
+    ref = _ray.put(logp)
+
+    def count(batch: pa.Table) -> pa.Table:
+        lp = _ray.get(ref)
+        memo: dict[str, int] = {}
+        out = []
+        for t in batch["text"].to_pylist():
+            n = 0
+            for w in (t or "").lower().split():
+                k = memo.get(w)
+                if k is None:
+                    k = memo[w] = len(viterbi_encode(w, lp))
+                n += k
+            out.append(n)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_unigram_tokens": pa.array(
+                             out, pa.int64())})
+
+    return (ds.map_batches(count, batch_format="pyarrow")
+              .to_pandas().sort_values("doc_id")
+              .reset_index(drop=True))
+
+
 def doc_distinct_hll(sf_dir: str):
     """Approximate distinct token count per language via mergeable
     HyperLogLog registers (``sketches.distinct_hll`` — 4 KiB of state
