@@ -200,6 +200,7 @@ def run_bench() -> dict:
         "tpch_q21": timed(tpchp.q21_waiting_suppliers),
         "sim_knn_hnsw": timed(trainp.sim_knn_hnsw),
         "doc_bpe_merges": timed(trainp.doc_bpe_merges),
+        "doc_unigram_vocab": timed(trainp.doc_unigram_vocab),
         "events_user_freq_cms": timed(evp.user_freq_cms),
     }
 
