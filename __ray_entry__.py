@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bucket_script": searchp.search_bucket_script,
         "search_sibling_stats": searchp.search_sibling_stats,
         "search_percolate": searchp.search_percolate,
+        "percolate_dsl_docs": searchp.percolate_dsl_docs,
         "search_suggest": searchp.search_suggest,
         "search_mlt": searchp.search_mlt,
         "search_bm25_filtered": searchp.bm25_filtered,

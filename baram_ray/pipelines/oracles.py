@@ -2642,6 +2642,28 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # DSL-body percolation: each body re-expressed as SQL predicates
+    # over the same doc (sloppy phrase = bounded intervening-token
+    # regex, the engine's ordered-chain slack rule)
+    "percolate_dsl_docs": r"""
+        WITH w AS (SELECT doc_id, lang, n_chars, lower(trim(text))
+                       AS lt,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents)
+        SELECT doc_id, CAST(0 AS BIGINT) AS query_id FROM w
+        WHERE list_contains(ws, 'data')
+          AND list_contains(ws, 'stream')
+          AND NOT list_contains(ws, 'vector')
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) FROM w
+        WHERE lang = 'en' AND n_chars >= 200
+          AND regexp_matches(lt,
+              '(^|[^a-z0-9_])table([^a-z0-9_]+[a-z0-9_]+){0,1}[^a-z0-9_]+scan([^a-z0-9_]|$)')
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT) FROM w
+        WHERE list_contains(ws, 'merge') AND list_contains(ws, 'sort')
+    """,
     # stemmed-analyzer retrieval: inflected query forms conflate with
     # corpus words at the Porter stem; "the" is stop-filtered away
     "stemmed_match_docs": r"""

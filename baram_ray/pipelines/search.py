@@ -1001,6 +1001,36 @@ def search_percolate(sf_dir: str):
     return ensure_cols(out, {"doc_id": "int64", "query_id": "int64"})
 
 
+PERCOLATE_DSL_BODIES = {
+    0: {"bool": {"must": [{"match": "data stream"}],
+                 "must_not": [{"match": "vector"}]}},
+    1: {"bool": {"filter": [{"term": {"lang": "en"}},
+                            {"range": {"n_chars": {"gte": 200}}}],
+                 "must": [{"match_phrase": {"query": "table scan",
+                                            "slop": 1}}]}},
+    2: {"bool": {"should": [{"match": "merge"}, {"match": "sort"}],
+                 "minimum_should_match": 2}},
+}
+
+
+def percolate_dsl_docs(sf_dir: str):
+    """DSL-body percolation (OpenSearch percolator over full query
+    bodies — bool trees with match / sloppy phrase / term / range):
+    (doc_id, query_id) for every registered body each doc matches,
+    one streaming map (queries ride the actor closure, no shuffle).
+    Hash-exact DuckDB oracle; percolator-hit == engine-retrieval
+    equivalence is pytest-pinned (tests/test_percolate_dsl.py)."""
+    from baram_ray.percolate import DslPercolateStage
+    from baram_ray.pipelines.util import ensure_cols, read_table
+    ds = read_table(sf_dir, "documents",
+                    ["doc_id", "text", "lang", "n_chars"])
+    out = ds.map_batches(
+        DslPercolateStage(PERCOLATE_DSL_BODIES,
+                          meta_cols=("lang", "n_chars")),
+        batch_format="pyarrow")
+    return ensure_cols(out, {"doc_id": "int64", "query_id": "int64"})
+
+
 SUGGEST_INPUTS = ["dta", "streem", "winow", "qury", "tabel", "jion"]
 
 

@@ -81,7 +81,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "span_first_docs", "span_not_docs",
                "synonym_match_docs", "ids_filter_docs",
                "search_date_range_agg", "search_adjacency_matrix",
-               "doc_termvectors", "stemmed_match_docs", "search_script_score"]
+               "doc_termvectors", "stemmed_match_docs", "search_script_score",
+               "percolate_dsl_docs"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
