@@ -87,6 +87,9 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
     scroll_lock = threading.Lock()
     scroll_seq = iter(range(1, 1 << 62))
 
+    # registered percolator bodies (id → OpenSearch query node)
+    percolator_bodies: dict[int, dict] = {}
+
     def _parse_ttl(v) -> float:
         s = str(v or "1m").strip().lower()
         if s.endswith("ms"):
@@ -331,6 +334,38 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     return self._json(200, _run_dsl_body(payload))
                 except (ValueError, KeyError) as e:
                     return self._json(400, {"error": str(e)})
+            if u.path == "/api/percolator/register":
+                # register an OpenSearch body under an id (the
+                # percolator index analogue); validation runs once here
+                from baram_ray.percolate import doc_matches
+                try:
+                    qid = int(payload["id"])
+                    doc_matches(set(), [], [], {}, payload["body"])
+                except KeyError as e:
+                    return self._json(400, {"error": f"missing {e}"})
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                percolator_bodies[qid] = payload["body"]
+                return self._json(200, {"registered": qid,
+                                        "total":
+                                        len(percolator_bodies)})
+            if u.path == "/api/percolate":
+                # match ONE document against every registered body
+                from baram_ray.percolate import doc_matches
+                from baram_ray.tokenizer import \
+                    tokenize_with_positions
+                text = payload.get("text", "")
+                toks, poss = tokenize_with_positions(text or "")
+                tokset = set(toks)
+                meta = {k: v for k, v in payload.items()
+                        if k != "text"}
+                try:
+                    hits = sorted(
+                        qid for qid, b in percolator_bodies.items()
+                        if doc_matches(tokset, toks, poss, meta, b))
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
+                return self._json(200, {"matched_queries": hits})
             if u.path == "/api/scroll":
                 try:
                     code, obj = _continue_scroll(payload)

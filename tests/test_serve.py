@@ -443,3 +443,25 @@ def test_search_post_pipeline_and_misc_aggs(server):
             {"span_term": {"text": "stream"}}], "slop": 3,
             "in_order": False}}, "size": 3})
     assert st == 200
+
+
+def test_percolator_endpoints(server):
+    st, out = _post(server, "/api/percolator/register",
+                    {"id": 1, "body": {"bool": {
+                        "must": [{"match": "data stream"}],
+                        "must_not": [{"match": "vector"}]}}})
+    assert st == 200 and out["registered"] == 1
+    st, out = _post(server, "/api/percolator/register",
+                    {"id": 2, "body": {"range":
+                                       {"n_chars": {"gte": 100}}}})
+    assert st == 200 and out["total"] == 2
+    st, out = _post(server, "/api/percolate",
+                    {"text": "big data in a stream", "n_chars": 250})
+    assert st == 200 and out["matched_queries"] == [1, 2]
+    st, out = _post(server, "/api/percolate",
+                    {"text": "data stream vector", "n_chars": 50})
+    assert st == 200 and out["matched_queries"] == []
+    # unsupported node kinds refuse at registration
+    st, out = _post(server, "/api/percolator/register",
+                    {"id": 3, "body": {"fuzzy": "daat"}})
+    assert st == 400
