@@ -245,6 +245,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_vocab": trainp.doc_unigram_vocab,
         "doc_unigram_token_count": trainp.doc_unigram_token_count,
         "search_cardinality_hll": searchp.search_cardinality_hll,
+        "search_extended_stats": searchp.search_extended_stats,
+        "search_weighted_avg": searchp.search_weighted_avg,
+        "search_multi_terms": searchp.search_multi_terms,
+        "search_rare_terms": searchp.search_rare_terms,
+        "search_dh_empty_buckets": searchp.search_dh_empty_buckets,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,

@@ -2642,6 +2642,87 @@ ORACLES: dict[str, str] = {
                         AND b.pos > a.pos AND c.pos > b.pos
                         AND c.pos - a.pos - 2 <= 2)
     """,
+    # extended_stats: exact int partials; variance spelled with the
+    # SAME float expression/order as the engine
+    "search_extended_stats": r"""
+        WITH m AS (SELECT n_chars FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data')),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(min(n_chars) AS BIGINT) AS mn,
+                     CAST(max(n_chars) AS BIGINT) AS mx,
+                     CAST(sum(n_chars) AS BIGINT) AS s,
+                     CAST(sum(CAST(n_chars AS BIGINT)
+                              * CAST(n_chars AS BIGINT))
+                          AS BIGINT) AS ssq
+              FROM m HAVING count(*) > 0)
+        SELECT n AS cnt, mn AS vmin, mx AS vmax, s AS vsum,
+               ssq,
+               CAST(s AS DOUBLE) / n AS avg,
+               (CAST(ssq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n
+                   AS variance,
+               sqrt((CAST(ssq AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                   AS std_dev
+        FROM p
+    """,
+    # weighted_avg: exact int partial sums, one final division
+    "search_weighted_avg": r"""
+        WITH m AS (SELECT n_chars,
+                          18262 + (doc_id % 1096) AS pub_day
+                   FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data')),
+        p AS (SELECT CAST(sum(CAST(n_chars AS BIGINT)
+                              * CAST(pub_day AS BIGINT))
+                          AS BIGINT) AS vw,
+                     CAST(sum(pub_day) AS BIGINT) AS w
+              FROM m HAVING count(*) > 0)
+        SELECT CAST(vw AS DOUBLE) / w AS wavg FROM p
+    """,
+    # multi_terms: tuple buckets, (count desc, key asc) at the cut
+    "search_multi_terms": r"""
+        WITH m AS (SELECT lang, source FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data'))
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count
+        FROM m GROUP BY lang, source
+        ORDER BY doc_count DESC, lang, source
+        LIMIT 10
+    """,
+    # rare_terms: buckets at or under the threshold
+    "search_rare_terms": r"""
+        WITH m AS (SELECT source FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data'))
+        SELECT source, CAST(count(*) AS BIGINT) AS doc_count
+        FROM m GROUP BY source HAVING count(*) <= 30
+    """,
+    # date_histogram min_doc_count=0 + extended_bounds: every month
+    # in the bounded range, zero-filled
+    "search_dh_empty_buckets": r"""
+        WITH w AS (SELECT doc_id, n_chars,
+                          18262 + (doc_id % 1096) AS pub_day,
+                          string_split_regex(lower(trim(text)),
+                                             '\s+') AS ws
+                   FROM documents),
+        m AS (SELECT date_trunc('month',
+                     DATE '1970-01-01'
+                     + CAST(pub_day AS INTEGER)) AS mo
+              FROM w WHERE list_contains(ws, 'data')
+                AND n_chars >= 460),
+        c AS (SELECT mo, CAST(count(*) AS BIGINT) AS n
+              FROM m GROUP BY mo),
+        months AS (SELECT unnest(generate_series(
+                       DATE '2020-01-01', DATE '2022-12-01',
+                       INTERVAL 1 MONTH))::DATE AS mo)
+        SELECT strftime(months.mo, '%Y-%m-%d') AS key_as_string,
+               CAST(datediff('day', DATE '1970-01-01', months.mo)
+                    AS BIGINT) AS "key",
+               CAST(coalesce(c.n, 0) AS BIGINT) AS doc_count
+        FROM months LEFT JOIN c ON months.mo = c.mo
+    """,
     # DSL-body percolation: each body re-expressed as SQL predicates
     # over the same doc (sloppy phrase = bounded intervening-token
     # regex, the engine's ordered-chain slack rule)

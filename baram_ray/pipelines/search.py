@@ -1768,6 +1768,128 @@ def synonym_match_docs(sf_dir: str):
     return df.astype({"query_id": "int64", "doc_id": "int64"})
 
 
+def search_extended_stats(sf_dir: str, query_text: str = "data"):
+    """``extended_stats`` aggregation: exact int partials (count /
+    min / max / sum / sum-of-squares in unbounded Python ints) merge
+    across shards bit-identically; variance/std derive once at the
+    end with one fixed float expression the SQL oracle spells
+    identically. Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"es": {"extended_stats": {"field": "n_chars"}}}})
+    s = out["aggregations"]["es"]
+    empty = s.get("count", 0) == 0
+    ints = {"cnt": "count", "vmin": "min", "vmax": "max",
+            "vsum": "sum", "ssq": "sum_of_squares"}
+    flts = {"avg": "avg", "variance": "variance",
+            "std_dev": "std_deviation"}
+    return pd.DataFrame({
+        **{k: pd.array([] if empty else [s[v]], dtype="int64")
+           for k, v in ints.items()},
+        **{k: pd.array([] if empty else [s[v]], dtype="float64")
+           for k, v in flts.items()},
+    })
+
+
+def search_weighted_avg(sf_dir: str, query_text: str = "data"):
+    """``weighted_avg`` aggregation: Σ(value·weight) / Σweight with
+    exact int partials and ONE final division. Hash-exact DuckDB
+    oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"wa": {"weighted_avg": {
+            "value": {"field": "n_chars"},
+            "weight": {"field": "pub_day"}}}}})
+    v = out["aggregations"]["wa"]["value"]
+    return pd.DataFrame({"wavg": pd.array(
+        [] if v is None else [v], dtype="float64")})
+
+
+def search_multi_terms(sf_dir: str, query_text: str = "data",
+                       size: int = 10):
+    """``multi_terms`` aggregation: buckets keyed by the (lang,
+    source) TUPLE, ordered (count desc, key asc) — vectorized
+    composite-code bincount per shard, counts sum exactly.
+    Hash-exact DuckDB oracle (same tie-break at the size cut)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"mt": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "source"}],
+            "size": size}}}})
+    rows = out["aggregations"]["mt"]
+    return pd.DataFrame({
+        "lang": pd.array([r["key"][0] for r in rows], dtype=object),
+        "source": pd.array([r["key"][1] for r in rows],
+                           dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
+def search_rare_terms(sf_dir: str, query_text: str = "data",
+                      max_doc_count: int = 30):
+    """``rare_terms`` aggregation: buckets with doc_count ≤ the
+    threshold, ordered (count asc, key asc) — served EXACTLY here
+    where OpenSearch approximates with a cuckoo filter (documented
+    stronger semantics). Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"rt": {"rare_terms": {
+            "field": "source", "max_doc_count": max_doc_count}}}})
+    rows = out["aggregations"]["rt"]
+    return pd.DataFrame({
+        "source": pd.array([r["key"] for r in rows], dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
+def search_dh_empty_buckets(sf_dir: str):
+    """date_histogram ``min_doc_count: 0`` + ``extended_bounds``:
+    zero-count buckets fill every month across the bounded range (the
+    dense series dashboards and pipeline aggs need). The match set is
+    sparsified by a high n_chars cut so real gaps exist. Hash-exact
+    DuckDB oracle (generate_series months LEFT JOIN counts)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index_dated(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"bool": {"must": [{"match": "data"}],
+                           "filter": [{"range": {"n_chars":
+                                                 {"gte": 460}}}]}},
+        "size": 0,
+        "aggs": {"mo": {"date_histogram": {
+            "field": "pub_day", "calendar_interval": "month",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2020-01-01",
+                                "max": "2022-12-01"}}}}})
+    rows = out["aggregations"]["mo"]
+    return pd.DataFrame({
+        "key_as_string": pd.array([r["key_as_string"] for r in rows],
+                                  dtype=object),
+        "key": pd.array([r["key"] for r in rows], dtype="int64"),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
 def search_cardinality_hll(sf_dir: str, query_text: str = "data"):
     """Approximate cardinality agg (OpenSearch precision_threshold →
     HLL registers) next to the exact count, via the JSON DSL on the

@@ -366,7 +366,8 @@ _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "cardinality", "min", "max", "avg", "sum", "value_count",
               "percentiles", "significant_text", "significant_terms",
               "composite", "filters", "date_range", "adjacency_matrix",
-              "global", "missing")
+              "global", "missing", "extended_stats", "weighted_avg",
+              "multi_terms", "rare_terms")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -404,6 +405,67 @@ def _terms_with_subaggs(engine, name: str, by: str, sub: dict,
                             {"value": s["count"]
                              if skind == "value_count" else s[skind]})
     return buckets
+
+
+def _next_bucket_key(day: int, body: dict) -> int:
+    """The epoch-day key of the NEXT date_histogram bucket after
+    ``day`` (same truncation rules as the engine)."""
+    cal = body.get("calendar_interval")
+    if cal is None:
+        return day + int(body["fixed_interval"])
+    d = np.int64(day).astype("datetime64[D]")
+    if cal == "day":
+        return day + 1
+    if cal == "week":
+        return day + 7
+    step = {"month": 1, "quarter": 3, "year": 12}[cal]
+    m = d.astype("datetime64[M]") + np.timedelta64(step, "M")
+    return int(m.astype("datetime64[D]").astype(np.int64))
+
+
+def _fill_empty_date_buckets(buckets: list[dict],
+                             body: dict) -> list[dict]:
+    """date_histogram ``min_doc_count: 0``: zero-count buckets fill
+    every gap in the key range (the dashboard contract — derivatives
+    and moving windows need the dense series). ``extended_bounds``
+    {"min": iso, "max": iso} widens the range deterministically; the
+    bounds truncate to bucket keys first, like OpenSearch."""
+    eb = body.get("extended_bounds") or {}
+
+    def _day(s):
+        return int(np.datetime64(str(s), "D").astype(np.int64))
+
+    def _trunc(day: int) -> int:
+        cal = body.get("calendar_interval")
+        if cal is None:
+            n = int(body["fixed_interval"])
+            return (day // n) * n
+        from baram_ray.query.engine import QueryEngine
+        return int(QueryEngine._calendar_trunc(
+            np.array([day], dtype=np.int64), cal)[0])
+
+    keys = [b["key"] for b in buckets]
+    lo = min(keys) if keys else None
+    hi = max(keys) if keys else None
+    if "min" in eb:
+        lo = _trunc(_day(eb["min"])) if lo is None else \
+            min(lo, _trunc(_day(eb["min"])))
+    if "max" in eb:
+        hi = _trunc(_day(eb["max"])) if hi is None else \
+            max(hi, _trunc(_day(eb["max"])))
+    if lo is None:
+        return buckets
+    by_key = {b["key"]: b for b in buckets}
+    out = []
+    k = lo
+    while k <= hi:
+        b = by_key.get(k)
+        if b is None:
+            iso = str(np.int64(k).astype("datetime64[D]"))
+            b = {"key_as_string": iso, "key": int(k), "doc_count": 0}
+        out.append(b)
+        k = _next_bucket_key(k, body)
+    return out
 
 
 def _date_histogram_with_subaggs(engine, name: str, fld: str,
@@ -796,6 +858,8 @@ def _run_agg(engine, name: str, spec: dict, text: str,
                 filters=filters)
             buckets = [{"key_as_string": s, "key": u, "doc_count": c}
                        for s, u, c in rows]
+        if int(body.get("min_doc_count", 1)) == 0:
+            buckets = _fill_empty_date_buckets(buckets, body)
         if pipes:
             buckets = _apply_pipeline_subaggs(buckets, pipes,
                                               "date_histogram")
@@ -850,6 +914,38 @@ def _run_agg(engine, name: str, spec: dict, text: str,
     if kind == "missing":
         return {"doc_count": engine.facet_missing_count(
             text, fld, filters=filters)}
+    if kind == "extended_stats":
+        # exact int partials merge across shards; variance/std derive
+        # once at the end (one fixed float expression)
+        return engine.extended_stats_from_partials(
+            engine.stats_partials(text, fld, filters=filters))
+    if kind == "weighted_avg":
+        vb, wb = body.get("value"), body.get("weight")
+        if not (isinstance(vb, dict) and isinstance(wb, dict)):
+            raise ValueError("weighted_avg needs value.field and "
+                             "weight.field")
+        p = engine.weighted_avg_partials(text, vb["field"],
+                                         wb["field"], filters=filters)
+        return {"value": (p["vw"] / p["w"]) if p["w"] else None}
+    if kind == "multi_terms":
+        terms = body.get("terms")
+        if not isinstance(terms, list) or not terms:
+            raise ValueError("multi_terms needs a 'terms' list of "
+                             "{field} dicts")
+        flds = [t["field"] for t in terms]
+        rows = engine.facet_multi_terms(text, flds, filters=filters)
+        sz = int(body.get("size", 10))
+        return [{"key": list(tup), "doc_count": c}
+                for tup, c in rows[:sz]]
+    if kind == "rare_terms":
+        # buckets with doc_count <= max_doc_count, ordered
+        # (count asc, key asc) — the OpenSearch rare_terms contract
+        # (served exactly here; OpenSearch approximates with a CuckooF)
+        mx = int(body.get("max_doc_count", 1))
+        rows = engine.facets(text, [fld], filters=filters)
+        rare = [(v, c) for _, v, c in rows if c <= mx]
+        rare.sort(key=lambda t: (t[1], t[0]))
+        return [{"key": v, "doc_count": c} for v, c in rare]
     if kind == "date_range":
         # ISO-date ranges over an epoch-day column: [from, to) like
         # the range agg (OpenSearch date_range convention)
@@ -1199,12 +1295,15 @@ def execute_dsl(engine, body: dict, max_k: int | None = None):
         if any(key in body for key in ("sort", "collapse",
                                        "search_after")):
             raise ValueError("aggs compose with a plain query only")
+        scoring = plan.must + plan.should
         if not plan.specs:
             text = ""                      # match_all: whole live corpus
-        elif (len(plan.should) == 1 and not plan.must
-                and not plan.must_not and "match" in plan.should[0]
-                and "boost" not in plan.should[0]):
-            text = plan.should[0]["match"]
+        elif (len(scoring) == 1 and not plan.must_not
+                and "match" in scoring[0]
+                and "boost" not in scoring[0]):
+            # one match clause (must or should) + any metadata
+            # filters: the conjunctive match set the facet paths take
+            text = scoring[0]["match"]
         else:
             raise ValueError(
                 "aggs need a match/match_all query — the engine's "

@@ -1148,6 +1148,82 @@ class QueryEngine:
         vals = self._meta_col(field)[self._conj_mask(query, filters)]
         return int(np.count_nonzero(~np.asarray(pd.notna(vals))))
 
+    def stats_partials(self, query: str, field: str,
+                       filters: dict | None = None) -> dict:
+        """Exact mergeable partials for ``extended_stats`` on an
+        integer column: (count, min, max, sum, sum_of_squares) as
+        Python ints (sum-of-squares accumulates in object ints — no
+        int64 overflow at any corpus size). Variance/std derive at
+        the very end with ONE fixed float expression, so per-shard
+        partials merge bit-identically."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        if len(vals) == 0:
+            return {"count": 0}
+        v = vals.astype(np.int64)
+        sq = int(np.dot(v.astype(object), v.astype(object)))
+        return {"count": int(len(v)), "min": int(v.min()),
+                "max": int(v.max()), "sum": int(v.sum()),
+                "sum_of_squares": sq}
+
+    @staticmethod
+    def extended_stats_from_partials(p: dict) -> dict:
+        """The OpenSearch extended_stats fields from exact partials —
+        variance = (ssq - sum²/n)/n with the float ops in this exact
+        order (the SQL oracle spells the same expression)."""
+        if p.get("count", 0) == 0:
+            return {"count": 0}
+        n = p["count"]
+        avg = p["sum"] / n
+        var = (float(p["sum_of_squares"])
+               - float(p["sum"]) * float(p["sum"]) / n) / n
+        return {"count": n, "min": p["min"], "max": p["max"],
+                "sum": p["sum"], "avg": avg,
+                "sum_of_squares": p["sum_of_squares"],
+                "variance": var, "std_deviation": math.sqrt(var)}
+
+    def weighted_avg_partials(self, query: str, value_field: str,
+                              weight_field: str,
+                              filters: dict | None = None) -> dict:
+        """Exact (Σ v·w, Σ w) int partials for ``weighted_avg`` —
+        per-shard sums add exactly; the single division happens once
+        at the end."""
+        ok = self._conj_mask(query, filters)
+        v = self._meta_col(value_field)[ok].astype(np.int64)
+        w = self._meta_col(weight_field)[ok].astype(np.int64)
+        return {"vw": int(np.dot(v.astype(object), w.astype(object))),
+                "w": int(w.sum())}
+
+    def facet_multi_terms(self, query: str, fields: list[str],
+                          filters: dict | None = None
+                          ) -> list[tuple[tuple, int]]:
+        """OpenSearch ``multi_terms``: buckets keyed by the TUPLE of
+        kept columns, ordered (count desc, key tuple asc). Vectorized
+        composite-code bincount (factorize each field, combine codes);
+        per-shard counts sum exactly."""
+        ok = self._conj_mask(query, filters)
+        cols = [self._meta_col(f)[ok] for f in fields]
+        if not len(cols[0]):
+            return []
+        codes, uniqs = [], []
+        for c in cols:
+            u, inv = np.unique(c, return_inverse=True)
+            uniqs.append(u)
+            codes.append(inv.astype(np.int64))
+        key = np.zeros(len(codes[0]), dtype=np.int64)
+        for u, inv in zip(uniqs, codes):
+            key = key * len(u) + inv
+        ku, cnts = np.unique(key, return_counts=True)
+        out = []
+        for kk, c in zip(ku, cnts):
+            tup = []
+            rem = int(kk)
+            for u in reversed(uniqs):
+                tup.append(u[rem % len(u)])
+                rem //= len(u)
+            out.append((tuple(reversed(tup)), int(c)))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
+
     def cardinality_registers(self, query: str, field: str,
                               filters: dict | None = None,
                               p: int = 12) -> np.ndarray:
@@ -3108,6 +3184,53 @@ class ShardedEngine:
         return sum(eng.facet_missing_count(query, field,
                                            filters=filters)
                    for eng in self.engines)
+
+    def stats_partials(self, query: str, field: str,
+                       filters: dict | None = None) -> dict:
+        """extended_stats scatter-gather: exact int partials merge
+        (sums add, extrema min/max) — bit-identical to one reader."""
+        acc: dict = {"count": 0}
+        for eng in self.engines:
+            p = eng.stats_partials(query, field, filters=filters)
+            if p.get("count", 0) == 0:
+                continue
+            if acc["count"] == 0:
+                acc = dict(p)
+            else:
+                acc = {"count": acc["count"] + p["count"],
+                       "min": min(acc["min"], p["min"]),
+                       "max": max(acc["max"], p["max"]),
+                       "sum": acc["sum"] + p["sum"],
+                       "sum_of_squares": acc["sum_of_squares"]
+                       + p["sum_of_squares"]}
+        return acc
+
+    extended_stats_from_partials = staticmethod(
+        QueryEngine.extended_stats_from_partials)
+
+    def weighted_avg_partials(self, query: str, value_field: str,
+                              weight_field: str,
+                              filters: dict | None = None) -> dict:
+        acc = {"vw": 0, "w": 0}
+        for eng in self.engines:
+            p = eng.weighted_avg_partials(query, value_field,
+                                          weight_field,
+                                          filters=filters)
+            acc = {"vw": acc["vw"] + p["vw"], "w": acc["w"] + p["w"]}
+        return acc
+
+    def facet_multi_terms(self, query: str, fields: list[str],
+                          filters: dict | None = None) -> list:
+        """multi_terms scatter-gather: per-tuple counts sum exactly;
+        re-sorted to the global (count desc, key asc) order."""
+        acc: dict[tuple, int] = {}
+        for eng in self.engines:
+            for tup, c in eng.facet_multi_terms(query, fields,
+                                                filters=filters):
+                acc[tup] = acc.get(tup, 0) + c
+        out = list(acc.items())
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return out
 
     def facet_cardinality_approx(self, query: str, field: str,
                                  filters: dict | None = None,

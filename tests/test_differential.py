@@ -82,7 +82,9 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "synonym_match_docs", "ids_filter_docs",
                "search_date_range_agg", "search_adjacency_matrix",
                "doc_termvectors", "stemmed_match_docs", "search_script_score",
-               "percolate_dsl_docs"]
+               "percolate_dsl_docs", "search_extended_stats",
+               "search_weighted_avg", "search_multi_terms",
+               "search_rare_terms", "search_dh_empty_buckets"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

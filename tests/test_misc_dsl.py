@@ -152,3 +152,63 @@ def test_script_score_refuses_non_arith(engine):
         execute_dsl(engine, {"query": {"script_score": {
             "query": {"match": "data"},
             "script": "params._score > 1"}}, "size": 5})
+
+
+def test_extended_stats_and_weighted_avg(engine, sharded, docs_df):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"es": {"extended_stats": {"field": "pub_day"}},
+                     "wa": {"weighted_avg": {
+                         "value": {"field": "pub_day"},
+                         "weight": {"field": "pub_day"}}}}}
+    one = execute_dsl(engine, body)["aggregations"]
+    many = execute_dsl(sharded, body)["aggregations"]
+    assert one == many                     # exact partial merge
+    pv = docs_df["pub_day"].to_numpy()
+    es = one["es"]
+    assert es["count"] == len(pv)
+    assert es["sum"] == int(pv.sum())
+    assert es["sum_of_squares"] == int((pv.astype(object)
+                                        * pv.astype(object)).sum())
+    assert es["variance"] == pytest.approx(pv.var(), rel=1e-12)
+    assert one["wa"]["value"] == pytest.approx(
+        float((pv * pv).sum()) / pv.sum(), rel=1e-12)
+
+
+def test_multi_terms_and_rare_terms(engine, sharded, docs_df):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"mt": {"multi_terms": {
+                "terms": [{"field": "lang"}, {"field": "pub_day"}],
+                "size": 5}},
+                "rt": {"rare_terms": {"field": "pub_day",
+                                      "max_doc_count": 1}}}}
+    one = execute_dsl(engine, body)["aggregations"]
+    many = execute_dsl(sharded, body)["aggregations"]
+    assert one == many
+    g = docs_df.groupby(["lang", "pub_day"]).size()
+    exp = sorted((((-n), (l, d)) for (l, d), n in g.items()))[:5]
+    got = [((-b["doc_count"]), tuple(b["key"])) for b in one["mt"]]
+    assert got == exp
+    rare = {d for d, n in docs_df["pub_day"].value_counts().items()
+            if n <= 1}
+    assert {b["key"] for b in one["rt"]} == rare
+    assert all(b["doc_count"] <= 1 for b in one["rt"])
+
+
+def test_dh_min_doc_count_zero(engine, docs_df):
+    out = execute_dsl(engine, {
+        "query": {"bool": {"must": [{"match": "data"}],
+                           "filter": [{"range": {"pub_day":
+                                                 {"lt": 18300}}}]}},
+        "size": 0,
+        "aggs": {"mo": {"date_histogram": {
+            "field": "pub_day", "calendar_interval": "month",
+            "min_doc_count": 0,
+            "extended_bounds": {"min": "2020-01-01",
+                                "max": "2020-12-01"}}}}})
+    rows = out["aggregations"]["mo"]
+    assert len(rows) == 12                 # dense Jan..Dec 2020
+    assert [r["key_as_string"][:7] for r in rows] == \
+        [f"2020-{m:02d}" for m in range(1, 13)]
+    assert any(r["doc_count"] == 0 for r in rows)
+    assert sum(r["doc_count"] for r in rows) == \
+        int((docs_df["pub_day"] < 18300).sum())
