@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_multi_terms": searchp.search_multi_terms,
         "search_rare_terms": searchp.search_rare_terms,
         "search_dh_empty_buckets": searchp.search_dh_empty_buckets,
+        "search_percentile_ranks": searchp.search_percentile_ranks,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,

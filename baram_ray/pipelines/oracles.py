@@ -2681,6 +2681,21 @@ ORACLES: dict[str, str] = {
               FROM m HAVING count(*) > 0)
         SELECT CAST(vw AS DOUBLE) / w AS wavg FROM p
     """,
+    # percentile_ranks: exact 100*(count<=v)/n, one division per probe
+    "search_percentile_ranks": r"""
+        WITH m AS (SELECT n_chars FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data'))
+        SELECT 100.0 * count(*) FILTER (WHERE n_chars <= 100)
+                   / count(*) AS r100,
+               100.0 * count(*) FILTER (WHERE n_chars <= 250)
+                   / count(*) AS r250,
+               100.0 * count(*) FILTER (WHERE n_chars <= 400)
+                   / count(*) AS r400,
+               100.0 * count(*) FILTER (WHERE n_chars <= 550)
+                   / count(*) AS r550
+        FROM m HAVING count(*) > 0
+    """,
     # multi_terms: tuple buckets, (count desc, key asc) at the cut
     "search_multi_terms": r"""
         WITH m AS (SELECT lang, source FROM documents

@@ -1890,6 +1890,28 @@ def search_dh_empty_buckets(sf_dir: str):
     })
 
 
+def search_percentile_ranks(sf_dir: str, query_text: str = "data"):
+    """``percentile_ranks`` aggregation: exact 100·(count ≤ v)/n per
+    probe value (int partials sum across shards, ONE division each).
+    Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    probes = [100, 250, 400, 550]
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"pr": {"percentile_ranks": {
+            "field": "n_chars", "values": probes}}}})
+    vals = out["aggregations"]["pr"]["values"]
+    if vals[str(probes[0])] is None:
+        return pd.DataFrame({f"r{p}": pd.array([], dtype="float64")
+                             for p in probes})
+    return pd.DataFrame({f"r{p}": pd.array([vals[str(p)]],
+                                           dtype="float64")
+                         for p in probes})
+
+
 def search_cardinality_hll(sf_dir: str, query_text: str = "data"):
     """Approximate cardinality agg (OpenSearch precision_threshold →
     HLL registers) next to the exact count, via the JSON DSL on the

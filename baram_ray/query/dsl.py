@@ -367,7 +367,7 @@ _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "percentiles", "significant_text", "significant_terms",
               "composite", "filters", "date_range", "adjacency_matrix",
               "global", "missing", "extended_stats", "weighted_avg",
-              "multi_terms", "rare_terms")
+              "multi_terms", "rare_terms", "percentile_ranks")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -937,6 +937,18 @@ def _run_agg(engine, name: str, spec: dict, text: str,
         sz = int(body.get("size", 10))
         return [{"key": list(tup), "doc_count": c}
                 for tup, c in rows[:sz]]
+    if kind == "percentile_ranks":
+        # exact inverse percentiles: 100·(count ≤ v)/n, one division
+        # per probe (OpenSearch serves a TDigest approximation —
+        # documented stronger semantics, same API)
+        values = body.get("values")
+        if not isinstance(values, list) or not values:
+            raise ValueError("percentile_ranks needs a 'values' list")
+        p = engine.percentile_rank_partials(text, fld, values,
+                                            filters=filters)
+        return {"values": {str(v): (100.0 * c / p["n"]
+                                    if p["n"] else None)
+                           for v, c in zip(values, p["le"])}}
     if kind == "rare_terms":
         # buckets with doc_count <= max_doc_count, ordered
         # (count asc, key asc) — the OpenSearch rare_terms contract

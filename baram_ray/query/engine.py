@@ -1193,6 +1193,20 @@ class QueryEngine:
         return {"vw": int(np.dot(v.astype(object), w.astype(object))),
                 "w": int(w.sum())}
 
+    def percentile_rank_partials(self, query: str, field: str,
+                                 values: list[float],
+                                 filters: dict | None = None
+                                 ) -> dict:
+        """Exact partials for ``percentile_ranks``: per probe value,
+        the count of matching column values ≤ it, plus the total —
+        ints that sum across shards; the single 100·c/n division
+        happens once at the end."""
+        vals = self._meta_col(field)[self._conj_mask(query, filters)]
+        v = np.sort(vals.astype(np.float64))
+        return {"n": int(len(v)),
+                "le": [int(np.searchsorted(v, float(x), side="right"))
+                       for x in values]}
+
     def facet_multi_terms(self, query: str, fields: list[str],
                           filters: dict | None = None
                           ) -> list[tuple[tuple, int]]:
@@ -3217,6 +3231,19 @@ class ShardedEngine:
                                           weight_field,
                                           filters=filters)
             acc = {"vw": acc["vw"] + p["vw"], "w": acc["w"] + p["w"]}
+        return acc
+
+    def percentile_rank_partials(self, query: str, field: str,
+                                 values: list[float],
+                                 filters: dict | None = None) -> dict:
+        """percentile_ranks scatter-gather: ≤-counts and totals sum
+        exactly across doc shards."""
+        acc = {"n": 0, "le": [0] * len(values)}
+        for eng in self.engines:
+            p = eng.percentile_rank_partials(query, field, values,
+                                             filters=filters)
+            acc["n"] += p["n"]
+            acc["le"] = [a + b for a, b in zip(acc["le"], p["le"])]
         return acc
 
     def facet_multi_terms(self, query: str, fields: list[str],
