@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rare_terms": searchp.search_rare_terms,
         "search_dh_empty_buckets": searchp.search_dh_empty_buckets,
         "search_percentile_ranks": searchp.search_percentile_ranks,
+        "search_boxplot": searchp.search_boxplot,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,

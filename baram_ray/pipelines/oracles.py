@@ -2681,6 +2681,19 @@ ORACLES: dict[str, str] = {
               FROM m HAVING count(*) > 0)
         SELECT CAST(vw AS DOUBLE) / w AS wavg FROM p
     """,
+    # boxplot: exact five-number summary (quantile_disc == the
+    # engine's nearest-rank convention)
+    "search_boxplot": r"""
+        WITH m AS (SELECT n_chars FROM documents
+                   WHERE list_contains(string_split_regex(
+                       lower(trim(text)), '\s+'), 'data'))
+        SELECT CAST(min(n_chars) AS DOUBLE) AS "min",
+               CAST(quantile_disc(n_chars, 0.25) AS DOUBLE) AS q1,
+               CAST(quantile_disc(n_chars, 0.50) AS DOUBLE) AS q2,
+               CAST(quantile_disc(n_chars, 0.75) AS DOUBLE) AS q3,
+               CAST(max(n_chars) AS DOUBLE) AS "max"
+        FROM m HAVING count(*) > 0
+    """,
     # percentile_ranks: exact 100*(count<=v)/n, one division per probe
     "search_percentile_ranks": r"""
         WITH m AS (SELECT n_chars FROM documents

@@ -1890,6 +1890,24 @@ def search_dh_empty_buckets(sf_dir: str):
     })
 
 
+def search_boxplot(sf_dir: str, query_text: str = "data"):
+    """``boxplot`` aggregation: exact five-number summary (min, Q1,
+    median, Q3, max — nearest-rank quartiles == DuckDB quantile_disc,
+    where OpenSearch serves TDigest). Hash-exact DuckDB oracle."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import ShardedEngine
+    idx = ensure_index(sf_dir)
+    eng = ShardedEngine(idx, n_groups=2)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"bp": {"boxplot": {"field": "n_chars"}}}})
+    b = out["aggregations"]["bp"]
+    empty = b["min"] is None
+    return pd.DataFrame({
+        k: pd.array([] if empty else [b[k]], dtype="float64")
+        for k in ("min", "q1", "q2", "q3", "max")})
+
+
 def search_percentile_ranks(sf_dir: str, query_text: str = "data"):
     """``percentile_ranks`` aggregation: exact 100·(count ≤ v)/n per
     probe value (int partials sum across shards, ONE division each).

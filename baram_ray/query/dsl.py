@@ -367,7 +367,8 @@ _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "percentiles", "significant_text", "significant_terms",
               "composite", "filters", "date_range", "adjacency_matrix",
               "global", "missing", "extended_stats", "weighted_avg",
-              "multi_terms", "rare_terms", "percentile_ranks")
+              "multi_terms", "rare_terms", "percentile_ranks",
+              "boxplot")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -937,6 +938,19 @@ def _run_agg(engine, name: str, spec: dict, text: str,
         sz = int(body.get("size", 10))
         return [{"key": list(tup), "doc_count": c}
                 for tup, c in rows[:sz]]
+    if kind == "boxplot":
+        # exact five-number summary on the percentiles machinery
+        # (nearest-rank, == DuckDB quantile_disc; OpenSearch serves a
+        # TDigest approximation)
+        q = engine.facet_percentiles(text, fld,
+                                     percents=[25, 50, 75],
+                                     filters=filters)
+        s = engine.facet_stats(text, fld, filters=filters)
+        if not s or s.get("count", 0) == 0:
+            return {"min": None, "q1": None, "q2": None,
+                    "q3": None, "max": None}
+        return {"min": float(s["min"]), "q1": q["25"], "q2": q["50"],
+                "q3": q["75"], "max": float(s["max"])}
     if kind == "percentile_ranks":
         # exact inverse percentiles: 100·(count ≤ v)/n, one division
         # per probe (OpenSearch serves a TDigest approximation —

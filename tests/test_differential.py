@@ -85,7 +85,7 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "percolate_dsl_docs", "search_extended_stats",
                "search_weighted_avg", "search_multi_terms",
                "search_rare_terms", "search_dh_empty_buckets",
-               "search_percentile_ranks"]
+               "search_percentile_ranks", "search_boxplot"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

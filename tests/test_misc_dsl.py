@@ -212,3 +212,19 @@ def test_dh_min_doc_count_zero(engine, docs_df):
     assert any(r["doc_count"] == 0 for r in rows)
     assert sum(r["doc_count"] for r in rows) == \
         int((docs_df["pub_day"] < 18300).sum())
+
+
+def test_boxplot(engine, sharded, docs_df):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"bp": {"boxplot": {"field": "pub_day"}}}}
+    one = execute_dsl(engine, body)["aggregations"]["bp"]
+    many = execute_dsl(sharded, body)["aggregations"]["bp"]
+    assert one == many
+    pv = np.sort(docs_df["pub_day"].to_numpy())
+    assert one["min"] == float(pv[0]) and one["max"] == float(pv[-1])
+    assert pv[0] <= one["q1"] <= one["q2"] <= one["q3"] <= pv[-1]
+    # zero-hit → all-None summary
+    empty = execute_dsl(engine, {
+        "query": {"match": "zzzznope"}, "size": 0,
+        "aggs": {"bp": {"boxplot": {"field": "pub_day"}}}})
+    assert empty["aggregations"]["bp"]["min"] is None
