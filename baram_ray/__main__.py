@@ -66,7 +66,8 @@ def cmd_build(args) -> int:
 def cmd_search(args) -> int:
     _ray_up(args.num_cpus)
     from baram_ray.query.engine import QueryEngine
-    eng = QueryEngine(args.index)
+    from baram_ray.state.aliases import resolve
+    eng = QueryEngine(resolve(args.index))
     filters: dict = dict(kv.split("=", 1) for kv in (args.filter or []))
     for kv in args.range or []:           # COL=LO:HI numeric range filter
         col, spec = kv.split("=", 1)
@@ -212,8 +213,25 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    from baram_ray.state.aliases import (alias_list, alias_remove,
+                                         alias_set)
+    reg = args.registry
+    if args.action == "set":
+        alias_set(args.name, args.target, registry=reg)
+        print(json.dumps({"set": args.name}))
+    elif args.action == "rm":
+        print(json.dumps({"removed": alias_remove(args.name,
+                                                  registry=reg)}))
+    else:
+        print(json.dumps(alias_list(registry=reg)))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from baram_ray.serve import create_server
+    from baram_ray.state.aliases import resolve
+    args.index = resolve(args.index)
     srv = create_server(args.index, host=args.host, port=args.port,
                         clusters_dir=args.clusters,
                         corpus_path=args.corpus)
@@ -360,6 +378,17 @@ def main(argv: list[str] | None = None) -> int:
                         help="re-hash a snapshot against its manifest")
     vs.add_argument("snapshot")
     vs.set_defaults(fn=cmd_verify_snapshot)
+
+    al = sub.add_parser("alias", help="index alias registry: a stable "
+                        "name atomically repointable at an index dir "
+                        "(zero-downtime reindex swap)")
+    al.add_argument("action", choices=["set", "rm", "ls"])
+    al.add_argument("name", nargs="?")
+    al.add_argument("target", nargs="?")
+    al.add_argument("--registry",
+                    default=os.environ.get("BARAM_ALIAS_REGISTRY",
+                                           "/tmp/baram_aliases.json"))
+    al.set_defaults(fn=cmd_alias)
 
     cl = sub.add_parser("cluster", help="greedy event clustering over an "
                                         "embeddings parquet → JSON docs")
