@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_dh_empty_buckets": searchp.search_dh_empty_buckets,
         "search_percentile_ranks": searchp.search_percentile_ranks,
         "search_boxplot": searchp.search_boxplot,
+        "search_sampler": searchp.search_sampler,
         "doc_dup_spans": trainp.doc_dup_spans,
         "doc_dup_spans_removed": trainp.doc_dup_spans_removed,
         "text_pii": trainp.text_pii,

@@ -1890,6 +1890,28 @@ def search_dh_empty_buckets(sf_dir: str):
     })
 
 
+def search_sampler(sf_dir: str, query_text: str = "data"):
+    """``sampler`` aggregation: terms sub-agg over the per-shard
+    top-100 BM25 matches (the OpenSearch sampler contract — a
+    bounded, score-biased sample). Rows-only driver check (the sample
+    is rank-defined); sampler == sub-aggs-over-top-N equivalence is
+    pytest-pinned (tests/test_misc_dsl.py)."""
+    from baram_ray.query.dsl import execute_dsl
+    from baram_ray.query.engine import QueryEngine
+    idx = ensure_index(sf_dir)
+    eng = QueryEngine(idx)
+    out = execute_dsl(eng, {
+        "query": {"match": query_text}, "size": 0,
+        "aggs": {"smp": {"sampler": {"shard_size": 100}, "aggs": {
+            "langs": {"terms": {"field": "lang"}}}}}})
+    rows = out["aggregations"]["smp"]["langs"]
+    return pd.DataFrame({
+        "lang": pd.array([r["key"] for r in rows], dtype=object),
+        "doc_count": pd.array([r["doc_count"] for r in rows],
+                              dtype="int64"),
+    })
+
+
 def search_boxplot(sf_dir: str, query_text: str = "data"):
     """``boxplot`` aggregation: exact five-number summary (min, Q1,
     median, Q3, max — nearest-rank quartiles == DuckDB quantile_disc,

@@ -368,7 +368,7 @@ _AGG_KINDS = ("terms", "histogram", "date_histogram", "stats", "range",
               "composite", "filters", "date_range", "adjacency_matrix",
               "global", "missing", "extended_stats", "weighted_avg",
               "multi_terms", "rare_terms", "percentile_ranks",
-              "boxplot")
+              "boxplot", "sampler")
 
 
 _METRIC_SUBAGGS = ("stats", "min", "max", "avg", "sum", "value_count")
@@ -938,6 +938,50 @@ def _run_agg(engine, name: str, spec: dict, text: str,
         sz = int(body.get("size", 10))
         return [{"key": list(tup), "doc_count": c}
                 for tup, c in rows[:sz]]
+    if kind == "sampler":
+        # sub-aggs over the per-shard top shard_size BM25 matches
+        # (the OpenSearch sampler contract); the sample is ≤
+        # shard_size × shards rows by construction → pandas sub-aggs
+        sub = spec.get("aggs", spec.get("aggregations"))
+        if not sub:
+            raise ValueError("sampler needs nested aggs")
+        flds = set()
+        for sspec in sub.values():
+            (sk, sb), = sspec.items()
+            if sk not in ("terms",) + _METRIC_SUBAGGS:
+                raise ValueError("sampler sub-aggs support terms + "
+                                 f"metric kinds, not {sk}")
+            flds.add(sb["field"])
+        sample = engine.top_docs_meta(
+            text, sorted(flds),
+            shard_size=int(body.get("shard_size", 100)),
+            filters=filters)
+        out = {"doc_count": int(len(sample))}
+        for sname, sspec in sub.items():
+            (sk, sb), = sspec.items()
+            col = sample[sb["field"]]
+            if sk == "terms":
+                vc = col.value_counts()
+                buckets = sorted(((v, int(c)) for v, c in vc.items()),
+                                 key=lambda t: (-t[1], t[0]))
+                sz = int(sb.get("size", 10))
+                out[sname] = [{"key": v, "doc_count": c}
+                              for v, c in buckets[:sz]]
+            elif sk == "stats":
+                out[sname] = {"count": int(col.count()),
+                              "min": float(col.min()),
+                              "max": float(col.max()),
+                              "sum": float(col.sum()),
+                              "avg": float(col.sum())
+                              / int(col.count())}
+            elif sk == "value_count":
+                out[sname] = {"value": int(col.count())}
+            else:
+                v = getattr(col, {"min": "min", "max": "max",
+                                  "avg": "mean",
+                                  "sum": "sum"}[sk])()
+                out[sname] = {"value": float(v)}
+        return out
     if kind == "boxplot":
         # exact five-number summary on the percentiles machinery
         # (nearest-rank, == DuckDB quantile_disc; OpenSearch serves a

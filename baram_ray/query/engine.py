@@ -1193,6 +1193,26 @@ class QueryEngine:
         return {"vw": int(np.dot(v.astype(object), w.astype(object))),
                 "w": int(w.sum())}
 
+    def top_docs_meta(self, query: str, fields: list[str],
+                      shard_size: int = 100,
+                      filters: dict | None = None):
+        """Kept-metadata rows of the top ``shard_size`` BM25 matches —
+        the OpenSearch ``sampler`` aggregation's document sample
+        (per-SHARD top-N by score, the published contract). The
+        sample is bounded by construction, so sub-aggs over it are
+        driver-side pandas on ≤ shard_size × n_shards rows."""
+        import pandas as pd
+        hits = self.search(query, k=int(shard_size), filters=filters)
+        ids = np.asarray([d for d, _ in hits], dtype=np.int64)
+        # map doc_ids → rows exactly (doc_ids need not be sorted)
+        order = np.argsort(self.r.doc_ids, kind="stable")
+        pos = order[np.searchsorted(self.r.doc_ids[order], ids)]
+        out = {"doc_id": ids,
+               "_score": np.asarray([s for _, s in hits])}
+        for f in fields:
+            out[f] = self._meta_col(f)[pos]
+        return pd.DataFrame(out)
+
     def percentile_rank_partials(self, query: str, field: str,
                                  values: list[float],
                                  filters: dict | None = None
@@ -3232,6 +3252,18 @@ class ShardedEngine:
                                           filters=filters)
             acc = {"vw": acc["vw"] + p["vw"], "w": acc["w"] + p["w"]}
         return acc
+
+    def top_docs_meta(self, query: str, fields: list[str],
+                      shard_size: int = 100,
+                      filters: dict | None = None):
+        """sampler scatter-gather: per-shard top ``shard_size``
+        concatenate (the OpenSearch per-shard sample contract)."""
+        import pandas as pd
+        return pd.concat([eng.top_docs_meta(query, fields,
+                                            shard_size=shard_size,
+                                            filters=filters)
+                          for eng in self.engines],
+                         ignore_index=True)
 
     def percentile_rank_partials(self, query: str, field: str,
                                  values: list[float],

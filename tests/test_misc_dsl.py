@@ -228,3 +228,27 @@ def test_boxplot(engine, sharded, docs_df):
         "query": {"match": "zzzznope"}, "size": 0,
         "aggs": {"bp": {"boxplot": {"field": "pub_day"}}}})
     assert empty["aggregations"]["bp"]["min"] is None
+
+
+def test_sampler_agg(engine, sharded):
+    body = {"query": {"match": "data"}, "size": 0,
+            "aggs": {"smp": {"sampler": {"shard_size": 20}, "aggs": {
+                "langs": {"terms": {"field": "lang"}},
+                "st": {"stats": {"field": "pub_day"}}}}}}
+    one = execute_dsl(engine, body)["aggregations"]["smp"]
+    assert one["doc_count"] == 20          # sample is exactly top-N
+    # equivalence: sub-aggs over the engine's own top-20 meta rows
+    sample = engine.top_docs_meta("data", ["lang", "pub_day"],
+                                  shard_size=20)
+    vc = sample["lang"].value_counts()
+    exp = sorted(((v, int(c)) for v, c in vc.items()),
+                 key=lambda t: (-t[1], t[0]))
+    assert [(b["key"], b["doc_count"]) for b in one["langs"]] == exp
+    assert one["st"]["avg"] == pytest.approx(
+        sample["pub_day"].sum() / 20)
+    # sharded: per-shard top shard_size concatenate (sample grows)
+    many = execute_dsl(sharded, body)["aggregations"]["smp"]
+    assert many["doc_count"] == 2 * 20     # 2 shard groups
+    with pytest.raises(ValueError, match="nested aggs"):
+        execute_dsl(engine, {"query": {"match": "data"}, "size": 0,
+                             "aggs": {"s": {"sampler": {}}}})
