@@ -124,10 +124,13 @@ def cluster_summaries(sf_dir: str):
     check; prompt/parse semantics are pytest-checked against the
     reference's own unit cases."""
     from baram_ray.summarize import summarize_clusters
+    from baram_ray.util import auto_num_blocks
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    # size-based block count (same as cluster_events above): per-block
+    # greedy work must shrink as the corpus grows, not stay corpus/4
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding", "label"],
-        override_num_blocks=4)
+        path, columns=["vec_id", "embedding", "label"],
+        override_num_blocks=auto_num_blocks(path))
     clusters, members = clustering.cluster_events(
         ds, threshold=CLUSTER_THRESHOLD, return_members=True)
     out = summarize_clusters(clusters, members).to_pandas()

@@ -136,27 +136,27 @@ def orders_by_status(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """orders ⨝ customer ⨝ nation via broadcast lookup (J4 pattern)."""
-    from baram_ray.pipelines.util import read_small
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
-    cust_to_nation = dict(zip(
-        cust["c_custkey"],
-        cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"])))))
-    ref = ray.put(cust_to_nation)
+    """orders ⨝ customer ⨝ nation: size-adaptive customer side
+    (broadcast merge below the metadata row threshold, hash exchange
+    above — round-4 verdict item 2); nation is constant-25-rows and
+    always a driver dict closure.
 
-    # broadcast-lookup stage as plain TASKS, not an actor pool: ray.get of
-    # the broadcast ref is cached per worker process, and tasks reuse the
-    # session's warm worker pool (an actor pool pays ~2-4 s spin-up per
-    # pipeline invocation — only worth it for expensive state like a
-    # resident index or model)
-    # per-batch combiner: the final exchange aggregates ~25 rows per
-    # input block instead of every order row (Ray's sort-based aggregate
-    # costs seconds on row-level input regardless of group count)
+    The broadcast arm runs as plain TASKS, not an actor pool: ray.get of
+    the broadcast ref is cached per worker process, and tasks reuse the
+    session's warm worker pool. A per-batch combiner collapses each
+    input block to ~25 rows before the final exchange."""
+    from baram_ray.joins import dim_map, lookup_join
+    from baram_ray.pipelines.util import read_dim, read_small
+    nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cdim = dim_map(cust, lambda df: pd.DataFrame({
+        "o_custkey": df["c_custkey"].to_numpy(),
+        "n_name": _vmap(df["c_nationkey"], nname)}))
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
         g = pd.DataFrame({
-            "n_name": _vmap(df["o_custkey"], lookup),
+            "n_name": df["n_name"],
             "revenue_c": _cents(df["o_totalprice"].to_numpy(), 100.0),
         }).groupby("n_name", as_index=False).agg(
             n_orders=("revenue_c", "size"),
@@ -165,7 +165,8 @@ def revenue_by_nation(sf_dir: str):
         return g
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    return (orders.map_batches(partial, batch_format="pandas")
+    joined = lookup_join(orders, cdim, on="o_custkey", how="inner")
+    return (joined.map_batches(partial, batch_format="pandas")
                   .groupby("n_name")
                   .aggregate(Sum("n_orders", alias_name="n_orders"),
                              Sum("revenue_c", alias_name="revenue_c")))
@@ -180,24 +181,33 @@ def q3_shipping_priority(sf_dir: str, k: int = 10,
     (J7 — at 100 TB neither side is broadcastable); final grouped sum →
     top-k by (revenue desc, date, orderkey). Exact scaled-integer
     revenue → hash-exact SQL oracle."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import read_small
+    from baram_ray.joins import dim_map, hash_join, semi_filter
+    from baram_ray.pipelines.util import read_dim
 
     cut = np.datetime64(cutoff)
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    bset = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    ref = ray.put(bset)
+    # size-adaptive customer side: pandas (broadcast np.isin) below the
+    # metadata row threshold, Dataset (semi hash-join exchange) above —
+    # a sf-100 custkey set is tens of millions of boxed ints as a
+    # Python set; it must never be driver-resident
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    bkeys = dim_map(cust, lambda df: df.loc[
+        df["c_mktsegment"] == "BUILDING", ["c_custkey"]])
 
     def ofilter(df: pd.DataFrame) -> pd.DataFrame:
-        b = ray.get(ref)
-        m = (df["o_orderdate"] < cut) & df["o_custkey"].isin(b)
-        out = df.loc[m, ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+        m = df["o_orderdate"] < cut
+        return df.loc[m, ["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"]]
+
+    def oproj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
         return out.rename(columns={"o_orderkey": "l_orderkey"})
 
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_orderdate",
                          "o_orderpriority"]) \
         .map_batches(ofilter, batch_format="pandas")
+    orders = semi_filter(orders, bkeys, "o_custkey", keys_on="c_custkey") \
+        .map_batches(oproj, batch_format="pandas")
 
     def lpartial(df: pd.DataFrame) -> pd.DataFrame:
         d = df.loc[df["l_shipdate"] > cut]
@@ -330,13 +340,14 @@ def q5_local_supplier_volume(sf_dir: str):
     """TPC-H Q5 shape — the six-table join: region→nation (broadcast)
     restricts customers AND suppliers; lineitem (fact) carries revenue;
     the customer-nation == supplier-nation constraint is enforced by
-    joining the fact side ONCE on orderkey (orders⨝customer broadcast
-    maps o_orderkey→cust-nation) and comparing against the supplier's
-    nation from a broadcast s_suppkey→nation map. One fact-side
-    exchange (hash_join on l_orderkey); dims all broadcast (J4).
-    Region filter fixed to the first region name (deterministic)."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import read_small
+    joining the fact side ONCE on orderkey (orders⨝customer maps
+    o_orderkey→cust-nation) and comparing against the supplier's
+    nation. Customer and supplier sides are size-adaptive (broadcast
+    merge under the metadata row threshold, hash exchange above); one
+    fact-fact exchange (hash_join on l_orderkey). Region filter fixed
+    to the first region name (deterministic)."""
+    from baram_ray.joins import dim_map, hash_join, lookup_join
+    from baram_ray.pipelines.util import read_dim, read_small
 
     region = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
     r_name = sorted(region["r_name"])[0]
@@ -345,40 +356,39 @@ def q5_local_supplier_volume(sf_dir: str):
                      ["n_nationkey", "n_name", "n_regionkey"])
     nat_in = nat[nat["n_regionkey"].isin(rkey)]
     nation_name = dict(zip(nat_in["n_nationkey"], nat_in["n_name"]))
+    in_keys = np.fromiter(nation_name.keys(), dtype=np.int64)
+    nat_ref = ray.put(nation_name)
 
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cust_nat = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    supp_nat = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
-    nat_ref, cust_ref, supp_ref = (ray.put(nation_name),
-                                   ray.put(cust_nat), ray.put(supp_nat))
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cdim = dim_map(cust, lambda df: pd.DataFrame({
+        "o_custkey": df.loc[df["c_nationkey"].isin(in_keys),
+                            "c_custkey"].to_numpy(),
+        "cust_nk": df.loc[df["c_nationkey"].isin(in_keys),
+                          "c_nationkey"].to_numpy(np.int64)}))
+    supp = read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sdim = dim_map(supp, lambda df: pd.DataFrame({
+        "l_suppkey": df["s_suppkey"].to_numpy(),
+        "supp_nk": df["s_nationkey"].to_numpy(np.int64)}))
 
-    def omap(df: pd.DataFrame) -> pd.DataFrame:
-        cn = ray.get(cust_ref)
-        nn = ray.get(nat_ref)
-        nk = _vmap(df["o_custkey"], cn, default=-1)
-        m = np.isin(nk.astype(np.int64),
-                    np.fromiter(nn.keys(), dtype=np.int64))
-        return pd.DataFrame({
-            "l_orderkey": df["o_orderkey"].to_numpy()[m],
-            "cust_nk": nk[m].astype("int64")})
-
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(omap, batch_format="pandas")
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = lookup_join(orders, cdim, on="o_custkey", how="inner") \
+        .map_batches(lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "cust_nk": df["cust_nk"].to_numpy(np.int64)}),
+            batch_format="pandas")
 
     def lmap(df: pd.DataFrame) -> pd.DataFrame:
-        sn = ray.get(supp_ref)
-        snk = _vmap(df["l_suppkey"], sn)
         return pd.DataFrame({
             "l_orderkey": df["l_orderkey"].to_numpy(),
-            "supp_nk": snk.astype("int64"),
+            "supp_nk": df["supp_nk"].to_numpy(np.int64),
             "rev_u4": _cents((df["l_extendedprice"]
                               * (1.0 - df["l_discount"])).to_numpy(),
                              10000.0)})
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice",
-                     "l_discount"]) \
+                     "l_discount"])
+    li = lookup_join(li, sdim, on="l_suppkey", how="inner") \
         .map_batches(lmap, batch_format="pandas")
 
     j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
@@ -404,11 +414,13 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
     """TPC-H Q18 shape — HAVING over a high-cardinality group + semi
     join back to the fact: per-order quantity sums through the bucketed
     exchange (orderkey cardinality == orders table), HAVING sum > T
-    inside each bucket, then ONE hash-join exchange attaches order/
-    customer attributes to the survivors; top-k by (totalprice desc,
-    orderdate asc). The group table never lands on the driver."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import read_small
+    inside each bucket, then ONE hash-join exchange attaches order
+    attributes to the survivors and a size-adaptive customer lookup
+    (broadcast merge / second small exchange) attaches the name to the
+    FEW surviving rows only; top-k by (totalprice desc, orderdate asc).
+    The group table never lands on the driver."""
+    from baram_ray.joins import dim_map, hash_join, lookup_join
+    from baram_ray.pipelines.util import read_dim
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
@@ -425,15 +437,10 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
 
     big = per_order.map_batches(having, batch_format="pandas")
 
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_name"])
-    cmap = dict(zip(cust["c_custkey"], cust["c_name"]))
-    cref = ray.put(cmap)
-
     def oproj(df: pd.DataFrame) -> pd.DataFrame:
-        cn = ray.get(cref)
         return pd.DataFrame({
             "l_orderkey": df["o_orderkey"].to_numpy(),
-            "c_name": _vmap(df["o_custkey"], cn),
+            "o_custkey": df["o_custkey"].to_numpy(),
             "o_orderdate": df["o_orderdate"].to_numpy(),
             "o_totalprice_c": _cents(df["o_totalprice"].to_numpy(), 100.0)})
 
@@ -443,6 +450,11 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20):
         .map_batches(oproj, batch_format="pandas")
 
     j = hash_join(big, orders, "l_orderkey", how="inner", num_buckets=16)
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_name"])
+    cdim = dim_map(cust, lambda df: df.rename(
+        columns={"c_custkey": "o_custkey"}))
+    j = lookup_join(j, cdim, on="o_custkey", how="inner") \
+        .drop_columns(["o_custkey"])
     out = j.sort(["o_totalprice_c", "o_orderdate", "l_orderkey"],
                  descending=[True, False, False]).limit(k)
     from baram_ray.pipelines.util import ensure_cols
@@ -459,7 +471,7 @@ def q10_returned_items(sf_dir: str, k: int = 20):
     window), customer attributes broadcast; top-k by revenue desc with
     custkey tie-break."""
     from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import ensure_cols, read_small
+    from baram_ray.pipelines.util import ensure_cols
 
     lo, hi = np.datetime64("1997-10-01"), np.datetime64("1998-01-01")
 
@@ -494,22 +506,22 @@ def q10_returned_items(sf_dir: str, k: int = 20):
                            {"revenue_u4": ("revenue_u4", "sum")},
                            num_buckets=8)
 
-    cust = read_small(sf_dir, "customer",
-                      ["c_custkey", "c_name", "c_acctbal"])
-    cmap = {int(k_): (n, float(b)) for k_, n, b in
-            zip(cust["c_custkey"], cust["c_name"], cust["c_acctbal"])}
-    cref = ray.put(cmap)
+    # size-adaptive customer attach to the (customer-bounded) per_cust
+    # result: broadcast vectorized merge below the threshold, a second
+    # small exchange above — never a driver-resident dict at sf100+
+    from baram_ray.joins import dim_map, lookup_join
+    from baram_ray.pipelines.util import read_dim
+    cust = read_dim(sf_dir, "customer",
+                    ["c_custkey", "c_name", "c_acctbal"])
+    cdim = dim_map(cust, lambda df: pd.DataFrame({
+        "o_custkey": df["c_custkey"].to_numpy(),
+        "c_name": df["c_name"].astype(object),
+        "c_acctbal": df["c_acctbal"].astype("float64")}))
+    withc = lookup_join(per_cust, cdim, on="o_custkey", how="inner") \
+        .map_batches(lambda df: df.rename(
+            columns={"o_custkey": "c_custkey"}), batch_format="pandas")
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(cref)
-        names = [m[int(x)][0] for x in df["o_custkey"]]
-        bal = [m[int(x)][1] for x in df["o_custkey"]]
-        out = df.rename(columns={"o_custkey": "c_custkey"})
-        out["c_name"] = names
-        out["c_acctbal"] = bal
-        return out
-
-    out = (per_cust.map_batches(attach, batch_format="pandas")
+    out = (withc
            .sort(["revenue_u4", "c_custkey"], descending=[True, False])
            .limit(k))
     return ensure_cols(out, {"c_custkey": "int64", "revenue_u4": "int64",
@@ -765,51 +777,58 @@ def q7_volume_shipping(sf_dir: str):
     """TPC-H Q7 shape — revenue flow between a nation PAIR by ship
     year, both directions (supp_nation ≠ cust_nation). One fact-side
     exchange: lineitem ⨝ orders on l_orderkey (hash_join); the
-    customer-nation and supplier-nation come from broadcast dimension
-    maps; the (supp_nation, cust_nation, year) aggregate is tiny.
-    Nations fixed to the two lexicographically first names
-    (deterministic). Revenue as exact u4-scaled integers."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import read_small
+    customer-nation and supplier-nation dimension sides are
+    size-adaptive (pre-filtered to the two nations, then broadcast
+    merge or hash exchange per ``read_dim``); the (supp_nation,
+    cust_nation, year) aggregate is tiny. Nations fixed to the two
+    lexicographically first names (deterministic). Revenue as exact
+    u4-scaled integers."""
+    from baram_ray.joins import dim_map, hash_join, lookup_join
+    from baram_ray.pipelines.util import read_dim, read_small
 
     nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     n1, n2 = sorted(nat["n_name"])[:2]
     nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    cnat = {int(k): nname[v] for k, v in zip(cust["c_custkey"],
-                                             cust["c_nationkey"])}
-    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    snat = {int(k): nname[v] for k, v in zip(supp["s_suppkey"],
-                                             supp["s_nationkey"])}
-    cref, sref = ray.put(cnat), ray.put(snat)
+    pair_keys = np.fromiter(
+        (k for k, v in nname.items() if v in (n1, n2)), dtype=np.int64)
 
-    def omap(df: pd.DataFrame) -> pd.DataFrame:
-        cn = _vmap(df["o_custkey"], ray.get(cref), default="")
-        m = np.isin(cn, (n1, n2))
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cdim = dim_map(cust, lambda df: pd.DataFrame({
+        "o_custkey": df.loc[df["c_nationkey"].isin(pair_keys),
+                            "c_custkey"].to_numpy(),
+        "cust_nation": _vmap(
+            df.loc[df["c_nationkey"].isin(pair_keys), "c_nationkey"],
+            nname).astype(object)}))
+    supp = read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sdim = dim_map(supp, lambda df: pd.DataFrame({
+        "l_suppkey": df.loc[df["s_nationkey"].isin(pair_keys),
+                            "s_suppkey"].to_numpy(),
+        "supp_nation": _vmap(
+            df.loc[df["s_nationkey"].isin(pair_keys), "s_nationkey"],
+            nname).astype(object)}))
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    orders = lookup_join(orders, cdim, on="o_custkey", how="inner") \
+        .map_batches(lambda df: pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].to_numpy(),
+            "cust_nation": df["cust_nation"].astype(object)}),
+            batch_format="pandas")
+
+    def lproj(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "l_orderkey": df["o_orderkey"].to_numpy()[m],
-            "cust_nation": cn[m].astype(object)})
-
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(omap, batch_format="pandas")
-
-    def lmap(df: pd.DataFrame) -> pd.DataFrame:
-        sn = _vmap(df["l_suppkey"], ray.get(sref), default="")
-        m = np.isin(sn, (n1, n2))
-        d = df.loc[m]
-        return pd.DataFrame({
-            "l_orderkey": d["l_orderkey"].to_numpy(),
-            "supp_nation": sn[m].astype(object),
-            "l_year": d["l_shipdate"].to_numpy("datetime64[Y]")
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "supp_nation": df["supp_nation"].astype(object),
+            "l_year": df["l_shipdate"].to_numpy("datetime64[Y]")
                        .astype(np.int64) + 1970,
-            "rev_u4": _cents((d["l_extendedprice"]
-                              * (1.0 - d["l_discount"])).to_numpy(),
+            "rev_u4": _cents((df["l_extendedprice"]
+                              * (1.0 - df["l_discount"])).to_numpy(),
                              10000.0)})
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_shipdate",
-                     "l_extendedprice", "l_discount"]) \
-        .map_batches(lmap, batch_format="pandas")
+                     "l_extendedprice", "l_discount"])
+    li = lookup_join(li, sdim, on="l_suppkey", how="inner") \
+        .map_batches(lproj, batch_format="pandas")
     j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1192,12 +1211,15 @@ def q8_market_share(sf_dir: str, ptype: str = "ECONOMY",
     """TPC-H Q8 shape — national market share: of the revenue for one
     part type sold to customers of one region in a 2-year window, the
     fraction supplied by the region's first nation, by order year.
-    Customers-of-region and parts-of-type are broadcast key arrays;
-    the target-nation supplier set a third; lineitem meets orders in
-    ONE fact-fact hash exchange (J7). Numerator/denominator are exact
-    u4 sums; the share is a single IEEE division of them."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import broadcast, read_small
+    Customers-of-region and parts-of-type are size-adaptive key sides
+    (``semi_filter``: numpy broadcast below the row threshold, semi
+    hash exchange above); the target-nation supplier flag stays a
+    sorted-array broadcast (supplier is the smallest scaling table and
+    the flag is an added column, not a filter); lineitem meets orders
+    in ONE fact-fact hash exchange (J7). Numerator/denominator are
+    exact u4 sums; the share is a single IEEE division of them."""
+    from baram_ray.joins import dim_map, hash_join, semi_filter
+    from baram_ray.pipelines.util import broadcast, read_dim, read_small
 
     reg = read_small(sf_dir, "region", ["r_regionkey", "r_name"])
     rkey = int(reg.loc[reg["r_name"] == reg["r_name"].min(),
@@ -1214,48 +1236,49 @@ def q8_market_share(sf_dir: str, ptype: str = "ECONOMY",
                              for c, d in cols.items()})
     target = rn["n_name"].min()
     tkey = int(rn.loc[rn["n_name"] == target, "n_nationkey"].iloc[0])
-    cust = read_small(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    ckeys = np.sort(cust.loc[cust["c_nationkey"].isin(
-        rn["n_nationkey"]), "c_custkey"].to_numpy(np.int64))
-    part = read_small(sf_dir, "part", ["p_partkey", "p_type"])
-    pkeys = np.sort(part.loc[part["p_type"] == ptype,
-                             "p_partkey"].to_numpy(np.int64))
+    nk = rn["n_nationkey"].to_numpy(np.int64)
+    cust = read_dim(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ckeys = dim_map(cust, lambda df: df.loc[
+        df["c_nationkey"].isin(nk), ["c_custkey"]])
+    part = read_dim(sf_dir, "part", ["p_partkey", "p_type"])
+    pkeys = dim_map(part, lambda df: df.loc[
+        df["p_type"] == ptype, ["p_partkey"]])
     supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     tsupp = np.sort(supp.loc[supp["s_nationkey"] == tkey,
                              "s_suppkey"].to_numpy(np.int64))
-    cref, pref, sref = broadcast(ckeys), broadcast(pkeys), broadcast(tsupp)
+    sref = broadcast(tsupp)
     dlo, dhi = np.datetime64(lo), np.datetime64(hi)
 
     def omap(df: pd.DataFrame) -> pd.DataFrame:
         d = df["o_orderdate"].to_numpy("datetime64[us]")
-        m = ((d >= dlo) & (d < dhi)
-             & _in_sorted(ray.get(cref),
-                          df["o_custkey"].to_numpy(np.int64)))
-        sel = df.loc[m]
+        sel = df.loc[(d >= dlo) & (d < dhi)]
         return pd.DataFrame({
             "l_orderkey": sel["o_orderkey"].to_numpy(),
+            "o_custkey": sel["o_custkey"].to_numpy(),
             "o_year": sel["o_orderdate"].to_numpy("datetime64[Y]")
                         .astype(np.int64) + 1970})
 
     orders = read_table(sf_dir, "orders",
                         ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(omap, batch_format="pandas")
+    orders = semi_filter(orders, ckeys, "o_custkey",
+                         keys_on="c_custkey") \
+        .map_batches(lambda df: df[["l_orderkey", "o_year"]],
+                     batch_format="pandas")
 
     def lmap(df: pd.DataFrame) -> pd.DataFrame:
-        m = _in_sorted(ray.get(pref),
-                       df["l_partkey"].to_numpy(np.int64))
-        sel = df.loc[m]
         return pd.DataFrame({
-            "l_orderkey": sel["l_orderkey"].to_numpy(),
-            "rev_u4": _cents((sel["l_extendedprice"]
-                              * (1.0 - sel["l_discount"])).to_numpy(),
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "rev_u4": _cents((df["l_extendedprice"]
+                              * (1.0 - df["l_discount"])).to_numpy(),
                              10000.0),
             "is_target": _in_sorted(
-                ray.get(sref), sel["l_suppkey"].to_numpy(np.int64))})
+                ray.get(sref), df["l_suppkey"].to_numpy(np.int64))})
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_partkey", "l_suppkey",
-                     "l_extendedprice", "l_discount"]) \
+                     "l_extendedprice", "l_discount"])
+    li = semi_filter(li, pkeys, "l_partkey", keys_on="p_partkey") \
         .map_batches(lmap, batch_format="pandas")
     j = hash_join(li, orders, "l_orderkey", how="inner", num_buckets=16)
 
@@ -1288,44 +1311,44 @@ def q9_product_type_profit(sf_dir: str, name_sub: str = "red"):
     """TPC-H Q9 shape — profit by (supplier nation, order year) over
     parts whose name contains a substring. No partsupp table, so the
     cost term uses the part's retail price: amount = disc-revenue −
-    0.5·retailprice·quantity, both terms as exact u4 integers. Part
-    attrs and supplier→nation are broadcast; lineitem meets orders in
-    one hash exchange for the order year; the (nation, year) aggregate
-    is tiny."""
-    from baram_ray.joins import hash_join
-    from baram_ray.pipelines.util import broadcast, read_small
+    0.5·retailprice·quantity, both terms as exact u4 integers. The
+    part (filter+price attach) and supplier→nation sides are
+    size-adaptive lookups (broadcast merge / hash exchange per
+    ``read_dim``); lineitem meets orders in one hash exchange for the
+    order year; the (nation, year) aggregate is tiny."""
+    from baram_ray.joins import dim_map, hash_join, lookup_join
+    from baram_ray.pipelines.util import read_dim, read_small
 
-    part = read_small(sf_dir, "part",
-                      ["p_partkey", "p_name", "p_retailprice"])
-    sel = part[part["p_name"].str.contains(name_sub, regex=False)]
-    retail = {int(k): float(v) for k, v in zip(sel["p_partkey"],
-                                               sel["p_retailprice"])}
+    part = read_dim(sf_dir, "part",
+                    ["p_partkey", "p_name", "p_retailprice"])
+    pdim = dim_map(part, lambda df: pd.DataFrame({
+        "l_partkey": df.loc[df["p_name"].str.contains(
+            name_sub, regex=False), "p_partkey"].to_numpy(),
+        "retail": df.loc[df["p_name"].str.contains(
+            name_sub, regex=False), "p_retailprice"]
+        .to_numpy(np.float64)}))
     nat = read_small(sf_dir, "nation", ["n_nationkey", "n_name"])
     nname = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    supp = read_small(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    snat = {int(k): str(nname[int(v)])
-            for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
-    rref, sref = broadcast(retail), broadcast(snat)
+    supp = read_dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sdim = dim_map(supp, lambda df: pd.DataFrame({
+        "l_suppkey": df["s_suppkey"].to_numpy(),
+        "n_name": _vmap(df["s_nationkey"], nname).astype(object)}))
 
     def lmap(df: pd.DataFrame) -> pd.DataFrame:
-        rm = ray.get(rref)
-        price = _vmap(df["l_partkey"], rm, default=-1.0) \
-            .astype(np.float64)
-        m = price >= 0
-        d = df.loc[m]
-        rev = _cents((d["l_extendedprice"]
-                      * (1.0 - d["l_discount"])).to_numpy(), 10000.0)
-        cost = _cents(price[m] * 0.5 * d["l_quantity"].to_numpy(),
-                      10000.0)
+        rev = _cents((df["l_extendedprice"]
+                      * (1.0 - df["l_discount"])).to_numpy(), 10000.0)
+        cost = _cents(df["retail"].to_numpy(np.float64) * 0.5
+                      * df["l_quantity"].to_numpy(), 10000.0)
         return pd.DataFrame({
-            "l_orderkey": d["l_orderkey"].to_numpy(),
-            "n_name": _vmap(d["l_suppkey"], ray.get(sref),
-                            default="").astype(object),
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "n_name": df["n_name"].astype(object),
             "amount_u4": rev - cost})
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_partkey", "l_suppkey",
-                     "l_quantity", "l_extendedprice", "l_discount"]) \
+                     "l_quantity", "l_extendedprice", "l_discount"])
+    li = lookup_join(li, pdim, on="l_partkey", how="inner")
+    li = lookup_join(li, sdim, on="l_suppkey", how="inner") \
         .map_batches(lmap, batch_format="pandas")
 
     def omap(df: pd.DataFrame) -> pd.DataFrame:

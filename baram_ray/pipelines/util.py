@@ -39,6 +39,29 @@ def read_small(sf_dir: str, name: str, columns: list[str] | None = None):
     return t.to_pandas()
 
 
+def read_dim(sf_dir: str, name: str, columns: list[str] | None = None,
+             broadcast_limit: int = 2_000_000):
+    """Strategy-deciding dimension read (J4 → J2 switch, round-4 verdict
+    item 2): the parquet METADATA row count (a driver-side footer read —
+    no data moves) picks the arm. Below ``broadcast_limit`` rows the
+    table is read driver-side (pandas) and callers take the
+    ``joins.semi_filter`` / ``joins.lookup_join`` broadcast arm; above
+    it the table is a column-pruned Dataset and those helpers route
+    through the hash exchange instead — a sf-100 customer table (15M
+    rows, GBs as a Python set) never materializes on the driver."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    n = pq.ParquetFile(path).metadata.num_rows
+    # test hook: BARAM_DIM_BROADCAST_LIMIT=0 forces every dimension side
+    # through the exchange arm so the big-SF code path runs at small SF
+    env = os.environ.get("BARAM_DIM_BROADCAST_LIMIT")
+    if env is not None:
+        broadcast_limit = int(env)
+    if n <= broadcast_limit:
+        return read_small(sf_dir, name, columns)
+    return read_table(sf_dir, name, columns)
+
+
 def broadcast(obj):
     """``ray.put`` once; tasks/actors read the ref (small-side join pattern,
     SURVEY.md J4 — reference broadcast dictionary join,

@@ -229,3 +229,103 @@ def test_cogroup_empty_left_keeps_right_rows_for_outer(ray_session):
     assert len(both) == 4
     assert both.loc[both["k"] == 3, "v"].isna().all()
     assert both.loc[both["k"] == 0, "w"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# semi_filter / lookup_join / dim_map: the size-adaptive dimension-side
+# strategy (round-4 verdict item 2). Both arms — pandas broadcast and
+# Ray-Dataset hash exchange — must be output-identical on the same input.
+
+
+def _dim_frames(seed=7, n_fact=800, n_dim=60):
+    rng = np.random.default_rng(seed)
+    fact = pd.DataFrame({
+        "fk": rng.integers(0, n_dim + 20, n_fact),   # some misses
+        "val": rng.normal(size=n_fact).round(3),
+    })
+    dim = pd.DataFrame({
+        "dk": np.arange(n_dim, dtype=np.int64),
+        "attr": [f"a{i % 7}" for i in range(n_dim)],
+        "w": rng.normal(size=n_dim).round(3),
+    })
+    return fact, dim
+
+
+@pytest.mark.parametrize("negate", [False, True])
+def test_semi_filter_arms_identical(ray_session, negate):
+    from baram_ray.joins import semi_filter
+    fact, dim = _dim_frames()
+    keys = dim[dim["dk"] % 3 == 0][["dk"]]
+    fds = ray.data.from_pandas(fact)
+
+    broad = semi_filter(fds, keys, "fk", keys_on="dk",
+                        negate=negate).to_pandas()
+    exch = semi_filter(fds, ray.data.from_pandas(keys), "fk",
+                       keys_on="dk", negate=negate).to_pandas()
+
+    member = fact["fk"].isin(keys["dk"])
+    exp = fact[~member if negate else member]
+    pd.testing.assert_frame_equal(_canon(broad), _canon(exp))
+    pd.testing.assert_frame_equal(_canon(exch), _canon(exp))
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_lookup_join_arms_identical(ray_session, how):
+    from baram_ray.joins import lookup_join
+    fact, dim = _dim_frames(seed=11)
+    fds = ray.data.from_pandas(fact)
+    dim_r = dim.rename(columns={"dk": "fk"})
+
+    broad = lookup_join(fds, dim_r, on="fk", how=how).to_pandas()
+    exch = lookup_join(fds, ray.data.from_pandas(dim_r), on="fk",
+                       how=how).to_pandas()
+
+    exp = fact.merge(dim_r, on="fk", how=how)
+    pd.testing.assert_frame_equal(_canon(broad), _canon(exp))
+    pd.testing.assert_frame_equal(
+        _canon(exch.astype(exp.dtypes.to_dict())), _canon(exp))
+
+
+def test_lookup_join_suffix_on_clash(ray_session):
+    from baram_ray.joins import lookup_join
+    fact, _ = _dim_frames(seed=3)
+    dim = pd.DataFrame({"fk": np.arange(40, dtype=np.int64),
+                        "val": np.arange(40) * 0.5})  # clashes with fact.val
+    got = lookup_join(ray.data.from_pandas(fact), dim, on="fk",
+                      how="inner").to_pandas()
+    assert "val" in got.columns and "val_r" in got.columns
+
+
+def test_dim_map_both_arms(ray_session):
+    from baram_ray.joins import dim_map
+    _, dim = _dim_frames()
+    fn = lambda df: df[df["dk"] < 10][["dk"]]  # noqa: E731
+    pd_out = dim_map(dim, fn)
+    ds_out = dim_map(ray.data.from_pandas(dim), fn).to_pandas()
+    pd.testing.assert_frame_equal(_canon(pd_out), _canon(ds_out))
+
+
+def test_read_dim_threshold_picks_arm(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from baram_ray.pipelines.util import read_dim
+    t = pd.DataFrame({"k": np.arange(100, dtype=np.int64)})
+    pq.write_table(__import__("pyarrow").Table.from_pandas(t),
+                   str(tmp_path / "dimtab.parquet"))
+    small = read_dim(str(tmp_path), "dimtab", ["k"])
+    assert isinstance(small, pd.DataFrame) and len(small) == 100
+    big = read_dim(str(tmp_path), "dimtab", ["k"], broadcast_limit=10)
+    assert hasattr(big, "map_batches")
+    assert big.count() == 100
+
+
+def test_tpch_q3_exchange_arm_matches_broadcast(ray_session, monkeypatch):
+    """End-to-end two-arm identity on a real pipeline: force every
+    dimension side through the hash-exchange arm (the sf100+ path) and
+    compare against the default broadcast arm at sf0.001."""
+    from baram_ray.pipelines import tpch
+    sf = "/root/testdata/sf0.001"
+    base = tpch.q3_shipping_priority(sf).to_pandas()
+    monkeypatch.setenv("BARAM_DIM_BROADCAST_LIMIT", "0")
+    forced = tpch.q3_shipping_priority(sf).to_pandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(forced))
