@@ -169,11 +169,18 @@ class LlmClient:
         return self.config.backend
 
     def generate(self, prompt: str) -> str:
+        if self._generate_fn is None:
+            # auto-detect an announced live endpoint (backends.py):
+            # OLLAMA_URL / VLLM_URL env routes the real HTTP arm; the
+            # probe result is cached so detection runs once per client
+            from baram_ray import backends
+            self._generate_fn = backends.llm_generate_fn(self.config)
         if self._generate_fn is not None:
             return self._generate_fn(prompt)
         raise NotImplementedError(
             f"no {self.config.backend} endpoint / network in this "
-            "environment; inject generate_fn (e.g. FakeSaidLlm())")
+            "environment; inject generate_fn (e.g. FakeSaidLlm()) or "
+            "set OLLAMA_URL / VLLM_URL to a live endpoint")
 
     # -- prompts ------------------------------------------------------- #
     def build_said_prompt(self, text: str) -> str:

@@ -111,6 +111,13 @@ class DecodeStage:
         # decoder without editing library code
         self.real_decode = real_decode
         self._decode_fn = decode_fn
+        # auto-detect installed codec wheels (backends.py): PIL / PyAV
+        # take the compressed formats the native kernels can't; the
+        # native PPM/WAV/PPMV branches below still run first
+        self._auto_fn = None
+        if real_decode and decode_fn is None:
+            from baram_ray import backends
+            self._auto_fn = backends.media_decode_fn()
 
     def _decode_one(self, kind: str, payload: bytes) -> dict:
         if self._decode_fn is not None:
@@ -147,9 +154,12 @@ class DecodeStage:
             if self.real_decode:
                 raise
         if self.real_decode:
+            if self._auto_fn is not None:
+                return self._auto_fn(kind, payload)
             raise NotImplementedError(
                 "compressed codec (JPEG/PNG/MP4) needs an external "
-                "library; pass decode_fn=<your decoder> to DecodeStage")
+                "library; pass decode_fn=<your decoder> to DecodeStage "
+                "or install PIL / PyAV")
         h = hashlib.blake2b(payload, digest_size=16).digest()
         return {
             "ok": True,
@@ -186,6 +196,12 @@ class FeatureStage:
         self.dim = dim
         self.real_model = real_model
         self._feature_fn = feature_fn
+        # auto-detect a PIL-backed extractor for compressed images
+        # (backends.py); native PPM/WAV/PPMV branches still run first
+        self._auto_feat = None
+        if real_model and feature_fn is None:
+            from baram_ray import backends
+            self._auto_feat = backends.pil_feature_fn(dim)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -213,10 +229,13 @@ class FeatureStage:
                     frames, _ = codecs.decode_ppmv(p)
                     v = np.mean([codecs.rgb_hist_features(f)
                                  for f in frames], axis=0)                         .astype(np.float32)
+                elif self._auto_feat is not None:
+                    v = self._auto_feat([p])[0]
                 else:
                     raise NotImplementedError(
                         "compressed codec needs an external library; "
-                        "pass feature_fn=<your batched extractor>")
+                        "pass feature_fn=<your batched extractor> or "
+                        "install PIL")
                 out = np.zeros(self.dim, dtype=np.float32)
                 out[:min(self.dim, len(v))] = v[:self.dim]
                 feats.append(out.tolist())

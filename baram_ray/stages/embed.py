@@ -83,11 +83,18 @@ class EmbedStage:
         # fn_constructor_kwargs so the load happens once per actor)
         self._encode_fn = encode_fn
         if real_model and encode_fn is None:
-            raise NotImplementedError(
-                "no embedding model in this container; pass "
-                "encode_fn=<your batched encoder> to EmbedStage (the "
-                "deterministic fake below otherwise exercises the full "
-                "Ray plumbing)")
+            # auto-detect an installed real backend (backends.py): a
+            # sentence-transformers wheel routes the real model (lazy
+            # per-actor load); absent, the honest error stands
+            from baram_ray import backends
+            self._encode_fn = backends.st_encode_fn(dim)
+            if self._encode_fn is None:
+                raise NotImplementedError(
+                    "no embedding model in this container; pass "
+                    "encode_fn=<your batched encoder> to EmbedStage or "
+                    "install sentence-transformers (the deterministic "
+                    "fake below otherwise exercises the full Ray "
+                    "plumbing)")
         self.dim = dim
         # deterministic projection matrix = the 'loaded model' (per-actor
         # one-time init; seeded so every actor computes identical vectors)

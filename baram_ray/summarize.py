@@ -135,14 +135,30 @@ class FakeLlmClient:
 class RealLlmClient:
     """The reference's HTTP path (``summary.rs:137-182``): POST
     ``{endpoint}/v1/chat/completions`` with max_tokens=512,
-    temperature=0.3 and read ``choices[0].message.content``. No LLM
-    endpoint exists in this container — honestly not implemented."""
+    temperature=0.3 and read ``choices[0].message.content``. Backed by
+    ``backends.chat_generate_fn``; constructing without an endpoint
+    (argument or ``VLLM_URL`` env) stays an honest error — no blind
+    localhost probes."""
 
     def __init__(self, endpoint: str = "", model: str = ""):
-        raise NotImplementedError(
-            "no vLLM endpoint / network in this environment; pass "
-            "FakeLlmClient (or any object with .generate(prompt)->str) "
-            "to SummarizeStage instead")
+        import os
+
+        from baram_ray import backends
+        endpoint = endpoint or os.environ.get("VLLM_URL", "")
+        if not endpoint:
+            raise NotImplementedError(
+                "no vLLM endpoint configured; pass endpoint=... (or set "
+                "VLLM_URL), or pass FakeLlmClient (any object with "
+                ".generate(prompt)->str) to SummarizeStage instead")
+        self.endpoint = endpoint
+        self.model = model or os.environ.get("LLM_MODEL", "qwen2.5")
+        self._fn = backends.chat_generate_fn(endpoint, self.model)
+
+    def is_available(self) -> bool:
+        return True
+
+    def generate(self, prompt: str) -> str:
+        return self._fn(prompt)
 
 
 class SummarizeStage:
@@ -158,7 +174,9 @@ class SummarizeStage:
 
     def __init__(self, client=None, real_llm: bool = False):
         if real_llm:
-            self.client = RealLlmClient()       # raises: honestly stubbed
+            # real HTTP arm when an endpoint is configured (VLLM_URL /
+            # endpoint arg); raises honestly otherwise
+            self.client = RealLlmClient()
         else:
             self.client = client if client is not None else FakeLlmClient()
 
