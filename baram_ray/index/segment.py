@@ -218,6 +218,10 @@ class IndexReader:
     def __init__(self, index_dir: str,
                  shard_range: tuple[int, int] | None = None):
         self.dir = index_dir
+        # disk signature FIRST (before any state loads): a delta commit
+        # racing this open then re-triggers refresh() instead of being
+        # silently absorbed into a mixed view
+        self._open_sig = self.disk_signature(index_dir)
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.fields: list[str] = self.meta["fields"]
@@ -384,6 +388,41 @@ class IndexReader:
                 (f_, t_): int(d_) for f_, t_, d_ in zip(
                     td["field"].to_pylist(), td["term"].to_pylist(),
                     td["df"].to_numpy())}
+
+    # ------------------------------------------------------------------ #
+    # Delta visibility: the reference's backend refreshes the live index
+    # every 5 s (src/embedding/mod.rs:240-245). Here a committed delta
+    # generation / delete / purge changes the on-disk signature; a live
+    # reader re-opens IN PLACE — no actor restart, no alias swap.
+
+    @staticmethod
+    def disk_signature(index_dir: str) -> str:
+        """Cheap change-detection signature of everything a reader
+        loads: meta.json, the committed build state, segment files and
+        tombstones (names + sizes + mtimes — no data reads)."""
+        from baram_ray.state.checkpoint import fingerprint_paths
+        return fingerprint_paths([
+            os.path.join(index_dir, "meta.json"),
+            os.path.join(index_dir, "_manifests", "segments_inc.json"),
+            os.path.join(index_dir, "segments"),
+            os.path.join(index_dir, "deletes"),
+        ])
+
+    def refresh(self) -> bool:
+        """Re-open the index dir when its committed on-disk state
+        changed since this reader loaded (delta ingest, delete, purge,
+        full reindex into the same dir). Returns True when new state
+        was loaded, False on the (cheap) no-change fast path.
+
+        Swaps the fully-constructed fresh state in atomically (one
+        ``__dict__`` rebind — also resets every lazily-built structure,
+        e.g. the per-field sorted term lists), so a single-threaded
+        actor never serves a half-refreshed view."""
+        if self.disk_signature(self.dir) == self._open_sig:
+            return False
+        fresh = IndexReader(self.dir, shard_range=self.shard_range)
+        self.__dict__ = fresh.__dict__
+        return True
 
     def df(self, fld: str, term: str) -> int:
         p = self.postings.get((fld, term))

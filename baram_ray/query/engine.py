@@ -162,6 +162,17 @@ class QueryEngine:
         self.k1 = self.r.k1
         self.b = self.r.b
 
+    def refresh(self) -> bool:
+        """Make newly-committed index state (delta ingest, deletes,
+        purge) visible to this live engine without a restart — the
+        reference backend's 5-second index refresh
+        (``src/embedding/mod.rs:240-245``) made explicit. Returns True
+        when the reader re-opened, False on the no-change fast path."""
+        changed = self.r.refresh()
+        if changed:
+            self.k1, self.b = self.r.k1, self.r.b
+        return changed
+
     # ------------------------------------------------------------------ #
     def _iters(self, query: str, boosts: dict[str, float] | None,
                fields: list[str] | None = None):
@@ -3584,6 +3595,13 @@ class QueryActor:
         self.min_score = min_score
         self.mode = mode                      # "bm25" | "phrase" | ...
         self.collapse_field = collapse_field  # for mode="collapse"
+
+    def refresh(self) -> bool:
+        """Pool-wide delta visibility: call on every resident actor
+        after a delta commit (``ray.get([a.refresh.remote() for a in
+        pool])``) — new docs become searchable with no actor restart
+        and no alias swap."""
+        return self.engine.refresh()
 
     def serve(self, kind: str, text: str, k: int = 10) -> list:
         """Single-request entry for RESIDENT serving

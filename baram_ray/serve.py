@@ -387,6 +387,15 @@ def create_server(index_dir: str, host: str = "127.0.0.1", port: int = 0,
                     except (ValueError, KeyError) as e:
                         responses.append({"error": str(e)})
                 return self._json(200, {"responses": responses})
+            if u.path == "/api/refresh":
+                # make a committed delta/delete visible to this live
+                # server (the reference's 5 s auto-refresh,
+                # src/embedding/mod.rs:240-245, as an explicit call —
+                # OpenSearch _refresh analogue)
+                changed = engine.refresh()
+                return self._json(200, {
+                    "refreshed": bool(changed),
+                    "n_docs": int(engine.r.n_docs)})
             from baram_ray.stages.embed import EmbedStage
             enc = EmbedStage()
             if u.path == "/embed":

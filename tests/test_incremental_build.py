@@ -345,3 +345,64 @@ def test_continuous_ingest_compaction_cycles(ray_session, tmp_path):
     assert eng.r.n_docs == len(live)
     assert not (set(tombstoned_ids(idx).tolist())
                 & set(live["doc_id"].tolist()))
+
+
+def test_live_refresh_sees_delta(ray_session, corpus, tmp_path):
+    """Serving-side delta visibility (round-4 verdict item 4): a LIVE
+    QueryEngine / QueryActor pool opened on the base index must see a
+    later delta commit after refresh() — no actor restart, no alias
+    swap — and answer identically to a fresh engine."""
+    idx = str(tmp_path / "live")
+    build_index_incremental([os.path.join(corpus, "part0.parquet")],
+                            idx, CFG)
+
+    # live driver-side engine + live resident actor pool on the BASE
+    from baram_ray.query.engine import QueryActor
+    eng = QueryEngine(idx)
+    Actor = ray.remote(QueryActor)
+    pool = [Actor.remote(idx) for _ in range(2)]
+    base_hits = eng.search("row", k=10_000)
+    assert max(d for d, _ in base_hits) < 120
+    assert not eng.refresh()                     # no change: fast no-op
+    # force both actors to CONSTRUCT on the base index before the delta
+    # lands (actor init is async; an actor whose __init__ ran after the
+    # commit would correctly report refresh()==False)
+    for g in ray.get([a.serve.remote("qs", "row", 5) for a in pool]):
+        assert list(map(tuple, g)) == base_hits[:5]
+
+    # delta commit while the pool is live
+    build_index_incremental(
+        [os.path.join(corpus, "part0.parquet"),
+         os.path.join(corpus, "part1.parquet")], idx, CFG)
+
+    assert eng.refresh()                         # re-opened
+    fresh = QueryEngine(idx)
+    for q in QUERIES:
+        assert eng.search(q, k=10_000) == fresh.search(q, k=10_000)
+    assert any(d >= 120 for d, _ in eng.search("row", k=10_000))
+
+    refreshed = ray.get([a.refresh.remote() for a in pool])
+    assert refreshed == [True, True]
+    for q in QUERIES:
+        want = fresh.search(q, k=50)
+        got = ray.get([a.serve.remote("qs", q, 50) for a in pool])
+        assert [list(map(tuple, g)) for g in got] == [want, want]
+    for a in pool:
+        ray.kill(a)
+
+
+def test_refresh_sees_delete(ray_session, corpus, tmp_path):
+    """refresh() must also surface tombstones written after open."""
+    idx = str(tmp_path / "del")
+    build_index_incremental([os.path.join(corpus, "part0.parquet")],
+                            idx, CFG)
+    eng = QueryEngine(idx)
+    before = {d for d, _ in eng.search("row", k=10_000)}
+    ko = {d for d in before if d % 3 == 0}       # lang == "ko" docs
+    assert ko and before - ko
+
+    from baram_ray.index.deletes import delete_by_query
+    assert delete_by_query(idx, "lang", "ko") > 0
+    assert eng.refresh()
+    after = {d for d, _ in eng.search("row", k=10_000)}
+    assert after == before - ko

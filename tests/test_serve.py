@@ -465,3 +465,10 @@ def test_percolator_endpoints(server):
     st, out = _post(server, "/api/percolator/register",
                     {"id": 3, "body": {"fuzzy": "daat"}})
     assert st == 400
+
+
+def test_refresh_endpoint(server):
+    # no on-disk change → refreshed False, n_docs reported
+    status, out = _post(server, "/api/refresh", {})
+    assert status == 200
+    assert out == {"refreshed": False, "n_docs": 500}
