@@ -2956,3 +2956,293 @@ ORACLES: dict[str, str] = {
         FROM b HAVING count(*) > 0
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# BM25 in SQL (round-5: promote the headline search family from rows-only
+# to hash-exact). On the word-list test corpus the engine's analyzer
+# degenerates to whitespace split + lowercase (no camelCase, no CJK —
+# the same equivalence the doc_token_count / doc_term_df_top oracles
+# already rely on), so full Lucene-default BM25 (k1=1.2, b=0.75,
+# idf = ln(1 + (N - df + 0.5)/(df + 0.5)), global stats even under
+# metadata filters) is expressible in one DuckDB query. Query-side term
+# extraction uses the engine's own tokenizer (query analysis is a
+# driver-side constant; the corpus-side scoring is what SQL verifies).
+
+_BM25_TEMPLATE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    q(query_id, k, term) AS (VALUES {values}),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    scored AS (
+      -- per-term contributions snapped to a 1e-12 grid and summed as
+      -- exact BIGINTs: DuckDB's parallel float sum is order-
+      -- nondeterministic run to run, which can flip the doc_id
+      -- tiebreak between docs whose true scores are exactly equal
+      SELECT q.query_id, q.k, t.doc_id,
+             sum(CAST(round(
+                 ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 * 1e12) AS BIGINT)) / 1e12 AS score
+      FROM q JOIN df d USING (term) JOIN tf t USING (term)
+      JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+      {doc_restrict}
+      GROUP BY q.query_id, q.k, t.doc_id),
+    ranked AS (
+      SELECT query_id, k, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    {select}
+"""
+
+
+def _bm25_values(queries) -> str:
+    """(query_id, k, term) VALUES rows — one per DISTINCT analyzed query
+    term, via the engine's own tokenizer (sorted-set semantics match
+    ``QueryEngine._iters``)."""
+    from baram_ray.tokenizer import tokenize
+    rows = []
+    for q in queries:
+        for t in sorted(set(tokenize(q["text"]))):
+            safe = t.replace("'", "''")
+            rows.append(f"({q['query_id']}, {int(q.get('k', 10))},"
+                        f" '{safe}')")
+    return ", ".join(rows)
+
+
+def _bm25_sql(queries, *, doc_restrict: str = "", min_score=None,
+              select: str | None = None) -> str:
+    flt = f" AND score >= {min_score}" if min_score is not None else ""
+    if select is None:
+        select = f"""
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id,
+           round(score, 6) AS score
+    FROM ranked WHERE rn <= k{flt}"""
+    return _BM25_TEMPLATE.format(values=_bm25_values(queries),
+                                 doc_restrict=doc_restrict,
+                                 select=select)
+
+
+def _register_bm25_oracles() -> None:
+    from baram_ray.pipelines.search import DOC_QUERIES
+
+    ORACLES["search_bm25_topk"] = _bm25_sql(DOC_QUERIES)
+    # the sharded scatter-gather merge is rank-identical by contract
+    ORACLES["search_bm25_sharded"] = _bm25_sql(DOC_QUERIES)
+
+    one = [{"query_id": 0, "text": "data stream query", "k": 10}]
+    flat = """
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= k"""
+    # lang term filter + min_score (engine applies min_score AFTER the
+    # top-k cut — a suffix of the score-desc list, so rn is unchanged)
+    ORACLES["search_bm25_filtered"] = _bm25_sql(
+        one,
+        doc_restrict="JOIN documents dd ON dd.doc_id = t.doc_id "
+                     "AND dd.lang = 'en'",
+        select=flat + " AND score >= 0.01")
+    # n_chars gte/lte range mask (global idf/avgdl per engine semantics)
+    ORACLES["search_bm25_daterange"] = _bm25_sql(
+        one,
+        doc_restrict="JOIN documents dd ON dd.doc_id = t.doc_id "
+                     "AND dd.n_chars BETWEEN 100 AND 400",
+        select=flat)
+    # search_after pagination: pages of 7, first 3 pages == top-21
+    ORACLES["search_bm25_paged"] = _bm25_sql(
+        [{"query_id": 0, "text": "table scan filter", "k": 21}],
+        select="""
+    SELECT CAST((rn - 1) // 7 AS BIGINT) AS page,
+           CAST((rn - 1) % 7 + 1 AS BIGINT) AS rank,
+           doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= k""")
+
+    # G12 vocabulary statistics recomputed from raw text
+    ORACLES["search_term_stats"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '\s+')) AS term
+          FROM documents),
+        tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        d AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+              FROM tok2 GROUP BY term)
+        SELECT CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS hapax_terms,
+               round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                     / greatest(count(*), 1), 6) AS hapax_rate,
+               CAST(sum(cf) AS BIGINT) AS cf_total,
+               CAST(max(df) AS BIGINT) AS max_df
+        FROM d
+    """
+
+
+_register_bm25_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Expansion-scored query kinds (prefix / wildcard / fuzzy) and boolean
+# BM25 — same corpus-side BM25 in SQL, with the term set derived from
+# the vocabulary exactly as the engine expands it (term-dict order,
+# 50-expansion cap — the test vocabulary is far below the cap).
+
+_BM25_EXP_TEMPLATE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    vocab AS (SELECT DISTINCT term FROM tok2),
+    exp(query_id, k, term, w) AS ({exp}),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    scored AS (
+      -- exact integer-grid sum (see _BM25_TEMPLATE note): immune to
+      -- DuckDB's order-nondeterministic parallel float aggregation
+      SELECT e.query_id, e.k, t.doc_id,
+             sum(CAST(round(
+                 e.w * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                 * 1e12) AS BIGINT)) / 1e12 AS score
+      FROM exp e JOIN df d ON d.term = e.term
+      JOIN tf t ON t.term = e.term
+      JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+      GROUP BY e.query_id, e.k, t.doc_id),
+    ranked AS (
+      SELECT query_id, k, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id,
+           round(score, 6) AS score
+    FROM ranked WHERE rn <= k
+"""
+
+
+def _register_expansion_oracles() -> None:
+    from baram_ray.pipelines.search import (FUZZY_QUERIES, PREFIX_QUERIES,
+                                            WILDCARD_QUERIES)
+    from baram_ray.tokenizer import tokenize
+
+    # prefix: first 50 vocab terms with the analyzed prefix, weight 1
+    parts = []
+    for q in PREFIX_QUERIES:
+        pre = tokenize(q["text"])[0].replace("'", "''")
+        parts.append(f"""
+        SELECT {q['query_id']}, {int(q.get('k', 10))}, term, 1.0::DOUBLE
+        FROM (SELECT term FROM vocab WHERE term LIKE '{pre}%'
+              ORDER BY term LIMIT 50)""")
+    ORACLES["search_prefix_topk"] = _BM25_EXP_TEMPLATE.format(
+        exp=" UNION ALL ".join(parts))
+
+    # wildcard: glob over the vocab (pattern lowercased, not analyzed)
+    parts = []
+    for q in WILDCARD_QUERIES:
+        pat = q["text"].strip().lower().replace("'", "''")
+        parts.append(f"""
+        SELECT {q['query_id']}, {int(q.get('k', 10))}, term, 1.0::DOUBLE
+        FROM (SELECT term FROM vocab WHERE term GLOB '{pat}'
+              ORDER BY term LIMIT 50)""")
+    ORACLES["search_wildcard_topk"] = _BM25_EXP_TEMPLATE.format(
+        exp=" UNION ALL ".join(parts))
+
+    # fuzzy: Damerau-Levenshtein AUTO expansion per analyzed query term,
+    # Lucene fuzzy downweight 1 − d/len(qt)
+    parts = []
+    for q in FUZZY_QUERIES:
+        for qt in sorted(set(tokenize(q["text"]))):
+            me = 0 if len(qt) < 3 else (1 if len(qt) <= 5 else 2)
+            safe = qt.replace("'", "''")
+            parts.append(f"""
+        SELECT {q['query_id']}, {int(q.get('k', 10))}, term,
+               CASE WHEN d = 0 THEN 1.0
+                    ELSE greatest(0.0, 1.0 - d / {len(qt)}.0) END
+        FROM (SELECT term, damerau_levenshtein(term, '{safe}') AS d
+              FROM vocab
+              WHERE damerau_levenshtein(term, '{safe}') <= {me}
+              ORDER BY d, term LIMIT 50)""")
+    ORACLES["search_fuzzy_topk"] = _BM25_EXP_TEMPLATE.format(
+        exp=" UNION ALL ".join(parts))
+
+
+_register_expansion_oracles()
+
+# boolean BM25 (BOOL_QUERIES probes): score = Σ BM25 of every
+# must/should clause term present; eligibility = all must clauses
+# match AND ≥ msm should clauses match AND no must_not clause matches.
+ORACLES["search_bool_topk"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    bm AS (SELECT t.doc_id, t.term,
+                  -- 1e-12-grid integer contribution (exact sums; see
+                  -- _BM25_TEMPLATE note on DuckDB float-sum order)
+                  CAST(round(
+                      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                       / s.avgdl)) * 1e12) AS BIGINT)
+                      AS s
+           FROM tf t JOIN df d USING (term)
+           JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+           WHERE t.term IN ('data', 'table', 'scan', 'merge', 'sort',
+                            'query', 'hash', 'join', 'group', 'agg')),
+    flags AS (SELECT doc_id,
+                     bool_or(term = 'data')  AS h_data,
+                     bool_or(term = 'query') AS h_query,
+                     bool_or(term = 'vector') AS h_vector,
+                     bool_or(term IN ('table', 'scan'))  AS c_ts,
+                     bool_or(term IN ('merge', 'sort'))  AS c_ms,
+                     bool_or(term IN ('hash', 'join'))   AS c_hj,
+                     bool_or(term IN ('group', 'agg'))   AS c_ga
+              FROM tok2 GROUP BY doc_id),
+    q0 AS (SELECT 0 AS query_id, 10 AS k, b.doc_id, sum(b.s) / 1e12 AS score
+           FROM bm b JOIN flags f ON f.doc_id = b.doc_id
+           WHERE b.term IN ('data', 'table', 'scan', 'merge', 'sort')
+             AND f.h_data AND (f.c_ts::INT + f.c_ms::INT) >= 1
+           GROUP BY b.doc_id),
+    q1 AS (SELECT 1 AS query_id, 10 AS k, b.doc_id, sum(b.s) / 1e12 AS score
+           FROM bm b JOIN flags f ON f.doc_id = b.doc_id
+           WHERE b.term = 'query' AND f.h_query AND NOT f.h_vector
+           GROUP BY b.doc_id),
+    q2 AS (SELECT 2 AS query_id, 15 AS k, b.doc_id, sum(b.s) / 1e12 AS score
+           FROM bm b JOIN flags f ON f.doc_id = b.doc_id
+           WHERE b.term IN ('hash', 'join', 'group', 'agg')
+             AND f.c_hj AND f.c_ga
+           GROUP BY b.doc_id),
+    scored AS (SELECT * FROM q0 UNION ALL SELECT * FROM q1
+               UNION ALL SELECT * FROM q2),
+    ranked AS (
+      SELECT query_id, k, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id,
+           round(score, 6) AS score
+    FROM ranked WHERE rn <= k
+"""
