@@ -3246,3 +3246,233 @@ ORACLES["search_bool_topk"] = r"""
            round(score, 6) AS score
     FROM ranked WHERE rn <= k
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 5: positional BM25 in SQL. With token positions recoverable in
+# DuckDB (unnest + generate_subscripts zip in list order; positions are
+# indices among non-empty tokens — identical to the index builder's
+# position stream on the whitespace-equivalent test corpus), the
+# phrase family and everything layered on it (rescore, collapse,
+# boosting, more-like-this) become hash-exact oracles. Lucene
+# PhraseQuery scoring per the engine (`query/engine.py:_phrase_field`):
+# score = (Σ idf over distinct phrase terms) · fr / (fr + k1(1-b+b·dl/avgdl))
+# with fr = |base offsets aligning every term|; for distinct-term
+# phrases that is exactly the adjacency-join count below.
+
+_POS_PREFIX = r"""
+    WITH raw AS (SELECT doc_id,
+                        string_split_regex(lower(text), '\s+') AS arr
+                 FROM documents),
+    tokp AS (SELECT doc_id, unnest(arr) AS term,
+                    generate_subscripts(arr, 1) AS idx
+             FROM raw),
+    pos AS (SELECT doc_id, term,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY idx) - 1 AS p
+            FROM tokp WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM pos GROUP BY term),
+"""
+
+
+def _phrase_fr_select(qid: int, k: int, terms: list[str]) -> str:
+    """Adjacency-join phrase-frequency SELECT for one distinct-term
+    phrase (one JOIN per subsequent term at offset +j)."""
+    joins = []
+    for j, t in enumerate(terms[1:], 1):
+        safe = t.replace("'", "''")
+        joins.append(f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id "
+                     f"AND p{j}.p = p0.p + {j} AND p{j}.term = '{safe}'")
+    t0 = terms[0].replace("'", "''")
+    return (f"SELECT {qid} AS query_id, {k} AS k, p0.doc_id,"
+            f" count(*) AS fr FROM pos p0 {' '.join(joins)}"
+            f" WHERE p0.term = '{t0}' GROUP BY p0.doc_id")
+
+
+def _register_phrase_oracles() -> None:
+    from baram_ray.pipelines.search import DOC_QUERIES, PHRASE_QUERIES
+    from baram_ray.tokenizer import tokenize
+
+    frs, qts = [], []
+    for q in PHRASE_QUERIES:
+        terms = tokenize(q["text"])
+        frs.append(_phrase_fr_select(q["query_id"], int(q.get("k", 10)),
+                                     terms))
+        for t in sorted(set(terms)):
+            qts.append(f"({q['query_id']}, '{t.replace(chr(39), chr(39) * 2)}')")
+    ORACLES["search_phrase_topk"] = _POS_PREFIX + f"""
+    fr AS ({' UNION ALL '.join(frs)}),
+    qidf AS (SELECT qt.query_id,
+                    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+                        AS idf_sum
+             FROM (VALUES {', '.join(qts)}) AS qt(query_id, term)
+             JOIN df d USING (term) CROSS JOIN stats s
+             GROUP BY qt.query_id),
+    scored AS (SELECT f.query_id, f.k, f.doc_id,
+                      i.idf_sum * f.fr
+                      / (f.fr + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                          AS score
+               FROM fr f JOIN qidf i USING (query_id)
+               JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN stats s),
+    ranked AS (SELECT query_id, k, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= k
+    """
+
+    # rescore (QueryRescorer): BM25 'data stream' top-50 window,
+    # comb = 0.7·primary + 1.3·phrase("table scan") where it matches
+    # (engine: query/engine.py search_rescore — strict-head window)
+    ORACLES["search_rescore_topk"] = _POS_PREFIX + r"""
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM pos GROUP BY doc_id, term),
+    prim AS (SELECT t.doc_id,
+                    sum(CAST(round(
+                        ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                         / s.avgdl)) * 1e12) AS BIGINT))
+                        / 1e12 AS s1
+             FROM tf t JOIN df d USING (term)
+             JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+             WHERE t.term IN ('data', 'stream')
+             GROUP BY t.doc_id),
+    win AS (SELECT doc_id, s1,
+                   row_number() OVER (ORDER BY s1 DESC, doc_id) AS wrn
+            FROM prim),
+    fr AS (SELECT p0.doc_id, count(*) AS fr
+           FROM pos p0
+           JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+                       AND p1.term = 'scan'
+           WHERE p0.term = 'table' GROUP BY p0.doc_id),
+    pidf AS (SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+                 AS idf_sum
+             FROM df d CROSS JOIN stats s
+             WHERE d.term IN ('table', 'scan')),
+    ph AS (SELECT f.doc_id,
+                  i.idf_sum * f.fr
+                  / (f.fr + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                      AS s2
+           FROM fr f CROSS JOIN pidf i
+           JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN stats s),
+    comb AS (SELECT w.doc_id,
+                    0.7 * w.s1 + 1.3 * coalesce(p.s2, 0.0) AS score
+             FROM win w LEFT JOIN ph p USING (doc_id)
+             WHERE w.wrn <= 50),
+    ranked AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM comb)
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+    """
+
+    # boosting query: positive match 'data stream' demoted ×0.25 where
+    # 'vector' also matches (engine: query/engine.py search_boosting)
+    ORACLES["search_boosting_topk"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    scored AS (SELECT t.doc_id,
+                      sum(CAST(round(
+                          ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                          / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / s.avgdl)) * 1e12) AS BIGINT))
+                          / 1e12 AS score
+               FROM tf t JOIN df d USING (term)
+               JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+               WHERE t.term IN ('data', 'stream')
+               GROUP BY t.doc_id),
+    neg AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = 'vector'),
+    fin AS (SELECT s.doc_id,
+                   s.score * (CASE WHEN n.doc_id IS NULL THEN 1.0
+                                   ELSE 0.25 END) AS score
+            FROM scored s LEFT JOIN neg n USING (doc_id)),
+    ranked AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM fin)
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+    """
+
+    # field collapse: globally-sorted hits keep the first per `source`
+    # group == best (score desc, doc_id) per group, re-ranked
+    ORACLES["search_collapse_docs"] = _bm25_sql(DOC_QUERIES, select="""
+    , coll AS (SELECT r.query_id, r.k, r.doc_id, r.score,
+                      d.source AS grp,
+                      row_number() OVER (PARTITION BY r.query_id, d.source
+                                         ORDER BY r.score DESC, r.doc_id)
+                          AS grn
+               FROM ranked r JOIN documents d ON d.doc_id = r.doc_id),
+    cranked AS (SELECT query_id, k, doc_id, score, grp,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id)
+                           AS rn
+                FROM coll WHERE grn = 1)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score,
+           grp AS "group"
+    FROM cranked WHERE rn <= k""")
+
+    # more-like-this: seed doc 0's top-5 tf·idf terms (desc, term asc
+    # tiebreak — exactly pipelines/search.py search_mlt's sort) as a
+    # bool-should msm=1 query, seed excluded
+    ORACLES["search_mlt"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    mterm AS (SELECT t.term
+              FROM tf t JOIN df d USING (term) CROSS JOIN stats s
+              WHERE t.doc_id = 0
+              ORDER BY t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                           DESC,
+                       t.term
+              LIMIT 5),
+    scored AS (SELECT t.doc_id,
+                      sum(CAST(round(
+                          ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                          / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / s.avgdl)) * 1e12) AS BIGINT))
+                          / 1e12 AS score
+               FROM tf t JOIN mterm m USING (term)
+               JOIN df d USING (term)
+               JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+               WHERE t.doc_id <> 0
+               GROUP BY t.doc_id),
+    ranked AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM scored)
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+    """
+
+
+_register_phrase_oracles()

@@ -280,7 +280,22 @@ def phrase_topk(sf_dir: str, queries: list[dict] | None = None):
         df["score"] = df["score"].round(6)
         return df
 
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out.map_batches(_round, batch_format="pandas"))
+
+
+def _typed_topk(ds) -> pd.DataFrame:
+    """k-row top-k tail → driver-side frame. Ray Data drops the block
+    schema when EVERY query has zero hits (all-empty pandas blocks),
+    so the all-miss path needs an explicit typed empty (the
+    differential fuzz corpus hits it — same guard as
+    ``search_collapse_docs``)."""
+    df = ds.to_pandas()
+    if df.empty and "query_id" not in df.columns:
+        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           "rank": pd.Series(dtype="int64"),
+                           "doc_id": pd.Series(dtype="int64"),
+                           "score": pd.Series(dtype="float64")})
+    return df
 
 
 def phrase_match_docs(sf_dir: str):
@@ -323,7 +338,7 @@ def phrase_slop_topk(sf_dir: str, queries: list[dict] | None = None):
         df["score"] = df["score"].round(6)
         return df
 
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out.map_batches(_round, batch_format="pandas"))
 
 
 def phrase_slop_match_docs(sf_dir: str):

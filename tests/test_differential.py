@@ -85,7 +85,12 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "percolate_dsl_docs", "search_extended_stats",
                "search_weighted_avg", "search_multi_terms",
                "search_rare_terms", "search_dh_empty_buckets",
-               "search_percentile_ranks", "search_boxplot"]
+               "search_percentile_ranks", "search_boxplot",
+               # round-5 positional-BM25 promotions (zero-hit paths on
+               # this vocab; search_mlt excluded — its seed doc_id 0
+               # does not exist in the random corpus)
+               "search_phrase_topk", "search_rescore_topk",
+               "search_boosting_topk", "search_collapse_docs"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
