@@ -3476,3 +3476,87 @@ def _register_phrase_oracles() -> None:
 
 
 _register_phrase_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion in SQL: with BM25 (grid-summed) and exact cosine
+# (list_cosine_similarity over DOUBLE casts) both SQL-expressible, the
+# two hybrid combiners become oracles — min-max weighted mean
+# (pipelines/search.py hybrid_topk: 0.3·bm25 + 0.7·knn over the
+# top-100 pools) and reciprocal rank fusion (hybrid_rrf_topk:
+# Σ 1/(60 + rank), rank-only). vec_id == doc_id in the testdata.
+
+_HYBRID_BASE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    bscore AS (SELECT t.doc_id,
+                      sum(CAST(round(
+                          ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                          / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / s.avgdl)) * 1e12) AS BIGINT))
+                          / 1e12 AS score
+               FROM tf t JOIN df d USING (term)
+               JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+               WHERE t.term IN ('data', 'query', 'stream')
+               GROUP BY t.doc_id),
+    branked AS (SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id)
+                           AS rn
+                FROM bscore),
+    bpool AS (SELECT doc_id, score, rn FROM branked WHERE rn <= 100),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id = 0),
+    ks AS (SELECT e.vec_id AS doc_id,
+                  list_cosine_similarity(e.embedding::DOUBLE[], q.v) AS c
+           FROM embeddings e, qv q WHERE e.vec_id <> 0),
+    kranked AS (SELECT doc_id, c,
+                       row_number() OVER (ORDER BY c DESC, doc_id) AS rn
+                FROM ks),
+    kpool AS (SELECT doc_id, c, rn FROM kranked WHERE rn <= 100),
+"""
+
+ORACLES["search_hybrid_topk"] = _HYBRID_BASE + r"""
+    bn AS (SELECT doc_id,
+                  CASE WHEN mx = mn THEN 1.0
+                       ELSE (score - mn) / (mx - mn) END AS ns
+           FROM bpool,
+                (SELECT min(score) AS mn, max(score) AS mx FROM bpool)),
+    kn AS (SELECT doc_id,
+                  CASE WHEN mx = mn THEN 1.0
+                       ELSE (c - mn) / (mx - mn) END AS ns
+           FROM kpool,
+                (SELECT min(c) AS mn, max(c) AS mx FROM kpool)),
+    merged AS (SELECT doc_id,
+                      0.3 * coalesce(b.ns, 0.0)
+                      + 0.7 * coalesce(k.ns, 0.0) AS score
+               FROM bn b FULL OUTER JOIN kn k USING (doc_id)),
+    ranked AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM merged)
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+"""
+
+ORACLES["search_hybrid_rrf"] = _HYBRID_BASE + r"""
+    fused AS (SELECT doc_id, sum(1.0 / (60 + rn)) AS score
+              FROM (SELECT doc_id, rn FROM bpool
+                    UNION ALL SELECT doc_id, rn FROM kpool)
+              GROUP BY doc_id),
+    ranked AS (SELECT doc_id, score,
+                      row_number() OVER (ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM fused)
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+"""
