@@ -39,7 +39,7 @@ def entry() -> Any:
     """Flagship: sf0.001 documents → index build (resume-aware) → batched
     BM25 top-k through the actor pool; returns (query_id, rank, doc_id,
     score) rows."""
-    return searchp.bm25_topk("/root/testdata/sf0.001").to_pandas()
+    return searchp.bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

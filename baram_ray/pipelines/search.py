@@ -75,15 +75,15 @@ def bm25_topk(sf_dir: str, queries: list[dict] | None = None,
     (query_id, rank, doc_id, score)."""
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or DOC_QUERIES)
-    out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         batch_format="pandas",
-                         concurrency=(1, concurrency or query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return out.map_batches(_round, batch_format="pandas")
+    # round6 in the actor: a trailing _round stage turns Ray Data's
+    # skipped-empty-block placeholder into a SCHEMALESS empty block
+    # (all-miss query batches lose the output schema) and costs a task
+    # launch per block
+    return _typed_topk(
+        qs.map_batches(QueryActor, fn_constructor_args=(idx,),
+                       fn_constructor_kwargs={"round6": True},
+                       batch_format="pandas",
+                       concurrency=(1, concurrency or query_pool_size())))
 
 
 def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
@@ -131,8 +131,8 @@ def bm25_topk_sharded(sf_dir: str, queries: list[dict] | None = None,
         g["score"] = g["score"].round(6)
         return g
 
-    return parts.groupby("query_id").map_groups(merge,
-                                                batch_format="pandas")
+    return _typed_topk(parts.groupby("query_id").map_groups(
+        merge, batch_format="pandas"))
 
 
 def bm25_filtered(sf_dir: str, query_text: str = "data stream query",
@@ -273,14 +273,10 @@ def phrase_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir, positions=True)
     qs = ray.data.from_items(queries or PHRASE_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "phrase"},
+                         fn_constructor_kwargs={"mode": "phrase",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return _typed_topk(out.map_batches(_round, batch_format="pandas"))
+    return _typed_topk(out)
 
 
 def _typed_topk(ds) -> pd.DataFrame:
@@ -331,14 +327,10 @@ def phrase_slop_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir, positions=True)
     qs = ray.data.from_items(queries or SLOP_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "phrase"},
+                         fn_constructor_kwargs={"mode": "phrase",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return _typed_topk(out.map_batches(_round, batch_format="pandas"))
+    return _typed_topk(out)
 
 
 def phrase_slop_match_docs(sf_dir: str):
@@ -378,14 +370,10 @@ def bool_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or BOOL_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "bool"},
+                         fn_constructor_kwargs={"mode": "bool",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out)
 
 
 def bool_match_docs(sf_dir: str):
@@ -677,14 +665,10 @@ def prefix_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or PREFIX_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "prefix"},
+                         fn_constructor_kwargs={"mode": "prefix",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out)
 
 
 def prefix_match_docs(sf_dir: str, prefix: str = "st"):
@@ -715,14 +699,10 @@ def wildcard_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or WILDCARD_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "wildcard"},
+                         fn_constructor_kwargs={"mode": "wildcard",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out)
 
 
 def wildcard_match_docs(sf_dir: str, pattern: str = "s?a*"):
@@ -751,14 +731,10 @@ def fuzzy_topk(sf_dir: str, queries: list[dict] | None = None):
     idx = ensure_index(sf_dir)
     qs = ray.data.from_items(queries or FUZZY_QUERIES)
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
-                         fn_constructor_kwargs={"mode": "fuzzy"},
+                         fn_constructor_kwargs={"mode": "fuzzy",
+                                                "round6": True},
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-
-    def _round(df: pd.DataFrame) -> pd.DataFrame:
-        df["score"] = df["score"].round(6)
-        return df
-
-    return out.map_batches(_round, batch_format="pandas")
+    return _typed_topk(out)
 
 
 def fuzzy_match_docs(sf_dir: str, term: str = "tabel", max_edits: int = 1):

@@ -3587,7 +3587,8 @@ class QueryActor:
                  algorithm: str = "auto", filters: dict | None = None,
                  min_score: float | None = None,
                  shard_range: tuple[int, int] | None = None,
-                 mode: str = "bm25", collapse_field: str | None = None):
+                 mode: str = "bm25", collapse_field: str | None = None,
+                 round6: bool = False):
         self.engine = QueryEngine(index_dir, shard_range=shard_range)
         self.boosts = boosts
         self.algorithm = algorithm
@@ -3595,6 +3596,13 @@ class QueryActor:
         self.min_score = min_score
         self.mode = mode                      # "bm25" | "phrase" | ...
         self.collapse_field = collapse_field  # for mode="collapse"
+        # round scores in the actor (vs a trailing map_batches stage):
+        # Ray Data skips tasks for empty input blocks and emits a
+        # SCHEMALESS empty block in their place, so a trailing stage
+        # silently drops the output schema whenever a query block is
+        # empty — rounding here keeps the typed frame end-to-end and
+        # saves a task launch per block
+        self.round6 = round6
 
     def refresh(self) -> bool:
         """Pool-wide delta visibility: call on every resident actor
@@ -3695,6 +3703,8 @@ class QueryActor:
             "doc_id": np.asarray(docs, dtype=np.int64),
             "score": np.asarray(scores, dtype=np.float64),
         })
+        if self.round6:
+            out["score"] = out["score"].round(6)
         if self.mode == "collapse":
             out["group"] = pd.Series(groups, dtype="object").astype(str)
         return out

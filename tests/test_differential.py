@@ -90,7 +90,12 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                # this vocab; search_mlt excluded — its seed doc_id 0
                # does not exist in the random corpus)
                "search_phrase_topk", "search_rescore_topk",
-               "search_boosting_topk", "search_collapse_docs"]
+               "search_boosting_topk", "search_collapse_docs",
+               # round-4 BM25 promotions: joinable once the all-miss
+               # path kept its schema (QueryActor round6 + _typed_topk)
+               "search_bm25_topk", "search_bm25_sharded",
+               "search_bool_topk", "search_prefix_topk",
+               "search_wildcard_topk", "search_fuzzy_topk"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:

@@ -187,9 +187,9 @@ def test_sharded_engine_rank_identity(ray_session, tmp_path):
 
 def test_sharded_pipeline_matches_plain(ray_session):
     from baram_ray.pipelines.search import bm25_topk, bm25_topk_sharded
-    a = bm25_topk(SF).to_pandas().sort_values(
+    a = bm25_topk(SF).sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
-    b = bm25_topk_sharded(SF).to_pandas().sort_values(
+    b = bm25_topk_sharded(SF).sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         a[["query_id", "rank", "doc_id", "score"]],
