@@ -3560,3 +3560,40 @@ ORACLES["search_hybrid_rrf"] = _HYBRID_BASE + r"""
     SELECT CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
     FROM ranked WHERE rn <= 10
 """
+
+
+# sampler aggregation: terms sub-agg over the GLOBAL top-100 BM25
+# matches for 'data' (single-reader sampler — the sample is
+# rank-defined, so with BM25 in SQL it is too; the driver compare is
+# order-insensitive, so bucket ordering is immaterial)
+ORACLES["search_sampler"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(dl) FROM dl)::DOUBLE
+                     / (SELECT count(*) FROM documents) AS avgdl),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df
+           FROM tok2 GROUP BY term),
+    tf AS (SELECT doc_id, term, count(*) AS tf
+           FROM tok2 GROUP BY doc_id, term),
+    scored AS (SELECT t.doc_id,
+                      sum(CAST(round(
+                          ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
+                          / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl
+                                           / s.avgdl)) * 1e12) AS BIGINT))
+                          / 1e12 AS score
+               FROM tf t JOIN df d USING (term)
+               JOIN dl ON dl.doc_id = t.doc_id CROSS JOIN stats s
+               WHERE t.term = 'data'
+               GROUP BY t.doc_id),
+    smp AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+            FROM scored)
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS doc_count
+    FROM smp s JOIN documents d USING (doc_id)
+    WHERE s.rn <= 100
+    GROUP BY d.lang
+"""

@@ -95,7 +95,8 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                # path kept its schema (QueryActor round6 + _typed_topk)
                "search_bm25_topk", "search_bm25_sharded",
                "search_bool_topk", "search_prefix_topk",
-               "search_wildcard_topk", "search_fuzzy_topk"]
+               "search_wildcard_topk", "search_fuzzy_topk",
+               "search_sampler"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
