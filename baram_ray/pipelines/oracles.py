@@ -3597,3 +3597,78 @@ ORACLES["search_sampler"] = r"""
     WHERE s.rn <= 100
     GROUP BY d.lang
 """
+
+
+def _register_slop_oracle() -> None:
+    """Sloppy-phrase BM25 in SQL. The engine's two-pass sweep
+    (`query/engine.py:_sloppy_freq`) emits exactly the
+    containment-minimal ordered spans, so the window set is
+    declaratively expressible: valid spans (s from the first term's
+    positions, e from the last term's, every intermediate term having
+    a position strictly inside) minus any span that strictly contains
+    another valid span. Each minimal span with
+    slack = (e - s) - (m-1) ≤ slop contributes 1/(1+slack);
+    score = idf_sum · fr / (fr + k1(1-b+b·dl/avgdl))."""
+    from baram_ray.pipelines.search import SLOP_QUERIES
+    from baram_ray.tokenizer import tokenize
+
+    spans, qidf, qmeta = [], [], []
+    for q in SLOP_QUERIES:
+        terms = tokenize(q["text"])
+        qid, k, slop = q["query_id"], int(q.get("k", 10)), int(q["slop"])
+        m = len(terms)
+        t0 = terms[0].replace("'", "''")
+        tl = terms[-1].replace("'", "''")
+        mid = []
+        for t in terms[1:-1]:
+            safe = t.replace("'", "''")
+            mid.append(f"AND EXISTS (SELECT 1 FROM pos b WHERE "
+                       f"b.doc_id = a.doc_id AND b.term = '{safe}' "
+                       f"AND b.p > a.p AND b.p < c.p)")
+        spans.append(f"""
+        SELECT {qid} AS query_id, a.doc_id, a.p AS s, c.p AS e
+        FROM pos a JOIN pos c ON c.doc_id = a.doc_id
+                              AND c.term = '{tl}' AND c.p >= a.p + {m - 1}
+        WHERE a.term = '{t0}' {' '.join(mid)}""")
+        for t in sorted(set(terms)):
+            qidf.append(f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')")
+        qmeta.append(f"({qid}, {k}, {slop}, {m})")
+    ORACLES["search_phrase_slop_topk"] = _POS_PREFIX + f"""
+    qm(query_id, k, slop, m) AS (VALUES {', '.join(qmeta)}),
+    spans AS ({' UNION ALL '.join(spans)}),
+    minimal AS (SELECT * FROM spans s1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans s2
+                    WHERE s2.query_id = s1.query_id
+                      AND s2.doc_id = s1.doc_id
+                      AND s2.s >= s1.s AND s2.e <= s1.e
+                      AND (s2.s > s1.s OR s2.e < s1.e))),
+    fr AS (SELECT w.query_id, q.k, w.doc_id,
+                  sum(1.0 / (1 + (w.e - w.s) - (q.m - 1))) AS fr
+           FROM minimal w JOIN qm q USING (query_id)
+           WHERE (w.e - w.s) - (q.m - 1) <= q.slop
+           GROUP BY w.query_id, q.k, w.doc_id),
+    qidf AS (SELECT qt.query_id,
+                    sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)))
+                        AS idf_sum
+             FROM (VALUES {', '.join(qidf)}) AS qt(query_id, term)
+             JOIN df d USING (term) CROSS JOIN stats s
+             GROUP BY qt.query_id),
+    scored AS (SELECT f.query_id, f.k, f.doc_id,
+                      i.idf_sum * f.fr
+                      / (f.fr + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                          AS score
+               FROM fr f JOIN qidf i USING (query_id)
+               JOIN dl ON dl.doc_id = f.doc_id CROSS JOIN stats s),
+    ranked AS (SELECT query_id, k, doc_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id)
+                          AS rn
+               FROM scored)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+    FROM ranked WHERE rn <= k
+    """
+
+
+_register_slop_oracle()
