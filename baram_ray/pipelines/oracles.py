@@ -3672,3 +3672,24 @@ def _register_slop_oracle() -> None:
 
 
 _register_slop_oracle()
+
+
+# index statistics recomputed from raw text: n_docs / distinct-term
+# count / avgdl match the builder's meta exactly (same tokenizer
+# equivalence as every BM25 oracle); num_shards is the builder's
+# documented formula next_pow2(max(1, n_docs // 262144))
+# (`index/build.py:892`) — ceil-to-power-of-two in SQL
+ORACLES["search_index_stats"] = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id)
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(DISTINCT term) FROM tok2) AS n_terms,
+           round((SELECT sum(dl) FROM dl)::DOUBLE
+                 / (SELECT count(*) FROM documents), 6) AS avgdl_text,
+           CAST(power(2, ceil(log2(greatest(1,
+                (SELECT count(*) FROM documents) // 262144))))
+                AS BIGINT) AS num_shards
+"""
