@@ -70,7 +70,10 @@ def rdf_export_nt(sf_dir: str):
 
 def doc_markdown_export(sf_dir: str):
     """S3: template-rendered markdown file per document (reference
-    markdown sink); returns the write manifest (path, n_bytes)."""
+    markdown sink); returns the write manifest as (file, n_bytes) —
+    the basename rather than the absolute path, so the manifest is
+    location-independent (and the rendered size per document is
+    recomputable in SQL → hash-exact DuckDB oracle)."""
     from baram_ray.sinks import write_markdown
     ds = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
     out_dir = os.path.join("/tmp/baram_ray_markdown",
@@ -78,7 +81,9 @@ def doc_markdown_export(sf_dir: str):
     tpl = ("---\ndoc_id: {{doc_id}}\nlang: {{lang}}\n---\n\n"
            "# Document {{doc_id}}\n\n{{text}}\n")
     man = write_markdown(ds, out_dir, template=tpl).to_pandas()
-    return man.sort_values("path").reset_index(drop=True)
+    man["file"] = man["path"].map(os.path.basename)
+    return (man[["file", "n_bytes"]]
+            .sort_values("file").reset_index(drop=True))
 
 
 def cluster_events(sf_dir: str):

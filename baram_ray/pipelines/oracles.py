@@ -3693,3 +3693,18 @@ ORACLES["search_index_stats"] = r"""
                 (SELECT count(*) FROM documents) // 262144))))
                 AS BIGINT) AS num_shards
 """
+
+
+# markdown-export manifest: one file per document named {doc_id}.md,
+# n_bytes = rendered template length (Python len == DuckDB length;
+# the corpus is ASCII so chars == bytes) — the sink's exact template
+# from pipelines/knowledge.py doc_markdown_export
+ORACLES["doc_markdown_export"] = r"""
+    SELECT doc_id || '.md' AS file,
+           CAST(length('---' || chr(10) || 'doc_id: ' || doc_id
+                || chr(10) || 'lang: ' || lang || chr(10) || '---'
+                || chr(10) || chr(10) || '# Document ' || doc_id
+                || chr(10) || chr(10) || text || chr(10)) AS BIGINT)
+               AS n_bytes
+    FROM documents
+"""

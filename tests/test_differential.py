@@ -97,7 +97,7 @@ DOC_QUERIES = ["doc_top_bigrams", "doc_mix_adaptive",
                "search_bool_topk", "search_prefix_topk",
                "search_wildcard_topk", "search_fuzzy_topk",
                "search_sampler", "search_phrase_slop_topk",
-               "search_index_stats"]
+               "search_index_stats", "doc_markdown_export"]
 
 
 def _rand_events(rng: np.random.RandomState, n: int) -> pd.DataFrame:
