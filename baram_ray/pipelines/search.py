@@ -93,7 +93,10 @@ def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
     out = qs.map_batches(QueryActor, fn_constructor_args=(idx,),
                          fn_constructor_kwargs=actor_kw,
                          batch_format="pandas", concurrency=(1, query_pool_size()))
-    return out.to_pandas()
+    # _typed_topk, not bare to_pandas: an all-miss query set otherwise
+    # yields a NO-COLUMN frame (Ray Data's skipped-empty-block schema
+    # loss) and downstream column access KeyErrors
+    return _typed_topk(out)
 
 
 def bm25_topk_sharded(sf_dir: str, queries: list[dict] | None = None,

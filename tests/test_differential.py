@@ -319,6 +319,33 @@ def test_differential_embeddings(seed, ray_session, tmp_path):
         _compare(name, str(d), con)
 
 
+@pytest.mark.parametrize("seed", [13, 47])
+def test_differential_hybrid(seed, ray_session, tmp_path):
+    """Hybrid fusion on a random corpus where every BM25 query term is
+    absent: the min-max arm degenerates to pure-kNN weighting and the
+    RRF arm to one rank list — the SQL FULL OUTER / UNION sides must
+    agree with the engine on the empty-pool path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.RandomState(seed)
+    d = tmp_path / f"sf_hyb_{seed}"
+    os.makedirs(d)
+    _rand_docs(rng, 80).to_parquet(d / "documents.parquet")
+    df = _rand_embeddings(rng, 80)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(df["vec_id"].to_numpy()),
+        "embedding": pa.array(df["embedding"].tolist(),
+                              pa.list_(pa.float32())),
+        "label": pa.array(df["label"].to_numpy(), pa.int32())}),
+        d / "embeddings.parquet")
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS "
+                    f"SELECT * FROM '{d}/{t}.parquet'")
+    for name in ("search_hybrid_topk", "search_hybrid_rrf"):
+        _compare(name, str(d), con)
+
+
 @pytest.mark.parametrize("brands", [["B1"], ["B1", "B2"]])
 def test_tpch_q19_degenerate_brands(brands, ray_session, tmp_path):
     """<3 distinct brands: combos whose brand index exceeds the count
