@@ -3183,10 +3183,11 @@ def _register_expansion_oracles() -> None:
 
 _register_expansion_oracles()
 
-# boolean BM25 (BOOL_QUERIES probes): score = Σ BM25 of every
-# must/should clause term present; eligibility = all must clauses
-# match AND ≥ msm should clauses match AND no must_not clause matches.
-ORACLES["search_bool_topk"] = r"""
+# shared whitespace-tokenizer prelude (corpus stats + per-(doc,term)
+# tf) — the non-positional counterpart of _POS_PREFIX; every BM25-
+# derived oracle below builds on this one text, so a tokenizer- or
+# stats-equivalence change edits exactly one place
+_TF_PREFIX = r"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
       FROM documents),
@@ -3199,6 +3200,12 @@ ORACLES["search_bool_topk"] = r"""
            FROM tok2 GROUP BY term),
     tf AS (SELECT doc_id, term, count(*) AS tf
            FROM tok2 GROUP BY doc_id, term),
+"""
+
+# boolean BM25 (BOOL_QUERIES probes): score = Σ BM25 of every
+# must/should clause term present; eligibility = all must clauses
+# match AND ≥ msm should clauses match AND no must_not clause matches.
+ORACLES["search_bool_topk"] = _TF_PREFIX + r"""
     bm AS (SELECT t.doc_id, t.term,
                   -- 1e-12-grid integer contribution (exact sums; see
                   -- _BM25_TEMPLATE note on DuckDB float-sum order)
@@ -3278,6 +3285,8 @@ _POS_PREFIX = r"""
     df AS (SELECT term, count(DISTINCT doc_id) AS df
            FROM pos GROUP BY term),
 """
+
+
 
 
 def _phrase_fr_select(qid: int, k: int, terms: list[str]) -> str:
@@ -3377,19 +3386,7 @@ def _register_phrase_oracles() -> None:
 
     # boosting query: positive match 'data stream' demoted ×0.25 where
     # 'vector' also matches (engine: query/engine.py search_boosting)
-    ORACLES["search_boosting_topk"] = r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-      FROM documents),
-    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-                     (SELECT sum(dl) FROM dl)::DOUBLE
-                     / (SELECT count(*) FROM documents) AS avgdl),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df
-           FROM tok2 GROUP BY term),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM tok2 GROUP BY doc_id, term),
+    ORACLES["search_boosting_topk"] = _TF_PREFIX + r"""
     scored AS (SELECT t.doc_id,
                       sum(CAST(round(
                           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
@@ -3435,19 +3432,7 @@ def _register_phrase_oracles() -> None:
     # more-like-this: seed doc 0's top-5 tf·idf terms (desc, term asc
     # tiebreak — exactly pipelines/search.py search_mlt's sort) as a
     # bool-should msm=1 query, seed excluded
-    ORACLES["search_mlt"] = r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-      FROM documents),
-    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-                     (SELECT sum(dl) FROM dl)::DOUBLE
-                     / (SELECT count(*) FROM documents) AS avgdl),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df
-           FROM tok2 GROUP BY term),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM tok2 GROUP BY doc_id, term),
+    ORACLES["search_mlt"] = _TF_PREFIX + r"""
     mterm AS (SELECT t.term
               FROM tf t JOIN df d USING (term) CROSS JOIN stats s
               WHERE t.doc_id = 0
@@ -3486,19 +3471,7 @@ _register_phrase_oracles()
 # top-100 pools) and reciprocal rank fusion (hybrid_rrf_topk:
 # Σ 1/(60 + rank), rank-only). vec_id == doc_id in the testdata.
 
-_HYBRID_BASE = r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-      FROM documents),
-    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-                     (SELECT sum(dl) FROM dl)::DOUBLE
-                     / (SELECT count(*) FROM documents) AS avgdl),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df
-           FROM tok2 GROUP BY term),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM tok2 GROUP BY doc_id, term),
+_HYBRID_BASE = _TF_PREFIX + r"""
     bscore AS (SELECT t.doc_id,
                       sum(CAST(round(
                           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
@@ -3566,19 +3539,7 @@ ORACLES["search_hybrid_rrf"] = _HYBRID_BASE + r"""
 # matches for 'data' (single-reader sampler — the sample is
 # rank-defined, so with BM25 in SQL it is too; the driver compare is
 # order-insensitive, so bucket ordering is immaterial)
-ORACLES["search_sampler"] = r"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
-      FROM documents),
-    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
-    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
-                     (SELECT sum(dl) FROM dl)::DOUBLE
-                     / (SELECT count(*) FROM documents) AS avgdl),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df
-           FROM tok2 GROUP BY term),
-    tf AS (SELECT doc_id, term, count(*) AS tf
-           FROM tok2 GROUP BY doc_id, term),
+ORACLES["search_sampler"] = _TF_PREFIX + r"""
     scored AS (SELECT t.doc_id,
                       sum(CAST(round(
                           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * t.tf
@@ -3599,41 +3560,54 @@ ORACLES["search_sampler"] = r"""
 """
 
 
-def _register_slop_oracle() -> None:
-    """Sloppy-phrase BM25 in SQL. The engine's two-pass sweep
+def _slop_sql(queries) -> str:
+    """Sloppy-phrase BM25 in SQL for the given (query_id, text, k,
+    slop) probes. The engine's two-pass sweep
     (`query/engine.py:_sloppy_freq`) emits exactly the
     containment-minimal ordered spans, so the window set is
     declaratively expressible: valid spans (s from the first term's
-    positions, e from the last term's, every intermediate term having
-    a position strictly inside) minus any span that strictly contains
-    another valid span. Each minimal span with
+    positions, e from the last term's, an ORDERED chain of every
+    intermediate term strictly inside — b₁ < b₂ < … between s and e,
+    matching the sweep's in_order=True semantics) minus any span that
+    strictly contains another valid span. Each minimal span with
     slack = (e - s) - (m-1) ≤ slop contributes 1/(1+slack);
-    score = idf_sum · fr / (fr + k1(1-b+b·dl/avgdl))."""
-    from baram_ray.pipelines.search import SLOP_QUERIES
+    score = idf_sum · fr / (fr + k1(1-b+b·dl/avgdl)). Property-tested
+    against ``_sloppy_freq`` up to 4-term phrases
+    (tests/test_differential.py)."""
     from baram_ray.tokenizer import tokenize
 
     spans, qidf, qmeta = [], [], []
-    for q in SLOP_QUERIES:
+    for q in queries:
         terms = tokenize(q["text"])
         qid, k, slop = q["query_id"], int(q.get("k", 10)), int(q["slop"])
         m = len(terms)
         t0 = terms[0].replace("'", "''")
         tl = terms[-1].replace("'", "''")
-        mid = []
-        for t in terms[1:-1]:
-            safe = t.replace("'", "''")
-            mid.append(f"AND EXISTS (SELECT 1 FROM pos b WHERE "
-                       f"b.doc_id = a.doc_id AND b.term = '{safe}' "
-                       f"AND b.p > a.p AND b.p < c.p)")
+        # one EXISTS with an ORDERED chain over ALL intermediate terms
+        # (independent per-term EXISTS would accept out-of-order
+        # middles for m >= 4 — the engine's sweep rejects those)
+        mid = ""
+        if m > 2:
+            froms, conds, prev = [], [], "a"
+            for j, t in enumerate(terms[1:-1], 1):
+                safe = t.replace("'", "''")
+                froms.append(f"pos b{j}")
+                conds.append(f"b{j}.doc_id = a.doc_id AND "
+                             f"b{j}.term = '{safe}' AND "
+                             f"b{j}.p > {prev}.p")
+                prev = f"b{j}"
+            mid = (f"AND EXISTS (SELECT 1 FROM {', '.join(froms)} "
+                   f"WHERE {' AND '.join(conds)} "
+                   f"AND {prev}.p < c.p)")
         spans.append(f"""
         SELECT {qid} AS query_id, a.doc_id, a.p AS s, c.p AS e
         FROM pos a JOIN pos c ON c.doc_id = a.doc_id
                               AND c.term = '{tl}' AND c.p >= a.p + {m - 1}
-        WHERE a.term = '{t0}' {' '.join(mid)}""")
+        WHERE a.term = '{t0}' {mid}""")
         for t in sorted(set(terms)):
             qidf.append(f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')")
         qmeta.append(f"({qid}, {k}, {slop}, {m})")
-    ORACLES["search_phrase_slop_topk"] = _POS_PREFIX + f"""
+    return _POS_PREFIX + f"""
     qm(query_id, k, slop, m) AS (VALUES {', '.join(qmeta)}),
     spans AS ({' UNION ALL '.join(spans)}),
     minimal AS (SELECT * FROM spans s1
@@ -3669,6 +3643,11 @@ def _register_slop_oracle() -> None:
            CAST(rn AS BIGINT) AS rank, doc_id, round(score, 6) AS score
     FROM ranked WHERE rn <= k
     """
+
+
+def _register_slop_oracle() -> None:
+    from baram_ray.pipelines.search import SLOP_QUERIES
+    ORACLES["search_phrase_slop_topk"] = _slop_sql(SLOP_QUERIES)
 
 
 _register_slop_oracle()

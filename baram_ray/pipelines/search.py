@@ -96,7 +96,9 @@ def _actor_search(idx: str, queries: list[dict], **actor_kw) -> pd.DataFrame:
     # _typed_topk, not bare to_pandas: an all-miss query set otherwise
     # yields a NO-COLUMN frame (Ray Data's skipped-empty-block schema
     # loss) and downstream column access KeyErrors
-    return _typed_topk(out)
+    extra = (("group", "object"),) if actor_kw.get("mode") == "collapse" \
+        else ()
+    return _typed_topk(out, extra=extra)
 
 
 def bm25_topk_sharded(sf_dir: str, queries: list[dict] | None = None,
@@ -282,18 +284,19 @@ def phrase_topk(sf_dir: str, queries: list[dict] | None = None):
     return _typed_topk(out)
 
 
-def _typed_topk(ds) -> pd.DataFrame:
+def _typed_topk(ds, extra: tuple = ()) -> pd.DataFrame:
     """k-row top-k tail → driver-side frame. Ray Data drops the block
     schema when EVERY query has zero hits (all-empty pandas blocks),
     so the all-miss path needs an explicit typed empty (the
-    differential fuzz corpus hits it — same guard as
-    ``search_collapse_docs``)."""
+    differential fuzz corpus hits it). ``extra`` appends
+    (name, dtype) pairs for modes whose rows carry more than the base
+    (query_id, rank, doc_id, score) — e.g. collapse adds "group"."""
     df = ds.to_pandas()
     if df.empty and "query_id" not in df.columns:
-        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                           "rank": pd.Series(dtype="int64"),
-                           "doc_id": pd.Series(dtype="int64"),
-                           "score": pd.Series(dtype="float64")})
+        cols = {"query_id": "int64", "rank": "int64",
+                "doc_id": "int64", "score": "float64", **dict(extra)}
+        df = pd.DataFrame({c: pd.Series(dtype=t)
+                           for c, t in cols.items()})
     return df
 
 
@@ -929,13 +932,9 @@ def search_collapse_docs(sf_dir: str, k: int = 10):
     sharded==single identity are asserted in tests."""
     idx = ensure_index(sf_dir)
     qs = [q for q in DOC_QUERIES]
+    # _actor_search's all-miss typed empty carries "group" for
+    # collapse mode (_typed_topk extra spec), so no local guard
     df = _actor_search(idx, qs, mode="collapse", collapse_field="source")
-    if "group" not in df.columns:   # 0-row table: typed empty
-        df = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                           "rank": pd.Series(dtype="int64"),
-                           "doc_id": pd.Series(dtype="int64"),
-                           "score": pd.Series(dtype="float64"),
-                           "group": pd.Series(dtype="object")})
     df["score"] = df["score"].round(6)
     return df[["query_id", "rank", "doc_id", "score", "group"]]
 

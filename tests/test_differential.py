@@ -190,6 +190,48 @@ def test_differential_documents(seed, ray_session, tmp_path):
         _compare(name, str(d), con)
 
 
+@pytest.mark.parametrize("seed", _extra_seeds([3, 31]))
+def test_slop_oracle_ordered_chain(seed, ray_session, tmp_path):
+    """Sloppy-phrase oracle vs the engine on a corpus DENSE in
+    reordered term patterns, up to 4-term phrases: the SQL's single
+    ordered-chain EXISTS must reject out-of-order intermediate terms
+    exactly like the sweep's in_order=True semantics (independent
+    per-term EXISTS accepted e.g. 'dd bb aa cc bb dd' for
+    'aa bb cc dd' — a code-review property test caught it)."""
+    from baram_ray.pipelines.oracles import _slop_sql
+    from baram_ray.pipelines.search import phrase_slop_topk
+    rng = np.random.RandomState(seed)
+    vocab = ["aa", "bb", "cc", "dd", "zz"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(4, 30)))
+             for _ in range(300)]
+    d = tmp_path / f"sf_slop_{seed}"
+    os.makedirs(d)
+    pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64) * 2 + 1,
+        "text": texts,
+        "lang": ["en"] * 300, "source": ["s0"] * 300,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }).to_parquet(d / "documents.parquet", index=False)
+    queries = [{"query_id": 0, "text": "aa bb cc dd", "k": 300,
+                "slop": 4},
+               {"query_id": 1, "text": "aa bb cc", "k": 300, "slop": 2},
+               {"query_id": 2, "text": "aa dd", "k": 300, "slop": 3}]
+    res = phrase_slop_topk(str(d), queries)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{d}/documents.parquet'")
+    exp = con.execute(_slop_sql(queries)).fetchdf()
+    assert len(res) == len(exp)
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        return df.sort_values(list(df.columns),
+                              kind="stable").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(res), canon(exp),
+                                  check_dtype=True, check_exact=True)
+
+
 TPCH_QUERIES = ["tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5",
                 "tpch_q6", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
                 "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",

@@ -193,4 +193,6 @@ if __name__ == "__main__":
     else:
         rows = int(sys.argv[sys.argv.index("--rows") + 1]) \
             if "--rows" in sys.argv else 120_000
-        orchestrate(rows)
+        # nonzero exit on signature divergence so `multinode.py && ...`
+        # treats the rehearsal as a real check, not a report
+        sys.exit(0 if orchestrate(rows)["identical"] else 1)
