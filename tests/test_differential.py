@@ -223,8 +223,22 @@ def test_slop_oracle_ordered_chain(seed, ray_session, tmp_path):
     exp = con.execute(_slop_sql(queries)).fetchdf()
     assert len(res) == len(exp)
 
+    # sloppy fr is a float sum of 1/(1+slack) reciprocals, so the
+    # engine (position-order sum) and DuckDB (arbitrary-order sum) can
+    # differ by an ulp — enough to swap RANKS between docs whose raw
+    # scores agree to <1e-12 on this deliberately tie-dense corpus.
+    # The semantics under test are the WINDOW SET and scoring formula:
+    # compare (query_id, doc_id, score) exactly and check each frame's
+    # rank is score-monotone, without pinning tie order inside a
+    # rounded-score bucket. (The contract entry's fixed k=10 queries
+    # have no such near-ties — hash-exact at three data scales.)
+    for df in (res, exp):
+        chk = df.sort_values(["query_id", "rank"])
+        assert (chk.groupby("query_id")["score"].diff()
+                .fillna(0) <= 1e-12).all()
+
     def canon(df):
-        df = df[sorted(df.columns)].copy()
+        df = df[["query_id", "doc_id", "score"]].copy()
         return df.sort_values(list(df.columns),
                               kind="stable").reset_index(drop=True)
 
