@@ -80,17 +80,33 @@ EMPTY_SCHEMAS: dict[str, dict[str, str]] = {
 
 
 def with_declared_schema(name: str, fn):
-    """Wrap a ``queries()`` callable so an empty (schema-less) result is
-    restored to its declared typed-empty frame; non-empty results pass
-    through untouched (materialized to pandas — every query result here
-    is a driver-sized aggregate by contract)."""
+    """Wrap a ``queries()`` callable so an empty result keeps its
+    schema; non-empty results pass through untouched (materialized to
+    pandas — every query result here is a driver-sized aggregate by
+    contract).
+
+    Two layers (deep-seed fuzz found both needed): (1)
+    ``to_typed_pandas`` — Ray's ``Dataset.to_pandas()`` drops the
+    schema of ANY 0-row dataset even when its blocks are fully typed,
+    so every Dataset-returning entry is rebuilt from its block schema
+    (no registry needed); (2) the ``EMPTY_SCHEMAS`` registry — for a
+    0-row INPUT table the pipeline is schema-less all the way through
+    and only the declaration can restore the contract columns."""
     cols = EMPTY_SCHEMAS.get(name)
-    if cols is None:
-        return fn
-    from baram_ray.pipelines.util import ensure_cols
 
     def wrapped(sf_dir: str, *a, **kw):
-        return ensure_cols(fn(sf_dir, *a, **kw), cols)
+        res = fn(sf_dir, *a, **kw)
+        try:
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                from baram_ray.util import to_typed_pandas
+                res = to_typed_pandas(res)
+        except ImportError:
+            pass
+        if cols is not None:
+            from baram_ray.pipelines.util import ensure_cols
+            res = ensure_cols(res, cols)
+        return res
 
     wrapped.__name__ = getattr(fn, "__name__", name)
     wrapped.__doc__ = fn.__doc__

@@ -557,14 +557,16 @@ def q4_order_priority(sf_dir: str):
 
     ret = li.map_batches(rfilt, batch_format="pandas")
     sj = hash_join(o, ret, "o_orderkey", how="semi")
-    out = grouped_agg(sj, ["o_orderpriority"],
-                      {"order_count": (None, "count")}, num_buckets=4)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         df["order_count"] = df["order_count"].astype("int64")
         return df
 
-    return out.map_batches(cast, batch_format="pandas")
+    # cast folded into the reduce (grouped_agg finalize): a trailing
+    # map stage would drop the typed schema of a 0-row result
+    return grouped_agg(sj, ["o_orderpriority"],
+                       {"order_count": (None, "count")}, num_buckets=4,
+                       finalize=cast)
 
 
 def q12_priority_by_status(sf_dir: str):
@@ -600,16 +602,16 @@ def q12_priority_by_status(sf_dir: str):
         return g
 
     parts = j.map_batches(partial, batch_format="pandas")
-    out = grouped_agg(parts, ["l_linestatus"],
-                      {"high_count": ("high_count", "sum"),
-                       "low_count": ("low_count", "sum")}, num_buckets=2)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         df["high_count"] = df["high_count"].astype("int64")
         df["low_count"] = df["low_count"].astype("int64")
         return df
 
-    return out.map_batches(cast, batch_format="pandas")
+    return grouped_agg(parts, ["l_linestatus"],
+                       {"high_count": ("high_count", "sum"),
+                        "low_count": ("low_count", "sum")},
+                       num_buckets=2, finalize=cast)
 
 
 def q14_promo_revenue(sf_dir: str):
@@ -761,16 +763,15 @@ def q13_customer_distribution(sf_dir: str):
 
     counts = per_cust.map_batches(strip_key, batch_format="pandas") \
         .union(zeros.map_batches(zero_counts, batch_format="pandas"))
-    hist = grouped_agg(counts, ["c_count"],
-                       {"custdist": (None, "count")}, num_buckets=2)
-
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "c_count": df["c_count"].astype("int64"),
             "custdist": df["custdist"].astype("int64"),
         })
 
-    return hist.map_batches(cast, batch_format="pandas")
+    return grouped_agg(counts, ["c_count"],
+                       {"custdist": (None, "count")}, num_buckets=2,
+                       finalize=cast)
 
 
 def q7_volume_shipping(sf_dir: str):

@@ -75,8 +75,20 @@ def _empty_typed_table(ds):
     import pyarrow as pa
     schema = ds.schema()
     if schema is None:
-        # a dataset whose every block was 0-row (Ray skipped the UDFs)
-        # has NO schema at all — degrade to a zero-column empty table;
+        # ds.schema() is None for ANY zero-row dataset — even when its
+        # blocks are fully typed (e.g. an exchange reduce's typed-empty
+        # output): recover the schema from the first block that still
+        # carries columns before giving up
+        import ray as _ray
+        from ray.data.block import BlockAccessor
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, _meta in bundle.blocks:
+                blk = BlockAccessor.for_block(_ray.get(ref))
+                tbl = blk.to_arrow()
+                if tbl.num_columns:
+                    return tbl.schema.empty_table()
+        # truly schema-less (every upstream block 0-row AND column-less:
+        # the 0-row INPUT TABLE case) — degrade to a zero-column empty;
         # callers' ensure_cols restores the declared output columns
         return pa.schema([]).empty_table()
     fields = []
@@ -95,6 +107,31 @@ def _empty_typed_table(ds):
             except Exception:
                 fields.append(pa.field(n, pa.string()))
     return pa.schema(fields).empty_table()
+
+
+def to_typed_pandas(ds):
+    """Dataset → pandas with the schema preserved on ZERO-ROW results.
+
+    ``ray.data.Dataset.to_pandas()`` returns a COLUMN-LESS frame for
+    any 0-row dataset even when every block is fully typed (verified on
+    ``from_arrow`` of a typed empty table) — and ``ds.schema()`` is
+    None for the same datasets, so the all-miss / everything-filtered
+    case loses the result schema at the driver boundary. Recover it
+    BLOCK-level: the first block that still carries columns (a typed
+    empty emitted by an exchange reduce or passed through Ray's
+    empty-block bypass) supplies the frame. A dataset whose every
+    block is schema-less falls through unchanged for the caller's
+    declared-schema restoration (EMPTY_SCHEMAS)."""
+    df = ds.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        import ray
+        from ray.data.block import BlockAccessor
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, _meta in bundle.blocks:
+                blk = BlockAccessor.for_block(ray.get(ref)).to_pandas()
+                if len(blk.columns):
+                    return blk.iloc[:0]
+    return df
 
 
 def _empty_exchange_result(ds, bucket_fn, batch_format: str, pre_fn=None):
@@ -419,7 +456,7 @@ def attach_by_key(pairs, table, side: str, renames: dict[str, str], *,
 
 
 def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
-                *, num_buckets: int):
+                *, num_buckets: int, finalize=None):
     """``groupby(keys).aggregate(...)`` for HIGH-cardinality keys.
 
     Ray Data's built-in aggregate walks group boundaries in Python —
@@ -439,14 +476,19 @@ def grouped_agg(ds, keys: list[str], specs: dict[str, tuple[str | None, str]],
     def agg_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         g = bucket.groupby(keys, sort=False, as_index=False)
         if not named:
-            return g.size().rename(columns={"size": size_aliases[0]})
-        out = g.agg(**{a: pd.NamedAgg(column=c, aggfunc=f)
-                       for a, (c, f) in named.items()})
-        if size_aliases:
-            sz = g.size()["size"].to_numpy()
-            for a in size_aliases:
-                out[a] = sz
-        return out
+            out = g.size().rename(columns={"size": size_aliases[0]})
+        else:
+            out = g.agg(**{a: pd.NamedAgg(column=c, aggfunc=f)
+                           for a, (c, f) in named.items()})
+            if size_aliases:
+                sz = g.size()["size"].to_numpy()
+                for a in size_aliases:
+                    out[a] = sz
+        # finalize INSIDE the reduce (dtype casts etc.): a trailing
+        # map_batches stage after the exchange would destroy the typed
+        # schema of a 0-row result — Ray re-emits empty blocks through
+        # later stages column-less (deep-seed fuzz find)
+        return finalize(out) if finalize is not None else out
 
     return grouped_map(ds, keys, agg_bucket, num_buckets=num_buckets,
                        batch_format="pandas")
