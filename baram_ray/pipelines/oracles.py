@@ -2792,10 +2792,14 @@ ORACLES: dict[str, str] = {
     """,
     # _termvectors: per-doc term counts + corpus-wide df/cf
     "doc_termvectors": r"""
-        WITH toks AS (SELECT doc_id,
-                             unnest(string_split_regex(
-                                 lower(trim(text)), '\s+')) AS term
-                      FROM documents),
+        WITH toks0 AS (SELECT doc_id,
+                              unnest(string_split_regex(
+                                  lower(trim(text)), '\s+')) AS term
+                       FROM documents),
+        -- splitting an EMPTY text yields [''] — drop it like the
+        -- tokenizer does (deep-seed fuzz: an all-empty doc produced a
+        -- spurious ''-term row)
+        toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
         v AS (SELECT doc_id, term,
                      CAST(count(*) AS BIGINT) AS term_freq
               FROM toks WHERE doc_id IN (0, 1, 2, 3, 4, 7, 11)

@@ -176,7 +176,7 @@ def test_differential_events(seed, ray_session, tmp_path):
         _compare(name, str(d), con)
 
 
-@pytest.mark.parametrize("seed", _extra_seeds([5, 19]))
+@pytest.mark.parametrize("seed", _extra_seeds([5, 19, 1100]))
 def test_differential_documents(seed, ray_session, tmp_path):
     rng = np.random.RandomState(seed)
     d = tmp_path / f"sf_doc_{seed}"
