@@ -1647,12 +1647,15 @@ ORACLES: dict[str, str] = {
     "tpch_q14": """
         WITH s AS (
           SELECT
-            CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+            -- coalesce: an empty month makes the scalar sums NULL,
+            -- which pandas-ifies to float64/NaN — the engine returns
+            -- exact int64 zeros (deep-seed fuzz find)
+            CAST(coalesce(sum(CASE WHEN p_type LIKE 'PROMO%'
                           THEN CAST(trunc(l_extendedprice * (1 - l_discount)
                                           * 10000 + 0.5) AS BIGINT)
-                          ELSE 0 END) AS BIGINT) AS promo_u4,
-            CAST(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
-                                * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                          ELSE 0 END), 0) AS BIGINT) AS promo_u4,
+            CAST(coalesce(sum(CAST(trunc(l_extendedprice * (1 - l_discount)
+                                * 10000 + 0.5) AS BIGINT)), 0) AS BIGINT)
                 AS total_u4
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= DATE '1997-09-01'

@@ -321,7 +321,7 @@ def _rand_tpch(rng: np.random.RandomState) -> dict:
             "lineitem": lineitem}
 
 
-@pytest.mark.parametrize("seed", _extra_seeds([3, 31, 1061]))
+@pytest.mark.parametrize("seed", _extra_seeds([3, 31, 1061, 1217]))
 def test_differential_tpch(seed, ray_session, tmp_path):
     rng = np.random.RandomState(seed)
     d = tmp_path / f"sf_tpch_{seed}"
