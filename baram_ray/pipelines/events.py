@@ -534,8 +534,6 @@ def retention(sf_dir: str):
         return out
 
     parts = grouped_map(ds, ["user_id"], bucket_counts, num_buckets=8)
-    out = grouped_agg(parts, ["cohort_week", "week_offset"],
-                      {"users": ("users", "sum")}, num_buckets=2)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -544,7 +542,9 @@ def retention(sf_dir: str):
             "users": df["users"].astype("int64"),
         })
 
-    return out.map_batches(cast, batch_format="pandas")
+    return grouped_agg(parts, ["cohort_week", "week_offset"],
+                       {"users": ("users", "sum")}, num_buckets=2,
+                       finalize=cast)
 
 
 def value_stats(sf_dir: str):
@@ -698,14 +698,13 @@ def activity_heatmap(sf_dir: str):
         return g
 
     parts = ds.map_batches(partial, batch_format="pandas")
-    out = grouped_agg(parts, ["dow", "hour"], {"n": ("n", "sum")},
-                      num_buckets=2)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         df["n"] = df["n"].astype("int64")
         return df
 
-    return out.map_batches(cast, batch_format="pandas")
+    return grouped_agg(parts, ["dow", "hour"], {"n": ("n", "sum")},
+                       num_buckets=2, finalize=cast)
 
 
 def transitions(sf_dir: str):
@@ -730,14 +729,14 @@ def transitions(sf_dir: str):
         return g
 
     parts = grouped_map(ds, ["user_id"], bucket_counts, num_buckets=8)
-    out = grouped_agg(parts, ["prev_type", "next_type"],
-                      {"n": ("n", "sum")}, num_buckets=2)
 
     def cast(df: pd.DataFrame) -> pd.DataFrame:
         df["n"] = df["n"].astype("int64")
         return df
 
-    return out.map_batches(cast, batch_format="pandas")
+    return grouped_agg(parts, ["prev_type", "next_type"],
+                       {"n": ("n", "sum")}, num_buckets=2,
+                       finalize=cast)
 
 
 def dau_wau(sf_dir: str):

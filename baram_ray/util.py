@@ -64,6 +64,30 @@ def _split_by_bucket(block, keys: list[str], num_buckets: int,
     return out[0] if num_buckets == 1 else tuple(out)
 
 
+def _first_typed_block(ds):
+    """First block of ``ds`` that still carries columns, as an Arrow
+    table with null-typed columns mapped to string (a 0-row pandas
+    block's object column converts to Arrow ``null``, which would
+    poison later concat/union with string-typed fragments) — or None
+    when every block is schema-less. NOTE: iterating an unexecuted
+    dataset's bundles (re-)executes its plan; callers sit on rare
+    empty-result paths where the result blocks are trivial."""
+    import pyarrow as pa
+
+    import ray as _ray
+    from ray.data.block import BlockAccessor
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            tbl = BlockAccessor.for_block(_ray.get(ref)).to_arrow()
+            if tbl.num_columns:
+                fields = [pa.field(f.name, pa.string()
+                                   if pa.types.is_null(f.type)
+                                   else f.type)
+                          for f in tbl.schema]
+                return pa.schema(fields).empty_table()
+    return None
+
+
 def _empty_typed_table(ds):
     """Empty Arrow table with ``ds``'s schema (for the zero-block case).
 
@@ -79,14 +103,9 @@ def _empty_typed_table(ds):
         # blocks are fully typed (e.g. an exchange reduce's typed-empty
         # output): recover the schema from the first block that still
         # carries columns before giving up
-        import ray as _ray
-        from ray.data.block import BlockAccessor
-        for bundle in ds.iter_internal_ref_bundles():
-            for ref, _meta in bundle.blocks:
-                blk = BlockAccessor.for_block(_ray.get(ref))
-                tbl = blk.to_arrow()
-                if tbl.num_columns:
-                    return tbl.schema.empty_table()
+        tbl = _first_typed_block(ds)
+        if tbl is not None:
+            return tbl
         # truly schema-less (every upstream block 0-row AND column-less:
         # the 0-row INPUT TABLE case) — degrade to a zero-column empty;
         # callers' ensure_cols restores the declared output columns
@@ -122,15 +141,14 @@ def to_typed_pandas(ds):
     empty-block bypass) supplies the frame. A dataset whose every
     block is schema-less falls through unchanged for the caller's
     declared-schema restoration (EMPTY_SCHEMAS)."""
+    ds = ds.materialize()   # execute ONCE: both to_pandas and the
+    # schema-recovery scan below read the same cached blocks instead
+    # of re-running the plan (queries() results are driver-sized)
     df = ds.to_pandas()
     if len(df) == 0 and len(df.columns) == 0:
-        import ray
-        from ray.data.block import BlockAccessor
-        for bundle in ds.iter_internal_ref_bundles():
-            for ref, _meta in bundle.blocks:
-                blk = BlockAccessor.for_block(ray.get(ref)).to_pandas()
-                if len(blk.columns):
-                    return blk.iloc[:0]
+        tbl = _first_typed_block(ds)
+        if tbl is not None:
+            return tbl.to_pandas()
     return df
 
 
